@@ -1,13 +1,371 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.{dec, avgExact, tsDate}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry pairs a Spark DataFrame program with a DuckDB oracle SQL
+  * over the same parquet tables. Conventions that make the hash-compare
+  * exact (not just approximately right):
+  *   - doubles that get aggregated are cast to DECIMAL(38,6) first in BOTH
+  *     engines — decimal addition is order-independent, so Spark's partial
+  *     aggregation and DuckDB's single-threaded fold agree bitwise;
+  *   - averages are exact-decimal-sum → double → one IEEE division;
+  *   - every query ends in a total ORDER BY (unique tiebreaker);
+  *   - `events.ts` (parquet TIMESTAMP(NANOS)) is a Long of epoch-nanos on
+  *     the Spark side (see [[Tables]]) and `epoch_ns(ts)` in oracles.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * W1 latest-per-key — the reference's one true window function
+    * (dashboard.py:104-119).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q_w1_latest_per_key")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // W1 — latest row per (user_id, event_type) by ts (dashboard.py:104-119).
+    // Ordering/output use microsecond granularity (ts div 1000) because the
+    // DuckDB oracle truncates parquet TIMESTAMP(NANOS) to us — both engines
+    // must break ties with the same key values.
+    "q_w1_latest_per_key" -> ((s, dir) => {
+      Analytics.latestPerKey(
+          t(s, dir, "events").withColumn("ts_us", expr("ts div 1000")),
+          Seq("user_id", "event_type"),
+          Seq(col("ts_us").desc, col("event_id").desc))
+        .select("user_id", "event_type", "event_id", "ts_us", "value")
+        .orderBy("user_id", "event_type")
+    }),
+
+    // A1-A5 spine: TPC-H Q1-style pricing summary (scan→agg→sort)
+    "q1_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(to_date(col("l_shipdate")) <= lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec(col("l_quantity"))).as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).as("sum_base_price"),
+          sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+          sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).as("sum_charge"),
+          avgExact(col("l_quantity")).as("avg_qty"),
+          avgExact(col("l_extendedprice")).as("avg_price"),
+          avgExact(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // A3/O6 — group-sum then top-k (dashboard.py:249 nlargest(10))
+    "q_a3_topk_customers" -> ((s, dir) => {
+      Analytics.topKByAgg(
+        t(s, dir, "orders"),
+        groupCols = Seq(col("o_custkey")),
+        aggs = Seq(sum(dec(col("o_totalprice"))).as("total_spent"),
+                   count(lit(1)).as("n_orders")),
+        ord = Seq(col("total_spent").desc, col("o_custkey").asc),
+        k = 10)
+    }),
+
+    // A4 — top-3 days by total value (dashboard.py:256 nlargest(3))
+    "q_a4_top_days" -> ((s, dir) => {
+      Analytics.topKByAgg(
+        t(s, dir, "events").withColumn("d", tsDate("ts")),
+        groupCols = Seq(col("d")),
+        aggs = Seq(sum(dec(col("value"))).as("total_value")),
+        ord = Seq(col("total_value").desc, col("d").asc),
+        k = 3)
+    }),
+
+    // A6 — countDistinct + deterministic ordered string-agg (dashboard.py:291-294)
+    "q_a6_genre_rollup" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val nat = t(s, dir, "nation")
+      Analytics.distinctAndSortedList(
+          cust.join(broadcast(nat), col("c_nationkey") === col("n_nationkey")),
+          groupCol = "n_name", countCol = "c_custkey", listCol = "c_name")
+        .withColumnRenamed("cnt_distinct", "n_customers")
+        .withColumnRenamed("sorted_list", "customer_list")
+        .orderBy("n_name")
+    }),
+
+    // J1 — fact ⟕ broadcast dims, rollup (dashboard.py:287)
+    "q_j1_dim_rollup" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_customers"),
+             sum(dec(col("c_acctbal"))).as("total_acctbal"),
+             avgExact(col("c_acctbal")).as("avg_acctbal"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // J2/J3 — anti join: customers with no large orders (kobis_pipeline.py:77-81)
+    "q_j2_customers_no_orders" -> ((s, dir) => {
+      Joins.anti(
+          t(s, dir, "customer"),
+          t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+            .select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"))
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // semi join — customers having at least one filtered order
+    "q_j2b_customers_with_orders" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 100000)
+        .select(col("o_custkey").as("c_custkey"))
+      Joins.semi(t(s, dir, "customer"), o, Seq("c_custkey"))
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
+    // F15 — threshold bucketing (movie_events_scraper.py:493-501)
+    "q_f15_stock_status" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .withColumn("status", Analytics.stockStatus(col("l_quantity")))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"),
+             sum(dec(col("l_quantity"))).as("total_qty"))
+        .orderBy("status")
+    }),
+
+    // T1 — UNION-dedup of two name sets (movie_events_scraper.py:68-81)
+    "q_t1_union_names" -> ((s, dir) => {
+      t(s, dir, "customer").select(col("c_name").as("name"))
+        .union(t(s, dir, "supplier").select(col("s_name").as("name")))
+        .distinct()
+        .orderBy("name")
+    }),
+
+    // ST1 — watermark + gap-fill date spine (kobis_pipeline.py:14-49)
+    "q_st1_date_spine" -> ((s, dir) => {
+      Ingest.missingDates(t(s, dir, "orders"), "o_orderdate", "2001-12-31")
+        .orderBy("d")
+    }),
+
+    // U1 — upsert: fresh batch (event_id%10<3, value+1000) beats base
+    "q_u1_upsert" -> ((s, dir) => {
+      val base = t(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000"))
+        .select("event_id", "ts_us", "user_id", "event_type", "value", "props")
+      val fresh = base.filter(col("event_id") % 10 < 3)
+        .withColumn("value", col("value") + 1000)
+        .withColumn("props", lit("{\"upd\": true}"))
+      Upsert.upsert(base, fresh, Seq("event_id"), col("ts_us"))
+        .orderBy("event_id")
+    }),
+
+    // F5/F6 — datediff analytics (kobisdata_extractor.py:149 elapsed_dt)
+    "q_f5_ship_delay" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          avgExact(datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))))
+            .as("avg_ship_delay_days"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // W2 — re-derived daily rank (reference ingests rank; we compute it)
+    "q_w2_daily_rank" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("user_id"), tsDate("ts").as("d"))
+        .agg(sum(dec(col("value"))).as("day_value"))
+      val w = Window.partitionBy(col("d"))
+        .orderBy(col("day_value").desc, col("user_id").asc)
+      daily.withColumn("rnk", rank().over(w))
+        .filter(col("rnk") <= 5)
+        .orderBy("d", "rnk", "user_id")
+    }),
+
+    // W2 — lag delta + cumulative sum per user (audi_inten / *_acc analogs)
+    "q_w2_lag_cumsum" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+      t(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .withColumn("delta", col("value") - col("prev_value"))
+        .withColumn("cum_value",
+          sum(dec(col("value")))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("user_id", "ts_us", "event_id", "value", "prev_value", "delta", "cum_value")
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+
+    // P1/P9/P10/O1 — pruned scan, range+IN filters, multi-key sort
+    "q_p_scan_filter_sort" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+                "l_returnflag", "l_shipdate")
+        .filter(col("l_shipdate").between(lit("1996-01-01 00:00:00").cast("timestamp"),
+                                          lit("1996-12-31 00:00:00").cast("timestamp"))
+                && col("l_returnflag").isin("R", "A"))
+        .orderBy(col("l_shipdate").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+    }),
+
+    // §2.11 — open SQL surface: the text-to-SQL agent's fuzzy LIKE idiom
+    "q_sql_fuzzy_like" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT p_partkey, p_name, p_retailprice FROM part
+               WHERE REPLACE(p_name, ' ', '') LIKE '%redwidget%'
+               ORDER BY p_partkey""")
+    })
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+
+    "q_w1_latest_per_key" ->
+      """SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value
+         FROM (SELECT user_id, event_type, event_id, ts, value,
+                      ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                         ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+               FROM events) t
+         WHERE rn = 1 ORDER BY user_id, event_type""",
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+                SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
+                SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS sum_base_price,
+                SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS sum_disc_price,
+                SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS sum_charge,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_price,
+                CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
+                COUNT(*) AS count_order
+         FROM lineitem
+         WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "q_a3_topk_customers" ->
+      """SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS total_spent,
+                COUNT(*) AS n_orders
+         FROM orders GROUP BY o_custkey
+         ORDER BY total_spent DESC, o_custkey LIMIT 10""",
+
+    "q_a4_top_days" ->
+      """SELECT CAST(ts AS DATE) AS d, SUM(CAST(value AS DECIMAL(38,6))) AS total_value
+         FROM events GROUP BY 1
+         ORDER BY total_value DESC, d LIMIT 3""",
+
+    "q_a6_genre_rollup" ->
+      """SELECT n_name, COUNT(DISTINCT c_custkey) AS n_customers,
+                array_to_string(list_sort(list_distinct(list(c_name))), ', ') AS customer_list
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+
+    "q_j1_dim_rollup" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_customers,
+                SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS total_acctbal,
+                CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_acctbal
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+
+    "q_j2_customers_no_orders" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+         ORDER BY c_custkey""",
+
+    "q_j2b_customers_with_orders" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+         ORDER BY c_custkey""",
+
+    "q_f15_stock_status" ->
+      """SELECT CASE WHEN l_quantity > 40 THEN '보유'
+                     WHEN l_quantity > 10 THEN '소진중'
+                     WHEN l_quantity > 0 THEN '소량보유'
+                     ELSE '소진' END AS status,
+                COUNT(*) AS n, SUM(CAST(l_quantity AS DECIMAL(38,6))) AS total_qty
+         FROM lineitem GROUP BY 1 ORDER BY status""",
+
+    "q_t1_union_names" ->
+      """SELECT c_name AS name FROM customer
+         UNION SELECT s_name AS name FROM supplier
+         ORDER BY name""",
+
+    "q_st1_date_spine" ->
+      """SELECT CAST(x AS DATE) AS d
+         FROM (SELECT UNNEST(generate_series(
+                 (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders) + 1,
+                 DATE '2001-12-31', INTERVAL 1 DAY)) AS x)
+         ORDER BY d""",
+
+    "q_u1_upsert" ->
+      """WITH base AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props FROM events),
+              fresh AS (SELECT event_id, ts_us, user_id, event_type, value + 1000 AS value,
+                               '{"upd": true}' AS props
+                        FROM base WHERE event_id % 10 < 3),
+              u AS (SELECT *, 1 AS pri FROM fresh UNION ALL SELECT *, 0 AS pri FROM base),
+              r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
+                                                 ORDER BY pri DESC, ts_us DESC) AS rn FROM u)
+         SELECT event_id, ts_us, user_id, event_type, value, props
+         FROM r WHERE rn = 1 ORDER BY event_id""",
+
+    "q_f5_ship_delay" ->
+      """SELECT o_orderpriority,
+                CAST(SUM(CAST(datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS DECIMAL(38,6))) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE) AS avg_ship_delay_days,
+                COUNT(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q_w2_daily_rank" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS d,
+                               SUM(CAST(value AS DECIMAL(38,6))) AS day_value
+                        FROM events GROUP BY 1, 2)
+         SELECT user_id, d, day_value, rnk
+         FROM (SELECT *, RANK() OVER (PARTITION BY d
+                                      ORDER BY day_value DESC, user_id) AS rnk
+               FROM daily) t
+         WHERE rnk <= 5 ORDER BY d, rnk, user_id""",
+
+    "q_w2_lag_cumsum" ->
+      """SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+                LAG(value, 1) OVER w AS prev_value,
+                value - (LAG(value, 1) OVER w) AS delta,
+                SUM(CAST(value AS DECIMAL(38,6))) OVER (PARTITION BY user_id
+                  ORDER BY epoch_us(ts), event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_value
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+         ORDER BY user_id, ts_us, event_id""",
+
+    "q_p_scan_filter_sort" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+                l_returnflag, l_shipdate
+         FROM lineitem
+         WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                              AND TIMESTAMP '1996-12-31 00:00:00'
+           AND l_returnflag IN ('R', 'A')
+         ORDER BY l_shipdate DESC, l_orderkey, l_linenumber""",
+
+    "q_sql_fuzzy_like" ->
+      """SELECT p_partkey, p_name, p_retailprice FROM part
+         WHERE REPLACE(p_name, ' ', '') LIKE '%redwidget%'
+         ORDER BY p_partkey"""
+  )
 }

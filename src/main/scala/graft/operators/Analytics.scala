@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Aggregation / window / top-k operator pack — SURVEY.md §2.4–§2.6.
+  *
+  * Everything here is a lazy DataFrame transform; Catalyst supplies partial
+  * (map-side) aggregation, `TakeOrderedAndProject` for top-k, and
+  * whole-stage codegen. Scale notes are on each operator.
+  */
+object Analytics {
+
+  /** W1 — latest row per key (ref: dashboard.py:104-119, the reference's
+    * one true window function: ROW_NUMBER() PARTITION BY event_id,
+    * theater_name ORDER BY scraped_at DESC → rn=1).
+    *
+    * Scale: one hash shuffle on `keys`; within-partition sort only. At
+    * 100 TB this is the standard "current state from an append log"
+    * pattern — partition count rides `spark.sql.shuffle.partitions` / AQE,
+    * and a skewed key is handled by AQE skew-join/agg splitting. `order`
+    * must be a total order (include a unique tiebreaker) for deterministic
+    * results.
+    */
+  def latestPerKey(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  /** A3/A4/O6 — group-by aggregate then top-k. Catalyst plans the
+    * sort+limit as TakeOrderedAndProject: each task keeps a k-row heap and
+    * the driver merges k·numPartitions rows — no global sort at any scale.
+    * `ord` must totally order rows (tiebreak on the group key).
+    */
+  def topKByAgg(df: DataFrame, groupCols: Seq[Column], aggs: Seq[Column],
+                ord: Seq[Column], k: Int): DataFrame =
+    df.groupBy(groupCols: _*).agg(aggs.head, aggs.tail: _*).orderBy(ord: _*).limit(k)
+
+  /** A6 — per-group distinct count + deterministic ordered string-agg
+    * (ref: dashboard.py:291-294 `nunique` + `', '.join(sorted(unique))`).
+    * collect_set is bounded by group cardinality; for unbounded-cardinality
+    * groups at 100 TB you'd cap with slice() after array_sort — the
+    * reference's semantics (small genre groups) don't need it.
+    */
+  def distinctAndSortedList(df: DataFrame, groupCol: String, countCol: String,
+                            listCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(
+        countDistinct(col(countCol)).as("cnt_distinct"),
+        concat_ws(", ", array_sort(collect_set(col(listCol)))).as("sorted_list"))
+
+  /** F15 — threshold bucketing (ref: movie_events_scraper.py:493-501;
+    * quantity → 보유/소진중/소량보유/소진). Pure codegen'd CASE WHEN — no
+    * shuffle, vectorizes over the scan.
+    */
+  def stockStatus(qty: Column): Column =
+    when(qty > 40, "보유")
+      .when(qty > 10, "소진중")
+      .when(qty > 0, "소량보유")
+      .otherwise("소진")
+}

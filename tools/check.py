@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run graft.Verify via sbt,
+then execute each oracle SQL in DuckDB over the same parquet tables and
+compare against the Spark-written result parquet (columns sorted by name,
+exact value compare). Usage: python3 tools/check.py [sfDir] [--skip-verify]
+"""
+import json, subprocess, sys, os
+
+SF = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("-") else "/root/testdata/sf0.01"
+OUT = "/tmp/graft_verify"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+if "--skip-verify" not in sys.argv:
+    r = subprocess.run(
+        ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
+        cwd="/root/repo", capture_output=True, text=True, timeout=1800)
+    sys.stdout.write(r.stdout[-3000:])
+    sys.stderr.write(r.stderr[-3000:])
+    if r.returncode != 0:
+        sys.exit("verify run failed")
+
+import duckdb
+import pandas as pd
+
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+fails = []
+for name, sql in sorted(oracle.items()):
+    path = f"{OUT}/{name}"
+    if not os.path.isdir(path):
+        fails.append(name); print(f"FAIL {name}: no spark output"); continue
+    try:
+        exp = con.execute(sql).fetchdf()
+    except Exception as e:
+        fails.append(name); print(f"FAIL {name}: oracle error: {e}"); continue
+    got = con.execute(f"SELECT * FROM '{path}/*.parquet'").fetchdf()
+    exp = exp[sorted(exp.columns)]
+    got = got[sorted(got.columns)]
+    if list(exp.columns) != list(got.columns):
+        fails.append(name)
+        print(f"FAIL {name}: cols exp={list(exp.columns)} got={list(got.columns)}")
+        continue
+    if exp.shape != got.shape:
+        fails.append(name)
+        print(f"FAIL {name}: shape exp={exp.shape} got={got.shape}")
+        continue
+    bad = []
+    for c in exp.columns:
+        e, g = exp[c], got[c]
+        try:
+            eq = (e.isna() & g.isna()) | (e == g)
+        except Exception:
+            eq = e.astype(str) == g.astype(str)
+        if not eq.all():
+            idx = eq.idxmin()
+            bad.append(f"{c} (dtype {e.dtype}/{g.dtype}) row{idx}: exp={e[idx]!r} got={g[idx]!r}")
+    if bad:
+        fails.append(name)
+        print(f"FAIL {name}: {len(bad)} cols differ; first: {bad[0]}")
+    else:
+        print(f"PASS {name} ({exp.shape[0]} rows x {exp.shape[1]} cols)")
+
+print(f"\n{len(oracle) - len(fails)}/{len(oracle)} queries pass")
+sys.exit(1 if fails else 0)
