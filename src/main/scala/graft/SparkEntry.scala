@@ -225,6 +225,110 @@ object SparkEntry {
       s.sql("""SELECT p_partkey, p_name, p_retailprice FROM part
                WHERE REPLACE(p_name, ' ', '') LIKE '%redwidget%'
                ORDER BY p_partkey""")
+    }),
+
+    // J4 — enrichment with fallback lookup + coalesce (movie_events_scraper.py:307-367)
+    "q_j4_enrich_fallback" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("p_partkey"), col("l_returnflag"), col("l_quantity"))
+      val part = t(s, dir, "part")
+      val primary = part.filter(col("p_size") > 30)
+        .withColumn("eff_price", col("p_retailprice") * 0.9)
+      val fallback = part.withColumn("eff_price", col("p_retailprice"))
+      Joins.enrichWithFallback(li, primary, fallback, Seq("p_partkey"), Seq("eff_price"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+             sum(dec(col("eff_price") * col("l_quantity"))).as("total_eff"))
+        .orderBy("l_returnflag")
+    }),
+
+    // J6 — fuzzy containment title match (movie_events_scraper.py:56-128)
+    "q_j6_fuzzy_title" -> ((s, dir) => {
+      val titles = s.sql(
+        """SELECT * FROM VALUES ('red widget premiere [2024]'),
+           ('the blue bolt: limited run'), ('hot gear <fan event>'),
+           ('totally unknown title') AS t(title)""")
+      FuzzyMatch.bestMatch(titles, "title", t(s, dir, "part"), "p_name")
+        .select("title", "matched")
+        .orderBy("title")
+    }),
+
+    // TPC-H Q3 shape — segment filter, 3-way join, group, top-k by revenue
+    "q3_shipping_priority" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders").filter(to_date(col("o_orderdate")) < lit("1998-01-01"))
+      val li = t(s, dir, "lineitem").filter(to_date(col("l_shipdate")) > lit("1998-01-01"))
+      cust.join(ord, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("o_date"),
+                 col("o_orderpriority"))
+        .agg(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape — 6-way star join, same-nation customer/supplier
+    "q5_local_supplier_volume" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+        .filter(to_date(col("o_orderdate")) >= lit("1996-01-01")
+             && to_date(col("o_orderdate")) < lit("1998-01-01"))
+      val li = t(s, dir, "lineitem")
+      val supp = t(s, dir, "supplier")
+      val nat = t(s, dir, "nation")
+      val reg = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      cust.join(ord, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey")
+                            && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // F2 — JSON-string column extraction (kobisdata_extractor.py:93-113 /
+    // ai_agent.py:137-139 boundary): events.props is a JSON object
+    "q_f2_json_props" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+             sum(col("k")).as("sum_k"),
+             max(col("k")).as("max_k"),
+             min(col("k")).as("min_k"))
+        .orderBy("event_type")
+    }),
+
+    // A2 — scalar freshness aggregate (dashboard.py:124-129 MAX(scraped_at))
+    "q_a2_freshness" -> ((s, dir) => {
+      t(s, dir, "events")
+        .agg(max(expr("ts div 1000")).as("max_ts_us"),
+             min(expr("ts div 1000")).as("min_ts_us"),
+             count(lit(1)).as("n_events"))
+    }),
+
+    // F4/F7/F10 — scalar suite: date_format, year, regexp_extract
+    "q_f_scalar_suite" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+        .withColumn("yr", year(col("o_orderdate")).cast("long"))
+        .withColumn("pri_num", regexp_extract(col("o_orderpriority"), "^(\\d)-", 1).cast("int"))
+        .withColumn("pri_label", lower(trim(regexp_extract(col("o_orderpriority"), "^\\d-(.+)$", 1))))
+        .groupBy("month", "yr", "pri_num", "pri_label")
+        .agg(count(lit(1)).as("n"),
+             sum(dec(col("o_totalprice"))).as("total_price"))
+        .orderBy("month", "pri_num")
+    }),
+
+    // P6/P7/P12 — conjunctive filters incl. not-null/not-empty + contains
+    "q_p6_multi_filter" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .filter(col("lang").isNotNull && col("lang") =!= ""
+             && col("n_chars") > 200 && col("text").contains("spark"))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
     })
   )
 
@@ -366,6 +470,94 @@ object SparkEntry {
     "q_sql_fuzzy_like" ->
       """SELECT p_partkey, p_name, p_retailprice FROM part
          WHERE REPLACE(p_name, ' ', '') LIKE '%redwidget%'
-         ORDER BY p_partkey"""
+         ORDER BY p_partkey""",
+
+    "q_j4_enrich_fallback" ->
+      """WITH f AS (SELECT l_partkey, l_returnflag, l_quantity FROM lineitem),
+              p AS (SELECT p_partkey, p_retailprice * 0.9 AS eff FROM part WHERE p_size > 30),
+              a AS (SELECT p_partkey, p_retailprice AS eff FROM part)
+         SELECT l_returnflag, COUNT(*) AS n_items,
+                SUM(CAST(COALESCE(p.eff, a.eff) * l_quantity AS DECIMAL(38,6))) AS total_eff
+         FROM f LEFT JOIN p ON f.l_partkey = p.p_partkey
+                LEFT JOIN a ON f.l_partkey = a.p_partkey
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_j6_fuzzy_title" ->
+      """WITH q(title) AS (VALUES ('red widget premiere [2024]'),
+                                  ('the blue bolt: limited run'),
+                                  ('hot gear <fan event>'),
+                                  ('totally unknown title')),
+              n AS (SELECT title,
+                           trim(regexp_replace(regexp_replace(regexp_replace(title,
+                                '[<\[].*?[>\]]', ' ', 'g'),
+                                '[^가-힣a-zA-Z0-9\s]', '', 'g'),
+                                '\s+', ' ', 'g')) AS nt
+                    FROM q),
+              nq AS (SELECT title, replace(replace(replace(nt, ' ', ''), ':', ''), '_', '') AS qc FROM n),
+              c AS (SELECT p_name, replace(replace(replace(p_name, ' ', ''), ':', ''), '_', '') AS cc
+                    FROM (SELECT DISTINCT p_name FROM part)
+                    WHERE length(replace(replace(replace(p_name, ' ', ''), ':', ''), '_', '')) > 0),
+              j AS (SELECT nq.title, nq.qc, c.p_name, c.cc
+                    FROM nq LEFT JOIN c ON contains(nq.qc, c.cc)),
+              r AS (SELECT title, p_name,
+                           ROW_NUMBER() OVER (PARTITION BY title
+                             ORDER BY abs(length(cc) - length(qc)), length(p_name), p_name) AS rn
+                    FROM j)
+         SELECT title, COALESCE(p_name, title) AS matched
+         FROM r WHERE rn = 1 ORDER BY title""",
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_date, o_orderpriority,
+                SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+           AND CAST(l_shipdate AS DATE) > DATE '1998-01-01'
+         GROUP BY l_orderkey, o_date, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+
+    "q5_local_supplier_volume" ->
+      """SELECT n_name,
+                SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+           AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
+
+    "q_f2_json_props" ->
+      """SELECT event_type, COUNT(*) AS n,
+                CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+                MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+                MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_a2_freshness" ->
+      """SELECT MAX(epoch_us(ts)) AS max_ts_us, MIN(epoch_us(ts)) AS min_ts_us,
+                COUNT(*) AS n_events FROM events""",
+
+    "q_f_scalar_suite" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                year(o_orderdate) AS yr,
+                CAST(regexp_extract(o_orderpriority, '^(\d)-', 1) AS INTEGER) AS pri_num,
+                lower(trim(regexp_extract(o_orderpriority, '^\d-(.+)$', 1))) AS pri_label,
+                COUNT(*) AS n,
+                SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS total_price
+         FROM orders
+         GROUP BY month, yr, pri_num, pri_label
+         ORDER BY month, pri_num""",
+
+    "q_p6_multi_filter" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+         WHERE lang IS NOT NULL AND lang <> '' AND n_chars > 200
+           AND contains(text, 'spark')
+         ORDER BY doc_id"""
   )
 }
