@@ -329,6 +329,93 @@ object SparkEntry {
              && col("n_chars") > 200 && col("text").contains("spark"))
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
+    }),
+
+    // ---- LLM-data-pipeline pack -------------------------------------
+
+    // token counting (whitespace) + type-token ratio
+    "q_text_tokens" -> ((s, dir) => {
+      TextAnalysis.withTokenStats(t(s, dir, "documents"), "text")
+        .select("doc_id", "n_tokens", "n_unique", "ttr")
+        .orderBy("doc_id")
+    }),
+
+    // quality scoring: length/stopword/token-shape signals → [0,1] score
+    "q_text_quality" -> ((s, dir) => {
+      TextAnalysis.withQuality(t(s, dir, "documents"), "text")
+        .select("doc_id", "n_tokens", "avg_token_len", "stop_ratio", "quality_score")
+        .orderBy("doc_id")
+    }),
+
+    // heuristic language ID via per-language stopword hits
+    "q_text_langid" -> ((s, dir) => {
+      TextAnalysis.withLangId(t(s, dir, "documents"), "text")
+        .select("doc_id", "lang", "detected",
+                "en_hits", "es_hits", "fr_hits", "de_hits")
+        .orderBy("doc_id")
+    }),
+
+    // document fingerprinting (normalization hash) + collision count
+    "q_text_fingerprint" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("fingerprint", TextAnalysis.fingerprint(col("text")))
+      d.withColumn("n_same",
+          count(lit(1)).over(Window.partitionBy(col("fingerprint"))))
+        .select("doc_id", "fingerprint", "n_same")
+        .orderBy("doc_id")
+    }),
+
+    // 64-bit SimHash per document (md5-derived, oracle-reproducible)
+    "q_text_simhash" -> ((s, dir) => {
+      TextAnalysis.withSimhash(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // exact dedup: canonical doc per identical text
+    "q_dedup_exact" -> ((s, dir) => {
+      Dedup.exactCanonical(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("content_hash")
+    }),
+
+    // n-gram Jaccard near-dup pairs (5-gram word shingles, ≥0.8)
+    "q_dedup_ngram_jaccard" -> ((s, dir) => {
+      Dedup.jaccardPairs(
+          Dedup.wordShingles(t(s, dir, "documents"), "doc_id", "text", 5),
+          "doc_id", 0.8)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // MinHash (16 hashes) + LSH (4 bands) candidates, exact-Jaccard ≥0.5
+    "q_dedup_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+          k = 5, numHashes = 16, numBands = 4, threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // brute-force cosine top-3 per query vector (exact ANN baseline)
+    "q_sim_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", k = 3)
+        .orderBy("query_id", "rank")
+    }),
+
+    // LSH-bucketed ANN top-3 (8 sign-projection planes) — the scale path
+    "q_sim_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.annTopK(emb, emb.filter(col("vec_id") < 5),
+          Similarity.planeSigns(s, nPlanes = 8, dim = 64),
+          "vec_id", "embedding", nPlanes = 8, k = 3)
+        .orderBy("query_id", "rank")
+    }),
+
+    // multimodal plumbing: binary payload column → typed feature extract
+    "q_multimodal_meta" -> ((s, dir) => {
+      val media = t(s, dir, "documents").select(
+        col("doc_id"),
+        concat(lit("image/"), col("source")).as("media_type"),
+        col("text").cast("binary").as("blob"))
+      Multimodal.extractFeatures(s, media).orderBy("doc_id")
     })
   )
 
@@ -558,6 +645,209 @@ object SparkEntry {
       """SELECT doc_id, lang, source, n_chars FROM documents
          WHERE lang IS NOT NULL AND lang <> '' AND n_chars > 200
            AND contains(text, 'spark')
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+
+    "q_text_tokens" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+                    FROM documents)
+         SELECT doc_id, CAST(len(tk) AS INTEGER) AS n_tokens,
+                CAST(len(list_distinct(tk)) AS INTEGER) AS n_unique,
+                CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS ttr
+         FROM t ORDER BY doc_id""",
+
+    "q_text_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+                           list_filter(string_split(text, ' '), x -> x <> '') AS tk
+                    FROM documents),
+              s AS (SELECT doc_id, CAST(len(tk) AS INTEGER) AS n_tokens,
+                           CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                             / CAST(len(tk) AS DOUBLE) AS avg_token_len,
+                           CAST(len(list_filter(tk, x -> x IN ('the','a','is','and','of','to','in'))) AS DOUBLE)
+                             / CAST(len(tk) AS DOUBLE) AS stop_ratio
+                    FROM t)
+         SELECT doc_id, n_tokens, avg_token_len, stop_ratio,
+                greatest(0.0, least(1.0,
+                  stop_ratio * 0.3
+                  + least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.4
+                  + least(1.0, avg_token_len / 8.0) * 0.3)) AS quality_score
+         FROM s ORDER BY doc_id""",
+
+    "q_text_langid" ->
+      """WITH t AS (SELECT doc_id, lang,
+                           list_filter(string_split(text, ' '), x -> x <> '') AS tk
+                    FROM documents),
+              h AS (SELECT doc_id, lang,
+                           CAST(len(list_filter(tk, x -> x IN ('the','a','is','and','of'))) AS INTEGER) AS en_hits,
+                           CAST(len(list_filter(tk, x -> x IN ('el','la','de','que','y'))) AS INTEGER) AS es_hits,
+                           CAST(len(list_filter(tk, x -> x IN ('le','les','des','et','une'))) AS INTEGER) AS fr_hits,
+                           CAST(len(list_filter(tk, x -> x IN ('der','die','und','das','ist'))) AS INTEGER) AS de_hits
+                    FROM t)
+         SELECT doc_id, lang,
+                CASE WHEN en_hits >= es_hits AND en_hits >= fr_hits
+                      AND en_hits >= de_hits AND en_hits > 0 THEN 'en'
+                     WHEN es_hits >= fr_hits AND es_hits >= de_hits
+                      AND es_hits > 0 THEN 'es'
+                     WHEN fr_hits >= de_hits AND fr_hits > 0 THEN 'fr'
+                     WHEN de_hits > 0 THEN 'de'
+                     ELSE 'und' END AS detected,
+                en_hits, es_hits, fr_hits, de_hits
+         FROM h ORDER BY doc_id""",
+
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+                md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint,
+                COUNT(*) OVER (PARTITION BY md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))) AS n_same
+         FROM documents ORDER BY doc_id""",
+
+    "q_text_simhash" ->
+      """WITH toks AS (SELECT doc_id,
+                              unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+                       FROM documents),
+              js AS (SELECT unnest(generate_series(0, 63)) AS j),
+              bits AS (SELECT doc_id, j,
+                              ((strpos('0123456789abcdef', substring(md5(tok), 1 + (j // 4), 1)) - 1)
+                               >> (3 - (j % 4))) % 2 AS bit
+                       FROM toks CROSS JOIN js),
+              bal AS (SELECT doc_id, j, SUM(bit * 2 - 1) AS bal FROM bits GROUP BY 1, 2),
+              sb AS (SELECT doc_id, j, CASE WHEN bal >= 0 THEN '1' ELSE '0' END AS b FROM bal)
+         SELECT doc_id, string_agg(b, '' ORDER BY j) AS simhash
+         FROM sb GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS kept_id, COUNT(*) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY content_hash""",
+
+    "q_dedup_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+                       FROM documents),
+              ser AS (SELECT unnest(generate_series(1, 10000)) AS i),
+              sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS s
+                     FROM toks JOIN ser ON i <= len(t) - 4),
+              cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+              p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+                    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+         SELECT id_a, id_b, shared,
+                CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) AS jaccard
+         FROM p JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+         WHERE CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) >= 0.8
+         ORDER BY id_a, id_b""",
+
+    "q_dedup_minhash_lsh" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+                       FROM documents),
+              ser AS (SELECT unnest(generate_series(1, 10000)) AS i),
+              sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS s
+                     FROM toks JOIN ser ON i <= len(t) - 4),
+              hi AS (SELECT unnest(generate_series(0, 15)) AS i),
+              h AS (SELECT doc_id, hi.i, md5(CAST(hi.i AS VARCHAR) || ':' || s) AS hv
+                    FROM sh CROSS JOIN hi),
+              sig AS (SELECT doc_id,
+                             MIN(CASE WHEN i = 0 THEN hv END) AS s0,
+                             MIN(CASE WHEN i = 1 THEN hv END) AS s1,
+                             MIN(CASE WHEN i = 2 THEN hv END) AS s2,
+                             MIN(CASE WHEN i = 3 THEN hv END) AS s3,
+                             MIN(CASE WHEN i = 4 THEN hv END) AS s4,
+                             MIN(CASE WHEN i = 5 THEN hv END) AS s5,
+                             MIN(CASE WHEN i = 6 THEN hv END) AS s6,
+                             MIN(CASE WHEN i = 7 THEN hv END) AS s7,
+                             MIN(CASE WHEN i = 8 THEN hv END) AS s8,
+                             MIN(CASE WHEN i = 9 THEN hv END) AS s9,
+                             MIN(CASE WHEN i = 10 THEN hv END) AS s10,
+                             MIN(CASE WHEN i = 11 THEN hv END) AS s11,
+                             MIN(CASE WHEN i = 12 THEN hv END) AS s12,
+                             MIN(CASE WHEN i = 13 THEN hv END) AS s13,
+                             MIN(CASE WHEN i = 14 THEN hv END) AS s14,
+                             MIN(CASE WHEN i = 15 THEN hv END) AS s15
+                      FROM h GROUP BY doc_id),
+              bk AS (SELECT doc_id, b,
+                            CASE b WHEN 0 THEN md5(s0 || s1 || s2 || s3)
+                                   WHEN 1 THEN md5(s4 || s5 || s6 || s7)
+                                   WHEN 2 THEN md5(s8 || s9 || s10 || s11)
+                                   ELSE md5(s12 || s13 || s14 || s15) END AS key
+                     FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)),
+              cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+                       FROM bk a JOIN bk c ON a.b = c.b AND a.key = c.key
+                                          AND a.doc_id < c.doc_id),
+              cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+              shr AS (SELECT id_a, id_b, COUNT(*) AS shared
+                      FROM cand
+                      JOIN sh sa ON sa.doc_id = id_a
+                      JOIN sh sb ON sb.doc_id = id_b AND sb.s = sa.s
+                      GROUP BY 1, 2)
+         SELECT id_a, id_b,
+                CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) AS jaccard
+         FROM shr JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+         WHERE CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) >= 0.5
+         ORDER BY id_a, id_b""",
+
+    "q_sim_cosine_topk" ->
+      """WITH ser AS (SELECT unnest(generate_series(1, 64)) AS i),
+              e AS (SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS x
+                    FROM embeddings CROSS JOIN ser WHERE i <= len(embedding)),
+              nrm AS (SELECT vec_id, sqrt(CAST(SUM(x * x) AS DOUBLE)) AS nrm
+                      FROM e GROUP BY vec_id),
+              q AS (SELECT vec_id AS query_id, i, x FROM e WHERE vec_id < 5),
+              dots AS (SELECT q.query_id, c.vec_id AS cand_id, SUM(q.x * c.x) AS dot
+                       FROM q JOIN e c ON q.i = c.i AND q.query_id <> c.vec_id
+                       GROUP BY 1, 2),
+              sc AS (SELECT query_id, cand_id,
+                            round(CAST(dot AS DOUBLE) / (nq.nrm * nc.nrm), 6) AS cos_sim
+                     FROM dots
+                     JOIN nrm nq ON nq.vec_id = query_id
+                     JOIN nrm nc ON nc.vec_id = cand_id),
+              r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, cand_id) AS INTEGER) AS rank
+                    FROM sc)
+         SELECT query_id, cand_id, cos_sim, rank
+         FROM r WHERE rank <= 3 ORDER BY query_id, rank""",
+
+    "q_sim_ann_lsh" ->
+      """WITH ser AS (SELECT unnest(generate_series(1, 64)) AS i),
+              pl AS (SELECT unnest(generate_series(0, 7)) AS p),
+              sgn AS (SELECT p, i,
+                             CASE WHEN (strpos('0123456789abcdef',
+                                    substring(md5(CAST(p AS VARCHAR) || '_' || CAST(i - 1 AS VARCHAR)), 1, 1)) - 1) % 2 = 1
+                                  THEN 1 ELSE -1 END AS sgn
+                      FROM pl CROSS JOIN ser),
+              e AS (SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS x
+                    FROM embeddings CROSS JOIN ser WHERE i <= len(embedding)),
+              proj AS (SELECT vec_id, p, SUM(x * sgn) AS proj
+                       FROM e JOIN sgn ON e.i = sgn.i GROUP BY 1, 2),
+              bucket AS (SELECT vec_id,
+                                string_agg(CASE WHEN proj >= 0 THEN '1' ELSE '0' END, ''
+                                           ORDER BY p) AS bucket
+                         FROM proj GROUP BY vec_id),
+              nrm AS (SELECT vec_id, sqrt(CAST(SUM(x * x) AS DOUBLE)) AS nrm
+                      FROM e GROUP BY vec_id),
+              q AS (SELECT vec_id AS query_id, bucket FROM bucket WHERE vec_id < 5),
+              cand AS (SELECT q.query_id, c.vec_id AS cand_id, q.bucket
+                       FROM q JOIN bucket c ON c.bucket = q.bucket
+                                           AND c.vec_id <> q.query_id),
+              dots AS (SELECT cand.query_id, cand.cand_id, cand.bucket,
+                              SUM(a.x * b.x) AS dot
+                       FROM cand
+                       JOIN e a ON a.vec_id = cand.query_id
+                       JOIN e b ON b.vec_id = cand.cand_id AND b.i = a.i
+                       GROUP BY 1, 2, 3),
+              sc AS (SELECT query_id, bucket, cand_id,
+                            round(CAST(dot AS DOUBLE) / (nq.nrm * nc.nrm), 6) AS cos_sim
+                     FROM dots
+                     JOIN nrm nq ON nq.vec_id = query_id
+                     JOIN nrm nc ON nc.vec_id = cand_id),
+              r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, cand_id) AS INTEGER) AS rank
+                    FROM sc)
+         SELECT query_id, bucket, cand_id, cos_sim, rank
+         FROM r WHERE rank <= 3 ORDER BY query_id, rank""",
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id, 'image/' || source AS media_type,
+                CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+                md5(text) AS content_hash,
+                CAST(64 + (octet_length(encode(text)) % 32) AS INTEGER) AS width,
+                CAST(64 + ((octet_length(encode(text)) * 7) % 32) AS INTEGER) AS height,
+                1 AS frames
+         FROM documents ORDER BY doc_id"""
   )
 }

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Multimodal-column plumbing: image/audio/video payloads travel as opaque
+  * `BINARY` columns with typed metadata alongside. The Spark-side shape is
+  * real and tested — typed `Dataset` over the binary column, per-partition
+  * batch iteration (the Scala analog of a pandas-UDF batch), deterministic
+  * output schema — while the codec call itself is a clearly-marked STUB
+  * (no image/audio libraries in this environment).
+  *
+  * Scale: `mapPartitions` keeps decode batched and executor-local; binary
+  * payloads never shuffle (features are extracted before any wide op), and
+  * a real deployment would cap `spark.sql.files.maxPartitionBytes` so one
+  * partition of blobs fits executor memory.
+  */
+object Multimodal {
+
+  case class MediaRecord(doc_id: Long, media_type: String, blob: Array[Byte])
+  case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Int,
+                           content_hash: String, width: Int, height: Int,
+                           frames: Int)
+
+  /** STUB decode — stands in for an image/audio codec (???-grade).
+    * Deterministic fake dimensions derived from the payload so tests and
+    * oracles are reproducible; a real build swaps only this function.
+    */
+  def decodeStub(bytes: Array[Byte]): (Int, Int, Int) = {
+    val n = bytes.length
+    (64 + n % 32, 64 + (n * 7) % 32, 1)
+  }
+
+  private def md5Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes).map("%02x".format(_)).mkString
+
+  /** Decode/feature-extract over a media DataFrame with columns
+    * (doc_id LONG, media_type STRING, blob BINARY).
+    */
+  def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { batch =>
+      batch.map { r =>
+        val (w, h, f) = decodeStub(r.blob)
+        MediaFeatures(r.doc_id, r.media_type, r.blob.length, md5Hex(r.blob),
+                      w, h, f)
+      }
+    }.toDF()
+  }
+}

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`ARRAY<FLOAT>`).
+  *
+  * Two paths:
+  *   - [[bruteForceTopK]]: exact cosine top-k — queries × corpus via a
+  *     broadcast of the (small) query set, so the corpus scan stays
+  *     embarrassingly parallel. The per-pair work is a higher-order
+  *     function (zip_with + aggregate), no UDF.
+  *   - [[lshBuckets]] + [[annTopK]]: the 100 TB path — sign-random-
+  *     projection LSH. Each vector gets an `nPlanes`-bit bucket from
+  *     deterministic ±1 hyperplanes (derived from md5 so any engine can
+  *     reproduce them); candidates are an equi-join on the bucket, cutting
+  *     pairwise work by ~2^nPlanes. An IVF variant would swap the bucket
+  *     for a nearest-centroid id; the plumbing is identical.
+  *
+  * Exactness: dot products accumulate as DECIMAL(38,18) (element casts to
+  * DECIMAL(18,9)), so results are order-independent and bit-identical to
+  * the DuckDB oracle; the final cosine is double IEEE with fixed op order.
+  */
+object Similarity {
+
+  private val elemDec = "decimal(18,9)"
+  private val accDec = "decimal(38,18)"
+
+  /** Exact decimal dot product of two float arrays. Elements go
+    * float→double→decimal: the float→double step is binary-exact, so the
+    * decimal rounding sees the full value (a direct float→decimal cast
+    * would round the float's 8-digit shortest representation and diverge
+    * from engines that round the exact binary value).
+    */
+  def dotDec(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        x.cast("double").cast(elemDec) * y.cast("double").cast(elemDec)),
+      lit(0).cast(accDec),
+      (acc, v) => (acc + v).cast(accDec))
+
+  /** Euclidean norm as double (exact decimal sum of squares → sqrt). */
+  def normDouble(a: Column): Column =
+    sqrt(dotDec(a, a).cast("double"))
+
+  /** Cosine rounded to 6 decimals: the decimal dot is exact, but the
+    * final decimal→double conversion and division can differ by 1 ulp
+    * across engines — rounding makes the value portable (ranking ties are
+    * then broken by candidate id, also portable).
+    */
+  def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
+    round(dotDec(a, b).cast("double") / (normA * normB), 6)
+
+  /** Exact cosine top-k: for each query vector, the k nearest corpus
+    * vectors (excluding itself). `queries` must be small (it broadcasts).
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", normDouble(col("qv")))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+      .withColumn("cn", normDouble(col("cv")))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .withColumn("cos_sim", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("query_id"), col("cand_id"), col("cos_sim"), col("rn").as("rank"))
+  }
+
+  /** Deterministic ±1 hyperplanes: sign(p,d) = +1 iff the first md5 hex
+    * digit of "p_d" is odd. Reproducible in any engine with md5.
+    */
+  def planeSigns(spark: org.apache.spark.sql.SparkSession,
+                 nPlanes: Int, dim: Int): DataFrame =
+    spark.sql(
+      s"""SELECT p, d,
+            CASE WHEN (instr('0123456789abcdef',
+                             substring(md5(concat(cast(p AS string), '_', cast(d AS string))), 1, 1)) - 1) % 2 = 1
+                 THEN 1 ELSE -1 END AS sgn
+          FROM (SELECT explode(sequence(0, ${nPlanes - 1})) AS p)
+          CROSS JOIN (SELECT explode(sequence(0, ${dim - 1})) AS d)""")
+
+  /** Per-vector LSH bucket: an `nPlanes`-char '0'/'1' string, bit p set
+    * iff Σ_d sign(p,d)·x_d ≥ 0. One explode + two hash aggregations —
+    * linear in corpus size.
+    */
+  def lshBuckets(vectors: DataFrame, signs: DataFrame,
+                 idCol: String, vecCol: String, nPlanes: Int): DataFrame = {
+    val exploded = vectors
+      .select(col(idCol), posexplode(col(vecCol)).as(Seq("d", "x")))
+      .join(broadcast(signs), "d")
+    exploded
+      .groupBy(col(idCol), col("p"))
+      .agg(sum(col("x").cast("double").cast(elemDec) * col("sgn")).as("proj"))
+      .withColumn("b", when(col("proj") >= 0, "1").otherwise("0"))
+      .groupBy(col(idCol))
+      .agg(concat_ws("",
+        transform(array_sort(collect_list(struct(col("p"), col("b")))),
+          x => x.getField("b"))).as("bucket"))
+  }
+
+  /** ANN top-k: exact cosine, but only within the query's LSH bucket. */
+  def annTopK(vectors: DataFrame, queries: DataFrame, signs: DataFrame,
+              idCol: String, vecCol: String, nPlanes: Int, k: Int): DataFrame = {
+    val buckets = lshBuckets(vectors, signs, idCol, vecCol, nPlanes)
+    val withB = vectors.join(buckets, idCol)
+    val q = queries.join(buckets, idCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("bucket"))
+      .withColumn("qn", normDouble(col("qv")))
+    val c = withB
+      .select(col(idCol).as("cand_id"), col(vecCol).as("cv"), col("bucket"))
+      .withColumn("cn", normDouble(col("cv")))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos_sim", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("query_id"), col("bucket"), col("cand_id"), col("cos_sim"),
+              col("rn").as("rank"))
+  }
+}
