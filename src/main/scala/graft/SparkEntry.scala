@@ -404,8 +404,7 @@ object SparkEntry {
     "q_sim_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.annTopK(emb, emb.filter(col("vec_id") < 5),
-          Similarity.planeSigns(s, nPlanes = 8, dim = 64),
-          "vec_id", "embedding", nPlanes = 8, k = 3)
+          "vec_id", "embedding", nPlanes = 8, dim = 64, k = 3)
         .orderBy("query_id", "rank")
     }),
 
@@ -739,27 +738,25 @@ object SparkEntry {
               ser AS (SELECT unnest(generate_series(1, 10000)) AS i),
               sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS s
                      FROM toks JOIN ser ON i <= len(t) - 4),
-              hi AS (SELECT unnest(generate_series(0, 15)) AS i),
-              h AS (SELECT doc_id, hi.i, md5(CAST(hi.i AS VARCHAR) || ':' || s) AS hv
-                    FROM sh CROSS JOIN hi),
+              hh AS (SELECT doc_id, md5(s) || md5(s) AS hv FROM sh),
               sig AS (SELECT doc_id,
-                             MIN(CASE WHEN i = 0 THEN hv END) AS s0,
-                             MIN(CASE WHEN i = 1 THEN hv END) AS s1,
-                             MIN(CASE WHEN i = 2 THEN hv END) AS s2,
-                             MIN(CASE WHEN i = 3 THEN hv END) AS s3,
-                             MIN(CASE WHEN i = 4 THEN hv END) AS s4,
-                             MIN(CASE WHEN i = 5 THEN hv END) AS s5,
-                             MIN(CASE WHEN i = 6 THEN hv END) AS s6,
-                             MIN(CASE WHEN i = 7 THEN hv END) AS s7,
-                             MIN(CASE WHEN i = 8 THEN hv END) AS s8,
-                             MIN(CASE WHEN i = 9 THEN hv END) AS s9,
-                             MIN(CASE WHEN i = 10 THEN hv END) AS s10,
-                             MIN(CASE WHEN i = 11 THEN hv END) AS s11,
-                             MIN(CASE WHEN i = 12 THEN hv END) AS s12,
-                             MIN(CASE WHEN i = 13 THEN hv END) AS s13,
-                             MIN(CASE WHEN i = 14 THEN hv END) AS s14,
-                             MIN(CASE WHEN i = 15 THEN hv END) AS s15
-                      FROM h GROUP BY doc_id),
+                             MIN(substring(hv, 1, 16)) AS s0,
+                             MIN(substring(hv, 3, 16)) AS s1,
+                             MIN(substring(hv, 5, 16)) AS s2,
+                             MIN(substring(hv, 7, 16)) AS s3,
+                             MIN(substring(hv, 9, 16)) AS s4,
+                             MIN(substring(hv, 11, 16)) AS s5,
+                             MIN(substring(hv, 13, 16)) AS s6,
+                             MIN(substring(hv, 15, 16)) AS s7,
+                             MIN(substring(hv, 17, 16)) AS s8,
+                             MIN(substring(hv, 19, 16)) AS s9,
+                             MIN(substring(hv, 21, 16)) AS s10,
+                             MIN(substring(hv, 23, 16)) AS s11,
+                             MIN(substring(hv, 25, 16)) AS s12,
+                             MIN(substring(hv, 27, 16)) AS s13,
+                             MIN(substring(hv, 29, 16)) AS s14,
+                             MIN(substring(hv, 31, 16)) AS s15
+                      FROM hh GROUP BY doc_id),
               bk AS (SELECT doc_id, b,
                             CASE b WHEN 0 THEN md5(s0 || s1 || s2 || s3)
                                    WHEN 1 THEN md5(s4 || s5 || s6 || s7)

@@ -41,9 +41,10 @@ object Dedup {
     * pairs) — here df is naturally tiny.
     */
   def jaccardPairs(shingles: DataFrame, idCol: String, threshold: Double): DataFrame = {
-    val counts = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val a = shingles.select(col(idCol).as("id_a"), col("s"))
-    val b = shingles.select(col(idCol).as("id_b"), col("s").as("s_b"))
+    val cached = shingles.persist() // read 3× below (counts + both join sides)
+    val counts = cached.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val a = cached.select(col(idCol).as("id_a"), col("s"))
+    val b = cached.select(col(idCol).as("id_b"), col("s").as("s_b"))
     a.join(b, col("s") === col("s_b") && col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
       .join(counts.select(col(idCol).as("id_a"), col("n").as("n_a")), "id_a")
@@ -55,17 +56,24 @@ object Dedup {
       .select("id_a", "id_b", "shared", "jaccard")
   }
 
-  /** MinHash signatures: for hash index i in [0, numHashes), the
-    * signature is MIN(md5(i || ':' || shingle)) — one groupBy over
-    * exploded (shingle × i).
+  /** MinHash signatures: each shingle is md5-hashed ONCE; hash function i
+    * is the 16-hex-char window of the doubled digest starting at offset
+    * 2i, and the signature is the lexicographic MIN of that window across
+    * the doc's shingles. One digest + cheap substrings instead of
+    * numHashes digests per shingle (16× less hashing), computed as
+    * parallel aggregate expressions in one pass — map-side partial
+    * aggregation reduces each partition to one row per doc before the
+    * shuffle. Windows of one digest are correlated across i (slightly
+    * less independent bands than true MinHash) — acceptable because LSH
+    * only generates candidates and the exact-Jaccard verification step
+    * decides; still portable to any engine with md5/substring.
     */
   def minhashSignatures(shingles: DataFrame, idCol: String, numHashes: Int): DataFrame = {
-    val hashed = shingles
-      .withColumn("i", explode(sequence(lit(0), lit(numHashes - 1))))
-      .withColumn("h", md5(concat(col("i").cast("string"), lit(":"), col("s"))))
+    require(numHashes <= 16, "windowed-md5 scheme supports up to 16 hash functions")
+    val doubled = shingles.withColumn("__hh", concat(md5(col("s")), md5(col("s"))))
     val aggs = (0 until numHashes).map(i =>
-      min(when(col("i") === i, col("h"))).as(s"sig_$i"))
-    hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      min(substring(col("__hh"), 1 + 2 * i, 16)).as(s"sig_$i"))
+    doubled.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: `numBands` keys per doc, each the md5 of that band's
@@ -97,7 +105,10 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int, numHashes: Int, numBands: Int,
                       threshold: Double): DataFrame = {
-    val sh = wordShingles(df, idCol, textCol, k)
+    // the shingle set feeds signatures, counts, and both verification
+    // joins — persist it once instead of recomputing the explode+distinct
+    // (on a cluster this is the natural checkpoint of the pipeline)
+    val sh = wordShingles(df, idCol, textCol, k).persist()
     val cands = lshCandidates(
       lshBandKeys(minhashSignatures(sh, idCol, numHashes), idCol, numHashes, numBands),
       idCol)

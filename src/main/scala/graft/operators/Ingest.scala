@@ -22,13 +22,14 @@ object Ingest {
     */
   def missingDates(store: DataFrame, dateCol: String, asOf: String,
                    bootstrapDays: Int = 7): DataFrame = {
+    val asOfD = to_date(lit(asOf))
     val wm = store.agg(max(to_date(col(dateCol))).as("wm"))
+    val start = coalesce(date_add(col("wm"), 1), date_sub(asOfD, bootstrapDays - 1))
+    // sequence(start, stop) REVERSES when start > stop — an up-to-date
+    // store must yield an empty spine, not a phantom descending one
     wm.select(
-        explode(
-          sequence(
-            coalesce(date_add(col("wm"), 1),
-                     date_sub(to_date(lit(asOf)), bootstrapDays - 1)),
-            to_date(lit(asOf)))).as("d"))
-      .filter(col("d") <= to_date(lit(asOf)))
+      explode(
+        when(start <= asOfD, sequence(start, asOfD))
+          .otherwise(expr("CAST(array() AS ARRAY<DATE>)"))).as("d"))
   }
 }

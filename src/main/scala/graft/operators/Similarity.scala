@@ -70,41 +70,41 @@ object Similarity {
   }
 
   /** Deterministic ±1 hyperplanes: sign(p,d) = +1 iff the first md5 hex
-    * digit of "p_d" is odd. Reproducible in any engine with md5.
+    * digit of "p_d" is odd — computed driver-side (tiny) and inlined as
+    * literal arrays, reproducible in any engine with md5.
     */
-  def planeSigns(spark: org.apache.spark.sql.SparkSession,
-                 nPlanes: Int, dim: Int): DataFrame =
-    spark.sql(
-      s"""SELECT p, d,
-            CASE WHEN (instr('0123456789abcdef',
-                             substring(md5(concat(cast(p AS string), '_', cast(d AS string))), 1, 1)) - 1) % 2 = 1
-                 THEN 1 ELSE -1 END AS sgn
-          FROM (SELECT explode(sequence(0, ${nPlanes - 1})) AS p)
-          CROSS JOIN (SELECT explode(sequence(0, ${dim - 1})) AS d)""")
+  def planeSigns(nPlanes: Int, dim: Int): Array[Array[Int]] =
+    Array.tabulate(nPlanes, dim) { (p, d) =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${p}_${d}".getBytes("UTF-8"))
+      if ((((digest(0) >> 4) & 0xF) % 2) == 1) 1 else -1
+    }
 
   /** Per-vector LSH bucket: an `nPlanes`-char '0'/'1' string, bit p set
-    * iff Σ_d sign(p,d)·x_d ≥ 0. One explode + two hash aggregations —
-    * linear in corpus size.
+    * iff Σ_d sign(p,d)·x_d ≥ 0. Each projection is a higher-order
+    * aggregate against an inlined ±1 array — zero explode, zero shuffle:
+    * the bucket is computed in the same scan that reads the vector.
     */
-  def lshBuckets(vectors: DataFrame, signs: DataFrame,
-                 idCol: String, vecCol: String, nPlanes: Int): DataFrame = {
-    val exploded = vectors
-      .select(col(idCol), posexplode(col(vecCol)).as(Seq("d", "x")))
-      .join(broadcast(signs), "d")
-    exploded
-      .groupBy(col(idCol), col("p"))
-      .agg(sum(col("x").cast("double").cast(elemDec) * col("sgn")).as("proj"))
-      .withColumn("b", when(col("proj") >= 0, "1").otherwise("0"))
-      .groupBy(col(idCol))
-      .agg(concat_ws("",
-        transform(array_sort(collect_list(struct(col("p"), col("b")))),
-          x => x.getField("b"))).as("bucket"))
+  def lshBuckets(vectors: DataFrame, idCol: String, vecCol: String,
+                 nPlanes: Int, dim: Int): DataFrame = {
+    val signs = planeSigns(nPlanes, dim)
+    val bits = (0 until nPlanes).map { p =>
+      val signArr = array(signs(p).map(lit): _*)
+      val proj = aggregate(
+        zip_with(col(vecCol), signArr,
+          (x, s) => x.cast("double").cast(elemDec) * s),
+        lit(0).cast("decimal(38,9)"),
+        (acc, v) => (acc + v).cast("decimal(38,9)"))
+      when(proj >= 0, "1").otherwise("0")
+    }
+    vectors.select(col(idCol), concat(bits: _*).as("bucket"))
   }
 
   /** ANN top-k: exact cosine, but only within the query's LSH bucket. */
-  def annTopK(vectors: DataFrame, queries: DataFrame, signs: DataFrame,
-              idCol: String, vecCol: String, nPlanes: Int, k: Int): DataFrame = {
-    val buckets = lshBuckets(vectors, signs, idCol, vecCol, nPlanes)
+  def annTopK(vectors: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, nPlanes: Int, dim: Int,
+              k: Int): DataFrame = {
+    val buckets = lshBuckets(vectors, idCol, vecCol, nPlanes, dim)
     val withB = vectors.join(buckets, idCol)
     val q = queries.join(buckets, idCol)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("bucket"))

@@ -93,20 +93,21 @@ object TextAnalysis {
     * one hash aggregation — linear in corpus size, no pairwise work.
     */
   def withSimhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val exploded = df
+    // one row per token (not per token×bit): the 64 bit-balances are
+    // parallel aggregate expressions over the token's md5, so the only
+    // shuffle carries 64 ints per document
+    val perToken = df
       .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
       .withColumn("h", md5(col("tok")))
-      .withColumn("j", explode(sequence(lit(0), lit(63))))
-      .withColumn("hd", expr("substring(h, 1 + (j div 4), 1)"))
-      .withColumn("hv", expr("instr('0123456789abcdef', hd) - 1"))
-      .withColumn("bit", expr("shiftright(hv, 3 - (j % 4)) % 2"))
-    exploded
-      .groupBy(col(idCol), col("j"))
-      .agg(sum(col("bit") * 2 - 1).as("bal"))
-      .withColumn("b", when(col("bal") >= 0, "1").otherwise("0"))
-      .groupBy(col(idCol))
-      .agg(concat_ws("",
-        transform(array_sort(collect_list(struct(col("j"), col("b")))),
-          x => x.getField("b"))).as("simhash"))
+    val balances = (0 until 64).map { j =>
+      sum(expr(s"shiftright(instr('0123456789abcdef', substring(h, ${1 + j / 4}, 1)) - 1, ${3 - j % 4}) % 2") * 2 - 1)
+        .as(s"bal_$j")
+    }
+    perToken.groupBy(col(idCol))
+      .agg(balances.head, balances.tail: _*)
+      .withColumn("simhash",
+        concat((0 until 64).map(j =>
+          when(col(s"bal_$j") >= 0, "1").otherwise("0")): _*))
+      .select(col(idCol), col("simhash"))
   }
 }

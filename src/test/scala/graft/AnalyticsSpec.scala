@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Analytics
+
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stockStatus bucket boundaries match reference (41/40, 11/10, 1/0, negative)") {
+    // ref: movie_events_scraper.py:493-501 — >40 보유, >10 소진중, >0 소량보유, else 소진
+    // incl. the shipped db's negative-quantity row (-38.0) → 소진
+    val qs = Seq(41.0, 40.0, 11.0, 10.0, 1.0, 0.0, -38.0).toDF("q")
+    val got = qs.withColumn("s", Analytics.stockStatus(col("q")))
+      .collect().map(r => r.getDouble(0) -> r.getString(1)).toMap
+    assert(got(41.0) == "보유")
+    assert(got(40.0) == "소진중")
+    assert(got(11.0) == "소진중")
+    assert(got(10.0) == "소량보유")
+    assert(got(1.0) == "소량보유")
+    assert(got(0.0) == "소진")
+    assert(got(-38.0) == "소진")
+  }
+
+  test("latestPerKey keeps exactly the newest row per key, deterministic on ties") {
+    val df = Seq(
+      ("e1", "t1", 100L, "old"),
+      ("e1", "t1", 200L, "new"),
+      ("e1", "t2", 100L, "only"),
+      ("e2", "t1", 100L, "dup-a"),
+      ("e2", "t1", 100L, "dup-b")).toDF("event_id", "theater_name", "scraped_at", "status")
+    val out = Analytics.latestPerKey(df, Seq("event_id", "theater_name"),
+        Seq(col("scraped_at").desc, col("status").desc))
+      .orderBy("event_id", "theater_name")
+      .collect().map(_.getString(3)).toSeq
+    assert(out == Seq("new", "only", "dup-b"))
+  }
+
+  test("distinctAndSortedList mirrors nunique + ', '.join(sorted(unique))") {
+    val df = Seq(
+      ("드라마", "m1", "하얼빈"), ("드라마", "m2", "아마존 활명수"),
+      ("드라마", "m1", "하얼빈"), ("코미디", "m3", "시크릿")
+    ).toDF("genre", "movie_cd", "movie_nm")
+    val out = Analytics.distinctAndSortedList(df, "genre", "movie_cd", "movie_nm")
+      .orderBy("genre").collect()
+    assert(out(0).getLong(1) == 2L)
+    assert(out(0).getString(2) == "아마존 활명수, 하얼빈")
+    assert(out(1).getLong(1) == 1L)
+  }
+}

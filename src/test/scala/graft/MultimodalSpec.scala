@@ -1,0 +1,22 @@
+package graft
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("binary payloads flow through typed batch feature extraction") {
+    val media = Seq(
+      (1L, "image/png", "fake png bytes"),
+      (2L, "audio/wav", "")).toDF("doc_id", "media_type", "payload")
+      .withColumn("blob", col("payload").cast("binary")).drop("payload")
+    val out = Multimodal.extractFeatures(spark, media).orderBy("doc_id").collect()
+    assert(out(0).getAs[Int]("n_bytes") == 14)
+    assert(out(0).getAs[String]("content_hash").length == 32)
+    assert(out(0).getAs[Int]("width") == 64 + 14 % 32)
+    assert(out(1).getAs[Int]("n_bytes") == 0)
+    // d41d8... = md5 of empty input, pinned so the stub stays deterministic
+    assert(out(1).getAs[String]("content_hash") == "d41d8cd98f00b204e9800998ecf8427e")
+  }
+}

@@ -1,0 +1,38 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bruteForceTopK computes exact cosine and ranks deterministically") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f)),   // identical direction → cos 1
+      (2L, Array(0.0f, 1.0f)),   // orthogonal → cos 0
+      (3L, Array(-1.0f, 0.0f))   // opposite → cos -1
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(
+        vecs.filter(col("vec_id") === 0), vecs, "vec_id", "embedding", 3)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L))
+    assert(out.map(_.getDouble(2)).toSeq == Seq(1.0, 0.0, -1.0))
+  }
+
+  test("LSH buckets put identical vectors together and ANN finds them") {
+    val base = Array.tabulate(8)(i => (i + 1).toFloat / 10f)
+    val vecs = Seq(
+      (0L, base), (1L, base),
+      (2L, base.map(-_))
+    ).toDF("vec_id", "embedding")
+    val buckets = Similarity.lshBuckets(vecs, "vec_id", "embedding", 4, 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(buckets(0L) == buckets(1L))
+    assert(buckets(0L) != buckets(2L)) // opposite vector flips every plane sign
+    val ann = Similarity.annTopK(vecs, vecs.filter(col("vec_id") === 0),
+      "vec_id", "embedding", 4, 8, 3).collect()
+    assert(ann.map(_.getLong(2)).toSeq == Seq(1L)) // only same-bucket candidate
+    assert(ann.head.getDouble(3) == 1.0)
+  }
+}

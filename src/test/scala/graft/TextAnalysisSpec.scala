@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token stats: counts, distincts, type-token ratio") {
+    val df = Seq((1L, "a b a  c")).toDF("doc_id", "text") // double space → empty dropped
+    val out = TextAnalysis.withTokenStats(df, "text").collect().head
+    assert(out.getAs[Int]("n_tokens") == 4)
+    assert(out.getAs[Int]("n_unique") == 3)
+    assert(out.getAs[Double]("ttr") == 0.75)
+  }
+
+  test("quality score is bounded [0,1] and rewards stopword-bearing text") {
+    val df = Seq(
+      (1L, "the cat sat on the mat and the dog is in the house of cards"),
+      (2L, "zzz qqq xxx")).toDF("doc_id", "text")
+    val out = TextAnalysis.withQuality(df, "text")
+      .orderBy("doc_id").collect()
+    val q1 = out(0).getAs[Double]("quality_score")
+    val q2 = out(1).getAs[Double]("quality_score")
+    assert(q1 > q2)
+    assert(q1 >= 0.0 && q1 <= 1.0 && q2 >= 0.0 && q2 <= 1.0)
+  }
+
+  test("language ID picks the dominant stopword family; und when no hits") {
+    val df = Seq(
+      (1L, "the cat is one of the best and the rest"),
+      (2L, "el gato de la casa y que bien"),
+      (3L, "qqq zzz")).toDF("doc_id", "text")
+    val out = TextAnalysis.withLangId(df, "text")
+      .orderBy("doc_id").select("detected").as[String].collect()
+    assert(out.toSeq == Seq("en", "es", "und"))
+  }
+
+  test("fingerprint is whitespace/punctuation/case-insensitive") {
+    val df = Seq("Hello,  World!", "helloworld", "hello world.").toDF("t")
+    val fps = df.select(TextAnalysis.fingerprint(col("t"))).as[String].collect()
+    assert(fps.distinct.length == 1)
+  }
+
+  test("simhash: identical texts agree; near texts are close in Hamming distance") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (3L, "completely unrelated words about database engines and vectorized execution plans")
+    ).toDF("doc_id", "text")
+    val hs = TextAnalysis.withSimhash(df, "doc_id", "text")
+      .orderBy("doc_id").select("simhash").as[String].collect()
+    def hamming(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(hs.forall(h => h.length == 64 && h.forall(c => c == '0' || c == '1')))
+    assert(hamming(hs(0), hs(1)) < hamming(hs(0), hs(2)))
+  }
+}
