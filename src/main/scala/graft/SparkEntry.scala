@@ -415,8 +415,67 @@ object SparkEntry {
         concat(lit("image/"), col("source")).as("media_type"),
         col("text").cast("binary").as("blob"))
       Multimodal.extractFeatures(s, media).orderBy("doc_id")
+    }),
+
+    // F2 — nested-array ↔ JSON-string boundary (kobisdata_extractor.py:93-113
+    // encode; ai_agent.py:137-139 decode; P15 '[]' convention)
+    "q_f2_json_roundtrip" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("arr", slice(TextAnalysis.tokens(col("text")), 1, 3))
+        .withColumn("arr_json", to_json(col("arr")))
+        .withColumn("back", from_json(col("arr_json"), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType)))
+      d.select(col("doc_id"), col("arr_json"),
+          size(col("back")).as("n_items"),
+          (col("arr_json") === "[]").as("is_empty"),
+          array_contains(col("back"), "data").as("has_data"))
+        .orderBy("doc_id")
+    }),
+
+    // F11 — data-driven alias normalization (movie_events_scraper.py:151-188):
+    // broadcast alias map + left join + coalesce(canonical, raw)
+    "q_f11_alias_normalize" -> ((s, dir) => {
+      val aliases = s.sql(
+        """SELECT * FROM VALUES ('red widget', 'crimson widget'),
+           ('blue bolt', 'cobalt bolt') AS t(raw, canonical)""")
+      t(s, dir, "part")
+        .join(broadcast(aliases), col("p_name") === col("raw"), "left")
+        .withColumn("norm_name", coalesce(col("canonical"), col("p_name")))
+        .groupBy("norm_name")
+        .agg(count(lit(1)).as("n"),
+             sum(dec(col("p_retailprice"))).as("total_price"))
+        .orderBy("norm_name")
+    }),
+
+    // O7 — shortest-string pick per group (movie_events_scraper.py:123-125
+    // sort(key=len)[0]), deterministic via window
+    "q_o7_shortest_name" -> ((s, dir) => {
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(length(col("p_name")).asc, col("p_name").asc)
+      t(s, dir, "part")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("p_brand"), col("p_name").as("shortest_name"))
+        .orderBy("p_brand")
+    }),
+
+    // §2.11 — representative text-to-SQL agent output (ai_agent.py:95-97
+    // idioms: date range, REPLACE+LIKE fuzzy match, top-k)
+    "q_sql_agent_topk" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(AgentSql)
     })
   )
+
+  /** One SQL text, executed verbatim by BOTH engines (§2.11: the engine
+    * requirement behind the AI agent is "run arbitrary SELECTs").
+    */
+  private val AgentSql =
+    """SELECT c_name, SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS total_spent
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1997-01-01' AND DATE '1997-12-31'
+         AND REPLACE(c_name, '#', '') LIKE '%Customer00000012%'
+       GROUP BY c_name ORDER BY total_spent DESC, c_name LIMIT 5"""
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -845,6 +904,39 @@ object SparkEntry {
                 CAST(64 + (octet_length(encode(text)) % 32) AS INTEGER) AS width,
                 CAST(64 + ((octet_length(encode(text)) * 7) % 32) AS INTEGER) AS height,
                 1 AS frames
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+
+    "q_f2_json_roundtrip" ->
+      """WITH t AS (SELECT doc_id,
+                           list_filter(string_split(text, ' '), x -> x <> '')[1:3] AS arr
+                    FROM documents)
+         SELECT doc_id, to_json(arr) AS arr_json,
+                CAST(len(arr) AS INTEGER) AS n_items,
+                (to_json(arr) = '[]') AS is_empty,
+                list_contains(arr, 'data') AS has_data
+         FROM t ORDER BY doc_id""",
+
+    "q_f11_alias_normalize" ->
+      """WITH aliases(raw, canonical) AS (VALUES ('red widget', 'crimson widget'),
+                                                 ('blue bolt', 'cobalt bolt'))
+         SELECT COALESCE(canonical, p_name) AS norm_name, COUNT(*) AS n,
+                SUM(CAST(p_retailprice AS DECIMAL(38,6))) AS total_price
+         FROM part LEFT JOIN aliases ON p_name = raw
+         GROUP BY 1 ORDER BY norm_name""",
+
+    "q_o7_shortest_name" ->
+      """SELECT p_brand, p_name AS shortest_name
+         FROM (SELECT p_brand, p_name,
+                      ROW_NUMBER() OVER (PARTITION BY p_brand
+                        ORDER BY length(p_name), p_name) AS rn
+               FROM part) t
+         WHERE rn = 1 ORDER BY p_brand""",
+
+    "q_sql_agent_topk" ->
+      """SELECT c_name, SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS total_spent
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1997-01-01' AND DATE '1997-12-31'
+           AND REPLACE(c_name, '#', '') LIKE '%Customer00000012%'
+         GROUP BY c_name ORDER BY total_spent DESC, c_name LIMIT 5"""
   )
 }

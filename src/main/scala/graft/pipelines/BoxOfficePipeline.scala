@@ -1,0 +1,114 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Analytics, Ingest, Joins, Upsert}
+
+/** End-to-end re-expression of the reference's pipelines over a
+  * parquet-backed store (ref: src/boxoffice/pipelines/kobis_pipeline.py,
+  * goods_stock_pipeline.py, backfill_boxoffice.py, backfill_movie.py).
+  *
+  * Store layout (the Spark analog of the 4-table SQLite store,
+  * sqlite_connector.py:25-67):
+  *   {root}/boxoffice/   fact, append-only, PARTITIONED BY target_dt —
+  *                       partition pruning serves the per-day reads the
+  *                       reference does with WHERE date(target_dt)=…, and
+  *                       dynamic partition overwrite replaces its
+  *                       delete-then-insert backfill (S13)
+  *   {root}/movie/       dimension, upsert on movie_cd (U1)
+  *   {root}/goods_event/ dimension, upsert on event_id (U1)
+  *   {root}/goods_stock/ fact, append-only (S10)
+  *
+  * At 100 TB: facts stay date-partitioned (daily ingest touches one
+  * partition; backfills rewrite only their range); dimensions are small
+  * and rewritten wholesale by the upsert — the same shape as any
+  * lakehouse MERGE, minus the transaction log this environment lacks.
+  */
+object BoxOfficePipeline {
+
+  def readOrEmpty(spark: SparkSession, path: String, schemaOf: DataFrame): DataFrame =
+    if (new java.io.File(path).exists()) spark.read.parquet(path)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                               schemaOf.schema)
+
+  /** Daily incremental ingest (ST1, kobis_pipeline.py:8-60): compute the
+    * missing-date spine from the store's watermark, keep only the raw
+    * rows for those dates, apply the transform chain (F3 coercing date
+    * parse → P7 null-date drop → F5 elapsed_dt), append partitioned.
+    * Re-runs are no-ops: already-ingested dates fall out of the spine.
+    */
+  def ingestDaily(spark: SparkSession, root: String, raw: DataFrame,
+                  asOf: String): Long = {
+    val path = s"$root/boxoffice"
+    val store = readOrEmpty(spark, path, raw.withColumn("elapsed_dt", lit(0)))
+    val missing = Ingest.missingDates(store, "target_dt", asOf)
+    val batch = raw
+      // F3 coerce→null: Spark 4 is ANSI by default, so the reference's
+      // pd.to_datetime(errors='coerce') maps to try_to_date, not to_date
+      .withColumn("open_dt", try_to_date(col("open_dt")))
+      .filter(col("open_dt").isNotNull)                     // P7
+      .withColumn("elapsed_dt", datediff(col("target_dt"), col("open_dt"))) // F5
+      .join(missing.withColumnRenamed("d", "target_dt"), Seq("target_dt"), "left_semi")
+    val n = batch.count()
+    if (n > 0)
+      batch.write.mode(SaveMode.Append).partitionBy("target_dt").parquet(path)
+    n
+  }
+
+  /** Backfill (S13, backfill_boxoffice.py:27-47): the reference deletes a
+    * date range then re-inserts; the idiomatic Spark replacement rewrites
+    * exactly the partitions present in the replacement batch.
+    */
+  def backfillRange(spark: SparkSession, root: String, replacement: DataFrame): Unit = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    replacement.write.mode(SaveMode.Overwrite)
+      .partitionBy("target_dt").parquet(s"$root/boxoffice")
+  }
+
+  /** Movie-dimension maintenance (kobis_pipeline.py:62-84): the reference
+    * anti-joins to insert only new movie_cds (J2) — expressed here as the
+    * general upsert with the store as the loser on conflicts.
+    */
+  def upsertMovies(spark: SparkSession, root: String, fresh: DataFrame): Long = {
+    val path = s"$root/movie"
+    val store = readOrEmpty(spark, path, fresh)
+    val merged = Upsert.upsert(store, fresh, Seq("movie_cd"), lit(0))
+    val out = merged.cache()
+    val n = out.count()
+    out.write.mode(SaveMode.Overwrite).parquet(path + "_tmp")
+    spark.read.parquet(path + "_tmp").write.mode(SaveMode.Overwrite).parquet(path)
+    n
+  }
+
+  /** Stock append (S10, goods_stock_pipeline.py:99-113) with the F18
+    * ingestion timestamp stamped at write time (injected, not
+    * current_timestamp(), for reproducibility — SURVEY §7.5).
+    */
+  def appendStock(spark: SparkSession, root: String, obs: DataFrame,
+                  scrapedAtUs: Long): Unit =
+    obs.withColumn("scraped_at_us", lit(scrapedAtUs))
+      .write.mode(SaveMode.Append).parquet(s"$root/goods_stock")
+
+  /** Current-stock view (W1 over the append log, dashboard.py:104-119). */
+  def latestStock(spark: SparkSession, root: String): DataFrame =
+    Analytics.latestPerKey(
+      spark.read.parquet(s"$root/goods_stock"),
+      Seq("event_id", "theater_name"),
+      Seq(col("scraped_at_us").desc))
+
+  /** Debug CSV dump (S14, movie_events_scraper.py:304). */
+  def dumpCsv(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** Schema introspection (S15, ai_agent.py:26-38): table → DDL-ish text
+    * for the SQL surface's prompt context.
+    */
+  def describeStore(spark: SparkSession, root: String, tables: Seq[String]): String =
+    tables.map { t =>
+      val p = s"$root/$t"
+      if (new java.io.File(p).exists())
+        s"$t:\n${spark.read.parquet(p).schema.treeString}"
+      else s"$t: <empty>"
+    }.mkString("\n")
+}

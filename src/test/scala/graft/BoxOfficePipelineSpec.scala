@@ -1,0 +1,96 @@
+package graft
+
+import graft.pipelines.BoxOfficePipeline
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import java.sql.Date
+
+/** End-to-end store lifecycle on reference-shaped data (FIXTURES.md §1):
+  * incremental ingest with watermark skip, partition-overwrite backfill,
+  * dimension upsert, stock append + latest view, CSV dump, introspection.
+  */
+class BoxOfficePipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot() =
+    Files.createTempDirectory("graft_store_").toString
+
+  private def rawBoxoffice(rows: (String, String, String, String, Double)*) =
+    rows.toDF("movie_cd", "movie_nm", "open_dt", "td", "audi_cnt")
+      .withColumn("target_dt", to_date(col("td"))).drop("td")
+
+  test("incremental ingest: watermark resume, null-date drop, re-run no-op") {
+    val root = freshRoot()
+    val day1 = rawBoxoffice(
+      ("m1", "하얼빈", "2024-12-24", "2025-01-01", 340484.0),
+      ("m2", "bad-date", "not a date", "2025-01-01", 10.0)) // P7 drop
+    assert(BoxOfficePipeline.ingestDaily(spark, root, day1, "2025-01-01") == 1)
+
+    // re-run same day → watermark makes it a no-op
+    assert(BoxOfficePipeline.ingestDaily(spark, root, day1, "2025-01-01") == 0)
+
+    // next day ingests only the new date, elapsed_dt derived (F5)
+    val day2 = rawBoxoffice(
+      ("m1", "하얼빈", "2024-12-24", "2025-01-01", 340484.0),  // already stored
+      ("m1", "하얼빈", "2024-12-24", "2025-01-02", 228000.0))
+    assert(BoxOfficePipeline.ingestDaily(spark, root, day2, "2025-01-02") == 1)
+
+    val store = spark.read.parquet(s"$root/boxoffice")
+    assert(store.count() == 2)
+    val e = store.filter(col("target_dt") === Date.valueOf("2025-01-02"))
+      .select("elapsed_dt").as[Int].head()
+    assert(e == 9)
+  }
+
+  test("backfill rewrites only its partitions (S13 dynamic overwrite)") {
+    val root = freshRoot()
+    BoxOfficePipeline.ingestDaily(spark, root, rawBoxoffice(
+      ("m1", "a", "2024-12-24", "2025-01-01", 1.0),
+      ("m1", "a", "2024-12-24", "2025-01-02", 2.0)), "2025-01-02")
+    // replacement for Jan 1 only, corrected count
+    val repl = rawBoxoffice(("m1", "a", "2024-12-24", "2025-01-01", 99.0))
+      .withColumn("open_dt", to_date(col("open_dt")))
+      .withColumn("elapsed_dt", datediff(col("target_dt"), col("open_dt")))
+    BoxOfficePipeline.backfillRange(spark, root, repl)
+    val store = spark.read.parquet(s"$root/boxoffice")
+    assert(store.count() == 2) // Jan 2 untouched
+    assert(store.filter(col("target_dt") === Date.valueOf("2025-01-01"))
+      .select("audi_cnt").as[Double].head() == 99.0)
+  }
+
+  test("movie dimension upsert: new rows insert, existing rows update") {
+    val root = freshRoot()
+    val v1 = Seq(("m1", "하얼빈", "드라마"), ("m2", "시크릿", "코미디"))
+      .toDF("movie_cd", "movie_nm", "rep_genre_nm")
+    assert(BoxOfficePipeline.upsertMovies(spark, root, v1) == 2)
+    val v2 = Seq(("m2", "시크릿 2", "코미디"), ("m3", "판타스틱4", "SF"))
+      .toDF("movie_cd", "movie_nm", "rep_genre_nm")
+    assert(BoxOfficePipeline.upsertMovies(spark, root, v2) == 3)
+    val dim = spark.read.parquet(s"$root/movie")
+    assert(dim.filter(col("movie_cd") === "m2")
+      .select("movie_nm").as[String].head() == "시크릿 2")
+  }
+
+  test("stock append + latest view + CSV dump + introspection") {
+    val root = freshRoot()
+    val obs1 = Seq(("e1", "CGV강남", "보유"), ("e1", "용산", "보유"))
+      .toDF("event_id", "theater_name", "status")
+    val obs2 = Seq(("e1", "CGV강남", "소진"))
+      .toDF("event_id", "theater_name", "status")
+    BoxOfficePipeline.appendStock(spark, root, obs1, 1000L)
+    BoxOfficePipeline.appendStock(spark, root, obs2, 2000L)
+    val latest = BoxOfficePipeline.latestStock(spark, root)
+    assert(latest.count() == 2)
+    assert(latest.filter(col("theater_name") === "CGV강남")
+      .select("status").as[String].head() == "소진")
+
+    val csvDir = freshRoot() + "/dump"
+    BoxOfficePipeline.dumpCsv(latest, csvDir)
+    assert(new java.io.File(csvDir).listFiles().exists(_.getName.endsWith(".csv")))
+
+    val desc = BoxOfficePipeline.describeStore(spark, root,
+      Seq("goods_stock", "boxoffice"))
+    assert(desc.contains("goods_stock") && desc.contains("scraped_at_us")
+      && desc.contains("<empty>"))
+  }
+}
