@@ -40,13 +40,19 @@ object FuzzyMatch {
     */
   def bestMatch(queries: DataFrame, qCol: String,
                 candidates: DataFrame, candCol: String): DataFrame = {
+    val spark = queries.sparkSession
     val q = queries.withColumn("__qc", stripSeparators(normalizeTitle(col(qCol))))
     val cand = candidates
       .select(col(candCol))
       .distinct()
       .withColumn("__cc", stripSeparators(col(candCol)))
       .filter(length(col("__cc")) > 0)
-    val joined = q.join(broadcast(cand), col("__qc").contains(col("__cc")), "left")
+    // containment via the native codegen'd expression — already-stripped
+    // inputs pass through its separator strip unchanged, and the score
+    // below needs the stripped lengths anyway
+    val joined = q.join(broadcast(cand),
+      graft.functions.ContainsIgnoringSeparators(spark, col("__qc"), col("__cc")),
+      "left")
     val w = Window.partitionBy(col(qCol)).orderBy(
       abs(length(col("__cc")) - length(col("__qc"))).asc,
       length(col(candCol)).asc,
