@@ -8,16 +8,13 @@ object Profile {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
-    Tables.all.foreach(n => Tables.load(spark, dir, n).count())
-    def time(name: String, reps: Int = 3): Unit =
-      for (i <- 1 to reps) {
-        val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
-        println(f"$name rep$i: ${(System.nanoTime()-t0)/1e9}%.2f s")
-      }
-    time("q_dedup_minhash_lsh")
-    time("q_text_langid")
-    time("q_sim_ann_lsh")
+    Tables.load(spark, dir, "documents").count()
+    for (i <- 1 to 4) {
+      val t0 = System.nanoTime()
+      SparkEntry.queries("q_dedup_minhash_lsh")(spark, dir).write.format("noop").mode("overwrite").save()
+      spark.catalog.clearCache()
+      println(f"minhash rep$i: ${(System.nanoTime()-t0)/1e9}%.2f s")
+    }
     spark.stop()
   }
 }

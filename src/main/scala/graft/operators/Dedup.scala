@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
   * step); its join key is the shingle itself, so a hot shingle would need
   * the usual df-cap/salting treatment — noted inline.
   *
-  * Portability: MinHash here uses lexicographic MIN over md5(i || ':' ||
-  * shingle) hex strings as the i-th hash function — fully reproducible in
-  * any engine with md5 (the DuckDB oracle), unlike engine-private hash64s.
+  * Portability: MinHash hash function i is the lexicographic MIN over a
+  * 16-hex-char window of each shingle's doubled md5 digest — fully
+  * reproducible in any engine with md5/substring (the DuckDB oracle),
+  * unlike engine-private hash64s.
   */
 object Dedup {
 
@@ -99,27 +100,56 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /** Distinct word k-gram shingles as ONE array column per document —
+    * no explode, no shuffle: a narrow projection over the scan.
+    */
+  def wordShingleArray(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= k)
+      .select(col(idCol),
+        array_distinct(transform(
+          sequence(lit(1), size(col("__t")) - (k - 1)),
+          i => concat_ws(" ", slice(col("__t"), i, lit(k))))).as("sh"))
+
   /** Full MinHash-LSH near-dup pipeline: shingle → sign → band → candidate
     * → exact-Jaccard verify ≥ threshold.
+    *
+    * 100 TB shape: signatures, shingle counts and band keys are all
+    * computed map-side from the per-doc shingle array (higher-order
+    * functions, zero shuffles); the first exchange in the whole plan is
+    * the equi-join on (band, key) — whose input is numBands rows per doc —
+    * and only the surviving candidate pairs pay the exploded
+    * intersection join.
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int, numHashes: Int, numBands: Int,
                       threshold: Double): DataFrame = {
-    // the shingle set feeds signatures, counts, and both verification
-    // joins — persist it once instead of recomputing the explode+distinct
-    // (on a cluster this is the natural checkpoint of the pipeline)
-    val sh = wordShingles(df, idCol, textCol, k).persist()
-    val cands = lshCandidates(
-      lshBandKeys(minhashSignatures(sh, idCol, numHashes), idCol, numHashes, numBands),
-      idCol)
-    val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val shared = cands
-      .join(sh.select(col(idCol).as("id_a"), col("s")), "id_a")
-      .join(sh.select(col(idCol).as("id_b"), col("s")), Seq("id_b", "s"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
-    shared
-      .join(counts.select(col(idCol).as("id_a"), col("n").as("n_a")), "id_a")
-      .join(counts.select(col(idCol).as("id_b"), col("n").as("n_b")), "id_b")
+    require(numHashes % numBands == 0)
+    val rows = numHashes / numBands
+    val withArr = df
+      .transform(wordShingleArray(_, idCol, textCol, k))
+      .withColumn("__hh", transform(col("sh"), s => concat(md5(s), md5(s))))
+    val sigs = (0 until numHashes).map(i =>
+      array_min(transform(col("__hh"), h => substring(h, 1 + 2 * i, 16))).as(s"sig_$i"))
+    val bands = (0 until numBands).map { b =>
+      val sigCols = (b * rows until (b + 1) * rows).map(i => col(s"sig_$i"))
+      struct(lit(b).as("band"), md5(concat(sigCols: _*)).as("key"))
+    }
+    val withSig = withArr
+      .select(col(idCol) +: size(col("sh")).as("n") +: col("sh") +: sigs: _*)
+      .persist() // one narrow row per doc; feeds band keys + both verify sides
+    val keyed = withSig
+      .select(col(idCol), explode(array(bands: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cands = keyed.alias("x").join(keyed.alias("y"), Seq("band", "key"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .filter(col("id_a") < col("id_b")).distinct()
+    cands
+      .join(withSig.select(col(idCol).as("id_a"), col("n").as("n_a"),
+                           col("sh").as("sh_a")), "id_a")
+      .join(withSig.select(col(idCol).as("id_b"), col("n").as("n_b"),
+                           col("sh").as("sh_b")), "id_b")
+      .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         col("shared").cast("double")
           / (col("n_a") + col("n_b") - col("shared")).cast("double"))
