@@ -464,6 +464,13 @@ object SparkEntry {
     "q_sql_agent_topk" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       s.sql(AgentSql)
+    }),
+
+    // embedding-cosine near-dup pairs: LSH-prefiltered exact cosine ≥ 0.3
+    "q_dedup_embedding_cosine" -> ((s, dir) => {
+      Similarity.nearDupPairs(t(s, dir, "embeddings"),
+          "vec_id", "embedding", nPlanes = 4, dim = 64, threshold = 0.3)
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -937,6 +944,40 @@ object SparkEntry {
          FROM orders JOIN customer ON o_custkey = c_custkey
          WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1997-01-01' AND DATE '1997-12-31'
            AND REPLACE(c_name, '#', '') LIKE '%Customer00000012%'
-         GROUP BY c_name ORDER BY total_spent DESC, c_name LIMIT 5"""
+         GROUP BY c_name ORDER BY total_spent DESC, c_name LIMIT 5""",
+
+    "q_dedup_embedding_cosine" ->
+      """WITH ser AS (SELECT unnest(generate_series(1, 64)) AS i),
+              pl AS (SELECT unnest(generate_series(0, 3)) AS p),
+              sgn AS (SELECT p, i,
+                             CASE WHEN (strpos('0123456789abcdef',
+                                    substring(md5(CAST(p AS VARCHAR) || '_' || CAST(i - 1 AS VARCHAR)), 1, 1)) - 1) % 2 = 1
+                                  THEN 1 ELSE -1 END AS sgn
+                      FROM pl CROSS JOIN ser),
+              e AS (SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS x
+                    FROM embeddings CROSS JOIN ser WHERE i <= len(embedding)),
+              proj AS (SELECT vec_id, p, SUM(x * sgn) AS proj
+                       FROM e JOIN sgn ON e.i = sgn.i GROUP BY 1, 2),
+              bucket AS (SELECT vec_id,
+                                string_agg(CASE WHEN proj >= 0 THEN '1' ELSE '0' END, ''
+                                           ORDER BY p) AS bucket
+                         FROM proj GROUP BY vec_id),
+              nrm AS (SELECT vec_id, sqrt(CAST(SUM(x * x) AS DOUBLE)) AS nrm
+                      FROM e GROUP BY vec_id),
+              cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket
+                       FROM bucket a JOIN bucket b ON a.bucket = b.bucket
+                                                  AND a.vec_id < b.vec_id),
+              dots AS (SELECT id_a, id_b, bucket, SUM(qa.x * qb.x) AS dot
+                       FROM cand
+                       JOIN e qa ON qa.vec_id = id_a
+                       JOIN e qb ON qb.vec_id = id_b AND qb.i = qa.i
+                       GROUP BY 1, 2, 3),
+              sc AS (SELECT id_a, id_b, bucket,
+                            round(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 6) AS cos_sim
+                     FROM dots
+                     JOIN nrm na ON na.vec_id = id_a
+                     JOIN nrm nb ON nb.vec_id = id_b)
+         SELECT id_a, id_b, bucket, cos_sim
+         FROM sc WHERE cos_sim >= 0.3 ORDER BY id_a, id_b"""
   )
 }

@@ -100,6 +100,26 @@ object Similarity {
     vectors.select(col(idCol), concat(bits: _*).as("bucket"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: LSH buckets prefilter the
+    * O(n²) pair space (same-bucket only), then exact cosine decides.
+    * The dedup-flavored dual of [[annTopK]] — at 100 TB the bucket join
+    * is the only pairwise structure, sized by 2^nPlanes.
+    */
+  def nearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
+                   nPlanes: Int, dim: Int, threshold: Double): DataFrame = {
+    val withB = vectors
+      .join(lshBuckets(vectors, idCol, vecCol, nPlanes, dim), idCol)
+      .withColumn("nrm", normDouble(col(vecCol)))
+    val a = withB.select(col("bucket"), col(idCol).as("id_a"),
+                         col(vecCol).as("va"), col("nrm").as("na"))
+    val b = withB.select(col("bucket"), col(idCol).as("id_b"),
+                         col(vecCol).as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", cosine(col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "bucket", "cos_sim")
+  }
+
   /** ANN top-k: exact cosine, but only within the query's LSH bucket. */
   def annTopK(vectors: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, nPlanes: Int, dim: Int,
