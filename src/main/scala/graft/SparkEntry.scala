@@ -333,10 +333,12 @@ object SparkEntry {
 
     // ---- LLM-data-pipeline pack -------------------------------------
 
-    // token counting (whitespace) + type-token ratio
+    // token counting (whitespace + BPE-ish regex) + type-token ratio
     "q_text_tokens" -> ((s, dir) => {
       TextAnalysis.withTokenStats(t(s, dir, "documents"), "text")
-        .select("doc_id", "n_tokens", "n_unique", "ttr")
+        .withColumn("n_tokens_re",
+          size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))))
+        .select("doc_id", "n_tokens", "n_unique", "ttr", "n_tokens_re")
         .orderBy("doc_id")
     }),
 
@@ -382,6 +384,12 @@ object SparkEntry {
       Dedup.jaccardPairs(
           Dedup.wordShingles(t(s, dir, "documents"), "doc_id", "text", 5),
           "doc_id", 0.8)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // SimHash near-dup pairs: 16-bit chunk banding + Hamming ≤ 8 verify
+    "q_dedup_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 8)
         .orderBy("id_a", "id_b")
     }),
 
@@ -713,11 +721,13 @@ object SparkEntry {
          ORDER BY doc_id""",
 
     "q_text_tokens" ->
-      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      """WITH t AS (SELECT doc_id, text,
+                           list_filter(string_split(text, ' '), x -> x <> '') AS tk
                     FROM documents)
          SELECT doc_id, CAST(len(tk) AS INTEGER) AS n_tokens,
                 CAST(len(list_distinct(tk)) AS INTEGER) AS n_unique,
-                CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS ttr
+                CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS ttr,
+                CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INTEGER) AS n_tokens_re
          FROM t ORDER BY doc_id""",
 
     "q_text_quality" ->
@@ -796,6 +806,30 @@ object SparkEntry {
                 CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) AS jaccard
          FROM p JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
          WHERE CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) >= 0.8
+         ORDER BY id_a, id_b""",
+
+    "q_dedup_simhash_pairs" ->
+      """WITH toks AS (SELECT doc_id,
+                              unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+                       FROM documents),
+              js AS (SELECT unnest(generate_series(0, 63)) AS j),
+              bits AS (SELECT doc_id, j,
+                              ((strpos('0123456789abcdef', substring(md5(tok), 1 + (j // 4), 1)) - 1)
+                               >> (3 - (j % 4))) % 2 AS bit
+                       FROM toks CROSS JOIN js),
+              bal AS (SELECT doc_id, j, SUM(bit * 2 - 1) AS bal FROM bits GROUP BY 1, 2),
+              sb AS (SELECT doc_id, j, CASE WHEN bal >= 0 THEN '1' ELSE '0' END AS b FROM bal),
+              sim AS (SELECT doc_id, string_agg(b, '' ORDER BY j) AS simhash
+                      FROM sb GROUP BY doc_id),
+              ch AS (SELECT doc_id, simhash, c AS band,
+                            substring(simhash, c * 16 + 1, 16) AS key
+                     FROM sim CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c)),
+              cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                              a.simhash AS sim_a, b.simhash AS sim_b
+                       FROM ch a JOIN ch b ON a.band = b.band AND a.key = b.key
+                                          AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b, CAST(hamming(sim_a, sim_b) AS INTEGER) AS hamming
+         FROM cand WHERE hamming(sim_a, sim_b) <= 8
          ORDER BY id_a, id_b""",
 
     "q_dedup_minhash_lsh" ->

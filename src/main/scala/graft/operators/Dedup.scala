@@ -100,6 +100,34 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /** SimHash near-dup pairs: band the 64-bit fingerprint into 4×16-bit
+    * chunks (a pair within Hamming distance ≤ 12 of uniformly-spread
+    * differing bits shares some chunk with high probability), candidate on
+    * (band, chunk) equality, verify exact Hamming ≤ maxHamming. Same
+    * LSH-candidate-then-verify shape as MinHash — linear until the tiny
+    * candidate join.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int): DataFrame = {
+    val sh = TextAnalysis.withSimhash(df, idCol, textCol)
+    val chunks = sh.select(col(idCol), col("simhash"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("band"),
+               substring(col("simhash"), c * 16 + 1, 16).as("key"))): _*)).as("bk"))
+      .select(col(idCol), col("simhash"),
+              col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = chunks.select(col("band"), col("key"),
+                          col(idCol).as("id_a"), col("simhash").as("sim_a"))
+    val b = chunks.select(col("band"), col("key"),
+                          col(idCol).as("id_b"), col("simhash").as("sim_b"))
+    a.join(b, Seq("band", "key")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sim_a", "sim_b").distinct()
+      .withColumn("hamming", expr(
+        "size(filter(sequence(1, 64), i -> substring(sim_a, i, 1) <> substring(sim_b, i, 1)))"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Distinct word k-gram shingles as ONE array column per document —
     * no explode, no shuffle: a narrow projection over the scan.
     */
