@@ -474,6 +474,15 @@ object SparkEntry {
       s.sql(AgentSql)
     }),
 
+    // IVF ANN top-3: nearest-centroid cells (16 deterministic centroids),
+    // exact cosine within the query's cell (nProbe=1)
+    "q_sim_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), nCells = 16,
+          "vec_id", "embedding", k = 3)
+        .orderBy("query_id", "rank")
+    }),
+
     // embedding-cosine near-dup pairs: LSH-prefiltered exact cosine ≥ 0.3
     "q_dedup_embedding_cosine" -> ((s, dir) => {
       Similarity.nearDupPairs(t(s, dir, "embeddings"),
@@ -979,6 +988,45 @@ object SparkEntry {
          WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1997-01-01' AND DATE '1997-12-31'
            AND REPLACE(c_name, '#', '') LIKE '%Customer00000012%'
          GROUP BY c_name ORDER BY total_spent DESC, c_name LIMIT 5""",
+
+    "q_sim_ivf_topk" ->
+      """WITH ser AS (SELECT unnest(generate_series(1, 64)) AS i),
+              e AS (SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS x
+                    FROM embeddings CROSS JOIN ser WHERE i <= len(embedding)),
+              nrm AS (SELECT vec_id, sqrt(CAST(SUM(x * x) AS DOUBLE)) AS nrm
+                      FROM e GROUP BY vec_id),
+              adots AS (SELECT v.vec_id, c.vec_id AS centroid_id, SUM(v.x * c.x) AS dot
+                        FROM e v JOIN e c ON c.i = v.i AND c.vec_id < 16
+                        GROUP BY 1, 2),
+              asg AS (SELECT vec_id, centroid_id
+                      FROM (SELECT a.vec_id, a.centroid_id,
+                                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                     ORDER BY round(CAST(a.dot AS DOUBLE) / (nv.nrm * nc.nrm), 6) DESC,
+                                              a.centroid_id) AS rn
+                            FROM adots a
+                            JOIN nrm nv ON nv.vec_id = a.vec_id
+                            JOIN nrm nc ON nc.vec_id = a.centroid_id) t
+                      WHERE rn = 1),
+              q AS (SELECT vec_id AS query_id, centroid_id FROM asg WHERE vec_id < 5),
+              cand AS (SELECT q.query_id, a.vec_id AS cand_id, q.centroid_id
+                       FROM q JOIN asg a ON a.centroid_id = q.centroid_id
+                                        AND a.vec_id <> q.query_id),
+              dots AS (SELECT cand.query_id, cand.cand_id, cand.centroid_id,
+                              SUM(qa.x * qb.x) AS dot
+                       FROM cand
+                       JOIN e qa ON qa.vec_id = cand.query_id
+                       JOIN e qb ON qb.vec_id = cand.cand_id AND qb.i = qa.i
+                       GROUP BY 1, 2, 3),
+              sc AS (SELECT query_id, centroid_id, cand_id,
+                            round(CAST(dot AS DOUBLE) / (nq.nrm * nc2.nrm), 6) AS cos_sim
+                     FROM dots
+                     JOIN nrm nq ON nq.vec_id = query_id
+                     JOIN nrm nc2 ON nc2.vec_id = cand_id),
+              r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, cand_id) AS INTEGER) AS rank
+                    FROM sc)
+         SELECT query_id, centroid_id, cand_id, cos_sim, rank
+         FROM r WHERE rank <= 3 ORDER BY query_id, rank""",
 
     "q_dedup_embedding_cosine" ->
       """WITH ser AS (SELECT unnest(generate_series(1, 64)) AS i),

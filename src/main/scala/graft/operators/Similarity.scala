@@ -100,6 +100,52 @@ object Similarity {
     vectors.select(col(idCol), concat(bits: _*).as("bucket"))
   }
 
+  /** IVF (inverted-file) ANN — the centroid-cell dual of the LSH path:
+    * every vector is assigned to its nearest centroid (max cosine,
+    * deterministic centroid-id tie-break), queries probe only their own
+    * cell. Centroids here are a fixed, deterministic subset of the corpus
+    * (`vec_id < nCells`) — in production they'd come from an offline
+    * k-means; the engine-side plumbing (broadcast centroid set, map-side
+    * assignment, cell-equi-join search) is identical either way and is
+    * what must scale: assignment is one broadcast-join scan, and search
+    * touches 1/nCells of the corpus per query.
+    */
+  def ivfAssign(vectors: DataFrame, centroids: DataFrame,
+                idCol: String, vecCol: String): DataFrame = {
+    val c = centroids.select(col(idCol).as("centroid_id"), col(vecCol).as("cv"))
+      .withColumn("cn", normDouble(col("cv")))
+    val v = vectors.select(col(idCol), col(vecCol))
+      .withColumn("vn", normDouble(col(vecCol)))
+    val scored = v.join(broadcast(c))
+      .withColumn("sim", cosine(col(vecCol), col("cv"), col("vn"), col("cn")))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("sim").desc, col("centroid_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col(idCol), col("centroid_id"))
+  }
+
+  /** IVF top-k: exact cosine within the query's centroid cell (nProbe=1). */
+  def ivfTopK(vectors: DataFrame, queries: DataFrame, nCells: Int,
+              idCol: String, vecCol: String, k: Int): DataFrame = {
+    val centroids = vectors.filter(col(idCol) < nCells)
+    val assigned = ivfAssign(vectors, centroids, idCol, vecCol)
+    val withCell = vectors.join(assigned, idCol)
+    val q = queries.join(assigned, idCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("centroid_id"))
+      .withColumn("qn", normDouble(col("qv")))
+    val c = withCell
+      .select(col(idCol).as("cand_id"), col(vecCol).as("cv"), col("centroid_id"))
+      .withColumn("cn", normDouble(col("cv")))
+    val scored = c.join(broadcast(q), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos_sim", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("query_id"), col("centroid_id"), col("cand_id"),
+              col("cos_sim"), col("rn").as("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH buckets prefilter the
     * O(n²) pair space (same-bucket only), then exact cosine decides.
     * The dedup-flavored dual of [[annTopK]] — at 100 TB the bucket join

@@ -20,6 +20,20 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_.getDouble(2)).toSeq == Seq(1.0, 0.0, -1.0))
   }
 
+  test("IVF assigns to the nearest centroid and searches only that cell") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),    // centroid A (also a query)
+      (1L, Array(0.0f, 1.0f)),    // centroid B
+      (2L, Array(0.9f, 0.1f)),    // → cell A
+      (3L, Array(0.1f, 0.9f))     // → cell B
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") === 0),
+      nCells = 2, "vec_id", "embedding", k = 5).collect()
+    // query 0's cell contains only vec 2; vec 3 (other cell) is invisible
+    assert(out.map(_.getLong(2)).toSeq == Seq(2L))
+    assert(out.head.getLong(1) == 0L)
+  }
+
   test("LSH buckets put identical vectors together and ANN finds them") {
     val base = Array.tabulate(8)(i => (i + 1).toFloat / 10f)
     val vecs = Seq(
