@@ -8,12 +8,12 @@ object Profile {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
-    Tables.load(spark, dir, "documents").count()
-    for (i <- 1 to 4) {
+    Tables.load(spark, dir, "documents").count(); Tables.load(spark, dir, "embeddings").count()
+    for (q <- Seq("q_dedup_simhash_pairs", "q_dedup_embedding_cosine"); i <- 1 to 2) {
       val t0 = System.nanoTime()
-      SparkEntry.queries("q_dedup_minhash_lsh")(spark, dir).write.format("noop").mode("overwrite").save()
+      SparkEntry.queries(q)(spark, dir).write.format("noop").mode("overwrite").save()
       spark.catalog.clearCache()
-      println(f"minhash rep$i: ${(System.nanoTime()-t0)/1e9}%.2f s")
+      println(f"$q rep$i: ${(System.nanoTime()-t0)/1e9}%.2f s")
     }
     spark.stop()
   }

@@ -109,21 +109,26 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int): DataFrame = {
+    // carry the 4 chunks as integers: per-pair Hamming is then
+    // Σ bit_count(a⊕b) — pure codegen'd arithmetic, no per-bit lambda
+    val chunkCols = (0 until 4).map(c =>
+      expr(s"cast(conv(substring(simhash, ${c * 16 + 1}, 16), 2, 10) AS long)").as(s"ck_$c"))
     val sh = TextAnalysis.withSimhash(df, idCol, textCol)
-    val chunks = sh.select(col(idCol), col("simhash"),
-      explode(array((0 until 4).map(c =>
-        struct(lit(c).as("band"),
-               substring(col("simhash"), c * 16 + 1, 16).as("key"))): _*)).as("bk"))
-      .select(col(idCol), col("simhash"),
-              col("bk.band").as("band"), col("bk.key").as("key"))
-    val a = chunks.select(col("band"), col("key"),
-                          col(idCol).as("id_a"), col("simhash").as("sim_a"))
-    val b = chunks.select(col("band"), col("key"),
-                          col(idCol).as("id_b"), col("simhash").as("sim_b"))
-    a.join(b, Seq("band", "key")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sim_a", "sim_b").distinct()
-      .withColumn("hamming", expr(
-        "size(filter(sequence(1, 64), i -> substring(sim_a, i, 1) <> substring(sim_b, i, 1)))"))
+      .select(col(idCol) +: col("simhash") +: chunkCols: _*)
+    val chunks = sh.select(col(idCol) +: (0 until 4).map(c => col(s"ck_$c")) :+
+        explode(array((0 until 4).map(c =>
+          struct(lit(c).as("band"), col(s"ck_$c").as("key"))): _*)).as("bk"): _*)
+      .select(col(idCol) +: (0 until 4).map(c => col(s"ck_$c")) :+
+              col("bk.band").as("band") :+ col("bk.key").as("key"): _*)
+    val aCols = Seq(col("band"), col("key"), col(idCol).as("id_a")) ++
+      (0 until 4).map(c => col(s"ck_$c").as(s"a_$c"))
+    val bCols = Seq(col("band"), col("key"), col(idCol).as("id_b")) ++
+      (0 until 4).map(c => col(s"ck_$c").as(s"b_$c"))
+    chunks.select(aCols: _*).join(chunks.select(bCols: _*), Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .drop("band", "key").distinct()
+      .withColumn("hamming",
+        (0 until 4).map(c => expr(s"bit_count(a_$c ^ b_$c)")).reduce(_ + _))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }

@@ -45,13 +45,26 @@ object Joins {
     * @param enrich columns to carry over, name → (primary alias, fallback alias)
     */
   def enrichWithFallback(fact: DataFrame, primary: DataFrame, fallback: DataFrame,
-                         keys: Seq[String], enrichCols: Seq[String]): DataFrame = {
-    def dedup(d: DataFrame) = d.dropDuplicates(keys)
-    val p = dedup(primary).select((keys ++ enrichCols).map(col): _*)
-      .toDF(keys ++ enrichCols.map(_ + "__p"): _*)
-    val f = dedup(fallback).select((keys ++ enrichCols).map(col): _*)
-      .toDF(keys ++ enrichCols.map(_ + "__f"): _*)
-    val joined = fact.join(broadcast(p), keys, "left").join(broadcast(f), keys, "left")
+                         keys: Seq[String], enrichCols: Seq[String]): DataFrame =
+    enrichWithFallbackKeys(fact, primary, fallback, keys, keys, enrichCols)
+
+  /** General form of J4: the reference retries its misses on a DIFFERENT
+    * composite key (key₁ = title∥goods composite, key₂ = (title, start,
+    * end) — movie_events_scraper.py:319-344). Both lookups are deduped on
+    * their own key for 1:1 semantics and broadcast; per-column coalesce
+    * prefers the primary hit.
+    */
+  def enrichWithFallbackKeys(fact: DataFrame, primary: DataFrame, fallback: DataFrame,
+                             primaryKeys: Seq[String], fallbackKeys: Seq[String],
+                             enrichCols: Seq[String]): DataFrame = {
+    val p = primary.dropDuplicates(primaryKeys)
+      .select((primaryKeys ++ enrichCols).map(col): _*)
+      .toDF(primaryKeys ++ enrichCols.map(_ + "__p"): _*)
+    val f = fallback.dropDuplicates(fallbackKeys)
+      .select((fallbackKeys ++ enrichCols).map(col): _*)
+      .toDF(fallbackKeys ++ enrichCols.map(_ + "__f"): _*)
+    val joined = fact.join(broadcast(p), primaryKeys, "left")
+      .join(broadcast(f), fallbackKeys, "left")
     enrichCols.foldLeft(joined) { (d, c) =>
       d.withColumn(c, coalesce(col(c + "__p"), col(c + "__f")))
         .drop(c + "__p", c + "__f")

@@ -153,15 +153,31 @@ object Similarity {
     */
   def nearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
                    nPlanes: Int, dim: Int, threshold: Double): DataFrame = {
-    val withB = vectors
-      .join(lshBuckets(vectors, idCol, vecCol, nPlanes, dim), idCol)
-      .withColumn("nrm", normDouble(col(vecCol)))
-    val a = withB.select(col("bucket"), col(idCol).as("id_a"),
-                         col(vecCol).as("va"), col("nrm").as("na"))
-    val b = withB.select(col("bucket"), col(idCol).as("id_b"),
-                         col(vecCol).as("vb"), col("nrm").as("nb"))
-    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
-      .withColumn("cos_sim", cosine(col("va"), col("vb"), col("na"), col("nb")))
+    // pair count here is O(n²/2^nPlanes), so the per-pair dot must stay
+    // in codegen: explode each vector once into (id, i, x_dec) rows and
+    // compute candidate dots as one hash aggregation (higher-order
+    // lambdas are interpreted — fine per-query-vector, too slow per-pair)
+    val e = vectors
+      .select(col(idCol).as("__vid"), posexplode(col(vecCol)).as(Seq("__i", "__xr")))
+      .select(col("__vid"), col("__i"),
+              col("__xr").cast("double").cast(elemDec).as("__x"))
+      .persist()
+    val norms = e.groupBy(col("__vid"))
+      .agg(sqrt(sum(col("__x") * col("__x")).cast("double")).as("nrm"))
+    val buckets = lshBuckets(vectors, idCol, vecCol, nPlanes, dim)
+    val cands = buckets.alias("x").join(buckets.alias("y"), Seq("bucket"))
+      .select(col("bucket"), col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+    val dots = cands
+      .join(e.select(col("__vid").as("id_a"), col("__i"), col("__x").as("__xa")), "id_a")
+      .join(e.select(col("__vid").as("id_b"), col("__i"), col("__x").as("__xb")),
+            Seq("id_b", "__i"))
+      .groupBy("id_a", "id_b", "bucket")
+      .agg(sum(col("__xa") * col("__xb")).as("dot"))
+    dots
+      .join(norms.select(col("__vid").as("id_a"), col("nrm").as("na")), "id_a")
+      .join(norms.select(col("__vid").as("id_b"), col("nrm").as("nb")), "id_b")
+      .withColumn("cos_sim", round(col("dot").cast("double") / (col("na") * col("nb")), 6))
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "bucket", "cos_sim")
   }
