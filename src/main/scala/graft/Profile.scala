@@ -8,8 +8,8 @@ object Profile {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
-    Tables.load(spark, dir, "documents").count(); Tables.load(spark, dir, "embeddings").count()
-    for (q <- Seq("q_dedup_simhash_pairs", "q_dedup_embedding_cosine"); i <- 1 to 2) {
+    Tables.load(spark, dir, "embeddings").count()
+    for (q <- Seq("q_sim_ivf_topk", "q_sim_cosine_topk", "q_sim_ann_lsh", "q_dedup_embedding_cosine"); i <- 1 to 2) {
       val t0 = System.nanoTime()
       SparkEntry.queries(q)(spark, dir).write.format("noop").mode("overwrite").save()
       spark.catalog.clearCache()
