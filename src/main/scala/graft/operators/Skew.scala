@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling patterns for 100 TB shuffles. AQE's skew split covers
+  * sort-merge joins automatically; these are the explicit forms for the
+  * cases AQE doesn't reach (aggregations with a hot key, broadcast-
+  * ineligible lookup sides).
+  */
+object Skew {
+
+  /** Two-stage (salted) aggregation: a hot group key no longer lands on
+    * one reducer — stage 1 aggregates (key, salt) across `saltBuckets`
+    * partitions, stage 2 combines the partials per key. Result is
+    * identical to a direct groupBy for any commutative-associative
+    * aggregate (decimal sums here, so bit-identical).
+    */
+  def saltedGroupSum(df: DataFrame, keyCol: String, valueCol: String,
+                     saltBuckets: Int): DataFrame =
+    df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+      .groupBy(col(keyCol), col("__salt"))
+      .agg(sum(graft.Tables.dec(col(valueCol))).as("__partial"),
+           count(lit(1)).as("__pn"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__partial")).as("total"), sum(col("__pn")).as("n"))
+
+  /** Salted join for a skewed fact key against a non-broadcastable lookup:
+    * fact rows get a random-ish salt in [0, saltBuckets); the lookup side
+    * is replicated once per salt value, so the hot key's rows spread over
+    * `saltBuckets` reducers instead of one. Equi-join semantics preserved
+    * exactly (inner join on the original keys).
+    */
+  def saltedJoin(fact: DataFrame, lookup: DataFrame, keys: Seq[String],
+                 saltBuckets: Int): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    val replicatedLookup = lookup.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1)).cast("array<long>")))
+    saltedFact.join(replicatedLookup, keys :+ "__salt").drop("__salt")
+  }
+}
