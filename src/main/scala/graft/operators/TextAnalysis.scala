@@ -92,10 +92,16 @@ object TextAnalysis {
     * Scale: explode(tokens × 64) is map-side only; the per-doc reduce is
     * one hash aggregation — linear in corpus size, no pairwise work.
     */
-  def withSimhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // one row per token (not per token×bit): the 64 bit-balances are
-    // parallel aggregate expressions over the token's md5, so the only
-    // shuffle carries 64 ints per document
+  def withSimhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol))
+      .agg(graft.functions.SimhashAgg(df.sparkSession, md5(col("tok"))).as("simhash"))
+
+  /** Built-ins-only formulation of the same fingerprint (64 parallel
+    * bit-balance sums) — kept as the cross-check for [[withSimhash]]'s
+    * native aggregate and as the shape the DuckDB oracle mirrors.
+    */
+  def withSimhashSql(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val perToken = df
       .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
       .withColumn("h", md5(col("tok")))

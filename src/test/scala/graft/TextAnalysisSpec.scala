@@ -42,6 +42,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps.distinct.length == 1)
   }
 
+  test("native SimhashAgg matches the 64-sum SQL formulation exactly") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "some other words entirely different here now"),
+      (3L, "the the the repeated token weighting case")).toDF("doc_id", "text")
+    val native = TextAnalysis.withSimhash(df, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getString(1))
+    val sql = TextAnalysis.withSimhashSql(df, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(native.toSeq == sql.toSeq)
+  }
+
   test("simhash: identical texts agree; near texts are close in Hamming distance") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),
