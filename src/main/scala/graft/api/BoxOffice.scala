@@ -55,7 +55,7 @@ class BoxOffice(spark: SparkSession, storeRoot: String) {
       .select("movie_cd", "movie_nm").distinct()
     val dim = movies.select("movie_cd", "rep_genre_nm")
     Analytics.distinctAndSortedList(
-        period.join(broadcast(dim), Seq("movie_cd"), "left")
+        graft.operators.Joins.broadcastLeft(period, dim, Seq("movie_cd"))
           .filter(col("rep_genre_nm").isNotNull && col("rep_genre_nm") =!= ""),
         groupCol = "rep_genre_nm", countCol = "movie_cd", listCol = "movie_nm")
       .withColumnRenamed("cnt_distinct", "movie_count")

@@ -47,4 +47,44 @@ object Multimodal {
       }
     }.toDF()
   }
+
+  case class ResizedMedia(doc_id: Long, media_type: String, width: Int,
+                          height: Int, blob: Array[Byte])
+
+  /** Resize plumbing: batch-transforms payloads to a target box. The
+    * STUB "resampler" deterministically subsamples bytes proportionally
+    * to the area ratio — a real build swaps in an image scaler; schema,
+    * batching and partition behavior are what the engine owns.
+    */
+  def resize(spark: SparkSession, media: DataFrame,
+             targetW: Int, targetH: Int): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { batch =>
+      batch.map { r =>
+        val (w, h, _) = decodeStub(r.blob)
+        val ratio = math.min(1.0, (targetW.toLong * targetH).toDouble / (w.toLong * h))
+        val keep = math.max(1, (r.blob.length * ratio).toInt)
+        ResizedMedia(r.doc_id, r.media_type, targetW, targetH, r.blob.take(keep))
+      }
+    }.toDF()
+  }
+
+  case class FrameSample(doc_id: Long, frame_idx: Int, frame_hash: String)
+
+  /** Frame-sampling plumbing for video-typed payloads: every `stride`-th
+    * frame index up to the stub-decoded frame count, one output row per
+    * sampled frame (flatMap shape — the row explosion video work needs).
+    * The frame "content" is a deterministic hash of (payload, index).
+    */
+  def sampleFrames(spark: SparkSession, media: DataFrame, stride: Int): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { batch =>
+      batch.flatMap { r =>
+        val frames = 1 + r.blob.length % 31 // STUB frame count from payload
+        (0 until frames by stride).map { i =>
+          FrameSample(r.doc_id, i, md5Hex(r.blob ++ BigInt(i).toByteArray))
+        }
+      }
+    }.toDF()
+  }
 }

@@ -19,4 +19,20 @@ class MultimodalSpec extends SparkSpec {
     // d41d8... = md5 of empty input, pinned so the stub stays deterministic
     assert(out(1).getAs[String]("content_hash") == "d41d8cd98f00b204e9800998ecf8427e")
   }
+
+  test("resize bounds payloads; frame sampling explodes one row per stride") {
+    val media = Seq((1L, "video/mp4", "x" * 100))
+      .toDF("doc_id", "media_type", "payload")
+      .withColumn("blob", col("payload").cast("binary")).drop("payload")
+
+    val resized = Multimodal.resize(spark, media, 8, 8).collect().head
+    assert(resized.getAs[Int]("width") == 8)
+    assert(resized.getAs[Array[Byte]]("blob").length < 100)
+
+    // 100 bytes → 1 + 100%31 = 8 stub frames; stride 3 → indices 0,3,6
+    val frames = Multimodal.sampleFrames(spark, media, stride = 3)
+      .orderBy("frame_idx").collect()
+    assert(frames.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 3, 6))
+    assert(frames.map(_.getAs[String]("frame_hash")).distinct.length == 3)
+  }
 }
