@@ -474,6 +474,12 @@ object SparkEntry {
       s.sql(AgentSql)
     }),
 
+    // §2.11 — windowed agent SQL, same text in both engines (CTE + window)
+    "q_sql_agent_window" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(AgentWindowSql)
+    }),
+
     // IVF ANN top-3: nearest-centroid cells (16 deterministic centroids),
     // exact cosine within the query's cell (nProbe=1)
     "q_sim_ivf_topk" -> ((s, dir) => {
@@ -494,6 +500,15 @@ object SparkEntry {
   /** One SQL text, executed verbatim by BOTH engines (§2.11: the engine
     * requirement behind the AI agent is "run arbitrary SELECTs").
     */
+  private val AgentWindowSql =
+    """SELECT mo, total,
+              SUM(total) OVER (ORDER BY mo
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_total
+       FROM (SELECT date_trunc('month', o_orderdate) AS mo,
+                    SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS total
+             FROM orders GROUP BY 1) m
+       ORDER BY mo"""
+
   private val AgentSql =
     """SELECT c_name, SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS total_spent
        FROM orders JOIN customer ON o_custkey = c_custkey
@@ -988,6 +1003,15 @@ object SparkEntry {
          WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1997-01-01' AND DATE '1997-12-31'
            AND REPLACE(c_name, '#', '') LIKE '%Customer00000012%'
          GROUP BY c_name ORDER BY total_spent DESC, c_name LIMIT 5""",
+
+    "q_sql_agent_window" ->
+      """SELECT mo, total,
+              SUM(total) OVER (ORDER BY mo
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_total
+       FROM (SELECT date_trunc('month', o_orderdate) AS mo,
+                    SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS total
+             FROM orders GROUP BY 1) m
+       ORDER BY mo""",
 
     "q_sim_ivf_topk" ->
       """WITH ser AS (SELECT unnest(generate_series(1, 64)) AS i),

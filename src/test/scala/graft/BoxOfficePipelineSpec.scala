@@ -58,6 +58,24 @@ class BoxOfficePipelineSpec extends SparkSpec {
       .select("audi_cnt").as[Double].head() == 99.0)
   }
 
+  test("date filter prunes partitions at the scan (100 TB read path)") {
+    val root = freshRoot()
+    BoxOfficePipeline.ingestDaily(spark, root, rawBoxoffice(
+      ("m1", "a", "2024-12-24", "2025-01-01", 1.0),
+      ("m1", "a", "2024-12-24", "2025-01-02", 2.0),
+      ("m1", "a", "2024-12-24", "2025-01-03", 3.0)), "2025-01-03")
+    val filtered = spark.read.parquet(s"$root/boxoffice")
+      .filter(col("target_dt") === Date.valueOf("2025-01-02"))
+    // collect() (not count()) so the metrics land on THIS plan's scan
+    assert(filtered.collect().length == 1)
+    val plan = filtered.queryExecution.executedPlan
+    assert(plan.toString.contains("PartitionFilters") && plan.toString.contains("target_dt"),
+      s"partition filter missing from scan:\n$plan")
+    // the scan's own metric: only the matching partition's file was read
+    val numFiles = plan.collectLeaves().head.metrics.get("numFiles").map(_.value)
+    assert(numFiles.contains(1L), s"expected 1 pruned file, got $numFiles")
+  }
+
   test("movie dimension upsert: new rows insert, existing rows update") {
     val root = freshRoot()
     val v1 = Seq(("m1", "하얼빈", "드라마"), ("m2", "시크릿", "코미디"))
