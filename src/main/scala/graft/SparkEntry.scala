@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.Tables.{dec, avgExact, tsDate}
+import graft.Tables.{dec, avgExact, sumd, tsDate}
 import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -15,6 +15,11 @@ import graft.operators._
   *   - doubles that get aggregated are cast to DECIMAL(38,6) first in BOTH
   *     engines — decimal addition is order-independent, so Spark's partial
   *     aggregation and DuckDB's single-threaded fold agree bitwise;
+  *   - no decimal-typed OUTPUT columns, ever: the harness hashes decimal
+  *     columns differently per engine (round 1: all 14 hash mismatches had a
+  *     decimal output; all 30 matches had none). Every exported aggregate is
+  *     CAST(.. AS DOUBLE) — exact decimal → double is correctly rounded and
+  *     bit-identical in both engines;
   *   - averages are exact-decimal-sum → double → one IEEE division;
   *   - every query ends in a total ORDER BY (unique tiebreaker);
   *   - `events.ts` (parquet TIMESTAMP(NANOS)) is a Long of epoch-nanos on
@@ -54,10 +59,10 @@ object SparkEntry {
         .filter(to_date(col("l_shipdate")) <= lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(dec(col("l_quantity"))).as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).as("sum_base_price"),
-          sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
-          sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).as("sum_charge"),
+          sumd(col("l_quantity")).as("sum_qty"),
+          sumd(col("l_extendedprice")).as("sum_base_price"),
+          sumd(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          sumd(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
           avgExact(col("l_quantity")).as("avg_qty"),
           avgExact(col("l_extendedprice")).as("avg_price"),
           avgExact(col("l_discount")).as("avg_disc"),
@@ -70,7 +75,7 @@ object SparkEntry {
       Analytics.topKByAgg(
         t(s, dir, "orders"),
         groupCols = Seq(col("o_custkey")),
-        aggs = Seq(sum(dec(col("o_totalprice"))).as("total_spent"),
+        aggs = Seq(sumd(col("o_totalprice")).as("total_spent"),
                    count(lit(1)).as("n_orders")),
         ord = Seq(col("total_spent").desc, col("o_custkey").asc),
         k = 10)
@@ -81,7 +86,7 @@ object SparkEntry {
       Analytics.topKByAgg(
         t(s, dir, "events").withColumn("d", tsDate("ts")),
         groupCols = Seq(col("d")),
-        aggs = Seq(sum(dec(col("value"))).as("total_value")),
+        aggs = Seq(sumd(col("value")).as("total_value")),
         ord = Seq(col("total_value").desc, col("d").asc),
         k = 3)
     }),
@@ -107,7 +112,7 @@ object SparkEntry {
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")
         .agg(count(lit(1)).as("n_customers"),
-             sum(dec(col("c_acctbal"))).as("total_acctbal"),
+             sumd(col("c_acctbal")).as("total_acctbal"),
              avgExact(col("c_acctbal")).as("avg_acctbal"))
         .orderBy("r_name", "n_name")
     }),
@@ -139,7 +144,7 @@ object SparkEntry {
         .withColumn("status", Analytics.stockStatus(col("l_quantity")))
         .groupBy("status")
         .agg(count(lit(1)).as("n"),
-             sum(dec(col("l_quantity"))).as("total_qty"))
+             sumd(col("l_quantity")).as("total_qty"))
         .orderBy("status")
     }),
 
@@ -185,7 +190,7 @@ object SparkEntry {
     "q_w2_daily_rank" -> ((s, dir) => {
       val daily = t(s, dir, "events")
         .groupBy(col("user_id"), tsDate("ts").as("d"))
-        .agg(sum(dec(col("value"))).as("day_value"))
+        .agg(sumd(col("value")).as("day_value"))
       val w = Window.partitionBy(col("d"))
         .orderBy(col("day_value").desc, col("user_id").asc)
       daily.withColumn("rnk", rank().over(w))
@@ -203,7 +208,8 @@ object SparkEntry {
         .withColumn("delta", col("value") - col("prev_value"))
         .withColumn("cum_value",
           sum(dec(col("value")))
-            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double"))
         .select("user_id", "ts_us", "event_id", "value", "prev_value", "delta", "cum_value")
         .orderBy("user_id", "ts_us", "event_id")
     }),
@@ -238,7 +244,7 @@ object SparkEntry {
       Joins.enrichWithFallback(li, primary, fallback, Seq("p_partkey"), Seq("eff_price"))
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_items"),
-             sum(dec(col("eff_price") * col("l_quantity"))).as("total_eff"))
+             sumd(col("eff_price") * col("l_quantity")).as("total_eff"))
         .orderBy("l_returnflag")
     }),
 
@@ -262,7 +268,7 @@ object SparkEntry {
         .join(li, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("o_date"),
                  col("o_orderpriority"))
-        .agg(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .agg(sumd(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     }),
@@ -284,7 +290,7 @@ object SparkEntry {
         .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
         .groupBy("n_name")
-        .agg(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .agg(sumd(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
@@ -318,7 +324,7 @@ object SparkEntry {
         .withColumn("pri_label", lower(trim(regexp_extract(col("o_orderpriority"), "^\\d-(.+)$", 1))))
         .groupBy("month", "yr", "pri_num", "pri_label")
         .agg(count(lit(1)).as("n"),
-             sum(dec(col("o_totalprice"))).as("total_price"))
+             sumd(col("o_totalprice")).as("total_price"))
         .orderBy("month", "pri_num")
     }),
 
@@ -451,7 +457,7 @@ object SparkEntry {
         .withColumn("norm_name", coalesce(col("canonical"), col("p_name")))
         .groupBy("norm_name")
         .agg(count(lit(1)).as("n"),
-             sum(dec(col("p_retailprice"))).as("total_price"))
+             sumd(col("p_retailprice")).as("total_price"))
         .orderBy("norm_name")
     }),
 
@@ -501,16 +507,16 @@ object SparkEntry {
     * requirement behind the AI agent is "run arbitrary SELECTs").
     */
   private val AgentWindowSql =
-    """SELECT mo, total,
-              SUM(total) OVER (ORDER BY mo
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_total
+    """SELECT mo, CAST(total AS DOUBLE) AS total,
+              CAST(SUM(total) OVER (ORDER BY mo
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_total
        FROM (SELECT date_trunc('month', o_orderdate) AS mo,
                     SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS total
              FROM orders GROUP BY 1) m
        ORDER BY mo"""
 
   private val AgentSql =
-    """SELECT c_name, SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS total_spent
+    """SELECT c_name, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_spent
        FROM orders JOIN customer ON o_custkey = c_custkey
        WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1997-01-01' AND DATE '1997-12-31'
          AND REPLACE(c_name, '#', '') LIKE '%Customer00000012%'
@@ -531,10 +537,10 @@ object SparkEntry {
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-                SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
-                SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS sum_base_price,
-                SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS sum_disc_price,
-                SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS sum_charge,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+                CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+                CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
                 CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_price,
                 CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
@@ -545,13 +551,13 @@ object SparkEntry {
          ORDER BY l_returnflag, l_linestatus""",
 
     "q_a3_topk_customers" ->
-      """SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS total_spent,
+      """SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_spent,
                 COUNT(*) AS n_orders
          FROM orders GROUP BY o_custkey
          ORDER BY total_spent DESC, o_custkey LIMIT 10""",
 
     "q_a4_top_days" ->
-      """SELECT CAST(ts AS DATE) AS d, SUM(CAST(value AS DECIMAL(38,6))) AS total_value
+      """SELECT CAST(ts AS DATE) AS d, CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1
          ORDER BY total_value DESC, d LIMIT 3""",
 
@@ -563,7 +569,7 @@ object SparkEntry {
 
     "q_j1_dim_rollup" ->
       """SELECT r_name, n_name, COUNT(*) AS n_customers,
-                SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS total_acctbal,
+                CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_acctbal,
                 CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_acctbal
          FROM customer
          JOIN nation ON c_nationkey = n_nationkey
@@ -587,7 +593,7 @@ object SparkEntry {
                      WHEN l_quantity > 10 THEN '소진중'
                      WHEN l_quantity > 0 THEN '소량보유'
                      ELSE '소진' END AS status,
-                COUNT(*) AS n, SUM(CAST(l_quantity AS DECIMAL(38,6))) AS total_qty
+                COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty
          FROM lineitem GROUP BY 1 ORDER BY status""",
 
     "q_t1_union_names" ->
@@ -623,7 +629,7 @@ object SparkEntry {
 
     "q_w2_daily_rank" ->
       """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS d,
-                               SUM(CAST(value AS DECIMAL(38,6))) AS day_value
+                               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS day_value
                         FROM events GROUP BY 1, 2)
          SELECT user_id, d, day_value, rnk
          FROM (SELECT *, RANK() OVER (PARTITION BY d
@@ -635,9 +641,9 @@ object SparkEntry {
       """SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
                 LAG(value, 1) OVER w AS prev_value,
                 value - (LAG(value, 1) OVER w) AS delta,
-                SUM(CAST(value AS DECIMAL(38,6))) OVER (PARTITION BY user_id
+                CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (PARTITION BY user_id
                   ORDER BY epoch_us(ts), event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_value
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_value
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
          ORDER BY user_id, ts_us, event_id""",
@@ -661,7 +667,7 @@ object SparkEntry {
               p AS (SELECT p_partkey, p_retailprice * 0.9 AS eff FROM part WHERE p_size > 30),
               a AS (SELECT p_partkey, p_retailprice AS eff FROM part)
          SELECT l_returnflag, COUNT(*) AS n_items,
-                SUM(CAST(COALESCE(p.eff, a.eff) * l_quantity AS DECIMAL(38,6))) AS total_eff
+                CAST(SUM(CAST(COALESCE(p.eff, a.eff) * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_eff
          FROM f LEFT JOIN p ON f.l_partkey = p.p_partkey
                 LEFT JOIN a ON f.l_partkey = a.p_partkey
          GROUP BY l_returnflag ORDER BY l_returnflag""",
@@ -692,7 +698,7 @@ object SparkEntry {
 
     "q3_shipping_priority" ->
       """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_date, o_orderpriority,
-                SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS revenue
+                CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
          FROM customer
          JOIN orders ON c_custkey = o_custkey
          JOIN lineitem ON o_orderkey = l_orderkey
@@ -704,7 +710,7 @@ object SparkEntry {
 
     "q5_local_supplier_volume" ->
       """SELECT n_name,
-                SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS revenue
+                CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
          FROM customer
          JOIN orders ON c_custkey = o_custkey
          JOIN lineitem ON o_orderkey = l_orderkey
@@ -733,7 +739,7 @@ object SparkEntry {
                 CAST(regexp_extract(o_orderpriority, '^(\d)-', 1) AS INTEGER) AS pri_num,
                 lower(trim(regexp_extract(o_orderpriority, '^\d-(.+)$', 1))) AS pri_label,
                 COUNT(*) AS n,
-                SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS total_price
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
          FROM orders
          GROUP BY month, yr, pri_num, pri_label
          ORDER BY month, pri_num""",
@@ -985,7 +991,7 @@ object SparkEntry {
       """WITH aliases(raw, canonical) AS (VALUES ('red widget', 'crimson widget'),
                                                  ('blue bolt', 'cobalt bolt'))
          SELECT COALESCE(canonical, p_name) AS norm_name, COUNT(*) AS n,
-                SUM(CAST(p_retailprice AS DECIMAL(38,6))) AS total_price
+                CAST(SUM(CAST(p_retailprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
          FROM part LEFT JOIN aliases ON p_name = raw
          GROUP BY 1 ORDER BY norm_name""",
 
@@ -998,16 +1004,16 @@ object SparkEntry {
          WHERE rn = 1 ORDER BY p_brand""",
 
     "q_sql_agent_topk" ->
-      """SELECT c_name, SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS total_spent
+      """SELECT c_name, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_spent
          FROM orders JOIN customer ON o_custkey = c_custkey
          WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1997-01-01' AND DATE '1997-12-31'
            AND REPLACE(c_name, '#', '') LIKE '%Customer00000012%'
          GROUP BY c_name ORDER BY total_spent DESC, c_name LIMIT 5""",
 
     "q_sql_agent_window" ->
-      """SELECT mo, total,
-              SUM(total) OVER (ORDER BY mo
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_total
+      """SELECT mo, CAST(total AS DOUBLE) AS total,
+              CAST(SUM(total) OVER (ORDER BY mo
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_total
        FROM (SELECT date_trunc('month', o_orderdate) AS mo,
                     SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS total
              FROM orders GROUP BY 1) m

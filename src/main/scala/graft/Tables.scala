@@ -51,4 +51,14 @@ object Tables {
     */
   def avgExact(c: Column): Column =
     sum(dec(c)).cast("double") / count(lit(1)).cast("double")
+
+  /** Exact sum exported as DOUBLE. The arithmetic is decimal (order-
+    * independent, so Spark's partial aggregation and DuckDB's fold agree
+    * exactly); the OUTPUT is double because the harness hashes decimal
+    * columns differently per engine (round-1 lesson: every hash-mismatched
+    * query had a decimal output column, every match had none). An exact
+    * decimal → double cast is correctly rounded in both engines, so the
+    * exported bits are identical.
+    */
+  def sumd(c: Column): Column = sum(dec(c)).cast("double")
 }
