@@ -35,7 +35,7 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
       }
-      spark.catalog.clearCache() // operators may persist() internally
+      graft.operators.OpCache.clear() // release operator-internal persists
       (System.nanoTime() - t0) / 1e9
     }
 

@@ -825,7 +825,7 @@ object SparkEntry {
     "q_dedup_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
                        FROM documents),
-              ser AS (SELECT unnest(generate_series(1, 10000)) AS i),
+              ser AS (SELECT unnest(generate_series(1, (SELECT COALESCE(MAX(len(t)), 1) FROM toks))) AS i),
               sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS s
                      FROM toks JOIN ser ON i <= len(t) - 4),
               cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
@@ -865,7 +865,7 @@ object SparkEntry {
     "q_dedup_minhash_lsh" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
                        FROM documents),
-              ser AS (SELECT unnest(generate_series(1, 10000)) AS i),
+              ser AS (SELECT unnest(generate_series(1, (SELECT COALESCE(MAX(len(t)), 1) FROM toks))) AS i),
               sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS s
                      FROM toks JOIN ser ON i <= len(t) - 4),
               hh AS (SELECT doc_id, md5(s) || md5(s) AS hv FROM sh),

@@ -49,9 +49,19 @@ case class SimhashAgg(
     val v = child.eval(input)
     if (v != null) {
       val hex = v.asInstanceOf[UTF8String]
+      // Reachable from the open SQL surface with arbitrary strings: enforce
+      // the md5-hex contract at runtime. Without the length check the loop
+      // would read past the UTF8String's bytes via unchecked Platform.getByte.
+      if (hex.numBytes() < 16)
+        throw new IllegalArgumentException(
+          s"$prettyName expects an md5 hex string (>= 16 hex chars), " +
+            s"got ${hex.numBytes()} bytes: '$hex'")
       var d = 0
       while (d < 16) {
         val hv = Character.digit(hex.getByte(d).toChar, 16)
+        if (hv < 0)
+          throw new IllegalArgumentException(
+            s"$prettyName expects hex digits, got '${hex.getByte(d).toChar}' in '$hex'")
         var b = 0
         while (b < 4) {
           val bit = (hv >> (3 - b)) & 1

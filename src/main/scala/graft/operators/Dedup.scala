@@ -42,7 +42,7 @@ object Dedup {
     * pairs) — here df is naturally tiny.
     */
   def jaccardPairs(shingles: DataFrame, idCol: String, threshold: Double): DataFrame = {
-    val cached = shingles.persist() // read 3× below (counts + both join sides)
+    val cached = OpCache.persist(shingles) // read 3× below (counts + both join sides)
     val counts = cached.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val a = cached.select(col(idCol).as("id_a"), col("s"))
     val b = cached.select(col(idCol).as("id_b"), col("s").as("s_b"))
@@ -170,7 +170,7 @@ object Dedup {
     }
     val withSig = withArr
       .select(col(idCol) +: size(col("sh")).as("n") +: col("sh") +: sigs: _*)
-      .persist() // one narrow row per doc; feeds band keys + both verify sides
+      .transform(OpCache.persist) // one narrow row per doc; feeds band keys + both verify sides
     val keyed = withSig
       .select(col(idCol), explode(array(bands: _*)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))

@@ -41,7 +41,11 @@ object FuzzyMatch {
   def bestMatch(queries: DataFrame, qCol: String,
                 candidates: DataFrame, candCol: String): DataFrame = {
     val spark = queries.sparkSession
-    val q = queries.withColumn("__qc", stripSeparators(normalizeTitle(col(qCol))))
+    // per-row id so duplicate query values each keep their own output row
+    // (the window below partitions by this id, not the query value)
+    val q = queries
+      .withColumn("__qid", monotonically_increasing_id())
+      .withColumn("__qc", stripSeparators(normalizeTitle(col(qCol))))
     val cand = candidates
       .select(col(candCol))
       .distinct()
@@ -53,13 +57,13 @@ object FuzzyMatch {
     val joined = q.join(broadcast(cand),
       graft.functions.ContainsIgnoringSeparators(spark, col("__qc"), col("__cc")),
       "left")
-    val w = Window.partitionBy(col(qCol)).orderBy(
+    val w = Window.partitionBy(col("__qid")).orderBy(
       abs(length(col("__cc")) - length(col("__qc"))).asc,
       length(col(candCol)).asc,
       col(candCol).asc)
     joined.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .withColumn("matched", coalesce(col(candCol), col(qCol)))
-      .drop("__qc", "__cc", "__rn", candCol)
+      .drop("__qid", "__qc", "__cc", "__rn", candCol)
   }
 }

@@ -75,7 +75,7 @@ object Similarity {
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
-    val e = elems(corpus, idCol, vecCol).persist()
+    val e = OpCache.persist(elems(corpus, idCol, vecCol))
     val nrm = norms(e)
     val pairs = queries.select(col(idCol).as("id_a"))
       .crossJoin(corpus.select(col(idCol).as("id_b")))
@@ -114,7 +114,13 @@ object Similarity {
         (acc, v) => (acc + v).cast("decimal(38,9)"))
       when(proj >= 0, "1").otherwise("0")
     }
-    vectors.select(col(idCol), concat(bits: _*).as("bucket"))
+    // zip_with pads with nulls on length mismatch, which would silently turn
+    // the projection null (bucket bit '0'); fail loudly instead.
+    vectors.select(col(idCol),
+      when(size(col(vecCol)) === dim, concat(bits: _*))
+        .otherwise(raise_error(concat(
+          lit(s"lshBuckets: embedding length must be $dim, got "),
+          size(col(vecCol)).cast("string")))).as("bucket"))
   }
 
   /** Embedding-cosine near-duplicate pairs: LSH buckets prefilter the
@@ -123,7 +129,7 @@ object Similarity {
     */
   def nearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
                    nPlanes: Int, dim: Int, threshold: Double): DataFrame = {
-    val e = elems(vectors, idCol, vecCol).persist()
+    val e = OpCache.persist(elems(vectors, idCol, vecCol))
     val nrm = norms(e)
     val buckets = lshBuckets(vectors, idCol, vecCol, nPlanes, dim)
     val pairs = buckets.alias("x").join(buckets.alias("y"), Seq("bucket"))
@@ -138,7 +144,7 @@ object Similarity {
   def annTopK(vectors: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, nPlanes: Int, dim: Int,
               k: Int): DataFrame = {
-    val e = elems(vectors, idCol, vecCol).persist()
+    val e = OpCache.persist(elems(vectors, idCol, vecCol))
     val nrm = norms(e)
     val buckets = lshBuckets(vectors, idCol, vecCol, nPlanes, dim)
     val qb = queries.select(col(idCol)).join(buckets, idCol)
@@ -177,7 +183,7 @@ object Similarity {
   /** IVF top-k: exact cosine within the query's centroid cell (nProbe=1). */
   def ivfTopK(vectors: DataFrame, queries: DataFrame, nCells: Int,
               idCol: String, vecCol: String, k: Int): DataFrame = {
-    val e = elems(vectors, idCol, vecCol).persist()
+    val e = OpCache.persist(elems(vectors, idCol, vecCol))
     val assigned = ivfAssignWith(e, vectors.filter(col(idCol) < nCells), idCol)
     val nrm = norms(e)
     val q = queries.select(col(idCol)).join(assigned, idCol)

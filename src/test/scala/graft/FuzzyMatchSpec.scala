@@ -40,4 +40,12 @@ class FuzzyMatchSpec extends SparkSpec {
       .select("matched").as[String].collect()
     assert(out.head == "ab")
   }
+
+  test("duplicate query rows each keep their own output row (ADVICE r1)") {
+    val queries = Seq("어벤져스", "어벤져스", "하얼빈").toDF("title")
+    val movies = Seq("어벤져스엔드게임", "하얼빈").toDF("movie_nm")
+    val out = FuzzyMatch.bestMatch(queries, "title", movies, "movie_nm")
+    assert(out.count() == 3)
+    assert(out.filter(col("title") === "어벤져스").count() == 2)
+  }
 }

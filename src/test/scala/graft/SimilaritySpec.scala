@@ -49,4 +49,13 @@ class SimilaritySpec extends SparkSpec {
     assert(ann.map(_.getLong(2)).toSeq == Seq(1L)) // only same-bucket candidate
     assert(ann.head.getDouble(3) == 1.0)
   }
+
+  test("lshBuckets fails loudly on embedding length mismatch (ADVICE r1)") {
+    val bad = Seq((1L, Array(0.1f, 0.2f, 0.3f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.lshBuckets(bad, "vec_id", "embedding", 4, 8).collect()
+    }
+    assert(e.getMessage.contains("length") ||
+      Option(e.getCause).exists(_.getMessage.contains("length")))
+  }
 }

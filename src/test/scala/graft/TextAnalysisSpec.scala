@@ -66,4 +66,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(hs.forall(h => h.length == 64 && h.forall(c => c == '0' || c == '1')))
     assert(hamming(hs(0), hs(1)) < hamming(hs(0), hs(2)))
   }
+
+  test("simhash_agg rejects non-md5 input instead of reading out of bounds (ADVICE r1)") {
+    import graft.functions.SimhashAgg
+    val short = Seq((1, "abc")).toDF("id", "h")
+    val e1 = intercept[Exception] {
+      short.groupBy("id").agg(SimhashAgg(spark, col("h"))).collect()
+    }
+    assert(e1.getMessage.contains("16") ||
+      Option(e1.getCause).exists(_.getMessage.contains("16")))
+    val nonhex = Seq((1, "zzzzzzzzzzzzzzzzzzzz")).toDF("id", "h")
+    val e2 = intercept[Exception] {
+      nonhex.groupBy("id").agg(SimhashAgg(spark, col("h"))).collect()
+    }
+    assert(e2.getMessage.contains("hex") ||
+      Option(e2.getCause).exists(_.getMessage.contains("hex")))
+  }
 }
