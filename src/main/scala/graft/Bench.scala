@@ -47,7 +47,13 @@ object Bench {
     names.foreach(run)
     System.gc()
 
-    val results = names.map(n => n -> run(n))
+    // two measured passes, min per query: a single pass is hostage to
+    // whichever query a GC pause or JIT recompilation lands on
+    val results = names.map { n =>
+      val a = run(n)
+      val b = run(n)
+      n -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -16,8 +16,9 @@ object Profile {
       case Seq() => SparkEntry.queries.keys.toSeq.sorted
       case qs => qs
     }
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -29,7 +30,7 @@ object Profile {
       } else for (i <- 1 to reps) {
         val t0 = System.nanoTime()
         SparkEntry.queries(q)(spark, sfDir).write.format("noop").mode("overwrite").save()
-        spark.catalog.clearCache()
+        graft.operators.OpCache.clear()
         println(f"$q rep$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
     }

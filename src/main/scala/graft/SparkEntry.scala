@@ -387,9 +387,8 @@ object SparkEntry {
 
     // n-gram Jaccard near-dup pairs (5-gram word shingles, ≥0.8)
     "q_dedup_ngram_jaccard" -> ((s, dir) => {
-      Dedup.jaccardPairs(
-          Dedup.wordShingles(t(s, dir, "documents"), "doc_id", "text", 5),
-          "doc_id", 0.8)
+      Dedup.jaccardPairsFromText(t(s, dir, "documents"), "doc_id", "text",
+          k = 5, threshold = 0.8)
         .orderBy("id_a", "id_b")
     }),
 

@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, NullType, StringType}
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native distinct word-k-gram shingle hashes: token array → array of
+  * xxhash64(shingle) longs, one tight codegen'd loop per document.
+  *
+  * Replaces the composed `array_distinct(transform(sequence(...),
+  * i => concat_ws(" ", slice(tokens, i, k))))` + `xxhash64` chain, which
+  * evaluates an interpreted lambda PER SHINGLE POSITION (higher-order
+  * functions don't codegen) and materializes every shingle string twice
+  * (once in the array, once to hash). Here each shingle is assembled into
+  * a reused byte buffer and hashed in place — no per-position expression
+  * interpretation, no intermediate string array.
+  *
+  * The hash value (seed 42 over the space-joined UTF-8 bytes) matches
+  * Spark's `xxhash64` of the same shingle string, so downstream joins are
+  * interchangeable with the composed form. Only hash CONSISTENCY matters
+  * for Jaccard (both join sides and the per-doc counts use the same
+  * function); the cross-engine oracle compares final jaccard/shared
+  * numbers, not hashes.
+  */
+case class ShingleHash64(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hash64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) | NullType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    ShingleHash64.shingles(v.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleHash64.shingles($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHash64 =
+    copy(child = newChild)
+}
+
+object ShingleHash64 {
+
+  /** Called from generated code. Distinct preserves first-occurrence order
+    * (irrelevant downstream — the array is exploded).
+    */
+  def shingles(arr: ArrayData, k: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      toks(i) = if (t == null) UTF8String.EMPTY_UTF8 else t
+      i += 1
+    }
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new Array[Long](n - k + 1)
+    var m = 0
+    var buf = new Array[Byte](256)
+    i = 0
+    while (i <= n - k) {
+      var len = k - 1
+      var j = 0
+      while (j < k) { len += toks(i + j).numBytes(); j += 1 }
+      if (buf.length < len) buf = new Array[Byte](math.max(len, buf.length * 2))
+      var pos = 0
+      j = 0
+      while (j < k) {
+        if (j > 0) { buf(pos) = ' '; pos += 1 }
+        val t = toks(i + j)
+        t.writeToMemory(buf, Platform.BYTE_ARRAY_OFFSET + pos)
+        pos += t.numBytes()
+        j += 1
+      }
+      val h = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, len, 42L)
+      if (seen.add(h)) { out(m) = h; m += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (m == out.length) out else java.util.Arrays.copyOf(out, m))
+  }
+
+  val FnName = "shingle_hash64"
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      FnName, exprs => ShingleHash64(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
+
+  def apply(spark: SparkSession, tokens: Column, k: Int): Column = {
+    register(spark)
+    call_function(FnName, tokens, lit(k))
+  }
+}

@@ -57,6 +57,41 @@ object Dedup {
       .select("id_a", "id_b", "shared", "jaccard")
   }
 
+  /** All-pairs n-gram Jaccard straight from text — the scale-tuned shape
+    * of [[wordShingles]]+[[jaccardPairs]] with identical output:
+    *   - per-doc distinct shingle hashes come from the native codegen'd
+    *     [[graft.functions.ShingleHash64]] (one tight loop per document —
+    *     zero shuffle, no interpreted per-position lambda, no
+    *     intermediate shingle-string array);
+    *   - the self-join runs on 64-bit shingle hashes, not ~40-byte
+    *     shingle strings — smaller shuffle, cheaper sort/hash compare
+    *     (64-bit collisions are negligible at corpus scale and the oracle
+    *     gate would surface one);
+    *   - per-doc shingle counts ride along the exploded rows, so the
+    *     jaccard denominator needs no extra join.
+    */
+  def jaccardPairsFromText(df: DataFrame, idCol: String, textCol: String,
+                           k: Int, threshold: Double): DataFrame = {
+    val spark = df.sparkSession
+    // persisted: the self-join would otherwise recompute the shingle
+    // hashing for BOTH sides (alias mismatch defeats ReuseExchange)
+    val ex = OpCache.persist(Stage.spread(df)
+      .select(col(idCol),
+        graft.functions.ShingleHash64(spark,
+          TextAnalysis.tokens(col(textCol)), k).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col(idCol), size(col("hs")).as("n"), explode(col("hs")).as("h")))
+    val a = ex.select(col(idCol).as("id_a"), col("n").as("n_a"), col("h"))
+    val b = ex.select(col(idCol).as("id_b"), col("n").as("n_b"), col("h"))
+    a.join(b, Seq("h")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "n_a", "n_b").agg(count(lit(1)).as("shared"))
+      .withColumn("jaccard",
+        col("shared").cast("double")
+          / (col("n_a") + col("n_b") - col("shared")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "shared", "jaccard")
+  }
+
   /** MinHash signatures: each shingle is md5-hashed ONCE; hash function i
     * is the 16-hex-char window of the doubled digest starting at offset
     * 2i, and the signature is the lexicographic MIN of that window across
@@ -159,7 +194,7 @@ object Dedup {
                       threshold: Double): DataFrame = {
     require(numHashes % numBands == 0)
     val rows = numHashes / numBands
-    val withArr = df
+    val withArr = Stage.spread(df)
       .transform(wordShingleArray(_, idCol, textCol, k))
       .withColumn("__hh", transform(col("sh"), s => concat(md5(s), md5(s))))
     val sigs = (0 until numHashes).map(i =>

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.DotFixedPoint
+
 /** Similarity search over an embedding column (`ARRAY<FLOAT>`).
   *
   * Three paths:
@@ -16,52 +18,55 @@ import org.apache.spark.sql.functions._
   *   - [[ivfAssign]] + [[ivfTopK]]: inverted-file cells around a
   *     broadcast centroid set; search touches 1/nCells of the corpus.
   *
-  * Exactness: dot products accumulate as DECIMAL(38,18) over elements
-  * cast float→double→decimal(18,9) — order-independent and bit-identical
-  * to the DuckDB oracle (a direct float→decimal cast would round the
-  * float's short decimal representation and diverge). The exported cosine
-  * is rounded to 6 decimals because the final decimal→double conversion
-  * can differ by 1 ulp across engines.
+  * Exactness: every vector is converted ONCE to a ×10⁹ fixed-point long
+  * array (float→double→decimal(18,9)→long, exact — a direct float→decimal
+  * cast would round the float's short decimal representation and
+  * diverge); pairwise dots run through the native codegen'd
+  * [[graft.functions.DotFixedPoint]], whose DECIMAL(38,18) result is
+  * bit-identical to the DuckDB oracle's decimal element-sum. The exported
+  * cosine is rounded to 6 decimals because the final decimal→double
+  * conversion can differ by 1 ulp across engines.
   *
-  * Execution shape: every pairwise score runs as `explode once →
-  * equi-join on element index → hash aggregate` — whole-stage codegen
-  * end to end. (Higher-order lambdas are interpreted row-at-a-time in
-  * Spark; fine for the per-row bucket projections, far too slow for
-  * per-pair dots.)
+  * Execution shape (the part that survives a 100× scale-up): candidate
+  * pairs join the narrow (id, longs[dim], norm) vector table twice by id,
+  * then one whole-stage-codegen long loop per pair. No posexplode, no
+  * |pairs|·dim element join, no wide shuffles — the earlier exploded
+  * formulation shuffled |pairs|·dim rows twice and was 3-4× slower at
+  * sf0.1 despite identical output.
   */
 object Similarity {
 
   private val elemDec = "decimal(18,9)"
 
-  /** Exploded decimal element table: (__vid, __i, __x). */
-  private def elems(vectors: DataFrame, idCol: String, vecCol: String): DataFrame =
-    vectors
-      .select(col(idCol).as("__vid"), posexplode(col(vecCol)).as(Seq("__i", "__xr")))
-      .select(col("__vid"), col("__i"),
-              col("__xr").cast("double").cast(elemDec).as("__x"))
-
-  /** Euclidean norms per id: (__vid, nrm) — exact decimal sum → sqrt. */
-  private def norms(e: DataFrame): DataFrame =
-    e.groupBy(col("__vid"))
-      .agg(sqrt(sum(col("__x") * col("__x")).cast("double")).as("nrm"))
-
-  /** Rounded cosine for (id_a, id_b [, carry…]) pairs via one codegen'd
-    * hash aggregation over the element join.
+  /** Narrow per-vector table: (__vid, __vl ×10⁹ fixed-point longs, __nrm).
+    * The decimal(18,9) hop makes the long exact and engine-portable; the
+    * norm is sqrt of the exact decimal self-dot.
     */
-  private def pairCosine(pairs: DataFrame, e: DataFrame, nrm: DataFrame): DataFrame = {
-    val carry = pairs.columns.filterNot(Seq("id_a", "id_b").contains)
-    val groupCols = (Seq("id_a", "id_b") ++ carry).map(col)
+  private def fixedVectors(vectors: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val spark = vectors.sparkSession
+    vectors
+      .select(col(idCol).as("__vid"),
+        transform(col(vecCol),
+          x => (x.cast("double").cast(elemDec) * lit(1000000000L)).cast("long"))
+          .as("__vl"))
+      .withColumn("__nrm",
+        sqrt(DotFixedPoint(spark, col("__vl"), col("__vl")).cast("double")))
+  }
+
+  /** Rounded cosine for (id_a, id_b [, carry…]) pairs: two narrow joins to
+    * attach vectors + one codegen'd exact dot per pair.
+    */
+  private def pairCosine(pairs: DataFrame, fv: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
     pairs
-      .join(e.select(col("__vid").as("id_a"), col("__i"), col("__x").as("__xa")), "id_a")
-      .join(e.select(col("__vid").as("id_b"), col("__i"), col("__x").as("__xb")),
-            Seq("id_b", "__i"))
-      .groupBy(groupCols: _*)
-      .agg(sum(col("__xa") * col("__xb")).as("__dot"))
-      .join(nrm.select(col("__vid").as("id_a"), col("nrm").as("__na")), "id_a")
-      .join(nrm.select(col("__vid").as("id_b"), col("nrm").as("__nb")), "id_b")
+      .join(fv.select(col("__vid").as("id_a"), col("__vl").as("__va"),
+                      col("__nrm").as("__na")), "id_a")
+      .join(fv.select(col("__vid").as("id_b"), col("__vl").as("__vb"),
+                      col("__nrm").as("__nb")), "id_b")
       .withColumn("cos_sim",
-        round(col("__dot").cast("double") / (col("__na") * col("__nb")), 6))
-      .drop("__dot", "__na", "__nb")
+        round(DotFixedPoint(spark, col("__va"), col("__vb")).cast("double")
+          / (col("__na") * col("__nb")), 6))
+      .drop("__va", "__vb", "__na", "__nb")
   }
 
   private def topK(scored: DataFrame, k: Int): DataFrame = {
@@ -75,12 +80,11 @@ object Similarity {
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
-    val e = OpCache.persist(elems(corpus, idCol, vecCol))
-    val nrm = norms(e)
+    val fv = OpCache.persist(fixedVectors(Stage.spread(corpus), idCol, vecCol))
     val pairs = queries.select(col(idCol).as("id_a"))
       .crossJoin(corpus.select(col(idCol).as("id_b")))
       .filter(col("id_a") =!= col("id_b"))
-    pairCosine(pairs, e, nrm)
+    pairCosine(pairs, fv)
       .select(col("id_a").as("query_id"), col("id_b").as("cand_id"), col("cos_sim"))
       .transform(topK(_, k))
   }
@@ -129,13 +133,13 @@ object Similarity {
     */
   def nearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
                    nPlanes: Int, dim: Int, threshold: Double): DataFrame = {
-    val e = OpCache.persist(elems(vectors, idCol, vecCol))
-    val nrm = norms(e)
-    val buckets = lshBuckets(vectors, idCol, vecCol, nPlanes, dim)
+    val v = Stage.spread(vectors)
+    val fv = OpCache.persist(fixedVectors(v, idCol, vecCol))
+    val buckets = lshBuckets(v, idCol, vecCol, nPlanes, dim)
     val pairs = buckets.alias("x").join(buckets.alias("y"), Seq("bucket"))
       .select(col("bucket"), col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
       .filter(col("id_a") < col("id_b"))
-    pairCosine(pairs, e, nrm)
+    pairCosine(pairs, fv)
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "bucket", "cos_sim")
   }
@@ -144,14 +148,14 @@ object Similarity {
   def annTopK(vectors: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, nPlanes: Int, dim: Int,
               k: Int): DataFrame = {
-    val e = OpCache.persist(elems(vectors, idCol, vecCol))
-    val nrm = norms(e)
-    val buckets = lshBuckets(vectors, idCol, vecCol, nPlanes, dim)
+    val v = Stage.spread(vectors)
+    val fv = OpCache.persist(fixedVectors(v, idCol, vecCol))
+    val buckets = lshBuckets(v, idCol, vecCol, nPlanes, dim)
     val qb = queries.select(col(idCol)).join(buckets, idCol)
       .select(col(idCol).as("id_a"), col("bucket"))
     val pairs = qb.join(buckets.select(col(idCol).as("id_b"), col("bucket")), Seq("bucket"))
       .filter(col("id_a") =!= col("id_b"))
-    pairCosine(pairs, e, nrm)
+    pairCosine(pairs, fv)
       .select(col("id_a").as("query_id"), col("bucket"),
               col("id_b").as("cand_id"), col("cos_sim"))
       .transform(topK(_, k))
@@ -166,14 +170,13 @@ object Similarity {
     */
   def ivfAssign(vectors: DataFrame, centroids: DataFrame,
                 idCol: String, vecCol: String): DataFrame =
-    ivfAssignWith(elems(vectors, idCol, vecCol), centroids, idCol)
+    ivfAssignWith(fixedVectors(vectors, idCol, vecCol), centroids, idCol)
 
-  private def ivfAssignWith(e: DataFrame, centroids: DataFrame,
+  private def ivfAssignWith(fv: DataFrame, centroids: DataFrame,
                             idCol: String): DataFrame = {
-    val nrm = norms(e)
-    val pairs = e.select(col("__vid").as("id_a")).distinct()
+    val pairs = fv.select(col("__vid").as("id_a"))
       .crossJoin(centroids.select(col(idCol).as("id_b")))
-    val scored = pairCosine(pairs, e, nrm)
+    val scored = pairCosine(pairs, fv)
     val w = Window.partitionBy(col("id_a"))
       .orderBy(col("cos_sim").desc, col("id_b").asc)
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
@@ -183,15 +186,14 @@ object Similarity {
   /** IVF top-k: exact cosine within the query's centroid cell (nProbe=1). */
   def ivfTopK(vectors: DataFrame, queries: DataFrame, nCells: Int,
               idCol: String, vecCol: String, k: Int): DataFrame = {
-    val e = OpCache.persist(elems(vectors, idCol, vecCol))
-    val assigned = ivfAssignWith(e, vectors.filter(col(idCol) < nCells), idCol)
-    val nrm = norms(e)
+    val fv = OpCache.persist(fixedVectors(Stage.spread(vectors), idCol, vecCol))
+    val assigned = ivfAssignWith(fv, vectors.filter(col(idCol) < nCells), idCol)
     val q = queries.select(col(idCol)).join(assigned, idCol)
       .select(col(idCol).as("id_a"), col("centroid_id"))
     val pairs = q.join(assigned.select(col(idCol).as("id_b"), col("centroid_id")),
                        Seq("centroid_id"))
       .filter(col("id_a") =!= col("id_b"))
-    pairCosine(pairs, e, nrm)
+    pairCosine(pairs, fv)
       .select(col("id_a").as("query_id"), col("centroid_id"),
               col("id_b").as("cand_id"), col("cos_sim"))
       .transform(topK(_, k))
