@@ -56,6 +56,7 @@ object SparkEntry {
     // A1-A5 spine: TPC-H Q1-style pricing summary (scan→agg→sort)
     "q1_pricing_summary" -> ((s, dir) => {
       t(s, dir, "lineitem")
+        .transform(Stage.spread) // single-row-group source; decimal agg work below is per-row heavy
         .filter(to_date(col("l_shipdate")) <= lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -318,6 +319,7 @@ object SparkEntry {
     // F4/F7/F10 — scalar suite: date_format, year, regexp_extract
     "q_f_scalar_suite" -> ((s, dir) => {
       t(s, dir, "orders")
+        .transform(Stage.spread) // regexp extraction per row dominates the single-task scan
         .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
         .withColumn("yr", year(col("o_orderdate")).cast("long"))
         .withColumn("pri_num", regexp_extract(col("o_orderpriority"), "^(\\d)-", 1).cast("int"))
@@ -366,6 +368,7 @@ object SparkEntry {
     // document fingerprinting (normalization hash) + collision count
     "q_text_fingerprint" -> ((s, dir) => {
       val d = t(s, dir, "documents")
+        .transform(Stage.spread) // md5+regexp per row before the window shuffle
         .withColumn("fingerprint", TextAnalysis.fingerprint(col("text")))
       d.withColumn("n_same",
           count(lit(1)).over(Window.partitionBy(col("fingerprint"))))

@@ -17,7 +17,7 @@ object TextAnalysis {
 
   /** Type–token stats: token count, distinct count, type-token ratio. */
   def withTokenStats(df: DataFrame, textCol: String): DataFrame =
-    df.withColumn("__toks", tokens(col(textCol)))
+    Stage.spread(df).withColumn("__toks", tokens(col(textCol)))
       .withColumn("n_tokens", size(col("__toks")))
       .withColumn("n_unique", size(array_distinct(col("__toks"))))
       .withColumn("ttr",
@@ -31,7 +31,8 @@ object TextAnalysis {
     * average token length, stopword ratio → one [0,1] score. The exact
     * double arithmetic (fixed operation order) is reproduced in oracles.
     */
-  def withQuality(df: DataFrame, textCol: String): DataFrame = {
+  def withQuality(df0: DataFrame, textCol: String): DataFrame = {
+    val df = Stage.spread(df0)
     val stopArr = array(EnStopwords.map(lit): _*)
     df.withColumn("__toks", tokens(col(textCol)))
       .withColumn("n_tokens", size(col("__toks")))
@@ -60,7 +61,7 @@ object TextAnalysis {
 
   def withLangId(df: DataFrame, textCol: String): DataFrame = {
     val withHits = LangStopwords.foldLeft(
-      df.withColumn("__toks", tokens(col(textCol)))) { case (d, (lang, words)) =>
+      Stage.spread(df).withColumn("__toks", tokens(col(textCol)))) { case (d, (lang, words)) =>
       val arr = array(words.map(lit): _*)
       d.withColumn(s"${lang}_hits",
         size(filter(col("__toks"), x => array_contains(arr, x))))
@@ -93,7 +94,7 @@ object TextAnalysis {
     * one hash aggregation — linear in corpus size, no pairwise work.
     */
   def withSimhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    Stage.spread(df).select(col(idCol), explode(tokens(col(textCol))).as("tok"))
       .groupBy(col(idCol))
       .agg(graft.functions.SimhashAgg(df.sparkSession, md5(col("tok"))).as("simhash"))
 
