@@ -502,6 +502,82 @@ object SparkEntry {
       Similarity.nearDupPairs(t(s, dir, "embeddings"),
           "vec_id", "embedding", nPlanes = 4, dim = 64, threshold = 0.3)
         .orderBy("id_a", "id_b")
+    }),
+
+    // J7 — as-of join: latest event value per user at each week start
+    // (temporal join over the union-window shape; see Joins.asOf)
+    "q_asof_latest_value" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("ed", tsDate("ts"))
+      val weeks = ev.agg(trunc(min(col("ed")), "week").as("lo"),
+                         trunc(max(col("ed")), "week").as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("interval 1 week"))).as("d"))
+      val probes = ev.select("user_id").distinct()
+        .crossJoin(weeks)
+        .withColumn("pt_us", expr("unix_date(d) * 86400000000"))
+      Joins.asOf(probes, ev.select("user_id", "ts_us", "event_id", "value"),
+          keys = Seq("user_id"), probeTimeCol = "pt_us", eventTimeCol = "ts_us",
+          carryCols = Seq("event_id", "value"), tieBreak = Seq("event_id"))
+        .select(col("user_id"), col("d"),
+                col("event_id").as("last_event_id"), col("value").as("last_value"))
+        .orderBy("user_id", "d")
+    }),
+
+    // J8 — range (interval) join via bucket decomposition: lineitems
+    // shipped within each high-value order's first week
+    "q_range_join_week" -> ((s, dir) => {
+      val iv = t(s, dir, "orders").filter(col("o_totalprice") > 450000)
+        .select(col("o_orderkey"),
+          expr("unix_date(CAST(o_orderdate AS DATE))").cast("long").as("lo"))
+        .withColumn("hi", col("lo") + 6)
+      val pt = t(s, dir, "lineitem")
+        .select(expr("unix_date(CAST(l_shipdate AS DATE))").cast("long").as("pd"),
+                col("l_extendedprice"))
+      Joins.rangeJoin(pt, iv, "pd", "lo", "hi", bucketWidth = 7)
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_items"),
+             sumd(col("l_extendedprice")).as("total_shipped"))
+        .orderBy("o_orderkey")
+    }),
+
+    // A11 — ROLLUP with subtotals + grand total: ONE SQL text executed
+    // verbatim by both engines (same convention as the agent queries)
+    "q_rollup_region" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(RollupSql)
+    }),
+
+    // A12 — pivot: month × order-priority matrix of total price
+    "q_pivot_priority" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+        .groupBy("month")
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(sumd(col("o_totalprice")))
+        .withColumnRenamed("1-URGENT", "p1_urgent")
+        .withColumnRenamed("2-HIGH", "p2_high")
+        .withColumnRenamed("3-MEDIUM", "p3_medium")
+        .withColumnRenamed("4-NOT SPECIFIED", "p4_not_specified")
+        .withColumnRenamed("5-LOW", "p5_low")
+        .orderBy("month")
+    }),
+
+    // A13 — exact percentiles (linear interpolation) per group
+    "q_percentiles" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(round(expr("percentile(o_totalprice, 0.5)"), 6).as("median_price"),
+             round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90_price"),
+             count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // A14 — KMV distinct-count sketch (deterministic, oracle-reproducible)
+    "q_sketch_distinct" -> ((s, dir) => {
+      Analytics.kmvDistinctEstimate(t(s, dir, "lineitem"), "l_partkey", k = 64)
     })
   )
 
@@ -516,6 +592,16 @@ object SparkEntry {
                     SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS total
              FROM orders GROUP BY 1) m
        ORDER BY mo"""
+
+  private val RollupSql =
+    """SELECT COALESCE(r_name, 'ALL') AS region_name, COALESCE(n_name, 'ALL') AS nation_name,
+              COUNT(*) AS n_customers,
+              CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_acctbal
+       FROM customer
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       GROUP BY ROLLUP(r_name, n_name)
+       ORDER BY region_name, nation_name"""
 
   private val AgentSql =
     """SELECT c_name, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_spent
@@ -1092,6 +1178,65 @@ object SparkEntry {
                      JOIN nrm na ON na.vec_id = id_a
                      JOIN nrm nb ON nb.vec_id = id_b)
          SELECT id_a, id_b, bucket, cos_sim
-         FROM sc WHERE cos_sim >= 0.3 ORDER BY id_a, id_b"""
+         FROM sc WHERE cos_sim >= 0.3 ORDER BY id_a, id_b""",
+
+    "q_asof_latest_value" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events),
+              b AS (SELECT date_trunc('week', MIN(CAST(ts AS DATE))) AS lo,
+                           date_trunc('week', MAX(CAST(ts AS DATE))) AS hi FROM events),
+              weeks AS (SELECT CAST(unnest(generate_series(
+                          (SELECT lo FROM b), (SELECT hi FROM b), INTERVAL 1 WEEK)) AS DATE) AS d),
+              probes AS (SELECT user_id, d
+                         FROM (SELECT DISTINCT user_id FROM events) u CROSS JOIN weeks)
+         SELECT p.user_id, p.d, l.event_id AS last_event_id, l.value AS last_value
+         FROM probes p LEFT JOIN LATERAL (
+           SELECT event_id, value FROM ev e
+           WHERE e.user_id = p.user_id AND e.ts_us <= epoch_us(CAST(p.d AS TIMESTAMP))
+           ORDER BY e.ts_us DESC, e.event_id DESC LIMIT 1) l ON TRUE
+         ORDER BY user_id, d""",
+
+    "q_range_join_week" ->
+      """WITH iv AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS lo,
+                            CAST(o_orderdate AS DATE) + 6 AS hi
+                     FROM orders WHERE o_totalprice > 450000),
+              pt AS (SELECT CAST(l_shipdate AS DATE) AS d, l_extendedprice FROM lineitem)
+         SELECT o_orderkey, COUNT(*) AS n_items,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS total_shipped
+         FROM iv JOIN pt ON pt.d BETWEEN iv.lo AND iv.hi
+         GROUP BY o_orderkey ORDER BY o_orderkey""",
+
+    "q_rollup_region" -> RollupSql,
+
+    "q_pivot_priority" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN CAST(o_totalprice AS DECIMAL(38,6)) END) AS DOUBLE) AS p1_urgent,
+                CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH'
+                  THEN CAST(o_totalprice AS DECIMAL(38,6)) END) AS DOUBLE) AS p2_high,
+                CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM'
+                  THEN CAST(o_totalprice AS DECIMAL(38,6)) END) AS DOUBLE) AS p3_medium,
+                CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+                  THEN CAST(o_totalprice AS DECIMAL(38,6)) END) AS DOUBLE) AS p4_not_specified,
+                CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'
+                  THEN CAST(o_totalprice AS DECIMAL(38,6)) END) AS DOUBLE) AS p5_low
+         FROM orders GROUP BY month ORDER BY month""",
+
+    "q_percentiles" ->
+      """SELECT o_orderpriority,
+                round(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
+                round(quantile_cont(o_totalprice, 0.9), 6) AS p90_price,
+                COUNT(*) AS n
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q_sketch_distinct" ->
+      """WITH v AS (SELECT DISTINCT
+                      CAST(CAST('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 13) AS BIGINT) AS DOUBLE)
+                        / 4503599627370496.0 AS v
+                    FROM lineitem),
+              mins AS (SELECT v FROM v ORDER BY v LIMIT 64),
+              e AS (SELECT COUNT(*) AS k, MAX(v) AS vk FROM mins)
+         SELECT k, round(CAST(k - 1 AS DOUBLE) / vk, 6) AS est_distinct,
+                (SELECT COUNT(DISTINCT l_partkey) FROM lineitem) AS true_distinct
+         FROM e"""
   )
 }

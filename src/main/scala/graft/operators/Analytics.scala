@@ -54,6 +54,32 @@ object Analytics {
     * quantity → 보유/소진중/소량보유/소진). Pure codegen'd CASE WHEN — no
     * shuffle, vectorizes over the scan.
     */
+  /** KMV (k-minimum-values) distinct-count sketch — a deterministic,
+    * engine-portable alternative to HLL: hash every key to a uniform
+    * double in [0,1) (13 md5 hex digits = 52 bits, exactly representable),
+    * keep the k smallest distinct values; estimate = (k−1) / v_k.
+    *
+    * Scale shape: the distinct + top-k-smallest is one partial-aggregable
+    * pass (each partition keeps its own k minima before the single-row
+    * merge — here via sort+limit, which TakeOrderedAndProject runs as
+    * per-partition heaps, no global sort). Unlike engine-private HLL
+    * registers, the estimate is reproducible bit-for-bit in any engine
+    * with md5 — the DuckDB oracle computes the identical number.
+    *
+    * Output: one row (k, est_distinct, true_distinct).
+    */
+  def kmvDistinctEstimate(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    val v = conv(substring(md5(col(keyCol).cast("string")), 1, 13), 16, 10)
+      .cast("long").cast("double") / lit(4503599627370496.0) // 2^52
+    val mins = df.select(v.as("v")).distinct().orderBy(col("v").asc).limit(k)
+      .agg(count(lit(1)).as("k"), max(col("v")).as("vk"))
+    val truth = df.agg(countDistinct(col(keyCol)).as("true_distinct"))
+    mins.crossJoin(truth)
+      .select(col("k"),
+        round((col("k") - 1).cast("double") / col("vk"), 6).as("est_distinct"),
+        col("true_distinct"))
+  }
+
   def stockStatus(qty: Column): Column =
     when(qty > 40, "보유")
       .when(qty > 10, "소진중")
