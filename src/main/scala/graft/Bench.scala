@@ -47,12 +47,15 @@ object Bench {
     names.foreach(run)
     System.gc()
 
-    // two measured passes, min per query: a single pass is hostage to
-    // whichever query a GC pause or JIT recompilation lands on
+    // three INTERLEAVED measured passes, min per query: multi-second
+    // host/GC stalls land at random times, and back-to-back repetitions
+    // of one query sit inside the same stall window — full passes spread
+    // each query's repetitions minutes apart so the min picks a clean run
+    val passes = (1 to 3).map(_ => names.map(n => n -> run(n)).toMap)
     val results = names.map { n =>
-      val a = run(n)
-      val b = run(n)
-      n -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
+      val ts = passes.map(_(n))
+      val ok = ts.filter(_ >= 0)
+      n -> (if (ok.isEmpty) -1.0 else ok.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

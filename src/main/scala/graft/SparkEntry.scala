@@ -528,7 +528,7 @@ object SparkEntry {
     // J8 — range (interval) join via bucket decomposition: lineitems
     // shipped within each high-value order's first week
     "q_range_join_week" -> ((s, dir) => {
-      val iv = t(s, dir, "orders").filter(col("o_totalprice") > 450000)
+      val iv = t(s, dir, "orders").filter(col("o_totalprice") > 495000)
         .select(col("o_orderkey"),
           expr("unix_date(CAST(o_orderdate AS DATE))").cast("long").as("lo"))
         .withColumn("hi", col("lo") + 6)
@@ -1198,7 +1198,7 @@ object SparkEntry {
     "q_range_join_week" ->
       """WITH iv AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS lo,
                             CAST(o_orderdate AS DATE) + 6 AS hi
-                     FROM orders WHERE o_totalprice > 450000),
+                     FROM orders WHERE o_totalprice > 495000),
               pt AS (SELECT CAST(l_shipdate AS DATE) AS d, l_extendedprice FROM lineitem)
          SELECT o_orderkey, COUNT(*) AS n_items,
                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS total_shipped
