@@ -578,6 +578,24 @@ object SparkEntry {
     // A14 — KMV distinct-count sketch (deterministic, oracle-reproducible)
     "q_sketch_distinct" -> ((s, dir) => {
       Analytics.kmvDistinctEstimate(t(s, dir, "lineitem"), "l_partkey", k = 64)
+    }),
+
+    // T3/T4 — EXCEPT / INTERSECT (distinct set semantics)
+    "q_t3_set_ops" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select(col("c_mktsegment").as("seg"),
+                                              col("c_nationkey").as("nk"))
+      val big = cust.filter(col("nk") < 10)
+      val small = cust.filter(col("nk") >= 5)
+      big.intersect(small).withColumn("op", lit("both"))
+        .union(big.except(small).withColumn("op", lit("only_low")))
+        .orderBy("op", "seg", "nk")
+    }),
+
+    // A15 — deterministic hash-based corpus subsample (5%)
+    "q_sample_deterministic" -> ((s, dir) => {
+      Analytics.deterministicSample(t(s, dir, "documents"), "doc_id", 0.05)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
     })
   )
 
@@ -1237,6 +1255,22 @@ object SparkEntry {
               e AS (SELECT COUNT(*) AS k, MAX(v) AS vk FROM mins)
          SELECT k, round(CAST(k - 1 AS DOUBLE) / vk, 6) AS est_distinct,
                 (SELECT COUNT(DISTINCT l_partkey) FROM lineitem) AS true_distinct
-         FROM e"""
+         FROM e""",
+
+    "q_t3_set_ops" ->
+      """WITH cust AS (SELECT c_mktsegment AS seg, c_nationkey AS nk FROM customer),
+              big AS (SELECT * FROM cust WHERE nk < 10),
+              small AS (SELECT * FROM cust WHERE nk >= 5)
+         SELECT seg, nk, op FROM (
+           SELECT seg, nk, 'both' AS op FROM (SELECT * FROM big INTERSECT SELECT * FROM small)
+           UNION ALL
+           SELECT seg, nk, 'only_low' AS op FROM (SELECT * FROM big EXCEPT SELECT * FROM small))
+         ORDER BY op, seg, nk""",
+
+    "q_sample_deterministic" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) AS DOUBLE)
+                 / 4503599627370496.0 < 0.05
+         ORDER BY doc_id"""
   )
 }

@@ -80,6 +80,20 @@ object Analytics {
         col("true_distinct"))
   }
 
+  /** Deterministic Bernoulli sample: keep a row iff the uniform [0,1)
+    * value derived from md5(key) falls under `rate`. Unlike
+    * `df.sample()` (seeded per-partition RNG — resplitting the input
+    * changes the sample), the decision is a pure function of the KEY:
+    * reproducible across engines, partitionings, and reruns, and stable
+    * under corpus growth (a kept row stays kept) — the property a
+    * training-data subsample needs for ablation comparability.
+    * 13 md5 hex digits = 52 bits, exactly representable in a double.
+    */
+  def deterministicSample(df: DataFrame, keyCol: String, rate: Double): DataFrame =
+    df.filter(
+      conv(substring(md5(col(keyCol).cast("string")), 1, 13), 16, 10)
+        .cast("long").cast("double") / lit(4503599627370496.0) < rate)
+
   def stockStatus(qty: Column): Column =
     when(qty > 40, "보유")
       .when(qty > 10, "소진중")
