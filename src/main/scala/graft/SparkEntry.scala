@@ -596,6 +596,84 @@ object SparkEntry {
       Analytics.deterministicSample(t(s, dir, "documents"), "doc_id", 0.05)
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
+    }),
+
+    // W3 — gap-based sessionization (4h gap): lag-break + running-sum
+    // windows, then per-session rollup
+    "q_sessionize" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      Analytics.sessionize(ev, Seq("user_id"), "ts_us", Seq("event_id"),
+          gap = 4L * 3600 * 1000000)
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+             min(col("ts_us")).as("start_us"),
+             max(col("ts_us")).as("end_us"),
+             sumd(col("value")).as("total_value"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // dedup clustering: near-dup pairs → connected components → canonical
+    // cluster id (min doc id) per document
+    "q_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+          maxHamming = 8)
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
+    // PII redaction: count + mask urls/emails/ips/phones. The corpus text
+    // has no PII, so both engines first append a deterministic synthetic
+    // tail derived from doc_id, then scrub it.
+    "q_text_redact" -> ((s, dir) => {
+      val withPii = t(s, dir, "documents").withColumn("pii_text",
+        concat(col("text"), lit(" mail u"), col("doc_id"), lit("@ex.org see http://ex.org/"),
+               col("doc_id"), lit(" ip 10.1.2."), pmod(col("doc_id"), lit(250)),
+               lit(" tel 010-1234-"), lit(1000) + pmod(col("doc_id"), lit(9000))))
+      TextAnalysis.withRedaction(withPii, "pii_text")
+        .select("doc_id", "n_urls", "n_emails", "n_ips", "n_phones", "redacted")
+        .orderBy("doc_id")
+    }),
+
+    // bigram repetition ratio (Gopher-style quality signal)
+    "q_text_repetition" -> ((s, dir) => {
+      TextAnalysis.withRepetition(t(s, dir, "documents"), "text")
+        .select("doc_id", "n_bigrams", "n_unique_bigrams", "rep_ratio")
+        .orderBy("doc_id")
+    }),
+
+    // per-document top TF-IDF term (two-phase agg + broadcast idf join)
+    "q_text_tfidf" -> ((s, dir) => {
+      TextAnalysis.tfidfTop1(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // benchmark decontamination: corpus docs sharing any word 5-gram with
+    // the probe slice (doc_id % 20 == 0)
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationReport(
+          docs.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(20)) === 0),
+          "doc_id", "text", k = 5)
+        .orderBy("doc_id")
+    }),
+
+    // training-mix quota: at most 50 docs per source, chosen by md5 order
+    "q_sample_stratified" -> ((s, dir) => {
+      Analytics.cappedPerGroup(t(s, dir, "documents"), Seq("source"), "doc_id", 50)
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")
+    }),
+
+    // SCD-2 validity intervals over the event log (users 0-49)
+    "q_scd2_versions" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+        .filter(col("user_id") < 50)
+      Analytics.scd2Intervals(ev, Seq("user_id"), "ts_us", Seq("event_id"))
+        .select(col("user_id"), col("version"), col("valid_from"),
+                col("valid_to"), col("is_current"))
+        .orderBy("user_id", "version")
     })
   )
 
@@ -627,6 +705,30 @@ object SparkEntry {
        WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1997-01-01' AND DATE '1997-12-31'
          AND REPLACE(c_name, '#', '') LIKE '%Customer00000012%'
        GROUP BY c_name ORDER BY total_spent DESC, c_name LIMIT 5"""
+
+  /** Shared candidate CTE for the simhash-pair oracles (RECURSIVE is
+    * harmless when unused and required by the clusters oracle).
+    */
+  private val SimhashCandCte: String =
+    """WITH RECURSIVE toks AS (SELECT doc_id,
+                              unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+                       FROM documents),
+              js AS (SELECT unnest(generate_series(0, 63)) AS j),
+              bits AS (SELECT doc_id, j,
+                              ((strpos('0123456789abcdef', substring(md5(tok), 1 + (j // 4), 1)) - 1)
+                               >> (3 - (j % 4))) % 2 AS bit
+                       FROM toks CROSS JOIN js),
+              bal AS (SELECT doc_id, j, SUM(bit * 2 - 1) AS bal FROM bits GROUP BY 1, 2),
+              sb AS (SELECT doc_id, j, CASE WHEN bal >= 0 THEN '1' ELSE '0' END AS b FROM bal),
+              sim AS (SELECT doc_id, string_agg(b, '' ORDER BY j) AS simhash
+                      FROM sb GROUP BY doc_id),
+              ch AS (SELECT doc_id, simhash, c AS band,
+                            substring(simhash, c * 16 + 1, 16) AS key
+                     FROM sim CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c)),
+              cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                              a.simhash AS sim_a, b.simhash AS sim_b
+                       FROM ch a JOIN ch b ON a.band = b.band AND a.key = b.key
+                                          AND a.doc_id < b.doc_id)"""
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -737,7 +839,7 @@ object SparkEntry {
       """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS d,
                                CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS day_value
                         FROM events GROUP BY 1, 2)
-         SELECT user_id, d, day_value, rnk
+         SELECT user_id, d, day_value, CAST(rnk AS INTEGER) AS rnk
          FROM (SELECT *, RANK() OVER (PARTITION BY d
                                       ORDER BY day_value DESC, user_id) AS rnk
                FROM daily) t
@@ -945,28 +1047,38 @@ object SparkEntry {
          ORDER BY id_a, id_b""",
 
     "q_dedup_simhash_pairs" ->
-      """WITH toks AS (SELECT doc_id,
-                              unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
-                       FROM documents),
-              js AS (SELECT unnest(generate_series(0, 63)) AS j),
-              bits AS (SELECT doc_id, j,
-                              ((strpos('0123456789abcdef', substring(md5(tok), 1 + (j // 4), 1)) - 1)
-                               >> (3 - (j % 4))) % 2 AS bit
-                       FROM toks CROSS JOIN js),
-              bal AS (SELECT doc_id, j, SUM(bit * 2 - 1) AS bal FROM bits GROUP BY 1, 2),
-              sb AS (SELECT doc_id, j, CASE WHEN bal >= 0 THEN '1' ELSE '0' END AS b FROM bal),
-              sim AS (SELECT doc_id, string_agg(b, '' ORDER BY j) AS simhash
-                      FROM sb GROUP BY doc_id),
-              ch AS (SELECT doc_id, simhash, c AS band,
-                            substring(simhash, c * 16 + 1, 16) AS key
-                     FROM sim CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c)),
-              cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                              a.simhash AS sim_a, b.simhash AS sim_b
-                       FROM ch a JOIN ch b ON a.band = b.band AND a.key = b.key
-                                          AND a.doc_id < b.doc_id)
+      s"""$SimhashCandCte
          SELECT id_a, id_b, CAST(hamming(sim_a, sim_b) AS INTEGER) AS hamming
          FROM cand WHERE hamming(sim_a, sim_b) <= 8
          ORDER BY id_a, id_b""",
+
+    "q_dedup_clusters" ->
+      s"""$SimhashCandCte,
+              pairs AS (SELECT id_a, id_b FROM cand WHERE hamming(sim_a, sim_b) <= 8),
+              nodes AS (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs),
+              edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                        UNION SELECT id_b, id_a FROM pairs),
+              reach AS (SELECT id, id AS comp FROM nodes
+                        UNION
+                        SELECT e.dst AS id, r.comp
+                        FROM reach r JOIN edges e ON e.src = r.id)
+         SELECT id AS doc_id, MIN(comp) AS cluster_id
+         FROM reach GROUP BY id ORDER BY doc_id""",
+
+    "q_sessionize" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events),
+              l AS (SELECT *, LAG(ts_us) OVER (PARTITION BY user_id
+                      ORDER BY ts_us, event_id) AS prev FROM ev),
+              b AS (SELECT *, CASE WHEN prev IS NULL OR ts_us - prev > 14400000000
+                                   THEN 1 ELSE 0 END AS brk FROM l),
+              sid AS (SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id
+                        ORDER BY ts_us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                        AS session_id FROM b)
+         SELECT user_id, session_id, COUNT(*) AS n_events,
+                MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+                CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+         FROM sid GROUP BY user_id, session_id ORDER BY user_id, session_id""",
 
     "q_dedup_minhash_lsh" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
@@ -1271,6 +1383,87 @@ object SparkEntry {
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) AS DOUBLE)
                  / 4503599627370496.0 < 0.05
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+
+    "q_text_redact" ->
+      """WITH pii AS (SELECT doc_id,
+                text || ' mail u' || doc_id || '@ex.org see http://ex.org/' || doc_id
+                     || ' ip 10.1.2.' || (doc_id % 250)
+                     || ' tel 010-1234-' || (1000 + doc_id % 9000) AS s
+              FROM documents)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(s, 'https?://[^ ]+')) AS INTEGER) AS n_urls,
+                CAST(len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+                CAST(len(regexp_extract_all(s, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INTEGER) AS n_ips,
+                CAST(len(regexp_extract_all(s, '\+?[0-9][0-9-]{7,}[0-9]')) AS INTEGER) AS n_phones,
+                regexp_replace(regexp_replace(regexp_replace(regexp_replace(s,
+                  'https?://[^ ]+', '<URL>', 'g'),
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+                  '\+?[0-9][0-9-]{7,}[0-9]', '<PHONE>', 'g') AS redacted
+         FROM pii ORDER BY doc_id""",
+
+    "q_text_repetition" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+                       FROM documents),
+              ser AS (SELECT unnest(generate_series(1, (SELECT COALESCE(MAX(len(t)), 1) FROM toks))) AS i),
+              bg AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS b
+                     FROM toks CROSS JOIN ser WHERE i <= len(t) - 1),
+              agg AS (SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_bigrams,
+                             CAST(COUNT(DISTINCT b) AS INTEGER) AS n_unique_bigrams
+                      FROM bg GROUP BY doc_id)
+         SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
+                COALESCE(a.n_unique_bigrams, 0) AS n_unique_bigrams,
+                COALESCE(round(CAST(a.n_bigrams - a.n_unique_bigrams AS DOUBLE)
+                               / CAST(a.n_bigrams AS DOUBLE), 6), 0.0) AS rep_ratio
+         FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+         ORDER BY d.doc_id""",
+
+    "q_text_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+                       FROM documents),
+              tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+              idf AS (SELECT term,
+                             ln((CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) + 1.0)
+                                / (CAST(COUNT(*) AS DOUBLE) + 1.0)) AS idf
+                      FROM tf GROUP BY term),
+              scored AS (SELECT tf.doc_id, tf.term, round(tf.tf * idf.idf, 6) AS score,
+                                ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                  ORDER BY round(tf.tf * idf.idf, 6) DESC, tf.term) AS rn
+                         FROM tf JOIN idf USING (term))
+         SELECT doc_id, term AS top_term, score AS tfidf
+         FROM scored WHERE rn = 1 ORDER BY doc_id""",
+
+    "q_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+                       FROM documents),
+              ser AS (SELECT unnest(generate_series(1, (SELECT COALESCE(MAX(len(t)), 1) FROM toks))) AS i),
+              sh AS (SELECT DISTINCT doc_id,
+                            t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS s
+                     FROM toks CROSS JOIN ser WHERE len(t) >= 5 AND i <= len(t) - 4),
+              probe AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+              corpus AS (SELECT doc_id, s FROM sh WHERE doc_id % 20 <> 0)
+         SELECT c.doc_id, COUNT(DISTINCT c.s) AS n_shared
+         FROM corpus c JOIN probe p ON c.s = p.s
+         GROUP BY 1 ORDER BY doc_id""",
+
+    "q_sample_stratified" ->
+      """WITH r AS (SELECT doc_id, source, lang,
+                           ROW_NUMBER() OVER (PARTITION BY source
+                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+                    FROM documents)
+         SELECT doc_id, source, lang FROM r WHERE rn <= 50 ORDER BY doc_id""",
+
+    "q_scd2_versions" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
+                     WHERE user_id < 50)
+         SELECT user_id,
+                CAST(ROW_NUMBER() OVER w AS INTEGER) AS version,
+                ts_us AS valid_from,
+                LEAD(ts_us) OVER w AS valid_to,
+                LEAD(ts_us) OVER w IS NULL AS is_current
+         FROM ev
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+         ORDER BY user_id, version"""
   )
 }

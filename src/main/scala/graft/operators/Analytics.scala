@@ -94,6 +94,61 @@ object Analytics {
       conv(substring(md5(col(keyCol).cast("string")), 1, 13), 16, 10)
         .cast("long").cast("double") / lit(4503599627370496.0) < rate)
 
+  /** Gap-based sessionization: a new session starts whenever the gap to
+    * the previous event (per key, time-ordered) exceeds `gap`. Classic
+    * two-window shape — lag to flag breaks, running sum of breaks as the
+    * session ordinal — ONE shuffle by key; both windows share the same
+    * partitioning/ordering so they run in a single Window exec pair.
+    * Deterministic given a total (timeCol, tieBreak) order per key.
+    */
+  def sessionize(df: DataFrame, keys: Seq[String], timeCol: String,
+                 tieBreak: Seq[String], gap: Long): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((timeCol +: tieBreak).map(col(_).asc): _*)
+    df.withColumn("__prev", lag(col(timeCol), 1).over(w))
+      .withColumn("__brk",
+        when(col("__prev").isNull || col(timeCol) - col("__prev") > gap, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("__brk")).over(w.rowsBetween(Window.unboundedPreceding,
+                                             Window.currentRow)))
+      .drop("__prev", "__brk")
+  }
+
+  /** Per-group capped deterministic sample: keep at most `k` rows per
+    * group, chosen by md5(key) order (reproducible across engines,
+    * partitionings, and reruns — see [[deterministicSample]]). The
+    * training-mix primitive: cap each source/language at a quota without
+    * a global sort. One shuffle by group key; row_number runs per
+    * partition. Skew note: a group 100× larger than the rest still sorts
+    * only within its own partition — for truly pathological groups,
+    * pre-filter with deterministicSample to ~k/|group| first.
+    */
+  def cappedPerGroup(df: DataFrame, groupCols: Seq[String], keyCol: String,
+                     k: Int): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(md5(col(keyCol).cast("string")).asc, col(keyCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** SCD-2 interval builder: turn a per-key observation log into
+    * versioned validity windows — version = ordinal, valid_from = ts,
+    * valid_to = next observation's ts (null while current), is_current.
+    * One keyed window (lead + row_number share partitioning/ordering →
+    * a single Window exec, one shuffle).
+    */
+  def scd2Intervals(df: DataFrame, keys: Seq[String], timeCol: String,
+                    tieBreak: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((timeCol +: tieBreak).map(col(_).asc): _*)
+    df.withColumn("version", row_number().over(w))
+      .withColumn("valid_from", col(timeCol))
+      .withColumn("valid_to", lead(col(timeCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   def stockStatus(qty: Column): Column =
     when(qty > 40, "보유")
       .when(qty > 10, "소진중")

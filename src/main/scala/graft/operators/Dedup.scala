@@ -168,6 +168,55 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Connected components over an undirected near-duplicate pair list —
+    * the step AFTER pair generation in a dedup pipeline: transitive
+    * closure groups pairs into clusters so "keep one doc per cluster"
+    * (canonical = MIN id) is well-defined even for chains a~b~c where
+    * a≁c directly.
+    *
+    * Min-label propagation: every node starts labeled with its own id;
+    * each round every node takes the min of its own and its neighbors'
+    * labels, until a fixpoint. Each round is one distributed
+    * join+aggregate keyed by node (no driver-side graph state — the
+    * driver only checks the converged flag), and the round count is the
+    * cluster DIAMETER, which for near-dup clusters is small. Returns
+    * (id, comp) for every node that appears in some pair.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    // localCheckpoint, NOT persist: persist caches the DATA but the logical
+    // plan keeps growing — after k iterations the plan tree holds O(2^k)
+    // copies of the upstream pair-generation pipeline, and Catalyst
+    // (analysis, optimization, even Expression.toString in logs) walks all
+    // of it on the driver every round. Checkpointing truncates the plan to
+    // a LogicalRDD so each iteration's plan is constant-size. Same pattern
+    // a 1000-executor run needs (there with reliable checkpoint dirs to
+    // also bound failure-recovery lineage).
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var done = labels.isEmpty
+    while (!done && iter < maxIter) {
+      val next = labels.join(
+          edges.join(labels.select(col("id").as("src"), col("comp")), "src")
+            .groupBy(col("dst").as("id")).agg(min(col("comp")).as("nbr")),
+          Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"),
+          (coalesce(col("nbr"), col("comp")) < col("comp")).as("__chg"))
+        .localCheckpoint(true) // eager: materialized once, lineage cut
+      done = next.filter(col("__chg")).count() == 0
+      labels = next.drop("__chg")
+      iter += 1
+    }
+    labels
+  }
+
   /** Distinct word k-gram shingles as ONE array column per document —
     * no explode, no shuffle: a narrow projection over the scan.
     */
@@ -223,5 +272,30 @@ object Dedup {
           / (col("n_a") + col("n_b") - col("shared")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Benchmark-decontamination report: for every corpus document, count
+    * distinct word `k`-gram shingles it shares with any probe (benchmark)
+    * document. Docs with `n_shared` > 0 are contamination candidates a
+    * training pipeline must drop before training on the corpus.
+    *
+    * 100 TB shape: the probe side is a benchmark suite — tiny relative
+    * to the corpus — so its exploded shingle set is BROADCAST and the
+    * corpus side never shuffles: shingle arrays are computed map-side
+    * (wordShingleArray, no explode on the corpus rows until the hash
+    * join's stream side), and the per-doc count is a partial-aggregable
+    * groupBy on the already-doc-keyed join output.
+    */
+  def contaminationReport(corpus: DataFrame, probe: DataFrame,
+                          idCol: String, textCol: String, k: Int): DataFrame = {
+    val probeShingles = broadcast(
+      wordShingleArray(probe, idCol, textCol, k)
+        .select(explode(col("sh")).as("sh")).distinct())
+    Stage.spread(corpus)
+      .transform(wordShingleArray(_, idCol, textCol, k))
+      .select(col(idCol), explode(col("sh")).as("sh"))
+      .join(probeShingles, "sh")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("sh")).as("n_shared"))
   }
 }

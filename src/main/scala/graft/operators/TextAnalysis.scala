@@ -77,6 +77,88 @@ object TextAnalysis {
       .drop("__toks")
   }
 
+  /** PII patterns shared by [[withRedaction]] and its oracles. Restricted
+    * to syntax with identical semantics in Java regex (Spark) and RE2
+    * (DuckDB): no backrefs, no lookaround; \b is the ASCII word boundary
+    * in both.
+    */
+  val UrlPattern = "https?://[^ ]+"
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhonePattern = "\\+?[0-9][0-9-]{7,}[0-9]"
+
+  /** PII scrub à la pretraining-corpus pipelines: count then mask URLs,
+    * emails, IPv4s, phone numbers. Replacement order matters (URLs can
+    * contain '@' and dotted hosts), so: url → email → ip → phone. Pure
+    * regexp built-ins — codegen'd, linear in the scan, no shuffle.
+    */
+  def withRedaction(df: DataFrame, textCol: String): DataFrame = {
+    val masked = Seq(
+      UrlPattern -> "<URL>", EmailPattern -> "<EMAIL>",
+      Ipv4Pattern -> "<IP>", PhonePattern -> "<PHONE>")
+      .foldLeft(col(textCol)) { case (c, (pat, tag)) => regexp_replace(c, pat, tag) }
+    Stage.spread(df)
+      .withColumn("n_urls", size(regexp_extract_all(col(textCol), lit(UrlPattern), lit(0))))
+      .withColumn("n_emails", size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0))))
+      .withColumn("n_ips", size(regexp_extract_all(col(textCol), lit(Ipv4Pattern), lit(0))))
+      .withColumn("n_phones", size(regexp_extract_all(col(textCol), lit(PhonePattern), lit(0))))
+      .withColumn("redacted", masked)
+  }
+
+  /** Word-bigram repetition ratio (Gopher/RefinedWeb-style quality
+    * signal): 1 − distinct_bigrams / bigrams. Arrays built in-row with
+    * slice + zip_with — no explode, no shuffle; the ratio is exported
+    * rounded so both engines hash identically.
+    */
+  def withRepetition(df: DataFrame, textCol: String): DataFrame = {
+    val nb = greatest(lit(0), size(col("__toks")) - 1)
+    Stage.spread(df).withColumn("__toks", tokens(col(textCol)))
+      .withColumn("__bigrams",
+        zip_with(slice(col("__toks"), lit(1), nb),
+                 slice(col("__toks"), lit(2), nb),
+                 (a, b) => concat(a, lit(" "), b)))
+      .withColumn("n_bigrams", size(col("__bigrams")))
+      .withColumn("n_unique_bigrams", size(array_distinct(col("__bigrams"))))
+      .withColumn("rep_ratio",
+        when(col("n_bigrams") > 0,
+          round((col("n_bigrams") - col("n_unique_bigrams")).cast("double")
+            / col("n_bigrams").cast("double"), 6))
+          .otherwise(lit(0.0)))
+      .drop("__toks", "__bigrams")
+  }
+
+  /** Per-document top TF-IDF term: tf = in-doc count, idf = ln((N+1)/(df+1)),
+    * winner by (score desc, term asc). The classic two-phase shape: one
+    * hash aggregation for (doc, term) tf, one for per-term df (both
+    * partial→final, map-side combined), a broadcast-joined idf, and a
+    * per-doc window for the argmax. df-table size is vocabulary-sized —
+    * at 100 TB it stays millions of rows, so the idf join is broadcast-able;
+    * the wide (doc,term) side never re-shuffles (tf agg and the argmax
+    * window share the doc-keyed partitioning).
+    *
+    * ln() is libm — the only cross-engine-soft step — so the exported
+    * score is rounded to 6 decimals (same convention as cosine scores).
+    */
+  def tfidfTop1(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = Stage.spread(df)
+    val n = corpus.count() // one scalar job; the value is folded into idf as a literal
+    val termFreq = corpus
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val docFreq = termFreq.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .withColumn("idf", log((lit(n) + 1.0) / (col("df") + lit(1.0))))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__score").desc, col("term").asc)
+    termFreq.join(broadcast(docFreq), "term")
+      .withColumn("__score", round(col("tf") * col("idf"), 6))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("term").as("top_term"),
+        col("__score").as("tfidf"))
+  }
+
   /** Normalization fingerprint (rolling-hash analog): md5 of the text with
     * everything but [a-z0-9] removed — catches whitespace/punctuation
     * near-dups exactly.

@@ -46,4 +46,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(0).getString(2) == "아마존 활명수, 하얼빈")
     assert(out(1).getLong(1) == 1L)
   }
+
+  test("cappedPerGroup keeps at most k rows per group, deterministically") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "src")
+    val once = Analytics.cappedPerGroup(df, Seq("src"), "id", 10)
+    assert(once.groupBy("src").count().collect().forall(_.getLong(1) == 10))
+    // repartitioning the input must not change the selection (md5-keyed order)
+    val again = Analytics.cappedPerGroup(df.repartition(7), Seq("src"), "id", 10)
+    assert(once.select("id").collect().map(_.getLong(0)).sorted
+      sameElements again.select("id").collect().map(_.getLong(0)).sorted)
+  }
+
+  test("scd2Intervals chains valid_from/valid_to with one current row per key") {
+    import spark.implicits._
+    val obs = Seq((1L, 10L, 100L), (1L, 20L, 101L), (1L, 30L, 102L), (2L, 5L, 103L))
+      .toDF("user_id", "t", "event_id")
+    val out = Analytics.scd2Intervals(obs, Seq("user_id"), "t", Seq("event_id"))
+      .orderBy("user_id", "version").collect()
+    assert(out.map(_.getAs[Int]("version")).toSeq == Seq(1, 2, 3, 1))
+    assert(out(0).getAs[Long]("valid_to") == 20L && out(1).getAs[Long]("valid_to") == 30L)
+    assert(out(2).isNullAt(out(2).fieldIndex("valid_to")) && out(2).getAs[Boolean]("is_current"))
+    assert(out.count(_.getAs[Boolean]("is_current")) == 2) // one per key
+  }
 }

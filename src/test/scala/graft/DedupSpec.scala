@@ -46,4 +46,40 @@ class DedupSpec extends SparkSpec {
     val cands = Dedup.lshCandidates(bk, "doc_id").collect()
     assert(cands.length == 1)
   }
+
+  test("connectedComponents groups chained pairs into one cluster (min-id canonical)") {
+    import spark.implicits._
+    // chain 1-2-3 (1~2, 2~3 but not 1~3), separate pair 10-11, singleton edge 20-21
+    val pairs = Seq((1L,2L),(2L,3L),(10L,11L),(20L,21L)).toDF("id_a","id_b")
+    val comp = graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp(1L) == 1L && comp(2L) == 1L && comp(3L) == 1L)
+    assert(comp(10L) == 10L && comp(11L) == 10L)
+    assert(comp(20L) == 20L && comp(21L) == 20L)
+    graft.operators.OpCache.clear()
+  }
+
+  test("contaminationReport counts shared shingles against the probe set only") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // shares 5-grams with probe
+      (2L, "completely different words in this one here")).toDF("doc_id", "text")
+    val probe = Seq((100L, "the quick brown fox jumps high")).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.contaminationReport(corpus, probe, "doc_id", "text", k = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L)) // exactly "the quick brown fox jumps"
+  }
+
+  test("sessionize splits on gaps strictly greater than the threshold") {
+    import spark.implicits._
+    val ev = Seq((1L, 0L, 1L), (1L, 100L, 2L), (1L, 101L, 3L), (1L, 250L, 4L),
+                 (2L, 0L, 5L)).toDF("user_id", "t", "eid")
+    val out = graft.operators.Analytics.sessionize(ev, Seq("user_id"), "t", Seq("eid"), gap = 100L)
+      .select("user_id", "eid", "session_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((1L,1L)) == 1 && out((1L,2L)) == 1) // gap == 100 does NOT split
+    assert(out((1L,3L)) == 1)
+    assert(out((1L,4L)) == 2) // gap 149 > 100 splits
+    assert(out((2L,5L)) == 1)
+  }
 }

@@ -82,4 +82,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(e2.getMessage.contains("hex") ||
       Option(e2.getCause).exists(_.getMessage.contains("hex")))
   }
+
+  test("redaction masks urls, emails, ips and phones and counts each") {
+    val df = Seq((1L, "see http://x.io/a mail a.b@c.org ip 10.0.0.1 tel 010-1234-5678 done"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.withRedaction(df, "text").collect().head
+    assert(out.getAs[Int]("n_urls") == 1 && out.getAs[Int]("n_emails") == 1)
+    assert(out.getAs[Int]("n_ips") == 1 && out.getAs[Int]("n_phones") == 1)
+    assert(out.getAs[String]("redacted") ==
+      "see <URL> mail <EMAIL> ip <IP> tel <PHONE> done")
+  }
+
+  test("repetition ratio: repeated bigrams raise the ratio; short docs get 0") {
+    val df = Seq((1L, "a b a b a b"), (2L, "x y z"), (3L, "w")).toDF("doc_id", "text")
+    val out = TextAnalysis.withRepetition(df, "text").orderBy("doc_id").collect()
+    // "a b a b a b": bigrams [a b, b a, a b, b a, a b] → 5 total, 2 unique
+    assert(out(0).getAs[Int]("n_bigrams") == 5)
+    assert(out(0).getAs[Int]("n_unique_bigrams") == 2)
+    assert(out(0).getAs[Double]("rep_ratio") == 0.6)
+    assert(out(1).getAs[Double]("rep_ratio") == 0.0)
+    assert(out(2).getAs[Int]("n_bigrams") == 0 && out(2).getAs[Double]("rep_ratio") == 0.0)
+  }
+
+  test("tfidf top term prefers the distinctive word over the ubiquitous one") {
+    val df = Seq(
+      (1L, "common common quark"),
+      (2L, "common boson"),
+      (3L, "common common common")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTop1(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("top_term") == "quark")  // df=1 beats df=3 'common'
+    assert(out(1).getAs[String]("top_term") == "boson")
+    assert(out(2).getAs[String]("top_term") == "common") // only term present
+  }
 }
