@@ -143,9 +143,16 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val corpus = Stage.spread(df)
     val n = corpus.count() // one scalar job; the value is folded into idf as a literal
-    val termFreq = corpus
+    // repartition by doc BEFORE the (doc, term) aggregation: hash(doc)
+    // satisfies ClusteredDistribution(doc, term) for the agg AND the
+    // argmax window's doc partitioning — the wide exploded data shuffles
+    // once instead of twice. persist: the df branch re-reads termFreq
+    // (vocab-sized per doc) instead of re-scanning + re-exploding the
+    // corpus.
+    val termFreq = OpCache.persist(corpus
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .repartition(col(idCol))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf")))
     val docFreq = termFreq.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
       .withColumn("idf", log((lit(n) + 1.0) / (col("df") + lit(1.0))))
