@@ -199,17 +199,24 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint(true)
-    var iter = 0
-    var done = labels.isEmpty
-    while (!done && iter < maxIter) {
-      val next = labels.join(
-          edges.join(labels.select(col("id").as("src"), col("comp")), "src")
+    def hop(l: DataFrame): DataFrame =
+      l.join(
+          edges.join(l.select(col("id").as("src"), col("comp")), "src")
             .groupBy(col("dst").as("id")).agg(min(col("comp")).as("nbr")),
           Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"),
           (coalesce(col("nbr"), col("comp")) < col("comp")).as("__chg"))
-        .localCheckpoint(true) // eager: materialized once, lineage cut
+    var iter = 0
+    var done = labels.isEmpty
+    while (!done && iter < maxIter) {
+      // two label hops per materialization: the uncheckpointed middle plan
+      // is only ~4× the base tree (safe), while checkpoint + convergence
+      // jobs — the per-round fixed cost that dominates when label tables
+      // are small relative to cluster overhead — run half as often.
+      // lazy checkpoint: the convergence count below is the action that
+      // materializes it — one job per round instead of checkpoint + count
+      val next = hop(hop(labels).drop("__chg")).localCheckpoint(false)
       done = next.filter(col("__chg")).count() == 0
       labels = next.drop("__chg")
       iter += 1
