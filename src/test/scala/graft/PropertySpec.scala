@@ -1,0 +1,74 @@
+package graft
+
+import scala.util.Random
+
+import graft.operators.{Analytics, Dedup}
+
+/** Randomized invariants (fixed seeds — fully reproducible) for the
+  * operators whose correctness rests on algebraic structure rather than
+  * fixed examples: connected components vs a brute-force union-find
+  * oracle, sessionization session-count algebra, and the per-group cap's
+  * subset/cardinality/partitioning-independence properties.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    nodes.groupBy(find).flatMap { case (_, members) =>
+      val canon = members.min; members.map(_ -> canon)
+    }
+  }
+
+  test("connectedComponents matches a union-find oracle on random graphs") {
+    for (seed <- 1 to 6) {
+      val rnd = new Random(seed)
+      val edges = List.fill(12) {
+        val a = rnd.nextInt(15).toLong
+        val b = (a + 1 + rnd.nextInt(14)) % 15
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2)
+      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"), "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == unionFind(edges), s"seed=$seed edges=$edges")
+    }
+  }
+
+  test("sessionize: session count equals 1 + number of over-gap steps") {
+    for (seed <- 1 to 6) {
+      val rnd = new Random(seed)
+      val ts = List.fill(10)(rnd.nextInt(400).toLong).distinct.sorted
+      val df = ts.zipWithIndex.map { case (t, i) => (1L, t, i.toLong) }
+        .toDF("user_id", "t", "eid")
+      val out = Analytics.sessionize(df, Seq("user_id"), "t", Seq("eid"), gap = 50L)
+      val expected = 1 + ts.sliding(2).count(w => w.length == 2 && w(1) - w(0) > 50)
+      assert(out.agg(org.apache.spark.sql.functions.max("session_id"))
+        .collect().head.getLong(0) == expected.toLong, s"seed=$seed ts=$ts")
+    }
+  }
+
+  test("cappedPerGroup: at most k per group, subset of input, partitioning-independent") {
+    for (seed <- 1 to 6) {
+      val rnd = new Random(seed)
+      val rows = List.fill(30)((rnd.nextInt(60).toLong, "abc" (rnd.nextInt(3)).toString))
+        .distinctBy(_._1)
+      val df = rows.toDF("id", "g")
+      val out = Analytics.cappedPerGroup(df, Seq("g"), "id", 4)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(out.groupBy(_._2).forall(_._2.length <= 4), s"seed=$seed")
+      assert(out.toSet.subsetOf(rows.toSet), s"seed=$seed")
+      val again = Analytics.cappedPerGroup(df.repartition(5), Seq("g"), "id", 4)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(out.sorted.sameElements(again.sorted), s"seed=$seed")
+    }
+  }
+}
