@@ -69,6 +69,34 @@ object Multimodal {
     }.toDF()
   }
 
+  case class AudioChunk(doc_id: Long, chunk_idx: Int, start_sample: Long,
+                        n_samples: Int, chunk_hash: String)
+
+  /** Audio chunking plumbing: fixed-length windows with `overlap` samples
+    * of lookback — the standard shape for feature extraction (fbank,
+    * embeddings) over long audio. The payload is treated as 16-bit PCM
+    * (2 bytes/sample, STUB stand-in for a real decoder); each chunk row
+    * carries its sample offsets so downstream models can reassemble
+    * order. flatMap shape, executor-local, no shuffle.
+    */
+  def chunkAudio(spark: SparkSession, media: DataFrame,
+                 chunkSamples: Int, overlap: Int): DataFrame = {
+    require(overlap < chunkSamples, "overlap must be < chunkSamples")
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { batch =>
+      batch.flatMap { r =>
+        val totalSamples = r.blob.length / 2
+        val stride = chunkSamples - overlap
+        val starts = 0L until totalSamples.toLong by stride.toLong
+        starts.zipWithIndex.map { case (s, i) =>
+          val n = math.min(chunkSamples.toLong, totalSamples - s).toInt
+          val bytes = r.blob.slice(2 * s.toInt, 2 * (s.toInt + n))
+          AudioChunk(r.doc_id, i, s, n, md5Hex(bytes))
+        }
+      }
+    }.toDF()
+  }
+
   case class FrameSample(doc_id: Long, frame_idx: Int, frame_hash: String)
 
   /** Frame-sampling plumbing for video-typed payloads: every `stride`-th

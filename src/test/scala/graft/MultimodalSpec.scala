@@ -35,4 +35,17 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 3, 6))
     assert(frames.map(_.getAs[String]("frame_hash")).distinct.length == 3)
   }
+
+  test("audio chunking windows samples with overlap and exact offsets") {
+    import spark.implicits._
+    // 20 bytes = 10 PCM samples; chunk=4, overlap=1 → stride 3:
+    // starts 0,3,6,9 with lengths 4,4,4,1
+    val media = Seq(Multimodal.MediaRecord(7L, "audio", Array.tabulate(20)(_.toByte)))
+      .toDS().toDF()
+    val chunks = Multimodal.chunkAudio(spark, media, chunkSamples = 4, overlap = 1)
+      .orderBy("chunk_idx").collect()
+    assert(chunks.map(_.getAs[Long]("start_sample")).toSeq == Seq(0L, 3L, 6L, 9L))
+    assert(chunks.map(_.getAs[Int]("n_samples")).toSeq == Seq(4, 4, 4, 1))
+    assert(chunks.map(_.getAs[String]("chunk_hash")).distinct.length == 4)
+  }
 }
