@@ -488,6 +488,13 @@ object SparkEntry {
       s.sql(AgentWindowSql)
     }),
 
+    // §2.11 — correlated EXISTS / NOT EXISTS agent SQL (same text both
+    // engines); Spark plans these as semi/anti joins
+    "q_sql_exists" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(AgentExistsSql)
+    }),
+
     // IVF ANN top-3: nearest-centroid cells (16 deterministic centroids),
     // exact cosine within the query's cell (nProbe=1)
     "q_sim_ivf_topk" -> ((s, dir) => {
@@ -688,6 +695,14 @@ object SparkEntry {
                     SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS total
              FROM orders GROUP BY 1) m
        ORDER BY mo"""
+
+  private val AgentExistsSql =
+    """SELECT c_custkey, c_name FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+         AND NOT EXISTS (SELECT 1 FROM orders o2
+                         WHERE o2.o_custkey = c.c_custkey AND o2.o_orderpriority = '5-LOW')
+       ORDER BY c_custkey"""
 
   private val RollupSql =
     """SELECT COALESCE(r_name, 'ALL') AS region_name, COALESCE(n_name, 'ALL') AS nation_name,
@@ -1453,6 +1468,8 @@ object SparkEntry {
                              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
                     FROM documents)
          SELECT doc_id, source, lang FROM r WHERE rn <= 50 ORDER BY doc_id""",
+
+    "q_sql_exists" -> AgentExistsSql,
 
     "q_scd2_versions" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.operators.Upsert
+
+/** ST2 → U1 bridge: maintain an upserted parquet table FROM a stream —
+  * the reference's cron-appended `goods_event` upsert
+  * (goods_stock_pipeline.py:99-113 feeding sqlite_connector.py:76-114)
+  * as a continuously-running job.
+  *
+  * Structured Streaming has no MERGE sink for plain parquet, so each
+  * micro-batch runs the engine's deterministic last-write-wins upsert
+  * (`Upsert.upsert`) against the store inside `foreachBatch` — the
+  * standard pattern for merge-shaped sinks on sources Spark can't MERGE
+  * into natively. Each batch: read store → union+window → overwrite.
+  *
+  * Scale: the per-batch cost is one keyed shuffle over (store + batch);
+  * on a real deployment the store is partitioned and the rewrite is
+  * bounded with dynamic partition overwrite (see
+  * `BoxOfficePipeline.backfillRange`), or the sink becomes a
+  * MERGE-capable table format. Idempotency: a replayed batch produces
+  * the identical store (last-write-wins is deterministic), which is
+  * exactly the reference's re-runnable-upsert contract (ST5).
+  */
+object StreamingUpsert {
+
+  /** Start a query that upserts each micro-batch of `stream` into the
+    * parquet table at `storePath` on `keys`, highest `versionCol` wins.
+    */
+  def start(spark: SparkSession, stream: DataFrame, storePath: String,
+            keys: Seq[String], versionCol: String,
+            checkpoint: String): StreamingQuery =
+    writer(spark, stream, storePath, keys, versionCol)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** The configured writer (exposed for tests that want their own
+    * trigger cadence).
+    */
+  def writer(spark: SparkSession, stream: DataFrame, storePath: String,
+             keys: Seq[String], versionCol: String): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val base = graft.pipelines.BoxOfficePipeline.readOrEmpty(spark, storePath, batch)
+      val merged = Upsert.upsert(base, batch, keys, col(versionCol))
+      // Overwrite via a staging write + swap-free single-table rewrite:
+      // plain parquet can't read+overwrite the same path in one job, so
+      // materialize the merge first.
+      val staged = merged.localCheckpoint(true)
+      staged.write.mode("overwrite").parquet(storePath)
+      ()
+    }
+}
