@@ -666,6 +666,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // weighted training mix: 200 docs at en/es/fr/de = 5/2/2/1 (zh
+    // excluded), deterministic md5-ordered picks per language
+    "q_sample_mix" -> ((s, dir) => {
+      Analytics.weightedMix(t(s, dir, "documents"), "lang", "doc_id",
+          Map("en" -> 0.5, "es" -> 0.2, "fr" -> 0.2, "de" -> 0.1), total = 200)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
     // training-mix quota: at most 50 docs per source, chosen by md5 order
     "q_sample_stratified" -> ((s, dir) => {
       Analytics.cappedPerGroup(t(s, dir, "documents"), Seq("source"), "doc_id", 50)
@@ -1461,6 +1470,16 @@ object SparkEntry {
          SELECT c.doc_id, COUNT(DISTINCT c.s) AS n_shared
          FROM corpus c JOIN probe p ON c.s = p.s
          GROUP BY 1 ORDER BY doc_id""",
+
+    "q_sample_mix" ->
+      """WITH r AS (SELECT doc_id, lang,
+                           ROW_NUMBER() OVER (PARTITION BY lang
+                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+                    FROM documents)
+         SELECT doc_id, lang FROM r
+         WHERE (lang = 'en' AND rn <= 100) OR (lang = 'es' AND rn <= 40)
+            OR (lang = 'fr' AND rn <= 40) OR (lang = 'de' AND rn <= 20)
+         ORDER BY doc_id""",
 
     "q_sample_stratified" ->
       """WITH r AS (SELECT doc_id, source, lang,

@@ -133,6 +133,30 @@ object Analytics {
       .drop("__rn")
   }
 
+  /** Weighted training-mix assembly: per-group quotas proportional to
+    * `weights` (quota_g = floor(total · w_g / Σw)), rows chosen within
+    * each group by md5(key) order — the deterministic mix construction a
+    * data pipeline uses to hit a target corpus composition. Groups
+    * absent from `weights` are excluded. Same scale shape as
+    * [[cappedPerGroup]]: one shuffle by group, per-group heads, no
+    * global sort; quotas are plan-time literals so the filter is
+    * codegen'd.
+    */
+  def weightedMix(df: DataFrame, groupCol: String, keyCol: String,
+                  weights: Map[String, Double], total: Long): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0))
+    val wsum = weights.values.sum
+    val quota = weights.map { case (g, w) => (g, (total * w / wsum).toLong) }
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(keyCol).cast("string")).asc, col(keyCol).asc)
+    val quotaCol = quota.foldLeft(lit(0L)) { case (acc, (g, q)) =>
+      when(col(groupCol) === g, lit(q)).otherwise(acc)
+    }
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= quotaCol)
+      .drop("__rn")
+  }
+
   /** SCD-2 interval builder: turn a per-key observation log into
     * versioned validity windows — version = ordinal, valid_from = ts,
     * valid_to = next observation's ts (null while current), is_current.

@@ -58,6 +58,15 @@ class AnalyticsSpec extends SparkSpec {
       sameElements again.select("id").collect().map(_.getLong(0)).sorted)
   }
 
+  test("weightedMix fills proportional quotas and excludes unweighted groups") {
+    import spark.implicits._
+    val df = (1L to 90L).map(i => (i, Seq("a", "b", "c")((i % 3).toInt))).toDF("id", "g")
+    val out = Analytics.weightedMix(df, "g", "id", Map("a" -> 0.75, "b" -> 0.25), total = 40)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byG = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byG == Map("a" -> 30, "b" -> 10)) // 40×0.75, 40×0.25; no 'c'
+  }
+
   test("scd2Intervals chains valid_from/valid_to with one current row per key") {
     import spark.implicits._
     val obs = Seq((1L, 10L, 100L), (1L, 20L, 101L), (1L, 30L, 102L), (2L, 5L, 103L))
