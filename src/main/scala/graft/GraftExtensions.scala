@@ -40,8 +40,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(ShingleHash64.FnName),
       info(ShingleHash64.FnName,
         "shingle_hash64(text, k) - distinct xxhash64 hashes of word k-gram shingles"),
-      (exprs: Seq[Expression]) => ShingleHash64(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue())))
+      (exprs: Seq[Expression]) => ShingleHash64.fromExprs(exprs)))
     ext.injectFunction((
       FunctionIdentifier(ContainsIgnoringSeparators.FnName),
       info(ContainsIgnoringSeparators.FnName,

@@ -93,10 +93,26 @@ object ShingleHash64 {
 
   val FnName = "shingle_hash64"
 
+  /** Builder for the SQL surface: validates that `k` is a foldable
+    * non-null integer literal up front, instead of letting a column /
+    * string / null second argument explode deep in analysis as an opaque
+    * UnsupportedOperationException / ClassCastException.
+    */
+  def fromExprs(exprs: Seq[Expression]): ShingleHash64 = {
+    require(exprs.length == 2, s"$FnName expects (tokens, k), got ${exprs.length} args")
+    val kExpr = exprs(1)
+    if (!kExpr.foldable)
+      throw new IllegalArgumentException(s"$FnName: k must be an integer literal, got ${kExpr.sql}")
+    kExpr.eval() match {
+      case n: Number => ShingleHash64(exprs.head, n.intValue())
+      case other => throw new IllegalArgumentException(
+        s"$FnName: k must be an integer literal, got ${if (other == null) "NULL" else other}")
+    }
+  }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName, exprs => ShingleHash64(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
+      FnName, fromExprs, "scala_udf")
 
   def apply(spark: SparkSession, tokens: Column, k: Int): Column = {
     register(spark)

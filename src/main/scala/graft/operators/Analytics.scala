@@ -146,7 +146,12 @@ object Analytics {
                   weights: Map[String, Double], total: Long): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0))
     val wsum = weights.values.sum
-    val quota = weights.map { case (g, w) => (g, (total * w / wsum).toLong) }
+    // floor with a 1e-9 nudge: total*w/wsum computed in binary doubles can
+    // land one ulp BELOW an exact integer quota (e.g. 200*0.7/5.6) and a
+    // bare toLong would short the group by one row
+    val quota = weights.map { case (g, w) =>
+      (g, math.floor(total * w / wsum + 1e-9).toLong)
+    }
     val w = Window.partitionBy(col(groupCol))
       .orderBy(md5(col(keyCol).cast("string")).asc, col(keyCol).asc)
     val quotaCol = quota.foldLeft(lit(0L)) { case (acc, (g, q)) =>

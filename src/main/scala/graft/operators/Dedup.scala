@@ -221,6 +221,11 @@ object Dedup {
       labels = next.drop("__chg")
       iter += 1
     }
+    // fail loudly: unconverged labels would silently keep multiple docs
+    // per cluster downstream, indistinguishable from a correct run
+    if (!done) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIter double-hop rounds " +
+        s"(cluster diameter > ${2 * maxIter}); raise maxIter")
     labels
   }
 
@@ -303,6 +308,11 @@ object Dedup {
       .select(col(idCol), explode(col("sh")).as("sh"))
       .join(probeShingles, "sh")
       .groupBy(col(idCol))
-      .agg(countDistinct(col("sh")).as("n_shared"))
+      // plain count, not countDistinct: both join inputs are already
+      // distinct on their keys (array_distinct per doc; probe .distinct),
+      // so (doc, sh) pairs are unique and a distinct-aggregation would
+      // add a second expand/shuffle over the widest intermediate for the
+      // same number
+      .agg(count(lit(1)).as("n_shared"))
   }
 }

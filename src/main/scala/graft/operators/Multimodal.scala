@@ -87,7 +87,11 @@ object Multimodal {
       batch.flatMap { r =>
         val totalSamples = r.blob.length / 2
         val stride = chunkSamples - overlap
-        val starts = 0L until totalSamples.toLong by stride.toLong
+        // drop tail starts whose chunk holds no NEW samples (everything
+        // in [s, total) already inside the previous chunk's window) —
+        // they'd double-process and double-count on reassembly
+        val starts = (0L until totalSamples.toLong by stride.toLong)
+          .filter(s => s == 0 || s + overlap < totalSamples)
         starts.zipWithIndex.map { case (s, i) =>
           val n = math.min(chunkSamples.toLong, totalSamples - s).toInt
           val bytes = r.blob.slice(2 * s.toInt, 2 * (s.toInt + n))

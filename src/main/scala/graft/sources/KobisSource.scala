@@ -120,21 +120,30 @@ object KobisSource {
       .json(paths: _*)
       .select(explode(col("movieListResult.movieList")).as("m"))
       .select(col("m.*"))
+    // the reference drops FALSY values (None and "" alike) via
+    // `if d.get("people_nm")` / `if c.get(...)` — mirror that, not just
+    // null-ness
     val dirNames = filter(
-      transform(col("directors"), d => d.getField("peopleNm")), _.isNotNull)
+      transform(col("directors"), d => d.getField("peopleNm")),
+      x => x.isNotNull && x =!= "")
     val companyPairs = filter(
       transform(col("companys"), c =>
         struct(c.getField("companyCd").as("company_cd"),
                c.getField("companyNm").as("company_nm"))),
-      c => c.getField("company_cd").isNotNull && c.getField("company_nm").isNotNull)
+      c => c.getField("company_cd").isNotNull && c.getField("company_cd") =!= ""
+        && c.getField("company_nm").isNotNull && c.getField("company_nm") =!= "")
     snakeCased(
       raw.withColumn("directors_arr", coalesce(dirNames, array()))
          .withColumn("companys_arr", coalesce(companyPairs, array()))
          .drop("directors", "companys"))
       .withColumn("directors", to_json(col("directors_arr")))
       .withColumn("companys", to_json(col("companys_arr")))
-      .filter(col("rep_genre_nm") =!= "성인물(에로)"
-        && trim(col("movie_nm_en")) =!= ""
+      // null-handling parity with pandas: NaN != '성인물(에로)' is True
+      // (row kept) and NaN.astype(str) is the non-empty "nan" (row kept),
+      // so nulls must PASS both predicates — Spark's null-propagating
+      // =!= would silently drop them
+      .filter((col("rep_genre_nm").isNull || col("rep_genre_nm") =!= "성인물(에로)")
+        && (col("movie_nm_en").isNull || trim(col("movie_nm_en")) =!= "")
         && size(col("directors_arr")) > 0)
       .withColumn("open_dt", date_format(try_to_date(col("open_dt"), "yyyyMMdd"), "yyyy-MM-dd"))
       .drop("directors_arr", "companys_arr")

@@ -19,14 +19,18 @@ import org.apache.spark.sql.functions._
 object SessionWindows {
 
   /** Per-(key, session) rollup: session start/end, event count, value
-    * total. `gap` is a duration string like "4 hours".
+    * total. `gap` is a duration string like "4 hours"; `valueCol` names
+    * the measure to total (parameterized like the other columns — a
+    * hardcoded name would fail analysis on any differently-shaped
+    * stream).
     */
   def sessionTotals(events: DataFrame, tsCol: String, keyCol: String,
-                    gap: String, watermark: String = "30 minutes"): DataFrame =
+                    gap: String, watermark: String = "30 minutes",
+                    valueCol: String = "value"): DataFrame =
     events
       .withWatermark(tsCol, watermark)
       .groupBy(session_window(col(tsCol), gap), col(keyCol))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("total_value"))
       .select(col(keyCol),
               col("session_window.start").as("session_start"),
               col("session_window.end").as("session_end"),

@@ -39,13 +39,16 @@ class MultimodalSpec extends SparkSpec {
   test("audio chunking windows samples with overlap and exact offsets") {
     import spark.implicits._
     // 20 bytes = 10 PCM samples; chunk=4, overlap=1 → stride 3:
-    // starts 0,3,6,9 with lengths 4,4,4,1
+    // candidate starts 0,3,6,9 — but the chunk at 9 holds only sample 9,
+    // already inside chunk [6,10): no new samples, so it is dropped
     val media = Seq(Multimodal.MediaRecord(7L, "audio", Array.tabulate(20)(_.toByte)))
       .toDS().toDF()
     val chunks = Multimodal.chunkAudio(spark, media, chunkSamples = 4, overlap = 1)
       .orderBy("chunk_idx").collect()
-    assert(chunks.map(_.getAs[Long]("start_sample")).toSeq == Seq(0L, 3L, 6L, 9L))
-    assert(chunks.map(_.getAs[Int]("n_samples")).toSeq == Seq(4, 4, 4, 1))
-    assert(chunks.map(_.getAs[String]("chunk_hash")).distinct.length == 4)
+    assert(chunks.map(_.getAs[Long]("start_sample")).toSeq == Seq(0L, 3L, 6L))
+    assert(chunks.map(_.getAs[Int]("n_samples")).toSeq == Seq(4, 4, 4))
+    assert(chunks.map(_.getAs[String]("chunk_hash")).distinct.length == 3)
+    // every sample is covered: last chunk ends exactly at totalSamples
+    assert(chunks.last.getAs[Long]("start_sample") + chunks.last.getAs[Int]("n_samples") == 10)
   }
 }

@@ -38,6 +38,8 @@ for name, sql in sorted(oracle.items()):
     # both sides and hide exactly the differences a per-side hash sees).
     import glob as _glob
     parts = sorted(_glob.glob(f"{path}/*.parquet"))
+    if not parts:
+        fails.append(name); print(f"FAIL {name}: no parquet part files in {path}"); continue
     got = pd.concat([pd.read_parquet(p) for p in parts], ignore_index=True)
     exp = exp[sorted(exp.columns)]
     got = got[sorted(got.columns)]
