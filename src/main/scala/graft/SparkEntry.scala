@@ -666,6 +666,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // context-window chunking: 40-token windows, 10-token overlap; chunk
+    // text exported as md5 so the compare stays exact and narrow
+    "q_text_chunks" -> ((s, dir) => {
+      TextAnalysis.chunkTokens(t(s, dir, "documents"), "doc_id", "text",
+          chunkTokens = 40, overlap = 10)
+        .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+                col("n_tokens"), md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // token-budget packing: deterministic prefix-sum binning at 2000
+    // tokens per training sequence
+    "q_text_packing" -> ((s, dir) => {
+      TextAnalysis.packByTokenBudget(t(s, dir, "documents"), "doc_id", "text",
+          budget = 2000L)
+        .select("doc_id", "n_tokens", "bin_id")
+        .orderBy("doc_id")
+    }),
+
     // weighted training mix: 200 docs at en/es/fr/de = 5/2/2/1 (zh
     // excluded), deterministic md5-ordered picks per language
     "q_sample_mix" -> ((s, dir) => {
@@ -1470,6 +1489,33 @@ object SparkEntry {
          SELECT c.doc_id, COUNT(DISTINCT c.s) AS n_shared
          FROM corpus c JOIN probe p ON c.s = p.s
          GROUP BY 1 ORDER BY doc_id""",
+
+    "q_text_chunks" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+                       FROM documents),
+              d AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+              ser AS (SELECT unnest(generate_series(0,
+                        (SELECT COALESCE(MAX((n - 1) // 30), 0) FROM d))) AS ci),
+              ch AS (SELECT doc_id, ci, ci * 30 AS start_tok,
+                            LEAST(40, n - ci * 30) AS n_tokens, t
+                     FROM d CROSS JOIN ser
+                     WHERE ci <= (n - 1) // 30 AND (ci = 0 OR ci * 30 + 10 < n))
+         SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx,
+                CAST(start_tok AS INTEGER) AS start_tok,
+                CAST(n_tokens AS INTEGER) AS n_tokens,
+                md5(array_to_string(t[start_tok + 1 : start_tok + n_tokens], ' ')) AS chunk_md5
+         FROM ch ORDER BY doc_id, chunk_idx""",
+
+    "q_text_packing" ->
+      """WITH t AS (SELECT doc_id,
+                           CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+                    FROM documents),
+              c AS (SELECT doc_id, n_tokens,
+                           SUM(n_tokens) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                    FROM t)
+         SELECT doc_id, n_tokens, CAST((cum - n_tokens) // 2000 AS BIGINT) AS bin_id
+         FROM c ORDER BY doc_id""",
 
     "q_sample_mix" ->
       """WITH r AS (SELECT doc_id, lang,

@@ -166,6 +166,66 @@ object TextAnalysis {
         col("__score").as("tfidf"))
   }
 
+  /** Context-window chunking: split each document's token stream into
+    * fixed-size windows with `overlap` tokens of lookback (the text
+    * analog of `Multimodal.chunkAudio`, and the standard shape for
+    * feeding long documents to a bounded-context model). One row per
+    * chunk via an in-row sequence + explode — tail windows that would
+    * carry no new tokens are suppressed. No shuffle; the explode is
+    * map-side.
+    */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+                  chunkTokens: Int, overlap: Int): DataFrame = {
+    require(overlap < chunkTokens, "overlap must be < chunkTokens")
+    val stride = chunkTokens - overlap
+    Stage.spread(df)
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col("__toks"), col("__n"),
+        explode(sequence(lit(0), expr(s"(__n - 1) div $stride"))).as("__ci"))
+      .withColumn("start_tok", col("__ci") * stride)
+      // drop tail chunks fully inside the previous window (no new tokens)
+      .filter(col("start_tok") === 0 || col("start_tok") + overlap < col("__n"))
+      .select(col(idCol), col("__ci").cast("int").as("chunk_idx"),
+        col("start_tok").cast("int").as("start_tok"),
+        least(lit(chunkTokens), col("__n") - col("start_tok")).cast("int").as("n_tokens"),
+        concat_ws(" ", slice(col("__toks"), col("start_tok") + 1,
+          least(lit(chunkTokens), col("__n") - col("start_tok")))).as("chunk_text"))
+  }
+
+  /** Token-budget sequence packing: assign documents to training bins of
+    * ≤ `budget` tokens (oversized docs get a bin of their own) using the
+    * deterministic prefix-sum rule: order docs by md5(id), bin =
+    * floor(cumulative-preceding-tokens / budget). One global ordering —
+    * expressed as a single window cumsum — makes the packing
+    * reproducible across engines and reruns; bins can straddle the
+    * budget by at most one document (the classic distributed
+    * approximation of first-fit, chosen over per-partition greedy
+    * packing precisely because greedy is partitioning-dependent).
+    *
+    * Scale note: a SINGLE unpartitioned cumsum window is a deliberate
+    * local-mode simplification kept honest in [[SCALE.md]] terms — at
+    * 100 TB you shard first (e.g. by md5 prefix) and pack within shards,
+    * which this same function expresses via a pre-added shard column in
+    * `extraParts`.
+    */
+  def packByTokenBudget(df: DataFrame, idCol: String, textCol: String,
+                        budget: Long, extraParts: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Window.orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    val w = (if (extraParts.isEmpty) base
+             else Window.partitionBy(extraParts.map(col): _*)
+               .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Stage.spread(df)
+      .select((col(idCol) +: extraParts.map(col)) :+
+        size(tokens(col(textCol))).cast("long").as("n_tokens"): _*)
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin_id", ((col("__cum") - col("n_tokens")) / budget).cast("long"))
+      .drop("__cum")
+  }
+
   /** Normalization fingerprint (rolling-hash analog): md5 of the text with
     * everything but [a-z0-9] removed — catches whitespace/punctuation
     * near-dups exactly.

@@ -104,6 +104,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2).getAs[Int]("n_bigrams") == 0 && out(2).getAs[Double]("rep_ratio") == 0.0)
   }
 
+  test("chunkTokens windows with overlap; tail chunks with no new tokens dropped") {
+    val df = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, "a b"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunkTokens(df, "doc_id", "text", chunkTokens = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_idx").collect()
+    // doc 1: 10 tokens, stride 3 → starts 0,3,6 (9 dropped: 9+1 !< 10)
+    val d1 = out.filter(_.getLong(0) == 1L)
+    assert(d1.map(_.getAs[Int]("start_tok")).toSeq == Seq(0, 3, 6))
+    assert(d1.map(_.getAs[Int]("n_tokens")).toSeq == Seq(4, 4, 4))
+    assert(d1(1).getAs[String]("chunk_text") == "t4 t5 t6 t7")
+    // doc 2: single short chunk; doc 3: no tokens → no rows
+    val d2 = out.filter(_.getLong(0) == 2L)
+    assert(d2.map(r => (r.getAs[Int]("start_tok"), r.getAs[Int]("n_tokens"))).toSeq == Seq((0, 2)))
+    assert(!out.exists(_.getLong(0) == 3L))
+  }
+
+  test("packByTokenBudget: bins respect the prefix-sum rule and reproduce under repartition") {
+    val df = (1L to 40L).map(i => (i, ("w " * ((i % 7).toInt + 1)).trim)).toDF("doc_id", "text")
+    val out = TextAnalysis.packByTokenBudget(df, "doc_id", "text", budget = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every bin's token total minus its last doc stays under budget
+    // (a bin may straddle by at most its final document)
+    out.groupBy(_._3).foreach { case (_, docs) =>
+      val total = docs.map(_._2).sum
+      assert(total - docs.map(_._2).max < 10L + docs.map(_._2).max)
+    }
+    // bin ids are a non-decreasing function of the md5 ordering
+    def md5Hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val inOrder = out.sortBy(t => (md5Hex(t._1.toString), t._1))
+    assert(inOrder.map(_._3).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+    val again = TextAnalysis.packByTokenBudget(df.repartition(6), "doc_id", "text", budget = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.sorted.sameElements(again.sorted))
+  }
+
   test("tfidf top term prefers the distinctive word over the ubiquitous one") {
     val df = Seq(
       (1L, "common common quark"),
