@@ -250,9 +250,15 @@ object Dedup {
     * and only the surviving candidate pairs pay the exploded
     * intersection join.
     */
-  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-                      k: Int, numHashes: Int, numBands: Int,
-                      threshold: Double): DataFrame = {
+  /** Per-document MinHash-LSH index row: (id, n, sh, bands) with
+    * `bands` = numBands (band, key) structs — everything computed
+    * map-side from the shingle array, one narrow row per doc. This is
+    * the PERSISTENT shape for incremental dedup: write it as the corpus
+    * index table and new batches join band keys against it without ever
+    * re-reading corpus text ([[incrementalNearDups]]).
+    */
+  def minhashIndex(df: DataFrame, idCol: String, textCol: String,
+                   k: Int, numHashes: Int, numBands: Int): DataFrame = {
     require(numHashes % numBands == 0)
     val rows = numHashes / numBands
     val withArr = Stage.spread(df)
@@ -264,12 +270,21 @@ object Dedup {
       val sigCols = (b * rows until (b + 1) * rows).map(i => col(s"sig_$i"))
       struct(lit(b).as("band"), md5(concat(sigCols: _*)).as("key"))
     }
-    val withSig = withArr
+    withArr
       .select(col(idCol) +: size(col("sh")).as("n") +: col("sh") +: sigs: _*)
-      .transform(OpCache.persist) // one narrow row per doc; feeds band keys + both verify sides
-    val keyed = withSig
-      .select(col(idCol), explode(array(bands: _*)).as("bk"))
+      .select(col(idCol), col("n"), col("sh"), array(bands: _*).as("bands"))
+  }
+
+  private def bandKeys(index: DataFrame, idCol: String): DataFrame =
+    index.select(col(idCol), explode(col("bands")).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      k: Int, numHashes: Int, numBands: Int,
+                      threshold: Double): DataFrame = {
+    val withSig = minhashIndex(df, idCol, textCol, k, numHashes, numBands)
+      .transform(OpCache.persist) // one narrow row per doc; feeds band keys + both verify sides
+    val keyed = bandKeys(withSig, idCol)
     val cands = keyed.alias("x").join(keyed.alias("y"), Seq("band", "key"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
       .filter(col("id_a") < col("id_b")).distinct()
@@ -284,6 +299,46 @@ object Dedup {
           / (col("n_a") + col("n_b") - col("shared")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Incremental near-dup detection — the 100 TB ingestion shape: a new
+    * batch is checked against the STORED corpus index
+    * ([[minhashIndex]] rows, persisted as a table) plus itself, without
+    * re-reading or re-hashing any corpus text. Returns
+    * (id_fresh, id_other, jaccard) for every fresh doc that near-dups an
+    * indexed doc or another fresh doc (fresh-fresh pairs reported once,
+    * smaller id first).
+    *
+    * Scale: band keys explode to numBands rows/doc; the candidate join is
+    * the only exchange touching the corpus-sized side, and on a real
+    * deployment the index table is bucketed by (band, key) so the fresh
+    * batch (small, broadcast-able) probes co-located buckets. Verification
+    * joins fetch shingle arrays only for surviving candidate ids.
+    */
+  def incrementalNearDups(index: DataFrame, freshIndex: DataFrame,
+                          idCol: String, threshold: Double): DataFrame = {
+    val fk = bandKeys(OpCache.persist(freshIndex), idCol)
+    val allTagged = bandKeys(index, idCol).withColumn("__fresh", lit(false))
+      .union(fk.withColumn("__fresh", lit(true)))
+    val cands = fk.alias("x").join(allTagged.alias("y"), Seq("band", "key"))
+      .select(col(s"x.$idCol").as("id_fresh"), col(s"y.$idCol").as("id_other"),
+              col("__fresh"))
+      .filter(col("id_fresh") =!= col("id_other"))
+      // fresh-fresh pairs appear mirrored — keep one orientation
+      .filter(!col("__fresh") || col("id_fresh") < col("id_other"))
+      .select("id_fresh", "id_other").distinct()
+    cands
+      .join(freshIndex.select(col(idCol).as("id_fresh"), col("n").as("n_a"),
+                              col("sh").as("sh_a")), "id_fresh")
+      .join(index.union(freshIndex)
+              .select(col(idCol).as("id_other"), col("n").as("n_b"),
+                      col("sh").as("sh_b")), "id_other")
+      .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("shared").cast("double")
+          / (col("n_a") + col("n_b") - col("shared")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_fresh", "id_other", "jaccard")
   }
 
   /** Benchmark-decontamination report: for every corpus document, count

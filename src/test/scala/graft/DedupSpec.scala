@@ -59,6 +59,31 @@ class DedupSpec extends SparkSpec {
     graft.operators.OpCache.clear()
   }
 
+  test("incrementalNearDups finds fresh-vs-index and fresh-vs-fresh pairs, once each") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq((1L, base), (2L, "totally different words here for doc two ok fine"))
+      .toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, base + " lambda"),                       // near-dup of indexed 1
+      (11L, "brand new content first variant shared tail words common suffix"),
+      (12L, "brand new content second variant shared tail words common suffix"),
+      (13L, "nothing like anything else at all in this batch truly"))
+      .toDF("doc_id", "text")
+    val idx = graft.operators.Dedup.minhashIndex(corpus, "doc_id", "text",
+      k = 3, numHashes = 16, numBands = 8)
+    val fidx = graft.operators.Dedup.minhashIndex(fresh, "doc_id", "text",
+      k = 3, numHashes = 16, numBands = 8)
+    val pairs = graft.operators.Dedup.incrementalNearDups(idx, fidx, "doc_id", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((10L, 1L)), s"fresh-vs-index missing: $pairs")
+    assert(pairs.contains((11L, 12L)) && !pairs.contains((12L, 11L)),
+      s"fresh-fresh must appear once, smaller id first: $pairs")
+    assert(!pairs.exists(p => p._1 == 13L || p._2 == 13L))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+    graft.operators.OpCache.clear()
+  }
+
   test("contaminationReport counts shared shingles against the probe set only") {
     import spark.implicits._
     val corpus = Seq(
