@@ -408,6 +408,18 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // incremental ingestion dedup: fresh slice (doc_id % 5 == 0) checked
+    // against the stored index of the rest + itself, via band-key probes
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idx = Dedup.minhashIndex(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+        "doc_id", "text", k = 5, numHashes = 16, numBands = 4)
+      val fidx = Dedup.minhashIndex(docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+        "doc_id", "text", k = 5, numHashes = 16, numBands = 4)
+      Dedup.incrementalNearDups(idx, fidx, "doc_id", threshold = 0.5)
+        .orderBy("id_fresh", "id_other")
+    }),
+
     // brute-force cosine top-3 per query vector (exact ANN baseline)
     "q_sim_cosine_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -748,6 +760,41 @@ object SparkEntry {
        WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1997-01-01' AND DATE '1997-12-31'
          AND REPLACE(c_name, '#', '') LIKE '%Customer00000012%'
        GROUP BY c_name ORDER BY total_spent DESC, c_name LIMIT 5"""
+
+  /** Shared CTE chain for the MinHash-LSH oracles: shingles → doubled
+    * md5 hashes → 16 windowed-min signatures → 4 band keys.
+    */
+  private val MinhashBkCte: String =
+    """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+                       FROM documents),
+              ser AS (SELECT unnest(generate_series(1, (SELECT COALESCE(MAX(len(t)), 1) FROM toks))) AS i),
+              sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS s
+                     FROM toks JOIN ser ON i <= len(t) - 4),
+              hh AS (SELECT doc_id, md5(s) || md5(s) AS hv FROM sh),
+              sig AS (SELECT doc_id,
+                             MIN(substring(hv, 1, 16)) AS s0,
+                             MIN(substring(hv, 3, 16)) AS s1,
+                             MIN(substring(hv, 5, 16)) AS s2,
+                             MIN(substring(hv, 7, 16)) AS s3,
+                             MIN(substring(hv, 9, 16)) AS s4,
+                             MIN(substring(hv, 11, 16)) AS s5,
+                             MIN(substring(hv, 13, 16)) AS s6,
+                             MIN(substring(hv, 15, 16)) AS s7,
+                             MIN(substring(hv, 17, 16)) AS s8,
+                             MIN(substring(hv, 19, 16)) AS s9,
+                             MIN(substring(hv, 21, 16)) AS s10,
+                             MIN(substring(hv, 23, 16)) AS s11,
+                             MIN(substring(hv, 25, 16)) AS s12,
+                             MIN(substring(hv, 27, 16)) AS s13,
+                             MIN(substring(hv, 29, 16)) AS s14,
+                             MIN(substring(hv, 31, 16)) AS s15
+                      FROM hh GROUP BY doc_id),
+              bk AS (SELECT doc_id, b,
+                            CASE b WHEN 0 THEN md5(s0 || s1 || s2 || s3)
+                                   WHEN 1 THEN md5(s4 || s5 || s6 || s7)
+                                   WHEN 2 THEN md5(s8 || s9 || s10 || s11)
+                                   ELSE md5(s12 || s13 || s14 || s15) END AS key
+                     FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b))"""
 
   /** Shared candidate CTE for the simhash-pair oracles (RECURSIVE is
     * harmless when unused and required by the clusters oracle).
@@ -1124,36 +1171,7 @@ object SparkEntry {
          FROM sid GROUP BY user_id, session_id ORDER BY user_id, session_id""",
 
     "q_dedup_minhash_lsh" ->
-      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-                       FROM documents),
-              ser AS (SELECT unnest(generate_series(1, (SELECT COALESCE(MAX(len(t)), 1) FROM toks))) AS i),
-              sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS s
-                     FROM toks JOIN ser ON i <= len(t) - 4),
-              hh AS (SELECT doc_id, md5(s) || md5(s) AS hv FROM sh),
-              sig AS (SELECT doc_id,
-                             MIN(substring(hv, 1, 16)) AS s0,
-                             MIN(substring(hv, 3, 16)) AS s1,
-                             MIN(substring(hv, 5, 16)) AS s2,
-                             MIN(substring(hv, 7, 16)) AS s3,
-                             MIN(substring(hv, 9, 16)) AS s4,
-                             MIN(substring(hv, 11, 16)) AS s5,
-                             MIN(substring(hv, 13, 16)) AS s6,
-                             MIN(substring(hv, 15, 16)) AS s7,
-                             MIN(substring(hv, 17, 16)) AS s8,
-                             MIN(substring(hv, 19, 16)) AS s9,
-                             MIN(substring(hv, 21, 16)) AS s10,
-                             MIN(substring(hv, 23, 16)) AS s11,
-                             MIN(substring(hv, 25, 16)) AS s12,
-                             MIN(substring(hv, 27, 16)) AS s13,
-                             MIN(substring(hv, 29, 16)) AS s14,
-                             MIN(substring(hv, 31, 16)) AS s15
-                      FROM hh GROUP BY doc_id),
-              bk AS (SELECT doc_id, b,
-                            CASE b WHEN 0 THEN md5(s0 || s1 || s2 || s3)
-                                   WHEN 1 THEN md5(s4 || s5 || s6 || s7)
-                                   WHEN 2 THEN md5(s8 || s9 || s10 || s11)
-                                   ELSE md5(s12 || s13 || s14 || s15) END AS key
-                     FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)),
+      s"""$MinhashBkCte,
               cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
                        FROM bk a JOIN bk c ON a.b = c.b AND a.key = c.key
                                           AND a.doc_id < c.doc_id),
@@ -1168,6 +1186,29 @@ object SparkEntry {
          FROM shr JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
          WHERE CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) >= 0.5
          ORDER BY id_a, id_b""",
+
+    "q_dedup_incremental" ->
+      s"""$MinhashBkCte,
+              candAll AS (SELECT DISTINCT a.doc_id AS x, c.doc_id AS y
+                          FROM bk a JOIN bk c ON a.b = c.b AND a.key = c.key
+                                             AND a.doc_id <> c.doc_id),
+              orient AS (SELECT DISTINCT
+                                CASE WHEN x % 5 = 0 AND y % 5 = 0
+                                     THEN LEAST(x, y) ELSE x END AS id_fresh,
+                                CASE WHEN x % 5 = 0 AND y % 5 = 0
+                                     THEN GREATEST(x, y) ELSE y END AS id_other
+                         FROM candAll WHERE x % 5 = 0),
+              cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+              shr AS (SELECT id_fresh, id_other, COUNT(*) AS shared
+                      FROM orient
+                      JOIN sh sa ON sa.doc_id = id_fresh
+                      JOIN sh sb ON sb.doc_id = id_other AND sb.s = sa.s
+                      GROUP BY 1, 2)
+         SELECT id_fresh, id_other,
+                CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) AS jaccard
+         FROM shr JOIN cnt ca ON ca.doc_id = id_fresh JOIN cnt cb ON cb.doc_id = id_other
+         WHERE CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) >= 0.5
+         ORDER BY id_fresh, id_other""",
 
     "q_sim_cosine_topk" ->
       """WITH ser AS (SELECT unnest(generate_series(1, 64)) AS i),
