@@ -1,0 +1,66 @@
+package graft
+
+import graft.streaming.StreamingNearDup
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamingNearDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+  test("near-dup arrivals emit candidate pairs across batches; distinct docs stay silent") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val bandedStream = StreamingNearDup.banded(
+      input.toDS().toDF("doc_id", "text"), "doc_id", "text",
+      k = 3, numHashes = 16, numBands = 8)
+    val q = StreamingNearDup.candidatePairs(spark, bandedStream)
+      .writeStream.format("memory").queryName("near_dup_cands")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(1L -> base, 2L -> "completely different words in this one here now")
+      q.processAllAvailable()
+      assert(spark.table("near_dup_cands").isEmpty) // nothing similar yet
+
+      // a near-dup of doc 1 arrives in a LATER batch → pair (1, 3) from
+      // state, not from any same-batch join
+      input.addData(3L -> (base + " lambda"))
+      q.processAllAvailable()
+      val pairs = spark.table("near_dup_cands")
+        .select("id_a", "id_b").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 3L)), s"got $pairs")
+
+      // replaying the same doc id adds no new pairs (idempotent member set)
+      input.addData(3L -> (base + " lambda"))
+      q.processAllAvailable()
+      val again = spark.table("near_dup_cands")
+        .select("id_a", "id_b").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(again == Set((1L, 3L)))
+    } finally q.stop()
+  }
+
+  test("bucket cap: overflowing docs emit a truncated marker instead of pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val bandedStream = StreamingNearDup.banded(
+      input.toDS().toDF("doc_id", "text"), "doc_id", "text",
+      k = 3, numHashes = 16, numBands = 8)
+    val q = StreamingNearDup.candidatePairs(spark, bandedStream, maxBucket = 2)
+      .writeStream.format("memory").queryName("near_dup_capped")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(1L -> base, 2L -> base, 3L -> base)
+      q.processAllAvailable()
+      val rows = spark.table("near_dup_capped").collect()
+      val real = rows.filter(!_.getAs[Boolean]("truncated"))
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // members capped at 2 per bucket: only the first two pair up
+      assert(real == Set((1L, 2L)), s"got $real")
+      // the third doc surfaces as truncated (routed to a batch pass)
+      assert(rows.exists(r => r.getAs[Boolean]("truncated") && r.getLong(0) == 3L))
+    } finally q.stop()
+  }
+}
