@@ -183,6 +183,72 @@ object Similarity {
       .select(col("id_a").as(idCol), col("id_b").as("centroid_id"))
   }
 
+  /** Plain cosine similarity between two double-array columns (no
+    * fixed-point detour — used where cross-engine bit-parity is not
+    * required, e.g. inside k-means training).
+    */
+  private def cosineSim(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Assign every vector to its most-cosine-similar centroid from a
+    * (centroid_id, centroid: array<double>) table. The centroid table is
+    * broadcast (nCells rows); the argmax is a per-vector max_by — no
+    * shuffle of the corpus side beyond the final projection.
+    */
+  def assignToCentroids(vectors: DataFrame, idCol: String, vecCol: String,
+                        centroids: DataFrame): DataFrame = {
+    val scored = Stage.spread(vectors)
+      .select(col(idCol), transform(col(vecCol), _.cast("double")).as("__v"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("__sim", cosineSim(col("__v"), col("centroid")))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__sim").desc, col("centroid_id").asc)
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col(idCol), col("centroid_id"), col("__sim").as("sim"))
+  }
+
+  /** Distributed Lloyd's k-means over an embedding column — the offline
+    * centroid trainer [[ivfTopK]]'s scaladoc promises. Deterministic
+    * init (first nCells vectors by md5(id) order); each iteration is
+    * assign (broadcast centroids, no corpus shuffle) + element-wise mean
+    * (posexplode → (cell, pos) partial-aggregated avg → array rebuild);
+    * empty cells keep their previous centroid. Centroid tables are tiny
+    * (nCells × dim) and localCheckpoint'ed each round so the plan stays
+    * constant-size — same iterative-algorithm discipline as
+    * [[Dedup.connectedComponents]].
+    */
+  def kmeansCentroids(vectors: DataFrame, idCol: String, vecCol: String,
+                      nCells: Int, iters: Int): DataFrame = {
+    val v = OpCache.persist(Stage.spread(vectors)
+      .select(col(idCol), transform(col(vecCol), _.cast("double")).as("__v")))
+    val initW = Window.orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    var cents = v.withColumn("__rn", row_number().over(initW))
+      .filter(col("__rn") <= nCells)
+      .select((col("__rn") - 1).cast("int").as("centroid_id"), col("__v").as("centroid"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val assigned = assignToCentroids(v, idCol, "__v", cents)
+        .join(v, idCol)
+      val means = assigned
+        .select(col("centroid_id"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+        .groupBy(col("centroid_id"), col("__pos"))
+        .agg(avg(col("__x")).as("__m"))
+        .groupBy(col("centroid_id"))
+        .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__m")))),
+          s => s.getField("__m")).as("centroid"))
+      // empty cells would vanish from the means table — retain their
+      // previous centroid so the cell count stays fixed
+      cents = cents.select(col("centroid_id"), col("centroid").as("__prev"))
+        .join(means, Seq("centroid_id"), "left")
+        .select(col("centroid_id"), coalesce(col("centroid"), col("__prev")).as("centroid"))
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
   /** IVF top-k: exact cosine within the query's centroid cell (nProbe=1). */
   def ivfTopK(vectors: DataFrame, queries: DataFrame, nCells: Int,
               idCol: String, vecCol: String, k: Int): DataFrame = {

@@ -50,6 +50,25 @@ class SimilaritySpec extends SparkSpec {
     assert(ann.head.getDouble(3) == 1.0)
   }
 
+  test("kmeans separates two well-separated clusters; empty cells keep centroids") {
+    import spark.implicits._
+    // cluster A along (1,0,0,0)-ish, cluster B along (0,0,1,1)-ish
+    val a = (1L to 8L).map(i => (i, Array(1.0f, 0.05f * i, 0.0f, 0.0f)))
+    val b = (11L to 18L).map(i => (i, Array(0.0f, 0.0f, 1.0f, 1.0f + 0.05f * (i - 10))))
+    val df = (a ++ b).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(df, "vec_id", "embedding", nCells = 2, iters = 5)
+    assert(cents.count() == 2)
+    val assigned = Similarity.assignToCentroids(df, "vec_id", "embedding", cents)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // purity: each true cluster maps to exactly one centroid id, and the
+    // two clusters map to different ones
+    val cellsA = a.map(x => assigned(x._1)).toSet
+    val cellsB = b.map(x => assigned(x._1)).toSet
+    assert(cellsA.size == 1 && cellsB.size == 1 && cellsA != cellsB,
+      s"impure assignment: A->$cellsA B->$cellsB")
+    graft.operators.OpCache.clear()
+  }
+
   test("lshBuckets fails loudly on embedding length mismatch (ADVICE r1)") {
     val bad = Seq((1L, Array(0.1f, 0.2f, 0.3f))).toDF("vec_id", "embedding")
     val e = intercept[Exception] {
