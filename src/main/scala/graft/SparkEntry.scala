@@ -129,6 +129,27 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // full outer join — nation-level supplier vs customer account totals;
+    // either side may be missing (beyond ref: SURVEY §2.3 "not present")
+    "q_j_full_outer" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier").filter(col("s_acctbal") > 4000)
+        .groupBy(col("s_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_suppliers"))
+      val cust = t(s, dir, "customer").filter(col("c_acctbal") > 9000)
+        .groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_customers"))
+      sup.join(cust, Seq("nk"), "full_outer")
+        .select(col("nk"), coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"),
+                coalesce(col("n_customers"), lit(0L)).as("n_customers"))
+        .orderBy("nk")
+    }),
+
+    // CUBE grouping — all subtotal combinations (beyond ref; rollup's dual)
+    "q_cube_region_segment" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(CubeSql)
+    }),
+
     // semi join — customers having at least one filtered order
     "q_j2b_customers_with_orders" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -743,6 +764,17 @@ object SparkEntry {
          AND NOT EXISTS (SELECT 1 FROM orders o2
                          WHERE o2.o_custkey = c.c_custkey AND o2.o_orderpriority = '5-LOW')
        ORDER BY c_custkey"""
+
+  private val CubeSql =
+    """SELECT COALESCE(r_name, 'ALL') AS region_name,
+              COALESCE(c_mktsegment, 'ALL') AS segment,
+              COUNT(*) AS n_customers,
+              CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_acctbal
+       FROM customer
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       GROUP BY CUBE(r_name, c_mktsegment)
+       ORDER BY region_name, segment"""
 
   private val RollupSql =
     """SELECT COALESCE(r_name, 'ALL') AS region_name, COALESCE(n_name, 'ALL') AS nation_name,
@@ -1420,6 +1452,19 @@ object SparkEntry {
          GROUP BY o_orderkey ORDER BY o_orderkey""",
 
     "q_rollup_region" -> RollupSql,
+
+    "q_cube_region_segment" -> CubeSql,
+
+    "q_j_full_outer" ->
+      """WITH sup AS (SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers
+                      FROM supplier WHERE s_acctbal > 4000 GROUP BY 1),
+              cust AS (SELECT c_nationkey AS nk, COUNT(*) AS n_customers
+                       FROM customer WHERE c_acctbal > 9000 GROUP BY 1)
+         SELECT COALESCE(sup.nk, cust.nk) AS nk,
+                COALESCE(n_suppliers, 0) AS n_suppliers,
+                COALESCE(n_customers, 0) AS n_customers
+         FROM sup FULL OUTER JOIN cust ON sup.nk = cust.nk
+         ORDER BY nk""",
 
     "q_pivot_priority" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,
