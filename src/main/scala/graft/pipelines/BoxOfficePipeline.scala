@@ -97,6 +97,50 @@ object BoxOfficePipeline {
       Seq("event_id", "theater_name"),
       Seq(col("scraped_at_us").desc))
 
+  /** Small-file compaction for an append-heavy store path: rewrite to
+    * ~`targetRowsPerFile` rows per file (row-count proxy for target file
+    * size — a library without file-size introspection can still bound
+    * file COUNT deterministically). The append sinks here (10-minute
+    * stock polls, daily ingests) produce one small file per run — the
+    * classic lakehouse small-files problem; periodic compaction keeps
+    * scan task counts and footer overhead bounded. Partition columns of
+    * the original layout are preserved when `partitionBy` is given, so
+    * pruning still works after compaction. Returns (filesBefore,
+    * filesAfter).
+    */
+  def compact(spark: SparkSession, path: String, targetRowsPerFile: Long,
+              partitionBy: Seq[String] = Nil): (Long, Long) = {
+    def parquetFiles(p: java.io.File): Long =
+      if (!p.exists()) 0L
+      else if (p.isFile) (if (p.getName.endsWith(".parquet")) 1L else 0L)
+      else p.listFiles().map(parquetFiles).sum
+    val before = parquetFiles(new java.io.File(path))
+    val df = spark.read.parquet(path)
+    val rows = df.count()
+    val nFiles = math.max(1, math.ceil(rows.toDouble / targetRowsPerFile).toInt)
+    // stage through a materialized copy: parquet can't read+overwrite the
+    // same path within one job
+    val staged = df.repartition(nFiles).localCheckpoint(true)
+    val writer = staged.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(path)
+    (before, parquetFiles(new java.io.File(path)))
+  }
+
+  /** Cluster a table's storage layout for pruning locality: hash-
+    * distribute by `distributeBy` (keeps each key's rows in one file)
+    * and sort WITHIN each file by `sortBy`, so parquet row-group
+    * min/max statistics become selective for range predicates on the
+    * sort columns — the poor-man's Z-order this environment's plain
+    * parquet supports, and the layout a 100 TB table needs for
+    * skip-scanning without a table format's clustering metadata.
+    */
+  def clusteredWrite(df: DataFrame, path: String, nFiles: Int,
+                     distributeBy: Seq[String], sortBy: Seq[String]): Unit =
+    df.repartition(nFiles, distributeBy.map(col): _*)
+      .sortWithinPartitions(sortBy.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
   /** Debug CSV dump (S14, movie_events_scraper.py:304). */
   def dumpCsv(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode(SaveMode.Overwrite).option("header", "true").csv(path)

@@ -111,4 +111,39 @@ class BoxOfficePipelineSpec extends SparkSpec {
     assert(desc.contains("goods_stock") && desc.contains("scraped_at_us")
       && desc.contains("<empty>"))
   }
+
+  test("compact merges many small append files and preserves all rows") {
+    import spark.implicits._
+    val path = freshRoot() + "/small_files"
+    // 12 tiny appends → at least 12 part files
+    (1 to 12).foreach { i =>
+      Seq((i.toLong, s"v$i")).toDF("id", "v")
+        .repartition(1).write.mode("append").parquet(path)
+    }
+    val beforeRows = spark.read.parquet(path).count()
+    val (before, after) = BoxOfficePipeline.compact(spark, path, targetRowsPerFile = 100)
+    assert(before >= 12 && after == 1, s"files before=$before after=$after")
+    assert(spark.read.parquet(path).count() == beforeRows)
+  }
+
+  test("clusteredWrite produces files whose sort-column ranges do not interleave") {
+    import spark.implicits._
+    val path = freshRoot() + "/clustered"
+    val df = (1L to 1000L).map(i => (i % 4, i)).toDF("k", "ts")
+    BoxOfficePipeline.clusteredWrite(df, path, nFiles = 4,
+      distributeBy = Seq("k"), sortBy = Seq("k", "ts"))
+    // within every physical file, rows must be sorted by (k, ts) — the
+    // property that makes row-group min/max stats selective
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    // hash-distribution may collide keys into the same partition (empty
+    // partitions write no file) — bound, don't pin, the count
+    assert(files.nonEmpty && files.length <= 4)
+    files.foreach { f =>
+      val rows = spark.read.parquet(f).select("k", "ts")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.sameElements(rows.sortBy(identity)), s"unsorted rows in $f")
+    }
+    assert(spark.read.parquet(path).count() == 1000)
+  }
 }
