@@ -432,12 +432,15 @@ object SparkEntry {
     // incremental ingestion dedup: fresh slice (doc_id % 5 == 0) checked
     // against the stored index of the rest + itself, via band-key probes
     "q_dedup_incremental" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val idx = Dedup.minhashIndex(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
-        "doc_id", "text", k = 5, numHashes = 16, numBands = 4)
-      val fidx = Dedup.minhashIndex(docs.filter(pmod(col("doc_id"), lit(5)) === 0),
-        "doc_id", "text", k = 5, numHashes = 16, numBands = 4)
-      Dedup.incrementalNearDups(idx, fidx, "doc_id", threshold = 0.5)
+      // ONE index pass over the corpus, split by the fresh flag — the
+      // same cost shape as reading a stored index table twice
+      val all = graft.operators.OpCache.persist(
+        Dedup.minhashIndex(t(s, dir, "documents"), "doc_id", "text",
+          k = 5, numHashes = 16, numBands = 4))
+      Dedup.incrementalNearDups(
+          all.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+          all.filter(pmod(col("doc_id"), lit(5)) === 0),
+          "doc_id", threshold = 0.5)
         .orderBy("id_fresh", "id_other")
     }),
 

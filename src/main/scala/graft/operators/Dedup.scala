@@ -315,9 +315,16 @@ object Dedup {
     * batch (small, broadcast-able) probes co-located buckets. Verification
     * joins fetch shingle arrays only for surviving candidate ids.
     */
-  def incrementalNearDups(index: DataFrame, freshIndex: DataFrame,
+  def incrementalNearDups(index0: DataFrame, freshIndex0: DataFrame,
                           idCol: String, threshold: Double): DataFrame = {
-    val fk = bandKeys(OpCache.persist(freshIndex), idCol)
+    // both inputs are referenced by the band-key join AND the verify
+    // joins: persist so an expression-backed index (built inline from
+    // text, as the oracle query does) is computed once. For the intended
+    // production shape — `index` read from its stored parquet table —
+    // the persist is just a cheap columnar cache of that scan.
+    val index = OpCache.persist(index0)
+    val freshIndex = OpCache.persist(freshIndex0)
+    val fk = bandKeys(freshIndex, idCol)
     val allTagged = bandKeys(index, idCol).withColumn("__fresh", lit(false))
       .union(fk.withColumn("__fresh", lit(true)))
     val cands = fk.alias("x").join(allTagged.alias("y"), Seq("band", "key"))
