@@ -362,19 +362,24 @@ object Dedup {
     */
   def contaminationReport(corpus: DataFrame, probe: DataFrame,
                           idCol: String, textCol: String, k: Int): DataFrame = {
-    val probeShingles = broadcast(
-      wordShingleArray(probe, idCol, textCol, k)
-        .select(explode(col("sh")).as("sh")).distinct())
-    Stage.spread(corpus)
-      .transform(wordShingleArray(_, idCol, textCol, k))
-      .select(col(idCol), explode(col("sh")).as("sh"))
-      .join(probeShingles, "sh")
+    val spark = corpus.sparkSession
+    // native ShingleHash64 on BOTH sides, joining on 64-bit hashes rather
+    // than shingle strings — same scale tuning as jaccardPairsFromText:
+    // one tight codegen'd loop per doc, 8-byte join keys (collisions
+    // negligible; the oracle gate, which compares shingle STRINGS in
+    // DuckDB, would surface one)
+    def hashes(df: DataFrame) =
+      df.select(col(idCol),
+        graft.functions.ShingleHash64(spark, TextAnalysis.tokens(col(textCol)), k).as("hs"))
+    val probeHashes = broadcast(
+      hashes(probe).select(explode(col("hs")).as("h")).distinct())
+    hashes(Stage.spread(corpus))
+      .select(col(idCol), explode(col("hs")).as("h"))
+      .join(probeHashes, "h")
       .groupBy(col(idCol))
       // plain count, not countDistinct: both join inputs are already
-      // distinct on their keys (array_distinct per doc; probe .distinct),
-      // so (doc, sh) pairs are unique and a distinct-aggregation would
-      // add a second expand/shuffle over the widest intermediate for the
-      // same number
+      // distinct on their keys (ShingleHash64 emits distinct hashes per
+      // doc; probe side is .distinct), so (doc, h) pairs are unique
       .agg(count(lit(1)).as("n_shared"))
   }
 }
