@@ -249,19 +249,47 @@ object Similarity {
     cents
   }
 
-  /** IVF top-k: exact cosine within the query's centroid cell (nProbe=1). */
+  /** IVF top-k: exact cosine within the query's `nProbe` nearest centroid
+    * cells. nProbe=1 is the fastest/lowest-recall point; raising it is
+    * the standard IVF recall lever — the candidate set grows linearly
+    * with probed cells while the corpus-side work (one cell assignment,
+    * computed once) is unchanged.
+    */
   def ivfTopK(vectors: DataFrame, queries: DataFrame, nCells: Int,
-              idCol: String, vecCol: String, k: Int): DataFrame = {
+              idCol: String, vecCol: String, k: Int, nProbe: Int = 1): DataFrame = {
     val fv = OpCache.persist(fixedVectors(Stage.spread(vectors), idCol, vecCol))
-    val assigned = ivfAssignWith(fv, vectors.filter(col(idCol) < nCells), idCol)
-    val q = queries.select(col(idCol)).join(assigned, idCol)
+    val centroids = vectors.filter(col(idCol) < nCells)
+    val assigned = OpCache.persist(ivfAssignWith(fv, centroids, idCol))
+    val q = probeCells(fv, queries.select(col(idCol).as("__qid")),
+        centroids, idCol, nProbe)
       .select(col(idCol).as("id_a"), col("centroid_id"))
     val pairs = q.join(assigned.select(col(idCol).as("id_b"), col("centroid_id")),
                        Seq("centroid_id"))
       .filter(col("id_a") =!= col("id_b"))
     pairCosine(pairs, fv)
+      // a candidate can fall in several probed cells — report it once,
+      // tagged with its OWN cell (deduped before the top-k window)
+      .withColumn("rn0", row_number().over(
+        Window.partitionBy(col("id_a"), col("id_b")).orderBy(col("centroid_id").asc)))
+      .filter(col("rn0") === 1).drop("rn0")
       .select(col("id_a").as("query_id"), col("centroid_id"),
               col("id_b").as("cand_id"), col("cos_sim"))
       .transform(topK(_, k))
+  }
+
+  /** The `nProbe` most-cosine-similar centroid cells per QUERY vector
+    * (queryIds: one `__qid` column) — only query×centroid pairs are
+    * scored; `fv` supplies both sides' vectors.
+    */
+  private def probeCells(fv: DataFrame, queryIds: DataFrame,
+                         centroids: DataFrame, idCol: String,
+                         nProbe: Int): DataFrame = {
+    val pairs = queryIds.select(col("__qid").as("id_a"))
+      .crossJoin(centroids.select(col(idCol).as("id_b")))
+    val w = Window.partitionBy(col("id_a"))
+      .orderBy(col("cos_sim").desc, col("id_b").asc)
+    pairCosine(pairs, fv)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= nProbe)
+      .select(col("id_a").as(idCol), col("id_b").as("centroid_id"))
   }
 }

@@ -50,6 +50,24 @@ class SimilaritySpec extends SparkSpec {
     assert(ann.head.getDouble(3) == 1.0)
   }
 
+  test("ivf nProbe=2 recovers cross-cell neighbors that nProbe=1 misses") {
+    import spark.implicits._
+    // centroid cells: 0=(1,0), 1=(0.6,0.8); v5 lands in cell 1, query 9 in
+    // cell 0 — its near neighbor v5 is only reachable with a second probe
+    val vecs = Seq(
+      0L -> Array(1.0f, 0.0f), 1L -> Array(0.6f, 0.8f),
+      5L -> Array(0.8f, 0.6f), 6L -> Array(1.0f, -0.1f),
+      9L -> Array(0.98f, 0.2f)).toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 9L)
+    val one = Similarity.ivfTopK(vecs, q, nCells = 2, "vec_id", "embedding", k = 4)
+      .collect().map(_.getAs[Long]("cand_id")).toSet
+    val two = Similarity.ivfTopK(vecs, q, nCells = 2, "vec_id", "embedding", k = 4, nProbe = 2)
+      .collect().map(_.getAs[Long]("cand_id")).toSet
+    assert(!one.contains(5L) && two.contains(5L), s"one=$one two=$two")
+    assert(one.subsetOf(two))
+    graft.operators.OpCache.clear()
+  }
+
   test("kmeans separates two well-separated clusters; empty cells keep centroids") {
     import spark.implicits._
     // cluster A along (1,0,0,0)-ish, cluster B along (0,0,1,1)-ish
