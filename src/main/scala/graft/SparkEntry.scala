@@ -281,6 +281,64 @@ object SparkEntry {
         .orderBy("title")
     }),
 
+    // Composed goods-event enrichment pipeline (movie_events_scraper.py
+    // get_events :307-367): F11 alias join → J6 phased title match → J4
+    // gated two-key fallback enrichment, end-to-end in one call. Event 3
+    // exercises the reference's `updated` gate: its goods-key match has
+    // a null url, and the date-key match that DOES have one must be
+    // ignored.
+    "q_pipeline_goods_enrich" -> ((s, dir) => {
+      val goods = s.sql(
+        """SELECT * FROM VALUES
+           (CAST(1 AS BIGINT), 'widget <collector event>', 'sx poster',
+            '2024-01-01', '2024-01-31', CAST(NULL AS STRING), CAST(NULL AS STRING)),
+           (CAST(2 AS BIGINT), 'gizmo <limited>', 'poster b',
+            '2024-02-01', '2024-02-28', CAST(NULL AS STRING), 'own_img2'),
+           (CAST(3 AS BIGINT), CAST(NULL AS STRING), 'u4dx label',
+            '2024-03-01', '2024-03-31', 'own_url3', CAST(NULL AS STRING)),
+           (CAST(4 AS BIGINT), 'totally unknown title', 'poster x',
+            CAST(NULL AS STRING), '2024-04-30', CAST(NULL AS STRING), CAST(NULL AS STRING))
+           AS t(event_id, movie_title, goods_name, start_date, end_date,
+                event_url, image_url)""")
+      val aliases = s.sql(
+        """SELECT * FROM VALUES ('sx poster', 'screenx poster'),
+           ('u4dx label', 'ultra 4dx label') AS t(raw, canonical)""")
+      val recent = s.sql(
+        """SELECT * FROM VALUES ('large widget'), ('old rod') AS r(movie_nm)""")
+      val movieEvents = s.sql(
+        """SELECT * FROM VALUES
+           ('large widget', 'screenx poster', '2024-01-05', '2024-01-25', 'http://m1', 'img1'),
+           ('hot gizmo', 'different goods', '2024-02-01', '2024-02-28', 'http://m2', 'img2'),
+           (CAST(NULL AS STRING), 'ultra 4dx label', '2024-03-05', '2024-03-20',
+            CAST(NULL AS STRING), 'img3'),
+           ('ultra 4dx label', 'other goods', '2024-03-01', '2024-03-31', 'http://m4', 'img4')
+           AS t(movie_title, goods_name, start_date, end_date, event_url, image_url)""")
+      graft.pipelines.BoxOfficePipeline.enrichGoodsEvents(goods, aliases, recent,
+          t(s, dir, "part").select(col("p_name").as("movie_nm")), movieEvents)
+        .select("event_id", "movie_title", "goods_name", "event_url", "image_url")
+        .orderBy("event_id")
+    }),
+
+    // J6 phased — the reference's full candidate ladder
+    // (movie_events_scraper.py:64-125): recent ∪ opening-soon first, full
+    // catalog second, raw containment third, normalized-self fallback.
+    // 'widget …' and 'rod …' prove the ORDER is semantic: their phase-1
+    // winners (large widget / old rod) differ from the catalog-best
+    // matches (hot widget / hot rod) a single-phase matcher would pick.
+    "q_j6_fuzzy_title_phased" -> ((s, dir) => {
+      val titles = s.sql(
+        """SELECT * FROM VALUES ('widget <collector event>'),
+           ('rod [premiere]'), ('gizmo <limited>'),
+           ('totally unknown title'), ('[2024] <fan event> !!') AS t(title)""")
+      val recent = s.sql(
+        """SELECT * FROM VALUES ('large widget'), ('old rod'),
+           ('blue anvil') AS r(movie_nm)""")
+      FuzzyMatch.phasedBestMatch(titles, "title", recent, "movie_nm",
+          t(s, dir, "part"), "p_name")
+        .select("title", "matched")
+        .orderBy("title")
+    }),
+
     // TPC-H Q3 shape — segment filter, 3-way join, group, top-k by revenue
     "q3_shipping_priority" -> ((s, dir) => {
       val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
@@ -389,7 +447,7 @@ object SparkEntry {
     // document fingerprinting (normalization hash) + collision count
     "q_text_fingerprint" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-        .transform(Stage.spread) // md5+regexp per row before the window shuffle
+        .transform(Stage.spreadLarge(_)) // md5+regexp per row; exchange only pays on big inputs
         .withColumn("fingerprint", TextAnalysis.fingerprint(col("text")))
       d.withColumn("n_same",
           count(lit(1)).over(Window.partitionBy(col("fingerprint"))))
@@ -439,6 +497,23 @@ object SparkEntry {
           k = 5, numHashes = 16, numBands = 4))
       Dedup.incrementalNearDups(
           all.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+          all.filter(pmod(col("doc_id"), lit(5)) === 0),
+          "doc_id", threshold = 0.5)
+        .orderBy("id_fresh", "id_other")
+    }),
+
+    // stored-index round-trip of the same incremental dedup: the corpus
+    // index is WRITTEN as (band,key)-bucketed + id-bucketed tables, then
+    // the fresh batch is served from those tables — corpus text hashed
+    // once at write time, probe join co-located against the bucketed scan
+    "q_dedup_incremental_stored" -> ((s, dir) => {
+      val all = graft.operators.OpCache.persist(
+        Dedup.minhashIndex(t(s, dir, "documents"), "doc_id", "text",
+          k = 5, numHashes = 16, numBands = 4))
+      Dedup.writeIndexTables(all.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+        "doc_id", "graft_dedup_idx_bands", "graft_dedup_idx_docs", nBuckets = 8)
+      Dedup.incrementalNearDupsStored(s,
+          "graft_dedup_idx_bands", "graft_dedup_idx_docs",
           all.filter(pmod(col("doc_id"), lit(5)) === 0),
           "doc_id", threshold = 0.5)
         .orderBy("id_fresh", "id_other")
@@ -721,6 +796,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // sharded token-budget packing — the 100 TB form: cumsum windows run
+    // PER SHARD (here: language), so no single reducer sees the corpus
+    "q_text_packing_sharded" -> ((s, dir) => {
+      TextAnalysis.packByTokenBudget(t(s, dir, "documents"), "doc_id", "text",
+          budget = 2000L, extraParts = Seq("lang"))
+        .select("doc_id", "lang", "n_tokens", "bin_id")
+        .orderBy("doc_id")
+    }),
+
     // weighted training mix: 200 docs at en/es/fr/de = 5/2/2/1 (zh
     // excluded), deterministic md5-ordered picks per language
     "q_sample_mix" -> ((s, dir) => {
@@ -830,6 +914,32 @@ object SparkEntry {
                                    WHEN 2 THEN md5(s8 || s9 || s10 || s11)
                                    ELSE md5(s12 || s13 || s14 || s15) END AS key
                      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b))"""
+
+  /** Incremental-dedup oracle, shared verbatim by the inline-index and
+    * stored-index queries — both must produce the identical result.
+    */
+  private lazy val IncrementalDedupOracle: String =
+    s"""$MinhashBkCte,
+              candAll AS (SELECT DISTINCT a.doc_id AS x, c.doc_id AS y
+                          FROM bk a JOIN bk c ON a.b = c.b AND a.key = c.key
+                                             AND a.doc_id <> c.doc_id),
+              orient AS (SELECT DISTINCT
+                                CASE WHEN x % 5 = 0 AND y % 5 = 0
+                                     THEN LEAST(x, y) ELSE x END AS id_fresh,
+                                CASE WHEN x % 5 = 0 AND y % 5 = 0
+                                     THEN GREATEST(x, y) ELSE y END AS id_other
+                         FROM candAll WHERE x % 5 = 0),
+              cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+              shr AS (SELECT id_fresh, id_other, COUNT(*) AS shared
+                      FROM orient
+                      JOIN sh sa ON sa.doc_id = id_fresh
+                      JOIN sh sb ON sb.doc_id = id_other AND sb.s = sa.s
+                      GROUP BY 1, 2)
+         SELECT id_fresh, id_other,
+                CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) AS jaccard
+         FROM shr JOIN cnt ca ON ca.doc_id = id_fresh JOIN cnt cb ON cb.doc_id = id_other
+         WHERE CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) >= 0.5
+         ORDER BY id_fresh, id_other"""
 
   /** Shared candidate CTE for the simhash-pair oracles (RECURSIVE is
     * harmless when unused and required by the clusters oracle).
@@ -1029,6 +1139,125 @@ object SparkEntry {
          SELECT title, COALESCE(p_name, title) AS matched
          FROM r WHERE rn = 1 ORDER BY title""",
 
+    "q_pipeline_goods_enrich" ->
+      """WITH goods(event_id, movie_title, goods_name, start_date, end_date, event_url, image_url) AS (
+              VALUES (CAST(1 AS BIGINT), 'widget <collector event>', 'sx poster',
+                      '2024-01-01', '2024-01-31', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+                     (CAST(2 AS BIGINT), 'gizmo <limited>', 'poster b',
+                      '2024-02-01', '2024-02-28', NULL, 'own_img2'),
+                     (CAST(3 AS BIGINT), CAST(NULL AS VARCHAR), 'u4dx label',
+                      '2024-03-01', '2024-03-31', 'own_url3', NULL),
+                     (CAST(4 AS BIGINT), 'totally unknown title', 'poster x',
+                      CAST(NULL AS VARCHAR), '2024-04-30', NULL, NULL)),
+              al(raw, canonical) AS (VALUES ('sx poster', 'screenx poster'),
+                                            ('u4dx label', 'ultra 4dx label')),
+              rec(movie_nm) AS (VALUES ('large widget'), ('old rod')),
+              me(movie_title, goods_name, start_date, end_date, event_url, image_url) AS (
+              VALUES ('large widget', 'screenx poster', '2024-01-05', '2024-01-25', 'http://m1', 'img1'),
+                     ('hot gizmo', 'different goods', '2024-02-01', '2024-02-28', 'http://m2', 'img2'),
+                     (CAST(NULL AS VARCHAR), 'ultra 4dx label', '2024-03-05', '2024-03-20',
+                      CAST(NULL AS VARCHAR), 'img3'),
+                     ('ultra 4dx label', 'other goods', '2024-03-01', '2024-03-31', 'http://m4', 'img4')),
+              g1 AS (SELECT event_id, movie_title, COALESCE(canonical, goods_name) AS goods_name,
+                            start_date, end_date, event_url, image_url
+                     FROM goods LEFT JOIN al ON goods_name = raw),
+              n AS (SELECT DISTINCT movie_title AS title FROM g1 WHERE movie_title IS NOT NULL),
+              nn AS (SELECT title,
+                            trim(regexp_replace(regexp_replace(regexp_replace(title,
+                                 '[<\[].*?[>\]]', ' ', 'g'),
+                                 '[^가-힣a-zA-Z0-9\s]', '', 'g'),
+                                 '\s+', ' ', 'g')) AS qn
+                     FROM n),
+              nq AS (SELECT title, qn,
+                            replace(replace(replace(qn, ' ', ''), ':', ''), '_', '') AS qc
+                     FROM nn),
+              cat AS (SELECT DISTINCT p_name AS cand FROM part),
+              tagged AS (SELECT cand, 1 AS phase FROM (SELECT DISTINCT movie_nm AS cand FROM rec)
+                         UNION ALL SELECT cand, 2 FROM cat
+                         UNION ALL SELECT cand, 3 FROM cat),
+              c AS (SELECT cand, phase,
+                           replace(replace(replace(cand, ' ', ''), ':', ''), '_', '') AS cc
+                    FROM tagged
+                    WHERE length(replace(replace(replace(cand, ' ', ''), ':', ''), '_', '')) > 0),
+              mj AS (SELECT nq.title, nq.qn, nq.qc, c.cand, c.phase, c.cc
+                     FROM nq LEFT JOIN c
+                       ON (c.phase <= 2 AND length(nq.qc) > 0 AND contains(c.cc, nq.qc))
+                       OR (c.phase = 3 AND length(nq.qn) > 0 AND contains(c.cand, nq.qn))),
+              mr AS (SELECT title, qn, cand,
+                            ROW_NUMBER() OVER (PARTITION BY title ORDER BY phase,
+                              CASE WHEN phase <= 2 THEN length(cc) - length(qc)
+                                   ELSE length(cand) END,
+                              length(cand), cand) AS rn
+                     FROM mj),
+              mt AS (SELECT title, CASE WHEN length(qn) = 0 THEN ''
+                                        ELSE COALESCE(cand, qn) END AS matched
+                     FROM mr WHERE rn = 1),
+              g2 AS (SELECT event_id, mt.matched AS movie_title, goods_name,
+                            start_date, end_date, event_url, image_url
+                     FROM g1 LEFT JOIN mt ON g1.movie_title = mt.title),
+              idg AS (SELECT *, CASE WHEN movie_title IS NOT NULL AND length(movie_title) > 0
+                                     THEN movie_title ELSE goods_name END AS ident FROM g2),
+              mei AS (SELECT *, CASE WHEN movie_title IS NOT NULL AND length(movie_title) > 0
+                                     THEN movie_title ELSE goods_name END AS ident FROM me),
+              bg AS (SELECT ident, goods_name, event_url AS ev1, image_url AS img1,
+                            ROW_NUMBER() OVER (PARTITION BY ident, goods_name
+                              ORDER BY event_url DESC NULLS LAST, image_url DESC NULLS LAST) AS rn
+                     FROM mei WHERE ident IS NOT NULL AND goods_name IS NOT NULL),
+              bd AS (SELECT ident, start_date, end_date, event_url AS ev2, image_url AS img2,
+                            ROW_NUMBER() OVER (PARTITION BY ident, start_date, end_date
+                              ORDER BY event_url DESC NULLS LAST, image_url DESC NULLS LAST) AS rn
+                     FROM mei WHERE ident IS NOT NULL AND start_date IS NOT NULL
+                                AND end_date IS NOT NULL),
+              j AS (SELECT g.event_id, g.movie_title, g.goods_name,
+                           g.event_url AS own_url, g.image_url AS own_img,
+                           bg.ev1, bg.img1, (bg.ident IS NOT NULL) AS hit1, bd.ev2, bd.img2
+                    FROM idg g
+                    LEFT JOIN (SELECT * FROM bg WHERE rn = 1) bg
+                      ON g.ident = bg.ident AND g.goods_name = bg.goods_name
+                    LEFT JOIN (SELECT * FROM bd WHERE rn = 1) bd
+                      ON g.ident = bd.ident AND g.start_date = bd.start_date
+                         AND g.end_date = bd.end_date)
+         SELECT event_id, movie_title, goods_name,
+                CASE WHEN hit1 THEN COALESCE(ev1, own_url) ELSE COALESCE(ev2, own_url) END AS event_url,
+                CASE WHEN hit1 THEN COALESCE(own_img, img1) ELSE COALESCE(own_img, img2) END AS image_url
+         FROM j ORDER BY event_id""",
+
+    "q_j6_fuzzy_title_phased" ->
+      """WITH q(title) AS (VALUES ('widget <collector event>'),
+                                  ('rod [premiere]'), ('gizmo <limited>'),
+                                  ('totally unknown title'), ('[2024] <fan event> !!')),
+              rec(movie_nm) AS (VALUES ('large widget'), ('old rod'), ('blue anvil')),
+              n AS (SELECT title,
+                           trim(regexp_replace(regexp_replace(regexp_replace(title,
+                                '[<\[].*?[>\]]', ' ', 'g'),
+                                '[^가-힣a-zA-Z0-9\s]', '', 'g'),
+                                '\s+', ' ', 'g')) AS qn
+                    FROM q),
+              nq AS (SELECT title, qn,
+                            replace(replace(replace(qn, ' ', ''), ':', ''), '_', '') AS qc
+                     FROM n),
+              cat AS (SELECT DISTINCT p_name AS cand FROM part),
+              tagged AS (SELECT cand, 1 AS phase FROM (SELECT DISTINCT movie_nm AS cand FROM rec)
+                         UNION ALL SELECT cand, 2 FROM cat
+                         UNION ALL SELECT cand, 3 FROM cat),
+              c AS (SELECT cand, phase,
+                           replace(replace(replace(cand, ' ', ''), ':', ''), '_', '') AS cc
+                    FROM tagged
+                    WHERE length(replace(replace(replace(cand, ' ', ''), ':', ''), '_', '')) > 0),
+              j AS (SELECT nq.title, nq.qn, nq.qc, c.cand, c.phase, c.cc
+                    FROM nq LEFT JOIN c
+                      ON (c.phase <= 2 AND length(nq.qc) > 0 AND contains(c.cc, nq.qc))
+                      OR (c.phase = 3 AND length(nq.qn) > 0 AND contains(c.cand, nq.qn))),
+              r AS (SELECT title, qn, cand,
+                           ROW_NUMBER() OVER (PARTITION BY title ORDER BY phase,
+                             CASE WHEN phase <= 2 THEN length(cc) - length(qc)
+                                  ELSE length(cand) END,
+                             length(cand), cand) AS rn
+                    FROM j)
+         SELECT title, CASE WHEN length(qn) = 0 THEN ''
+                            ELSE COALESCE(cand, qn) END AS matched
+         FROM r WHERE rn = 1 ORDER BY title""",
+
     "q3_shipping_priority" ->
       """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_date, o_orderpriority,
                 CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
@@ -1222,28 +1451,11 @@ object SparkEntry {
          WHERE CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) >= 0.5
          ORDER BY id_a, id_b""",
 
-    "q_dedup_incremental" ->
-      s"""$MinhashBkCte,
-              candAll AS (SELECT DISTINCT a.doc_id AS x, c.doc_id AS y
-                          FROM bk a JOIN bk c ON a.b = c.b AND a.key = c.key
-                                             AND a.doc_id <> c.doc_id),
-              orient AS (SELECT DISTINCT
-                                CASE WHEN x % 5 = 0 AND y % 5 = 0
-                                     THEN LEAST(x, y) ELSE x END AS id_fresh,
-                                CASE WHEN x % 5 = 0 AND y % 5 = 0
-                                     THEN GREATEST(x, y) ELSE y END AS id_other
-                         FROM candAll WHERE x % 5 = 0),
-              cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-              shr AS (SELECT id_fresh, id_other, COUNT(*) AS shared
-                      FROM orient
-                      JOIN sh sa ON sa.doc_id = id_fresh
-                      JOIN sh sb ON sb.doc_id = id_other AND sb.s = sa.s
-                      GROUP BY 1, 2)
-         SELECT id_fresh, id_other,
-                CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) AS jaccard
-         FROM shr JOIN cnt ca ON ca.doc_id = id_fresh JOIN cnt cb ON cb.doc_id = id_other
-         WHERE CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) >= 0.5
-         ORDER BY id_fresh, id_other""",
+    "q_dedup_incremental" -> IncrementalDedupOracle,
+
+    // same contract as q_dedup_incremental: the stored-table round-trip
+    // must be result-invisible — only the physical serving shape changes
+    "q_dedup_incremental_stored" -> IncrementalDedupOracle,
 
     "q_sim_cosine_topk" ->
       """WITH ser AS (SELECT unnest(generate_series(1, 64)) AS i),
@@ -1556,7 +1768,7 @@ object SparkEntry {
                        FROM documents),
               tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
               idf AS (SELECT term,
-                             ln((CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) + 1.0)
+                             ln((CAST((SELECT COUNT(DISTINCT doc_id) FROM tf) AS DOUBLE) + 1.0)
                                 / (CAST(COUNT(*) AS DOUBLE) + 1.0)) AS idf
                       FROM tf GROUP BY term),
               scored AS (SELECT tf.doc_id, tf.term, round(tf.tf * idf.idf, 6) AS score,
@@ -1604,6 +1816,18 @@ object SparkEntry {
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
                     FROM t)
          SELECT doc_id, n_tokens, CAST((cum - n_tokens) // 2000 AS BIGINT) AS bin_id
+         FROM c ORDER BY doc_id""",
+
+    "q_text_packing_sharded" ->
+      """WITH t AS (SELECT doc_id, lang,
+                           CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+                    FROM documents),
+              c AS (SELECT doc_id, lang, n_tokens,
+                           SUM(n_tokens) OVER (PARTITION BY lang
+                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                    FROM t)
+         SELECT doc_id, lang, n_tokens, CAST((cum - n_tokens) // 2000 AS BIGINT) AS bin_id
          FROM c ORDER BY doc_id""",
 
     "q_sample_mix" ->

@@ -61,6 +61,14 @@ object DotFixedPoint {
     * truncation would quietly change similarity scores (round-1 review
     * lesson from the zip_with null-padding hazard).
     */
+  /** Elements must stay below 2³⁴ in magnitude (≈16 in float terms at the
+    * ×10⁹ scale) — past that the decomposed products themselves can wrap.
+    * The function is injected into the open SQL surface, so the contract
+    * is enforced, not just documented (same reasoning as SimhashAgg's
+    * runtime guards).
+    */
+  private final val MaxAbs = 1L << 34
+
   def dot(a: ArrayData, b: ArrayData): Decimal = {
     val n = a.numElements()
     if (n != b.numElements())
@@ -72,8 +80,15 @@ object DotFixedPoint {
     while (i < n) {
       val av = a.getLong(i)
       val bv = b.getLong(i)
-      sh += av * (bv / 1048576L)
-      sl += av * (bv % 1048576L)
+      if (av <= -MaxAbs || av >= MaxAbs || bv <= -MaxAbs || bv >= MaxAbs)
+        throw new IllegalArgumentException(
+          s"dot_fixed_point: |element| must be < 2^34 (≈16.0 at fixed-point scale), " +
+            s"got $av · $bv at index $i")
+      // products are bounded (< 2^48 and 2^54) by the element guard; only
+      // the accumulators can still overflow on very long vectors — addExact
+      // turns that into a loud ArithmeticException instead of a wrong answer
+      sh = Math.addExact(sh, av * (bv / 1048576L))
+      sl = Math.addExact(sl, av * (bv % 1048576L))
       i += 1
     }
     val unscaled = java.math.BigInteger.valueOf(sh).shiftLeft(20)

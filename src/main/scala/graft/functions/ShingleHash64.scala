@@ -31,6 +31,11 @@ import org.apache.spark.unsafe.types.UTF8String
 case class ShingleHash64(child: Expression, k: Int)
     extends UnaryExpression {
 
+  // k < 1 would drive the byte-assembly loop with a negative length and
+  // hash garbage instead of failing — reject at construction so the SQL
+  // surface (shingle_hash64(tokens, 0)) errors at analysis time.
+  require(k >= 1, s"shingle_hash64: k must be >= 1, got $k")
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hash64"
 
@@ -104,7 +109,9 @@ object ShingleHash64 {
     if (!kExpr.foldable)
       throw new IllegalArgumentException(s"$FnName: k must be an integer literal, got ${kExpr.sql}")
     kExpr.eval() match {
-      case n: Number => ShingleHash64(exprs.head, n.intValue())
+      case n: Number if n.intValue() >= 1 => ShingleHash64(exprs.head, n.intValue())
+      case n: Number => throw new IllegalArgumentException(
+        s"$FnName: k must be >= 1, got ${n.intValue()}")
       case other => throw new IllegalArgumentException(
         s"$FnName: k must be an integer literal, got ${if (other == null) "NULL" else other}")
     }

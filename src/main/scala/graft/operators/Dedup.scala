@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operator pack — exact, n-gram Jaccard, MinHash+LSH.
@@ -340,6 +340,69 @@ object Dedup {
       .join(index.union(freshIndex)
               .select(col(idCol).as("id_other"), col("n").as("n_b"),
                       col("sh").as("sh_b")), "id_other")
+      .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("shared").cast("double")
+          / (col("n_a") + col("n_b") - col("shared")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_fresh", "id_other", "jaccard")
+  }
+
+  /** Persist a [[minhashIndex]] as the two stored tables the incremental
+    * path probes — the promised SCALE.md shape, now actually exercised:
+    *
+    *   - `bandTable`: the exploded (id, band, key) rows, BUCKETED and
+    *     sorted by (band, key) — a fresh batch's candidate probe becomes
+    *     a co-located join where the corpus-sized side is never
+    *     re-shuffled (its bucketing IS the join distribution);
+    *   - `docTable`: the narrow (id, n, sh) verify rows, bucketed by id
+    *     so the post-candidate shingle fetch co-locates the same way.
+    *
+    * Corpus text is hashed exactly once, at index-build time; every
+    * later ingestion batch reads only these two tables.
+    */
+  def writeIndexTables(index: DataFrame, idCol: String,
+                       bandTable: String, docTable: String,
+                       nBuckets: Int): Unit = {
+    bandKeys(index, idCol).write.mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, "band", "key").sortBy("band", "key")
+      .saveAsTable(bandTable)
+    index.select(col(idCol), col("n"), col("sh")).write.mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, idCol).sortBy(idCol)
+      .saveAsTable(docTable)
+  }
+
+  /** [[incrementalNearDups]] served from the STORED index tables written
+    * by [[writeIndexTables]]: same output contract, but the corpus side
+    * comes straight off its bucketed scans — no text re-read, no
+    * re-hashing, no corpus-side exchange in the probe join (only the
+    * small fresh batch redistributes to the bucket layout).
+    */
+  def incrementalNearDupsStored(spark: org.apache.spark.sql.SparkSession,
+                                bandTable: String, docTable: String,
+                                freshIndex0: DataFrame, idCol: String,
+                                threshold: Double): DataFrame = {
+    val freshIndex = OpCache.persist(freshIndex0)
+    val fk = bandKeys(freshIndex, idCol)
+    // two probe joins instead of one union-then-join: a union would wipe
+    // the stored side's bucketing and force the corpus rows through an
+    // exchange again
+    val vsStored = fk.alias("x")
+      .join(spark.table(bandTable).alias("y"), Seq("band", "key"))
+      .select(col(s"x.$idCol").as("id_fresh"), col(s"y.$idCol").as("id_other"))
+      .filter(col("id_fresh") =!= col("id_other"))
+    val vsFresh = fk.alias("x").join(fk.alias("y"), Seq("band", "key"))
+      .select(col(s"x.$idCol").as("id_fresh"), col(s"y.$idCol").as("id_other"))
+      .filter(col("id_fresh") < col("id_other"))
+    val cands = vsStored.union(vsFresh).distinct()
+    val others = spark.table(docTable)
+      .select(col(idCol).as("id_other"), col("n").as("n_b"), col("sh").as("sh_b"))
+      .union(freshIndex.select(col(idCol).as("id_other"), col("n").as("n_b"),
+        col("sh").as("sh_b")))
+    cands
+      .join(freshIndex.select(col(idCol).as("id_fresh"), col("n").as("n_a"),
+                              col("sh").as("sh_a")), "id_fresh")
+      .join(others, "id_other")
       .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         col("shared").cast("double")

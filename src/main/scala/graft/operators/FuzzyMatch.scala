@@ -18,6 +18,14 @@ import org.apache.spark.sql.functions._
   * dimension (movie catalog ≈ 10³ rows), so the fact side streams through
   * a BroadcastNestedLoopJoin without shuffling — at 100 TB the scan stays
   * embarrassingly parallel and the window partitions by the query key.
+  *
+  * Determinism under retry (round-2 ADVICE): neither operator stamps
+  * `monotonically_increasing_id` — duplicate query rows are collapsed
+  * with a count, each DISTINCT row matched once, and multiplicity
+  * re-expanded afterwards. A speculative / retried task recomputes the
+  * identical frame, and hot repeated titles are matched once instead of
+  * once per occurrence. (Requires the query frame's columns to be
+  * groupable — true for the string-typed feeds this serves.)
   */
 object FuzzyMatch {
 
@@ -32,8 +40,21 @@ object FuzzyMatch {
   /** Separator removal before containment (movie_events_scraper.py:86). */
   def stripSeparators(c: Column): Column = translate(c, " :_", "")
 
-  /** For each row of `queries`, the best containment match from
-    * `candidates` (or the original string when nothing matches).
+  /** Collapse duplicate query rows to (distinct row, multiplicity). */
+  private def collapsed(queries: DataFrame): DataFrame =
+    queries.groupBy(queries.columns.map(col): _*)
+      .agg(count(lit(1)).cast("int").as("__dup"))
+
+  /** Re-expand multiplicity collapsed by [[collapsed]] and drop helpers. */
+  private def expanded(df: DataFrame, helpers: String*): DataFrame =
+    df.withColumn("__rep", explode(array_repeat(lit(1), col("__dup"))))
+      .drop("__dup" +: "__rep" +: helpers: _*)
+
+  /** For each row of `queries`, the best candidate from `candidates` that
+    * the QUERY CONTAINS after separator-stripping (or the original string
+    * when nothing matches) — the "extract the known catalog name from a
+    * longer messy string" direction; [[phasedBestMatch]] is the
+    * reference-exact opposite direction with its phase ladder.
     * Deterministic: score = |len(cand_clean) − len(query_clean)|, ties by
     * shorter then lexicographically smaller candidate (SURVEY §7.5 makes
     * the reference's first-in-candidate-order pick deterministic).
@@ -41,10 +62,7 @@ object FuzzyMatch {
   def bestMatch(queries: DataFrame, qCol: String,
                 candidates: DataFrame, candCol: String): DataFrame = {
     val spark = queries.sparkSession
-    // per-row id so duplicate query values each keep their own output row
-    // (the window below partitions by this id, not the query value)
-    val q = queries
-      .withColumn("__qid", monotonically_increasing_id())
+    val q = collapsed(queries)
       .withColumn("__qc", stripSeparators(normalizeTitle(col(qCol))))
     val cand = candidates
       .select(col(candCol))
@@ -57,13 +75,76 @@ object FuzzyMatch {
     val joined = q.join(broadcast(cand),
       graft.functions.ContainsIgnoringSeparators(spark, col("__qc"), col("__cc")),
       "left")
-    val w = Window.partitionBy(col("__qid")).orderBy(
+    // partitioned by the (distinct) query row itself: same keys as the
+    // groupBy in collapsed(), so the exchange is reused, not repeated
+    val w = Window.partitionBy(queries.columns.map(col): _*).orderBy(
       abs(length(col("__cc")) - length(col("__qc"))).asc,
       length(col(candCol)).asc,
       col(candCol).asc)
-    joined.withColumn("__rn", row_number().over(w))
+    val best = joined.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .withColumn("matched", coalesce(col(candCol), col(qCol)))
-      .drop("__qid", "__qc", "__cc", "__rn", candCol)
+    expanded(best, "__qc", "__cc", "__rn", candCol)
+  }
+
+  /** Reference-exact phased matcher (movie_events_scraper.py:64-125):
+    *
+    *   phase 1 — candidates = recent box-office ∪ opening-soon names
+    *             (`recentNames`); stripped-containment
+    *             `query_clean ⊆ cand_clean`, best = min
+    *             (len(cand_clean) − len(query_clean));
+    *   phase 2 — same match against the FULL catalog;
+    *   phase 3 — raw containment of the normalized (still-spaced) title
+    *             in the RAW catalog name, shortest candidate wins;
+    *   phase 4 — no match anywhere → the normalized title itself
+    *             (empty-normalizing inputs yield "", ref :66).
+    *
+    * The phase ORDER is semantic: a recent-title hit beats a closer
+    * full-catalog hit (ref picks phase 1's best before ever consulting
+    * the catalog). Phase 3 is provably subsumed by phase 2 (separator
+    * stripping maps a contiguous raw match to a contiguous stripped
+    * match) but is kept for line-by-line parity and as a guard if the
+    * stripped predicate ever diverges.
+    *
+    * Shape: ONE broadcast theta-join against the phase-tagged union of
+    * candidate sets + ONE row_number window ordered (phase, score,
+    * shortest, name) — not three sequential join+coalesce passes, so the
+    * fact side is scanned once and never shuffled beyond the final
+    * per-query pick.
+    */
+  def phasedBestMatch(queries: DataFrame, qCol: String,
+                      recentNames: DataFrame, recentCol: String,
+                      catalog: DataFrame, catalogCol: String): DataFrame = {
+    val spark = queries.sparkSession
+    val q = collapsed(queries)
+      .withColumn("__qn", normalizeTitle(col(qCol)))
+      .withColumn("__qc", stripSeparators(col("__qn")))
+    val cat = catalog.select(col(catalogCol).as("__cand")).distinct()
+    val cands = recentNames.select(col(recentCol).as("__cand")).distinct()
+      .withColumn("__phase", lit(1))
+      .unionByName(cat.withColumn("__phase", lit(2)))
+      .unionByName(cat.withColumn("__phase", lit(3)))
+      .withColumn("__cc", stripSeparators(col("__cand")))
+      .filter(length(col("__cc")) > 0)
+    // phases 1-2: stripped candidate CONTAINS stripped query (the
+    // reference's `clean_input in cleaned_movie`); phase 3: raw candidate
+    // contains the normalized, still-spaced title
+    val cond =
+      (col("__phase") <= 2 && length(col("__qc")) > 0 &&
+        graft.functions.ContainsIgnoringSeparators(spark, col("__cc"), col("__qc"))) ||
+      (col("__phase") === 3 && length(col("__qn")) > 0 &&
+        col("__cand").contains(col("__qn")))
+    val joined = q.join(broadcast(cands), cond, "left")
+    val score = when(col("__phase") <= 2, length(col("__cc")) - length(col("__qc")))
+      .otherwise(length(col("__cand")))
+    val w = Window.partitionBy(queries.columns.map(col): _*).orderBy(
+      col("__phase").asc_nulls_last, score.asc, length(col("__cand")).asc,
+      col("__cand").asc)
+    val best = joined.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .withColumn("matched",
+        when(length(col("__qn")) === 0, lit(""))
+          .otherwise(coalesce(col("__cand"), col("__qn"))))
+    expanded(best, "__qn", "__qc", "__cc", "__rn", "__phase", "__cand")
   }
 }

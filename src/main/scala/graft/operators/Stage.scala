@@ -21,4 +21,24 @@ object Stage {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
+
+  /** [[spread]] gated on input SIZE, for CHEAP per-row stages (pure
+    * regexp / split / md5 single-pass chains). For those, the exchange
+    * only pays for itself when a single partition would otherwise scan a
+    * large unsplittable input; on a small input the exchange costs more
+    * than the work it parallelizes (round-2 bench: +0.2–0.3 s on every
+    * cheap text query at sf0.1). Heavy per-row stages (shingle hashing,
+    * fixed-point conversion) keep unconditional [[spread]] — their
+    * per-row cost dominates any exchange even on small inputs.
+    *
+    * The size estimate is Catalyst's plan statistic (actual file size
+    * for file scans, Long.Max when unknown — unknown therefore spreads,
+    * the safe side). Threshold: `minBytesPerCore` of useful work per
+    * core, i.e. an input smaller than cores × 8 MB stays put.
+    */
+  def spreadLarge(df: DataFrame, minBytesPerCore: Long = 8L << 20): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est > BigInt(target) * minBytesPerCore) spread(df) else df
+  }
 }

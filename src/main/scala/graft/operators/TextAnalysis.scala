@@ -17,7 +17,7 @@ object TextAnalysis {
 
   /** Type–token stats: token count, distinct count, type-token ratio. */
   def withTokenStats(df: DataFrame, textCol: String): DataFrame =
-    Stage.spread(df).withColumn("__toks", tokens(col(textCol)))
+    Stage.spreadLarge(df).withColumn("__toks", tokens(col(textCol)))
       .withColumn("n_tokens", size(col("__toks")))
       .withColumn("n_unique", size(array_distinct(col("__toks"))))
       .withColumn("ttr",
@@ -32,7 +32,7 @@ object TextAnalysis {
     * double arithmetic (fixed operation order) is reproduced in oracles.
     */
   def withQuality(df0: DataFrame, textCol: String): DataFrame = {
-    val df = Stage.spread(df0)
+    val df = Stage.spreadLarge(df0)
     val stopArr = array(EnStopwords.map(lit): _*)
     df.withColumn("__toks", tokens(col(textCol)))
       .withColumn("n_tokens", size(col("__toks")))
@@ -61,7 +61,7 @@ object TextAnalysis {
 
   def withLangId(df: DataFrame, textCol: String): DataFrame = {
     val withHits = LangStopwords.foldLeft(
-      Stage.spread(df).withColumn("__toks", tokens(col(textCol)))) { case (d, (lang, words)) =>
+      Stage.spreadLarge(df).withColumn("__toks", tokens(col(textCol)))) { case (d, (lang, words)) =>
       val arr = array(words.map(lit): _*)
       d.withColumn(s"${lang}_hits",
         size(filter(col("__toks"), x => array_contains(arr, x))))
@@ -142,7 +142,6 @@ object TextAnalysis {
   def tfidfTop1(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val corpus = Stage.spread(df)
-    val n = corpus.count() // one scalar job; the value is folded into idf as a literal
     // repartition by doc BEFORE the (doc, term) aggregation: hash(doc)
     // satisfies ClusteredDistribution(doc, term) for the agg AND the
     // argmax window's doc partitioning — the wide exploded data shuffles
@@ -153,6 +152,11 @@ object TextAnalysis {
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .repartition(col(idCol))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf")))
+    // N for the idf comes from the PERSISTED narrow table, not a second
+    // full corpus scan (round-2 verdict). Tokenless docs carry no terms
+    // and no output row either way, so "docs with ≥1 term" is the
+    // consistent N — the oracle defines it identically.
+    val n = termFreq.agg(countDistinct(col(idCol))).head().getLong(0)
     val docFreq = termFreq.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
       .withColumn("idf", log((lit(n) + 1.0) / (col("df") + lit(1.0))))
@@ -243,7 +247,7 @@ object TextAnalysis {
     * one hash aggregation — linear in corpus size, no pairwise work.
     */
   def withSimhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    Stage.spread(df).select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    Stage.spreadLarge(df).select(col(idCol), explode(tokens(col(textCol))).as("tok"))
       .groupBy(col(idCol))
       .agg(graft.functions.SimhashAgg(df.sparkSession, md5(col("tok"))).as("simhash"))
 

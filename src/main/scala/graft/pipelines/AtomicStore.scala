@@ -1,0 +1,81 @@
+package graft.pipelines
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Crash-safe overwrite for plain-parquet store tables.
+  *
+  * Plain parquet has no transaction log, and `mode(Overwrite)` on the
+  * live path is delete-then-write: a crash mid-write loses the WHOLE
+  * table (round-2 review finding on the upsert sinks). This helper
+  * restores the classic durability shape a MERGE-capable table format
+  * would give for free:
+  *
+  *   1. write the new contents to `{path}.staging` (durable storage,
+  *      NOT a localCheckpoint — executor loss cannot lose the data);
+  *   2. rename live → `{path}.old`, staging → live (two metadata-only
+  *      renames, no data copy);
+  *   3. drop `{path}.old`.
+  *
+  * Failure at any step leaves a complete copy of the table on disk:
+  * before step 2 the live path is untouched; between the renames the
+  * finished staging copy exists; [[recover]] rolls the store forward
+  * (prefer staging — it is the completed newer merge) and is idempotent,
+  * so a restarted job just calls it before reading.
+  */
+object AtomicStore {
+
+  /** Atomically replace the table at `path` with `df`. Optional
+    * `partitionByCols` preserves a partitioned layout through the swap.
+    */
+  def overwrite(df: DataFrame, path: String,
+                partitionByCols: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = stagingOf(target)
+    val old = oldOf(target)
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionByCols.nonEmpty) w.partitionBy(partitionByCols: _*) else w)
+      .parquet(staging.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(target) && !fs.rename(target, old))
+      throw new java.io.IOException(s"AtomicStore: could not retire $target")
+    if (!fs.rename(staging, target))
+      throw new java.io.IOException(s"AtomicStore: could not promote $staging")
+    fs.delete(old, true)
+  }
+
+  /** Roll an interrupted swap forward. Idempotent; call before reading a
+    * store that an unclean shutdown may have left mid-swap. Returns true
+    * when something was repaired.
+    */
+  def recover(spark: SparkSession, path: String): Boolean = {
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = stagingOf(target)
+    val old = oldOf(target)
+    if (!fs.exists(target) && fs.exists(staging)) {
+      // crashed between the renames: the staging copy is the completed merge
+      if (!fs.rename(staging, target))
+        throw new java.io.IOException(s"AtomicStore: recovery rename failed for $staging")
+      fs.delete(old, true)
+      true
+    } else if (!fs.exists(target) && fs.exists(old)) {
+      // crashed after retiring live but staging also gone (partial write
+      // cleaned up): fall back to the previous generation
+      if (!fs.rename(old, target))
+        throw new java.io.IOException(s"AtomicStore: recovery rename failed for $old")
+      true
+    } else {
+      // normal state (or mid-staging crash: live copy still intact) —
+      // just clear leftovers
+      val hadLeftovers = fs.exists(staging) || fs.exists(old)
+      if (fs.exists(target)) { fs.delete(staging, true); fs.delete(old, true) }
+      fs.exists(target) && hadLeftovers
+    }
+  }
+
+  private def stagingOf(p: Path) = new Path(p.getParent, p.getName + ".staging")
+  private def oldOf(p: Path) = new Path(p.getParent, p.getName + ".old")
+}

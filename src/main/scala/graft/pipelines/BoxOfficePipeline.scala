@@ -72,12 +72,15 @@ object BoxOfficePipeline {
     */
   def upsertMovies(spark: SparkSession, root: String, fresh: DataFrame): Long = {
     val path = s"$root/movie"
+    AtomicStore.recover(spark, path) // roll forward a swap a crash interrupted
     val store = readOrEmpty(spark, path, fresh)
     val merged = Upsert.upsert(store, fresh, Seq("movie_cd"), lit(0))
     val out = merged.cache()
     val n = out.count()
-    out.write.mode(SaveMode.Overwrite).parquet(path + "_tmp")
-    spark.read.parquet(path + "_tmp").write.mode(SaveMode.Overwrite).parquet(path)
+    // durable staging + rename swap: a crash anywhere leaves a complete
+    // copy on disk (never the delete-then-write hole of a live overwrite)
+    AtomicStore.overwrite(out, path)
+    out.unpersist()
     n
   }
 
@@ -96,6 +99,107 @@ object BoxOfficePipeline {
       spark.read.parquet(s"$root/goods_stock"),
       Seq("event_id", "theater_name"),
       Seq(col("scraped_at_us").desc))
+
+  /** Composed goods-event enrichment — the full chain a scraper batch
+    * passes through before the upsert sink, mirroring
+    * movie_events_scraper.py `get_events` (:307-367) with its alias map
+    * (:151-188) and title ladder (:56-127):
+    *
+    *   1. F11 — goods-name alias normalization: broadcast (raw,
+    *      canonical) join, unmapped names pass through;
+    *   2. J6 — phased movie-title match: recent ∪ opening-soon first,
+    *      full catalog second ([[graft.operators.FuzzyMatch.phasedBestMatch]]);
+    *   3. J4 — two-key fallback enrichment from movie events:
+    *      key₁ = (identifier, goods_name), key₂ = (identifier,
+    *      start_date, end_date), identifier = movie_title-or-goods_name
+    *      with Python's falsy-"" semantics (ref :316, :325).
+    *
+    * Reference-exact gating: the date-key lookup is consulted ONLY when
+    * the goods-key lookup missed the row entirely (the `updated` flag,
+    * ref :336/:352) — a per-column coalesce across both lookups would
+    * wrongly backfill a field the goods-key match left null. Field
+    * semantics differ per column (ref :341-344): `event_url` is
+    * overwritten by a non-null match value; `image_url` keeps the goods
+    * event's own value when present.
+    *
+    * Determinism: the reference's dicts keep the LAST movie event per
+    * key (insertion order) and delete used entries; a distributed batch
+    * has no row order, so each lookup is deduped per key preferring
+    * richer entries (non-null event_url, then image_url, then url
+    * order) — the SURVEY §7.5 determinization discipline. Both lookups
+    * are dimension-sized and broadcast; the goods-event side never
+    * shuffles (steps 1 and 3 are broadcast joins; step 2's only exchange
+    * is the per-distinct-title pick).
+    *
+    * Expected columns — goodsEvents: (movie_title, goods_name,
+    * start_date, end_date, event_url, image_url, …); aliases: (raw,
+    * canonical); recentNames/catalog: (movie_nm); movieEvents:
+    * (movie_title, goods_name, start_date, end_date, event_url,
+    * image_url).
+    */
+  def enrichGoodsEvents(goodsEvents: DataFrame, aliases: DataFrame,
+                        recentNames: DataFrame, catalog: DataFrame,
+                        movieEvents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.expressions.Window
+    // Python `a or b`: "" and NULL are both falsy (ref :316)
+    def pyOr(a: Column, b: Column): Column =
+      when(a.isNotNull && length(a) > 0, a).otherwise(b)
+
+    // 1. F11 alias normalization
+    val g1 = goodsEvents
+      .join(broadcast(aliases.select(col("raw"), col("canonical"))),
+        col("goods_name") === col("raw"), "left")
+      .withColumn("goods_name", coalesce(col("canonical"), col("goods_name")))
+      .drop("raw", "canonical")
+
+    // 2. J6 phased title match (messy scraped title → catalog name)
+    val g2 = graft.operators.FuzzyMatch
+      .phasedBestMatch(g1, "movie_title", recentNames, "movie_nm", catalog, "movie_nm")
+      .withColumn("movie_title", col("matched")).drop("matched")
+
+    // 3. J4 gated two-key enrichment
+    def dedupPerKey(df: DataFrame, keys: Seq[String]): DataFrame = {
+      val w = Window.partitionBy(keys.map(col): _*)
+        .orderBy(col("event_url").desc_nulls_last, col("image_url").desc_nulls_last)
+      df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    }
+    val me = movieEvents
+      .withColumn("__ident", pyOr(col("movie_title"), col("goods_name")))
+    val byGoods = dedupPerKey(
+      me.filter(col("__ident").isNotNull && col("goods_name").isNotNull),
+      Seq("__ident", "goods_name"))
+      .select(col("__ident"), col("goods_name").as("__k_goods"),
+        col("event_url").as("__ev1"), col("image_url").as("__img1"))
+    val byDates = dedupPerKey(
+      me.filter(col("__ident").isNotNull && col("start_date").isNotNull
+        && col("end_date").isNotNull),
+      Seq("__ident", "start_date", "end_date"))
+      .select(col("__ident"), col("start_date").as("__k_start"),
+        col("end_date").as("__k_end"),
+        col("event_url").as("__ev2"), col("image_url").as("__img2"))
+
+    val fact = g2.withColumn("__ident", pyOr(col("movie_title"), col("goods_name")))
+    val joined = fact
+      .join(broadcast(byGoods.withColumn("__hit1", lit(true))),
+        fact("__ident") === byGoods("__ident")
+          && col("goods_name") === col("__k_goods"), "left")
+      .drop(byGoods("__ident"))
+      .join(broadcast(byDates),
+        fact("__ident") === byDates("__ident")
+          && col("start_date") === col("__k_start")
+          && col("end_date") === col("__k_end"), "left")
+      .drop(byDates("__ident"))
+    joined
+      .withColumn("event_url",
+        when(col("__hit1"), coalesce(col("__ev1"), col("event_url")))
+          .otherwise(coalesce(col("__ev2"), col("event_url"))))
+      .withColumn("image_url",
+        when(col("__hit1"), coalesce(col("image_url"), col("__img1")))
+          .otherwise(coalesce(col("image_url"), col("__img2"))))
+      .drop("__ident", "__k_goods", "__k_start", "__k_end",
+        "__ev1", "__img1", "__ev2", "__img2", "__hit1")
+  }
 
   /** Small-file compaction for an append-heavy store path: rewrite to
     * ~`targetRowsPerFile` rows per file (row-count proxy for target file
@@ -118,12 +222,9 @@ object BoxOfficePipeline {
     val df = spark.read.parquet(path)
     val rows = df.count()
     val nFiles = math.max(1, math.ceil(rows.toDouble / targetRowsPerFile).toInt)
-    // stage through a materialized copy: parquet can't read+overwrite the
-    // same path within one job
-    val staged = df.repartition(nFiles).localCheckpoint(true)
-    val writer = staged.write.mode(SaveMode.Overwrite)
-    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
-      .parquet(path)
+    // durable staging + rename swap (reads the live path while writing the
+    // staging copy, so no localCheckpoint needed; crash-safe either way)
+    AtomicStore.overwrite(df.repartition(nFiles), path, partitionBy)
     (before, parquetFiles(new java.io.File(path)))
   }
 

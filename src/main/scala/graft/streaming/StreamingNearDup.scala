@@ -31,7 +31,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StreamingNearDup {
 
   case class BandedDoc(band: Int, key: String, doc_id: Long)
+
+  /** Emitted stream. CONTRACT: rows with `truncated = true` are overflow
+    * MARKERS, not candidate pairs — they carry `id_a == id_b` (the doc
+    * that hit a full bucket) and must be routed to the batch pass, never
+    * verified as a pair. Consumers filter
+    * `id_a =!= id_b || truncated` before pair verification.
+    */
   case class CandidatePair(id_a: Long, id_b: Long, band: Int, truncated: Boolean)
+
+  /** Per-bucket state: joined member ids (capped at `maxBucket`) plus the
+    * ids already routed to the batch pass via a truncation marker, so a
+    * replayed/duplicated arrival doesn't re-emit its marker every time.
+    */
+  case class BucketState(members: List[Long], marked: List[Long])
 
   /** Band a streaming document feed with the batch operators' MinHash
     * scheme (k-shingles → numHashes windowed-md5 mins → numBands keys) —
@@ -68,26 +81,34 @@ object StreamingNearDup {
     import spark.implicits._
     bandedDocs.as[BandedDoc]
       .groupByKey(d => (d.band, d.key))
-      .flatMapGroupsWithState[List[Long], CandidatePair](
+      .flatMapGroupsWithState[BucketState, CandidatePair](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        case ((band, _), docs, state: GroupState[List[Long]]) =>
-          var members = state.getOption.getOrElse(Nil)
+        case ((band, _), docs, state: GroupState[BucketState]) =>
+          var st = state.getOption.getOrElse(BucketState(Nil, Nil))
+          // markers-per-doc is bounded too: past this a degenerate bucket
+          // stops deduplicating markers (the batch pass they route to is
+          // idempotent, so an occasional repeat is harmless; unbounded
+          // state is not)
+          val maxMarked = 8 * maxBucket
           val out = scala.collection.mutable.ListBuffer[CandidatePair]()
           docs.foreach { d =>
-            if (!members.contains(d.doc_id)) {
-              val truncated = members.size >= maxBucket
-              if (!truncated) {
-                members.foreach { m =>
+            if (!st.members.contains(d.doc_id)) {
+              if (st.members.size < maxBucket) {
+                st.members.foreach { m =>
                   out += CandidatePair(math.min(m, d.doc_id),
                     math.max(m, d.doc_id), band, truncated = false)
                 }
-                members = d.doc_id :: members
-              } else {
+                st = st.copy(members = d.doc_id :: st.members)
+              } else if (!st.marked.contains(d.doc_id)) {
+                // full bucket: emit the overflow marker ONCE per doc (see
+                // CandidatePair contract) and remember it
                 out += CandidatePair(d.doc_id, d.doc_id, band, truncated = true)
+                if (st.marked.size < maxMarked)
+                  st = st.copy(marked = d.doc_id :: st.marked)
               }
             }
           }
-          state.update(members)
+          state.update(st)
           out.iterator
       }
   }

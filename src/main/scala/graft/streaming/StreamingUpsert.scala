@@ -45,13 +45,15 @@ object StreamingUpsert {
   def writer(spark: SparkSession, stream: DataFrame, storePath: String,
              keys: Seq[String], versionCol: String): DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      // roll forward any interrupted swap from a prior run, then merge and
+      // atomically replace: the staging write is to DURABLE storage (not a
+      // localCheckpoint, whose executor-local blocks die with the executor)
+      // and the live path is only ever swapped via rename — a crash at any
+      // point leaves a complete table for AtomicStore.recover.
+      graft.pipelines.AtomicStore.recover(spark, storePath)
       val base = graft.pipelines.BoxOfficePipeline.readOrEmpty(spark, storePath, batch)
       val merged = Upsert.upsert(base, batch, keys, col(versionCol))
-      // Overwrite via a staging write + swap-free single-table rewrite:
-      // plain parquet can't read+overwrite the same path in one job, so
-      // materialize the merge first.
-      val staged = merged.localCheckpoint(true)
-      staged.write.mode("overwrite").parquet(storePath)
+      graft.pipelines.AtomicStore.overwrite(merged, storePath)
       ()
     }
 }

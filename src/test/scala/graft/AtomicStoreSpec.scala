@@ -1,0 +1,74 @@
+package graft
+
+import graft.pipelines.AtomicStore
+import org.apache.spark.sql.functions._
+
+/** Crash-safety contract of the staging+rename store swap (round-2
+  * review: live-path overwrite is delete-then-write — a crash mid-write
+  * loses the whole table).
+  */
+class AtomicStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_atomic_").toString + "/store"
+
+  test("overwrite replaces contents and leaves no staging/old leftovers") {
+    val path = tmp()
+    AtomicStore.overwrite(Seq(1, 2, 3).toDF("v"), path)
+    AtomicStore.overwrite(Seq(4, 5).toDF("v"), path)
+    val vs = spark.read.parquet(path).as[Int].collect().sorted
+    assert(vs.toSeq == Seq(4, 5))
+    assert(!new java.io.File(path + ".staging").exists())
+    assert(!new java.io.File(path + ".old").exists())
+  }
+
+  test("recover rolls forward a crash between the two renames (staging wins)") {
+    val path = tmp()
+    AtomicStore.overwrite(Seq(1).toDF("v"), path)
+    // simulate: new generation fully staged, live already retired, then crash
+    Seq(2).toDF("v").write.parquet(path + ".staging")
+    assert(new java.io.File(path).renameTo(new java.io.File(path + ".old")))
+    assert(AtomicStore.recover(spark, path))
+    assert(spark.read.parquet(path).as[Int].collect().toSeq == Seq(2))
+    assert(!new java.io.File(path + ".old").exists())
+    // idempotent: a second recover is a no-op
+    assert(!AtomicStore.recover(spark, path))
+  }
+
+  test("recover falls back to the previous generation when staging is gone") {
+    val path = tmp()
+    AtomicStore.overwrite(Seq(7).toDF("v"), path)
+    assert(new java.io.File(path).renameTo(new java.io.File(path + ".old")))
+    assert(AtomicStore.recover(spark, path))
+    assert(spark.read.parquet(path).as[Int].collect().toSeq == Seq(7))
+  }
+
+  test("recover ignores a partial mid-staging crash (live copy intact)") {
+    val path = tmp()
+    AtomicStore.overwrite(Seq(9).toDF("v"), path)
+    // a half-written staging dir from a crashed writer
+    new java.io.File(path + ".staging").mkdirs()
+    AtomicStore.recover(spark, path)
+    assert(spark.read.parquet(path).as[Int].collect().toSeq == Seq(9))
+    assert(!new java.io.File(path + ".staging").exists())
+  }
+
+  test("upsertMovies survives a rerun after an interrupted swap") {
+    val root = java.nio.file.Files.createTempDirectory("graft_mv_").toString
+    val spark0 = spark
+    import graft.pipelines.BoxOfficePipeline
+    val v1 = Seq(("m1", "Movie One"), ("m2", "Movie Two")).toDF("movie_cd", "movie_nm")
+    assert(BoxOfficePipeline.upsertMovies(spark0, root, v1) == 2)
+    // simulate a crash that retired the live dir mid-swap
+    val path = root + "/movie"
+    Seq(("m3", "Movie Three")).toDF("movie_cd", "movie_nm")
+      .write.mode("overwrite").parquet(path + ".staging")
+    assert(new java.io.File(path).renameTo(new java.io.File(path + ".old")))
+    // the rerun recovers (staging promoted) and then merges its fresh batch
+    val v2 = Seq(("m4", "Movie Four")).toDF("movie_cd", "movie_nm")
+    assert(BoxOfficePipeline.upsertMovies(spark0, root, v2) == 2)
+    val cds = spark0.read.parquet(path).select("movie_cd").as[String].collect().sorted
+    assert(cds.toSeq == Seq("m3", "m4"))
+  }
+}

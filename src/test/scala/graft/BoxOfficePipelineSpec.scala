@@ -146,4 +146,45 @@ class BoxOfficePipelineSpec extends SparkSpec {
     }
     assert(spark.read.parquet(path).count() == 1000)
   }
+
+  test("enrichGoodsEvents: alias → phased title → gated two-key enrichment") {
+    import spark.implicits._
+    val goods = Seq(
+      // key₁ hit: title matched via RECENT set, goods name via alias map
+      (1L, "엔드게임 <굿즈>", "SX 포스터", "2024-01-01", "2024-01-31",
+        null.asInstanceOf[String], null.asInstanceOf[String]),
+      // key₁ miss, key₂ (date) hit; own image kept
+      (2L, "하얼빈 대개봉", "포스터B", "2024-02-01", "2024-02-28",
+        null.asInstanceOf[String], "own_img2"),
+      // NULL title → identifier falls back to goods name; key₁ hit with
+      // null event_url — the GATE means the date-key match (which has a
+      // url) must NOT be consulted
+      (3L, null.asInstanceOf[String], "4DX 라벨", "2024-03-01", "2024-03-31",
+        "own_url3", null.asInstanceOf[String]))
+      .toDF("event_id", "movie_title", "goods_name", "start_date", "end_date",
+        "event_url", "image_url")
+    val aliases = Seq(("SX 포스터", "SCREENX 포스터")).toDF("raw", "canonical")
+    val recent = Seq("어벤져스 엔드게임").toDF("movie_nm")
+    val catalog = Seq("엔드게임", "어벤져스 엔드게임", "하얼빈 대개봉 기념").toDF("movie_nm")
+    val movieEvents = Seq(
+      ("어벤져스 엔드게임", "SCREENX 포스터", "2024-01-05", "2024-01-25", "http://m1", "img1"),
+      ("하얼빈 대개봉 기념", "다른 굿즈", "2024-02-01", "2024-02-28", "http://m2", "img2"),
+      (null.asInstanceOf[String], "4DX 라벨", "2024-03-05", "2024-03-20",
+        null.asInstanceOf[String], "img3"),
+      ("4DX 라벨", "또다른 굿즈", "2024-03-01", "2024-03-31", "http://m4", "img4"))
+      .toDF("movie_title", "goods_name", "start_date", "end_date", "event_url", "image_url")
+
+    val out = BoxOfficePipeline.enrichGoodsEvents(goods, aliases, recent, catalog, movieEvents)
+      .select("event_id", "movie_title", "goods_name", "event_url", "image_url")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getString(3), r.getString(4))).toMap
+
+    // 1: recent-phase title, aliased goods name, key₁ enrichment fills both
+    assert(out(1L) == ("어벤져스 엔드게임", "SCREENX 포스터", "http://m1", "img1"))
+    // 2: catalog-phase title, date-key fallback fills url, own image kept
+    assert(out(2L) == ("하얼빈 대개봉 기념", "포스터B", "http://m2", "own_img2"))
+    // 3: null title → goods identifier; key₁ hit gates out the date-key
+    // match, so own url survives and image comes from the key₁ row
+    assert(out(3L) == (null, "4DX 라벨", "own_url3", "img3"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Dedup
+import org.apache.spark.sql.functions.{col, explode}
 
 class DedupSpec extends SparkSpec {
   import spark.implicits._
@@ -82,6 +83,51 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 13L || p._2 == 13L))
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
     graft.operators.OpCache.clear()
+  }
+
+  test("stored bucketed index round-trip matches the inline incremental result") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq((1L, base), (2L, "totally different words here for doc two ok fine"))
+      .toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, base + " lambda"),
+      (11L, "brand new content first variant shared tail words common suffix"),
+      (12L, "brand new content second variant shared tail words common suffix"))
+      .toDF("doc_id", "text")
+    val idx = graft.operators.Dedup.minhashIndex(corpus, "doc_id", "text",
+      k = 3, numHashes = 16, numBands = 8)
+    val fidx = graft.operators.Dedup.minhashIndex(fresh, "doc_id", "text",
+      k = 3, numHashes = 16, numBands = 8)
+    try {
+      graft.operators.Dedup.writeIndexTables(idx, "doc_id",
+        "test_idx_bands", "test_idx_docs", nBuckets = 2)
+      val stored = graft.operators.Dedup.incrementalNearDupsStored(spark,
+          "test_idx_bands", "test_idx_docs", fidx, "doc_id", 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val inline = graft.operators.Dedup.incrementalNearDups(idx, fidx, "doc_id", 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(stored == inline, s"stored=$stored inline=$inline")
+      assert(stored.exists(p => p._1 == 10L && p._2 == 1L))
+      // the probe join must use the band table's bucketing: no exchange on
+      // the stored (corpus-sized) scan side
+      val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val fk = fidx.select(col("doc_id"), explode(col("bands")).as("bk"))
+          .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+        val probe = fk.join(spark.table("test_idx_bands"), Seq("band", "key"))
+        val plan = probe.queryExecution.executedPlan.toString
+        // exactly one hash exchange (the small fresh side); the bucketed
+        // side reads straight from its buckets
+        val nExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+        assert(nExchanges <= 1, s"stored side shuffled:\n$plan")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS test_idx_bands")
+      spark.sql("DROP TABLE IF EXISTS test_idx_docs")
+      graft.operators.OpCache.clear()
+    }
   }
 
   test("contaminationReport counts shared shingles against the probe set only") {

@@ -48,4 +48,62 @@ class FuzzyMatchSpec extends SparkSpec {
     assert(out.count() == 3)
     assert(out.filter(col("title") === "어벤져스").count() == 2)
   }
+
+  // --- phased matcher (movie_events_scraper.py:64-125) ---
+
+  private def phased(titles: Seq[String], recent: Seq[String],
+                     catalog: Seq[String]): Map[String, String] = {
+    val out = FuzzyMatch.phasedBestMatch(
+      titles.toDF("title"), "title",
+      recent.toDF("movie_nm"), "movie_nm",
+      catalog.toDF("movie_nm"), "movie_nm")
+    out.select("title", "matched").as[(String, String)].collect().toMap
+  }
+
+  test("phase order is semantic: recent hit beats a closer catalog hit") {
+    // catalog's best for '엔드게임' is the exact-length '엔드게임' (diff 0);
+    // the reference still returns the RECENT candidate first (ref :104-106
+    // only consults the full table when phase 1 found nothing)
+    val m = phased(Seq("엔드게임 <굿즈>"),
+      recent = Seq("어벤져스 엔드게임"),
+      catalog = Seq("엔드게임", "어벤져스 엔드게임"))
+    assert(m("엔드게임 <굿즈>") == "어벤져스 엔드게임")
+  }
+
+  test("phase 2 catalog fallback when recent misses") {
+    val m = phased(Seq("하얼빈 대개봉"),
+      recent = Seq("어벤져스"),
+      catalog = Seq("하얼빈 대개봉 기념", "다른 영화"))
+    assert(m("하얼빈 대개봉") == "하얼빈 대개봉 기념")
+  }
+
+  test("no match anywhere falls back to the NORMALIZED title (ref :127)") {
+    val m = phased(Seq("[단독] 완전히: 새로운 영화!!"),
+      recent = Seq("어벤져스"), catalog = Seq("하얼빈"))
+    assert(m("[단독] 완전히: 새로운 영화!!") == "완전히 새로운 영화")
+  }
+
+  test("empty-normalizing input yields empty string (ref :66)") {
+    val m = phased(Seq("[2024] <이벤트> !!"),
+      recent = Seq("어벤져스"), catalog = Seq("하얼빈"))
+    assert(m("[2024] <이벤트> !!") == "")
+  }
+
+  test("phased match preserves duplicate query multiplicity") {
+    val out = FuzzyMatch.phasedBestMatch(
+      Seq("어벤져스", "어벤져스", "하얼빈").toDF("title"), "title",
+      Seq("어벤져스 엔드게임").toDF("movie_nm"), "movie_nm",
+      Seq("하얼빈").toDF("movie_nm"), "movie_nm")
+    assert(out.count() == 3)
+    assert(out.filter(col("title") === "어벤져스").count() == 2)
+  }
+
+  test("phased matching direction is reference-exact: query contained in candidate") {
+    // query LONGER than every candidate and containing one of them — the
+    // single-phase bestMatch direction would match; the reference's
+    // clean_input-in-movie direction must NOT
+    val m = phased(Seq("어벤져스 엔드게임 스페셜 포스터"),
+      recent = Seq("어벤져스"), catalog = Seq("어벤져스"))
+    assert(m("어벤져스 엔드게임 스페셜 포스터") == "어벤져스 엔드게임 스페셜 포스터")
+  }
 }

@@ -59,8 +59,23 @@ class StreamingNearDupSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       // members capped at 2 per bucket: only the first two pair up
       assert(real == Set((1L, 2L)), s"got $real")
-      // the third doc surfaces as truncated (routed to a batch pass)
+      // the third doc surfaces as truncated (routed to a batch pass);
+      // markers are self-pairs by CONTRACT — consumers filter
+      // id_a =!= id_b || truncated before pair verification
       assert(rows.exists(r => r.getAs[Boolean]("truncated") && r.getLong(0) == 3L))
+
+      // a re-arrival of the same overflow doc does NOT re-emit its marker
+      // (ADVICE r2: marker ids are remembered in bucket state)
+      val markersBefore = rows.count(_.getAs[Boolean]("truncated"))
+      input.addData(3L -> base)
+      q.processAllAvailable()
+      val rowsAfter = spark.table("near_dup_capped").collect()
+      assert(rowsAfter.count(_.getAs[Boolean]("truncated")) == markersBefore)
+      // a NEW overflow doc still gets its own marker
+      input.addData(4L -> base)
+      q.processAllAvailable()
+      val rowsNew = spark.table("near_dup_capped").collect()
+      assert(rowsNew.exists(r => r.getAs[Boolean]("truncated") && r.getLong(0) == 4L))
     } finally q.stop()
   }
 }
