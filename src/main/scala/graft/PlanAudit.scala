@@ -9,7 +9,8 @@ object PlanAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    for (q <- Seq("q_decontaminate", "q_text_tfidf", "q_sample_stratified", "q_text_redact")) {
+    for (q <- Seq("q_decontaminate", "q_text_tfidf", "q_sample_stratified", "q_text_redact",
+                  "q_sim_ivf_topk", "q_dedup_incremental_stored")) {
       val df = SparkEntry.queries(q)(spark, dir)
       println(s"==== $q ====")
       println(df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)

@@ -281,6 +281,25 @@ object SparkEntry {
         .orderBy("title")
     }),
 
+    // F12 — the Lotte feed's field-parse rule ladder as columns
+    // (movie_events_scraper.py:581-593): angle-bracket title extract +
+    // the three-rule goods-name derivation
+    "q_f12_lotte_goods" -> ((s, dir) => {
+      val ev = s.sql(
+        """SELECT * FROM VALUES
+           (CAST(1 AS BIGINT), '<엔드게임> 시그니처 아트카드 증정', '오리지널 티켓 (1주차, 포스터)'),
+           (CAST(2 AS BIGINT), '<위젯> SPECIAL ART CARD EVENT', 'any goods name'),
+           (CAST(3 AS BIGINT), '<기타> 주간 굿즈', '<한정> 오리지널 티켓 (4주차, A3 포스터)'),
+           (CAST(4 AS BIGINT), '브래킷 없는 이벤트', '<한정판> 포토카드 세트'),
+           (CAST(5 AS BIGINT), '행사', '티켓 (,)')
+           AS t(event_id, event_name, goods_full_name)""")
+      ev.select(col("event_id"),
+          graft.sources.EventParse.titleInAngleBrackets(col("event_name")).as("movie_title_raw"),
+          graft.sources.EventParse.lotteGoodsName(col("event_name"),
+            col("goods_full_name")).as("goods_name"))
+        .orderBy("event_id")
+    }),
+
     // Composed goods-event enrichment pipeline (movie_events_scraper.py
     // get_events :307-367): F11 alias join → J6 phased title match → J4
     // gated two-key fallback enrichment, end-to-end in one call. Event 3
@@ -1138,6 +1157,26 @@ object SparkEntry {
                     FROM j)
          SELECT title, COALESCE(p_name, title) AS matched
          FROM r WHERE rn = 1 ORDER BY title""",
+
+    "q_f12_lotte_goods" ->
+      """WITH ev(event_id, event_name, goods_full_name) AS (
+              VALUES (CAST(1 AS BIGINT), '<엔드게임> 시그니처 아트카드 증정', '오리지널 티켓 (1주차, 포스터)'),
+                     (CAST(2 AS BIGINT), '<위젯> SPECIAL ART CARD EVENT', 'any goods name'),
+                     (CAST(3 AS BIGINT), '<기타> 주간 굿즈', '<한정> 오리지널 티켓 (4주차, A3 포스터)'),
+                     (CAST(4 AS BIGINT), '브래킷 없는 이벤트', '<한정판> 포토카드 세트'),
+                     (CAST(5 AS BIGINT), '행사', '티켓 (,)')),
+              c AS (SELECT event_id, event_name,
+                           trim(regexp_replace(goods_full_name, '<[^<>]+>', '', 'g')) AS cleaned
+                    FROM ev)
+         SELECT event_id,
+                CASE WHEN length(regexp_extract(event_name, '<([^<>]+)>', 1)) > 0
+                     THEN trim(regexp_extract(event_name, '<([^<>]+)>', 1)) END AS movie_title_raw,
+                CASE WHEN contains(event_name, '시그니처 아트카드') THEN '시그니처 아트카드'
+                     WHEN contains(event_name, 'SPECIAL ART CARD') THEN '스페셜 아트카드'
+                     WHEN regexp_matches(cleaned, ',\s*.*?\s*\)')
+                     THEN regexp_extract(cleaned, ',\s*(.*?)\s*\)', 1)
+                     ELSE cleaned END AS goods_name
+         FROM c ORDER BY event_id""",
 
     "q_pipeline_goods_enrich" ->
       """WITH goods(event_id, movie_title, goods_name, start_date, end_date, event_url, image_url) AS (

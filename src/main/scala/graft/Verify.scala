@@ -15,7 +15,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    def rmRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmRec)
+      f.delete(); ()
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
+      // drop any stale dump FIRST: a query that throws must surface as
+      // "no spark output" in the compare, never silently reuse a prior
+      // run's parquet (round-3 lesson: a leftover warehouse location made
+      // the stored-index query fail while its old dump kept passing)
+      val dest = new java.io.File(s"$outDir/$name")
+      if (dest.exists()) rmRec(dest)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -364,6 +364,17 @@ object Dedup {
   def writeIndexTables(index: DataFrame, idCol: String,
                        bandTable: String, docTable: String,
                        nBuckets: Int): Unit = {
+    val spark = index.sparkSession
+    Seq(bandTable, docTable).foreach { tbl =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      // a previous JVM's in-memory catalog died with it, but its managed
+      // location under the warehouse survives — CREATE refuses to reuse
+      // it (LOCATION_ALREADY_EXISTS), so clear the orphan explicitly
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(tbl)))
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    }
     bandKeys(index, idCol).write.mode(SaveMode.Overwrite)
       .bucketBy(nBuckets, "band", "key").sortBy("band", "key")
       .saveAsTable(bandTable)

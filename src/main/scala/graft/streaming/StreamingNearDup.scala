@@ -46,12 +46,17 @@ object StreamingNearDup {
     */
   case class BucketState(members: List[Long], marked: List[Long])
 
+  case class BandedDocTs(band: Int, key: String, doc_id: Long,
+                         ts: java.sql.Timestamp)
+
   /** Band a streaming document feed with the batch operators' MinHash
     * scheme (k-shingles → numHashes windowed-md5 mins → numBands keys) —
-    * all map-side, no state.
+    * all map-side, no state. `carryCols` pass through unchanged (e.g. an
+    * event-time column for the expiring variant).
     */
   def banded(docs: DataFrame, idCol: String, textCol: String,
-             k: Int, numHashes: Int, numBands: Int): DataFrame = {
+             k: Int, numHashes: Int, numBands: Int,
+             carryCols: Seq[String] = Nil): DataFrame = {
     require(numHashes % numBands == 0)
     val rows = numHashes / numBands
     val toks = filter(split(col(textCol), " "), x => x =!= "")
@@ -63,18 +68,52 @@ object StreamingNearDup {
       array_min(transform(hh, h => substring(h, 1 + 2 * i, 16))).as(s"sig_$i"))
     val withSig = docs
       .filter(size(toks) >= k)
-      .select(col(idCol).as("doc_id") +: sigs: _*)
+      .select(col(idCol).as("doc_id") +: carryCols.map(col) ++: sigs: _*)
     val bands = (0 until numBands).map { b =>
       val sigCols = (b * rows until (b + 1) * rows).map(i => col(s"sig_$i"))
       struct(lit(b).as("band"), md5(concat(sigCols: _*)).as("key"))
     }
-    withSig.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
-      .select(col("bk.band").as("band"), col("bk.key").as("key"), col("doc_id"))
+    withSig.select(col("doc_id") +: carryCols.map(col) :+ explode(array(bands: _*)).as("bk"): _*)
+      .select(col("bk.band").as("band") +: col("bk.key").as("key") +:
+        col("doc_id") +: carryCols.map(col): _*)
+  }
+
+  /** The shared per-bucket arrival fold: pairs for members, once-per-doc
+    * markers past the cap. Mutates nothing outside its return.
+    */
+  private def foldArrivals(band: Int, docIds: Iterator[Long],
+                           st0: BucketState, maxBucket: Int)
+      : (BucketState, List[CandidatePair]) = {
+    // markers-per-doc is bounded too: past this a degenerate bucket stops
+    // deduplicating markers (the batch pass they route to is idempotent,
+    // so an occasional repeat is harmless; unbounded state is not)
+    val maxMarked = 8 * maxBucket
+    var st = st0
+    val out = scala.collection.mutable.ListBuffer[CandidatePair]()
+    docIds.foreach { id =>
+      if (!st.members.contains(id)) {
+        if (st.members.size < maxBucket) {
+          st.members.foreach { m =>
+            out += CandidatePair(math.min(m, id), math.max(m, id), band,
+              truncated = false)
+          }
+          st = st.copy(members = id :: st.members)
+        } else if (!st.marked.contains(id)) {
+          // full bucket: emit the overflow marker ONCE per doc (see
+          // CandidatePair contract) and remember it
+          out += CandidatePair(id, id, band, truncated = true)
+          if (st.marked.size < maxMarked)
+            st = st.copy(marked = id :: st.marked)
+        }
+      }
+    }
+    (st, out.toList)
   }
 
   /** Stateful candidate emission: for every banded arrival, one pair per
     * id already in its (band, key) bucket, bucket membership capped at
-    * `maxBucket`.
+    * `maxBucket`. State never expires — exact within the run; for an
+    * always-on stream use [[candidatePairsExpiring]].
     */
   def candidatePairs(spark: SparkSession, bandedDocs: DataFrame,
                      maxBucket: Int = 64): Dataset[CandidatePair] = {
@@ -84,32 +123,52 @@ object StreamingNearDup {
       .flatMapGroupsWithState[BucketState, CandidatePair](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case ((band, _), docs, state: GroupState[BucketState]) =>
-          var st = state.getOption.getOrElse(BucketState(Nil, Nil))
-          // markers-per-doc is bounded too: past this a degenerate bucket
-          // stops deduplicating markers (the batch pass they route to is
-          // idempotent, so an occasional repeat is harmless; unbounded
-          // state is not)
-          val maxMarked = 8 * maxBucket
-          val out = scala.collection.mutable.ListBuffer[CandidatePair]()
-          docs.foreach { d =>
-            if (!st.members.contains(d.doc_id)) {
-              if (st.members.size < maxBucket) {
-                st.members.foreach { m =>
-                  out += CandidatePair(math.min(m, d.doc_id),
-                    math.max(m, d.doc_id), band, truncated = false)
-                }
-                st = st.copy(members = d.doc_id :: st.members)
-              } else if (!st.marked.contains(d.doc_id)) {
-                // full bucket: emit the overflow marker ONCE per doc (see
-                // CandidatePair contract) and remember it
-                out += CandidatePair(d.doc_id, d.doc_id, band, truncated = true)
-                if (st.marked.size < maxMarked)
-                  st = st.copy(marked = d.doc_id :: st.marked)
-              }
-            }
-          }
+          val (st, out) = foldArrivals(band, docs.map(_.doc_id),
+            state.getOption.getOrElse(BucketState(Nil, Nil)), maxBucket)
           state.update(st)
           out.iterator
+      }
+  }
+
+  /** [[candidatePairs]] with an EVENT-TIME ttl — the state bound an
+    * always-on stream needs: without it bucket-key cardinality grows
+    * with the corpus forever; with it the dedup horizon becomes
+    * "near-dups within ttl of each other", and older history is the
+    * batch pass's job (the same split as
+    * [[graft.operators.Dedup.incrementalNearDups]]).
+    *
+    * Event-time (not processing-time) on purpose: the horizon is a
+    * property of the DATA, so replays reproduce identical output, and
+    * watermark-driven timeouts let drain triggers (AvailableNow)
+    * terminate — a processing-time timeout keeps every micro-batch
+    * engine's "maybe more timeouts" flag set forever.
+    *
+    * `bandedDocs` must carry a watermarked `ts` column (band with
+    * `carryCols = Seq(tsCol)`, then `withWatermark`).
+    */
+  def candidatePairsExpiring(spark: SparkSession, bandedDocs: DataFrame,
+                             ttl: java.time.Duration,
+                             maxBucket: Int = 64): Dataset[CandidatePair] = {
+    import spark.implicits._
+    bandedDocs.as[BandedDocTs]
+      .groupByKey(d => (d.band, d.key))
+      .flatMapGroupsWithState[BucketState, CandidatePair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case ((band, _), docs, state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            // bucket idle past the ttl horizon: drop it; a later near-dup
+            // of an expired doc is the batch pass's to find
+            state.remove()
+            Iterator.empty
+          } else {
+            val ds = docs.toSeq
+            val (st, out) = foldArrivals(band, ds.iterator.map(_.doc_id),
+              state.getOption.getOrElse(BucketState(Nil, Nil)), maxBucket)
+            state.update(st)
+            val maxTs = ds.iterator.map(_.ts.getTime).max
+            state.setTimeoutTimestamp(maxTs + ttl.toMillis)
+            out.iterator
+          }
       }
   }
 }

@@ -78,4 +78,56 @@ class StreamingNearDupSpec extends SparkSpec {
       assert(rowsNew.exists(r => r.getAs[Boolean]("truncated") && r.getLong(0) == 4L))
     } finally q.stop()
   }
+
+  test("event-time ttl: pairs within the horizon, expired buckets forget") {
+    // Driven with AvailableNow passes over a shared checkpoint (state and
+    // watermark persist across restarts); event-time timeouts fire as the
+    // watermark advances, so each drain terminates — the reason the ttl
+    // is event-time, not processing-time.
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ttl_ck_").toString
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val bandedStream = StreamingNearDup.banded(
+        input.toDS().toDF("doc_id", "ts", "text"), "doc_id", "text",
+        k = 3, numHashes = 16, numBands = 8, carryCols = Seq("ts"))
+      .withWatermark("ts", "0 seconds")
+    // memory sink can't recover from a checkpoint — collect through
+    // foreachBatch instead (which can)
+    val got = scala.collection.mutable.ListBuffer[(Long, Long)]()
+    def runPass(): Unit = {
+      val q = StreamingNearDup.candidatePairsExpiring(spark, bandedStream,
+          ttl = java.time.Duration.ofHours(1))
+        .writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[StreamingNearDup.CandidatePair],
+           _: Long) =>
+            val rows = batch.collect().map(p => (p.id_a, p.id_b))
+            got.synchronized { got ++= rows }
+            ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
+    input.addData((1L, ts(1000), base))
+    runPass()
+    // within the 1 h horizon, across a restart: still pairs
+    input.addData((2L, ts(1300), base + " lambda"))
+    runPass()
+    assert(got.toSet == Set((1L, 2L)), s"got $got")
+
+    // an unrelated doc pushes the watermark far past the bucket's
+    // timeout → the bucket expires during this pass's drain
+    input.addData((99L, ts(6 * 3600), "completely different words in this one here now"))
+    runPass()
+    got.clear()
+    // a near-dup arriving AFTER expiry finds an empty bucket: no pair
+    input.addData((3L, ts(6 * 3600 + 100), base + " mu"))
+    runPass()
+    assert(got.isEmpty, s"expired bucket still paired: $got")
+  }
 }

@@ -1,0 +1,51 @@
+#!/usr/bin/env python3
+"""Per-query bench comparison: old vs new BENCH json (the driver's
+one-line format or a saved local run). Flags regressions beyond a
+threshold and lists adds/drops. Usage:
+  python3 tools/benchdiff.py BENCH_r02.json /tmp/bench_now.json [--pct 15]
+"""
+import json, sys
+
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+pct = 15.0
+if "--pct" in sys.argv:
+    pct = float(sys.argv[sys.argv.index("--pct") + 1])
+
+def load(path):
+    with open(path) as f:
+        txt = f.read()
+    # the driver file may hold one JSON line among log noise
+    for line in txt.splitlines():
+        line = line.strip()
+        if line.startswith("{") and '"queries"' in line:
+            return json.loads(line)
+    return json.loads(txt)
+
+old, new = load(args[0]), load(args[1])
+oq, nq = old.get("queries", {}), new.get("queries", {})
+shared = sorted(set(oq) & set(nq))
+
+rows, worse = [], []
+for q in shared:
+    a, b = oq[q], nq[q]
+    if a <= 0 or b <= 0:
+        continue
+    d = 100.0 * (b - a) / a
+    rows.append((d, q, a, b))
+    if d > pct and b - a > 0.15:  # ignore sub-150ms jitter
+        worse.append((d, q, a, b))
+
+rows.sort(reverse=True)
+print(f"shared {len(shared)} queries; old total {sum(oq[q] for q in shared):.1f}s "
+      f"→ new total {sum(nq[q] for q in shared):.1f}s")
+print(f"added: {sorted(set(nq) - set(oq))}")
+print(f"dropped: {sorted(set(oq) - set(nq))}")
+print("\nbiggest moves (± %):")
+for d, q, a, b in rows[:8] + [r for r in rows[-4:] if r not in rows[:8]]:
+    print(f"  {d:+7.1f}%  {q:32s} {a:6.2f}s → {b:6.2f}s")
+if worse:
+    print(f"\nREGRESSIONS over {pct:.0f}% (and >0.15s):")
+    for d, q, a, b in worse:
+        print(f"  {d:+7.1f}%  {q:32s} {a:6.2f}s → {b:6.2f}s")
+    sys.exit(1)
+print("\nno regressions beyond threshold")
