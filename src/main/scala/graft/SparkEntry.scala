@@ -521,6 +521,14 @@ object SparkEntry {
         .orderBy("id_fresh", "id_other")
     }),
 
+    // end-to-end corpus dedup: LSH candidates → Jaccard ≥0.5 → connected
+    // components → canonical survivor per cluster, with cluster sizes
+    "q_dedup_corpus" -> ((s, dir) => {
+      Dedup.dedupCorpus(t(s, dir, "documents"), "doc_id", "text",
+          k = 5, numHashes = 16, numBands = 4, threshold = 0.5)
+        .orderBy("doc_id")
+    }),
+
     // stored-index round-trip of the same incremental dedup: the corpus
     // index is WRITTEN as (band,key)-bucketed + id-bucketed tables, then
     // the fresh batch is served from those tables — corpus text hashed
@@ -812,6 +820,17 @@ object SparkEntry {
       TextAnalysis.packByTokenBudget(t(s, dir, "documents"), "doc_id", "text",
           budget = 2000L)
         .select("doc_id", "n_tokens", "bin_id")
+        .orderBy("doc_id")
+    }),
+
+    // composed corpus gate: min-tokens, repetition, quality, language
+    // rules with first-failing-rule drop attribution
+    "q_text_corpus_gate" -> ((s, dir) => {
+      TextAnalysis.corpusGate(t(s, dir, "documents"), "doc_id", "text",
+          minTokens = 40, maxRepetition = 0.1, minQuality = 0.55,
+          allowedLangs = Seq("en", "es", "fr", "de"))
+        .select("doc_id", "n_tokens", "rep_ratio", "quality_score",
+                "detected", "kept", "drop_reason")
         .orderBy("doc_id")
     }),
 
@@ -1490,6 +1509,40 @@ object SparkEntry {
          WHERE CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) >= 0.5
          ORDER BY id_a, id_b""",
 
+    // WITH RECURSIVE prefix: harmless for the non-recursive shared CTEs,
+    // required by the reachability CTE (same pattern as SimhashCandCte)
+    "q_dedup_corpus" ->
+      s"""${MinhashBkCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+              candAll AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+                          FROM bk a JOIN bk c ON a.b = c.b AND a.key = c.key
+                                             AND a.doc_id < c.doc_id),
+              cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+              shr AS (SELECT id_a, id_b, COUNT(*) AS shared
+                      FROM candAll
+                      JOIN sh sa ON sa.doc_id = id_a
+                      JOIN sh sb ON sb.doc_id = id_b AND sb.s = sa.s
+                      GROUP BY 1, 2),
+              pairs AS (SELECT id_a, id_b
+                        FROM shr JOIN cnt ca ON ca.doc_id = id_a
+                                 JOIN cnt cb ON cb.doc_id = id_b
+                        WHERE CAST(shared AS DOUBLE)
+                              / CAST(ca.n + cb.n - shared AS DOUBLE) >= 0.5),
+              nodes AS (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs),
+              edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                        UNION SELECT id_b, id_a FROM pairs),
+              reach AS (SELECT id, id AS comp FROM nodes
+                        UNION
+                        SELECT e.dst AS id, r.comp
+                        FROM reach r JOIN edges e ON e.src = r.id),
+              lab AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id),
+              canon AS (SELECT comp AS doc_id, COUNT(*) AS cluster_size
+                        FROM lab GROUP BY comp),
+              uniq AS (SELECT doc_id, CAST(1 AS BIGINT) AS cluster_size
+                       FROM documents WHERE doc_id NOT IN (SELECT id FROM lab))
+         SELECT doc_id, cluster_size
+         FROM (SELECT * FROM canon UNION ALL SELECT * FROM uniq)
+         ORDER BY doc_id""",
+
     "q_dedup_incremental" -> IncrementalDedupOracle,
 
     // same contract as q_dedup_incremental: the stored-table round-trip
@@ -1856,6 +1909,59 @@ object SparkEntry {
                     FROM t)
          SELECT doc_id, n_tokens, CAST((cum - n_tokens) // 2000 AS BIGINT) AS bin_id
          FROM c ORDER BY doc_id""",
+
+    "q_text_corpus_gate" ->
+      """WITH t AS (SELECT doc_id, text,
+                           list_filter(string_split(text, ' '), x -> x <> '') AS tk
+                    FROM documents),
+              q AS (SELECT doc_id, CAST(len(tk) AS INTEGER) AS n_tokens,
+                           CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                             / CAST(len(tk) AS DOUBLE) AS avg_token_len,
+                           CAST(len(list_filter(tk, x -> x IN ('the','a','is','and','of','to','in'))) AS DOUBLE)
+                             / CAST(len(tk) AS DOUBLE) AS stop_ratio
+                    FROM t),
+              qs AS (SELECT doc_id, n_tokens,
+                            greatest(0.0, least(1.0,
+                              stop_ratio * 0.3
+                              + least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.4
+                              + least(1.0, avg_token_len / 8.0) * 0.3)) AS quality_score
+                     FROM q),
+              ser AS (SELECT unnest(generate_series(1, (SELECT COALESCE(MAX(len(tk)), 1) FROM t))) AS i),
+              bgr AS (SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS b
+                      FROM t CROSS JOIN ser WHERE i <= len(tk) - 1),
+              rp0 AS (SELECT doc_id, COUNT(*) AS nb, COUNT(DISTINCT b) AS nub
+                      FROM bgr GROUP BY doc_id),
+              rp AS (SELECT t.doc_id,
+                            COALESCE(round(CAST(rp0.nb - rp0.nub AS DOUBLE)
+                                           / CAST(rp0.nb AS DOUBLE), 6), 0.0) AS rep_ratio
+                     FROM t LEFT JOIN rp0 ON t.doc_id = rp0.doc_id),
+              lh AS (SELECT doc_id,
+                            CAST(len(list_filter(tk, x -> x IN ('the','a','is','and','of'))) AS INTEGER) AS en_hits,
+                            CAST(len(list_filter(tk, x -> x IN ('el','la','de','que','y'))) AS INTEGER) AS es_hits,
+                            CAST(len(list_filter(tk, x -> x IN ('le','les','des','et','une'))) AS INTEGER) AS fr_hits,
+                            CAST(len(list_filter(tk, x -> x IN ('der','die','und','das','ist'))) AS INTEGER) AS de_hits
+                     FROM t),
+              ld AS (SELECT doc_id,
+                            CASE WHEN en_hits >= es_hits AND en_hits >= fr_hits
+                                  AND en_hits >= de_hits AND en_hits > 0 THEN 'en'
+                                 WHEN es_hits >= fr_hits AND es_hits >= de_hits
+                                  AND es_hits > 0 THEN 'es'
+                                 WHEN fr_hits >= de_hits AND fr_hits > 0 THEN 'fr'
+                                 WHEN de_hits > 0 THEN 'de'
+                                 ELSE 'und' END AS detected
+                     FROM lh),
+              j AS (SELECT qs.doc_id, qs.n_tokens, rp.rep_ratio, qs.quality_score, ld.detected
+                    FROM qs JOIN rp ON qs.doc_id = rp.doc_id
+                            JOIN ld ON qs.doc_id = ld.doc_id),
+              g AS (SELECT *, CASE WHEN n_tokens < 40 THEN 'too_short'
+                                   WHEN rep_ratio > 0.1 THEN 'too_repetitive'
+                                   WHEN quality_score < 0.55 THEN 'low_quality'
+                                   WHEN detected NOT IN ('en','es','fr','de') THEN 'lang'
+                              END AS drop_reason
+                    FROM j)
+         SELECT doc_id, n_tokens, rep_ratio, quality_score, detected,
+                (drop_reason IS NULL) AS kept, drop_reason
+         FROM g ORDER BY doc_id""",
 
     "q_text_packing_sharded" ->
       """WITH t AS (SELECT doc_id, lang,

@@ -348,6 +348,34 @@ object Dedup {
       .select("id_fresh", "id_other", "jaccard")
   }
 
+  /** End-to-end near-dup corpus dedup — the one-call composition a
+    * training-data pipeline runs before anything else: MinHash-LSH
+    * candidates → exact-Jaccard verify ≥ `threshold` → connected
+    * components over surviving pairs → keep each cluster's canonical
+    * (min-id) member. Returns one row per SURVIVING doc with its
+    * cluster size (1 for docs with no near-dup) — the audit shape a
+    * deletion run wants (removed count = |corpus| − |survivors|).
+    *
+    * 100 TB: every stage is an already-audited scale shape (map-side
+    * banding, bucketed candidate join, pair-only verification,
+    * constant-size-plan label propagation); nothing materializes beyond
+    * the pair set and the label table. Canonical = component label
+    * directly, because min-label propagation converges to the min id.
+    */
+  def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
+                  k: Int, numHashes: Int, numBands: Int,
+                  threshold: Double): DataFrame = {
+    val pairs = minhashLshPairs(df, idCol, textCol, k, numHashes, numBands, threshold)
+      .select("id_a", "id_b")
+    val labels = OpCache.persist(connectedComponents(pairs, "id_a", "id_b"))
+    val canon = labels.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+      .select(col("comp").as(idCol), col("cluster_size"))
+    val unique = df.select(col(idCol))
+      .join(labels.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+      .withColumn("cluster_size", lit(1L))
+    unique.unionByName(canon)
+  }
+
   /** Persist a [[minhashIndex]] as the two stored tables the incremental
     * path probes — the promised SCALE.md shape, now actually exercised:
     *

@@ -127,6 +127,27 @@ object TextAnalysis {
       .drop("__toks", "__bigrams")
   }
 
+  /** Composed corpus quality gate (C4/Gopher-style): evaluate the
+    * engine's per-document text signals and keep docs passing ALL rules,
+    * with a `drop_reason` audit column naming the FIRST failing rule
+    * (fixed order: too_short → too_repetitive → low_quality → lang).
+    * Pipelines report drop attribution from the flag, then filter
+    * `kept` — the standard pretraining-cleanup shape, here as one call
+    * over the already-verified signal operators. All signals are
+    * map-side single-pass columns; the gate adds no shuffle.
+    */
+  def corpusGate(df: DataFrame, idCol: String, textCol: String,
+                 minTokens: Int, maxRepetition: Double, minQuality: Double,
+                 allowedLangs: Seq[String]): DataFrame = {
+    val sig = withLangId(withRepetition(withQuality(df, textCol), textCol), textCol)
+    sig.withColumn("drop_reason",
+        when(col("n_tokens") < minTokens, "too_short")
+          .when(col("rep_ratio") > maxRepetition, "too_repetitive")
+          .when(col("quality_score") < minQuality, "low_quality")
+          .when(!col("detected").isin(allowedLangs: _*), "lang"))
+      .withColumn("kept", col("drop_reason").isNull)
+  }
+
   /** Per-document top TF-IDF term: tf = in-doc count, idf = ln((N+1)/(df+1)),
     * winner by (score desc, term asc). The classic two-phase shape: one
     * hash aggregation for (doc, term) tf, one for per-term df (both

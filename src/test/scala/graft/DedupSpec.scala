@@ -130,6 +130,22 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedupCorpus keeps one canonical per near-dup cluster and all uniques") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base), (2L, base + " lambda"), (3L, base + " mu"), // one cluster
+      (7L, "totally different words in this one here now ok fine yes"),
+      (9L, "another unrelated document with its own words entirely here"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup.dedupCorpus(docs, "doc_id", "text",
+        k = 3, numHashes = 16, numBands = 8, threshold = 0.3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // cluster {1,2,3} → canonical 1 with size 3; 7 and 9 survive alone
+    assert(out == Map(1L -> 3L, 7L -> 1L, 9L -> 1L), s"got $out")
+    graft.operators.OpCache.clear()
+  }
+
   test("contaminationReport counts shared shingles against the probe set only") {
     import spark.implicits._
     val corpus = Seq(

@@ -140,6 +140,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.sorted.sameElements(again.sorted))
   }
 
+  test("corpusGate attributes drops to the first failing rule and keeps clean docs") {
+    import spark.implicits._
+    val good = "the cat is on the mat and the dog is in the garden with the ball " +
+      "near the tree while the sun is warm and the breeze is soft all day long " +
+      "so the animals sleep in the shade of the old wall"
+    val docs = Seq(
+      (1L, good),                                  // passes everything
+      (2L, "too short"),                           // too_short
+      (3L, ("spam ham " * 40).trim),               // long but repetitive
+      (4L, Seq.tabulate(60)(i => s"w$i").mkString(" "))) // long, unique, but no stopwords → low quality or und
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.corpusGate(docs, "doc_id", "text",
+        minTokens = 10, maxRepetition = 0.2, minQuality = 0.35,
+        allowedLangs = Seq("en"))
+      .select("doc_id", "kept", "drop_reason")
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    assert(out(1L) == (true, null))
+    assert(out(2L) == (false, "too_short"))
+    assert(out(3L) == (false, "too_repetitive"))
+    assert(!out(4L)._1 && Set("low_quality", "lang").contains(out(4L)._2))
+  }
+
   test("tfidf top term prefers the distinctive word over the ubiquitous one") {
     val df = Seq(
       (1L, "common common quark"),

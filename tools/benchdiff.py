@@ -4,7 +4,7 @@ one-line format or a saved local run). Flags regressions beyond a
 threshold and lists adds/drops. Usage:
   python3 tools/benchdiff.py BENCH_r02.json /tmp/bench_now.json [--pct 15]
 """
-import json, sys
+import json, re, sys
 
 args = [a for a in sys.argv[1:] if not a.startswith("--")]
 pct = 15.0
@@ -14,11 +14,20 @@ if "--pct" in sys.argv:
 def load(path):
     with open(path) as f:
         txt = f.read()
-    # the driver file may hold one JSON line among log noise
+    # the file may hold one JSON line among log noise, possibly behind an
+    # sbt "[info] " prefix — parse from the first brace on a queries line
     for line in txt.splitlines():
-        line = line.strip()
-        if line.startswith("{") and '"queries"' in line:
-            return json.loads(line)
+        if '"queries"' in line and "{" in line:
+            try:
+                return json.loads(line[line.index("{"):])
+            except json.JSONDecodeError:
+                pass
+    # fallback: the driver wraps (and may truncate) the JSON line inside a
+    # "tail" field — scrape whatever (query, seconds) pairs survive
+    pairs = re.findall(r'\\?"(q[\w]*)\\?":(-?[0-9.]+)', txt)
+    qs = {k: float(v) for k, v in pairs}
+    if qs:
+        return {"queries": qs}
     return json.loads(txt)
 
 old, new = load(args[0]), load(args[1])
