@@ -554,6 +554,15 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // int8-quantized cosine top-3: the 4× memory/bandwidth scale lever;
+    // scoring is exact integer code dots, so the oracle checks it exactly
+    "q_sim_int8_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.int8TopK(emb.filter(col("vec_id") < 5), emb,
+          "vec_id", "embedding", k = 3)
+        .orderBy("query_id", "rank")
+    }),
+
     // LSH-bucketed ANN top-3 (8 sign-projection planes) — the scale path
     "q_sim_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1567,6 +1576,35 @@ object SparkEntry {
               r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                                ORDER BY cos_sim DESC, cand_id) AS INTEGER) AS rank
                     FROM sc)
+         SELECT query_id, cand_id, cos_sim, rank
+         FROM r WHERE rank <= 3 ORDER BY query_id, rank""",
+
+    "q_sim_int8_topk" ->
+      """WITH ser AS (SELECT unnest(generate_series(1, 64)) AS i),
+              e AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+                    FROM embeddings CROSS JOIN ser WHERE i <= len(embedding)),
+              sc AS (SELECT vec_id,
+                            CASE WHEN MAX(abs(x)) > 0 THEN MAX(abs(x)) / 127.0
+                                 ELSE 1.0 END AS scale
+                     FROM e GROUP BY vec_id),
+              c AS (SELECT e.vec_id, i, CAST(round(x / scale) AS BIGINT) AS cd
+                    FROM e JOIN sc ON e.vec_id = sc.vec_id),
+              nrm AS (SELECT vec_id, sqrt(CAST(SUM(cd * cd) AS DOUBLE)) AS nrm
+                      FROM c GROUP BY vec_id),
+              q AS (SELECT vec_id AS query_id, i, cd FROM c WHERE vec_id < 5),
+              dots AS (SELECT q.query_id, t.vec_id AS cand_id, SUM(q.cd * t.cd) AS dot
+                       FROM q JOIN c t ON q.i = t.i AND q.query_id <> t.vec_id
+                       GROUP BY 1, 2),
+              scd AS (SELECT query_id, cand_id,
+                             CASE WHEN nq.nrm * nc.nrm > 0
+                                  THEN round(CAST(dot AS DOUBLE) / (nq.nrm * nc.nrm), 6)
+                                  ELSE 0.0 END AS cos_sim
+                      FROM dots
+                      JOIN nrm nq ON nq.vec_id = query_id
+                      JOIN nrm nc ON nc.vec_id = cand_id),
+              r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, cand_id) AS INTEGER) AS rank
+                    FROM scd)
          SELECT query_id, cand_id, cos_sim, rank
          FROM r WHERE rank <= 3 ORDER BY query_id, rank""",
 

@@ -64,8 +64,12 @@ object Similarity {
       .join(fv.select(col("__vid").as("id_b"), col("__vl").as("__vb"),
                       col("__nrm").as("__nb")), "id_b")
       .withColumn("cos_sim",
-        round(DotFixedPoint(spark, col("__va"), col("__vb")).cast("double")
-          / (col("__na") * col("__nb")), 6))
+        // zero-norm (all-zero) vectors: cosine is undefined — report 0
+        // rather than tripping ANSI divide-by-zero
+        when(col("__na") * col("__nb") > 0,
+          round(DotFixedPoint(spark, col("__va"), col("__vb")).cast("double")
+            / (col("__na") * col("__nb")), 6))
+          .otherwise(lit(0.0)))
       .drop("__va", "__vb", "__na", "__nb")
   }
 
@@ -85,6 +89,52 @@ object Similarity {
       .crossJoin(corpus.select(col(idCol).as("id_b")))
       .filter(col("id_a") =!= col("id_b"))
     pairCosine(pairs, fv)
+      .select(col("id_a").as("query_id"), col("id_b").as("cand_id"), col("cos_sim"))
+      .transform(topK(_, k))
+  }
+
+  /** Scalar int8 quantization of the embedding column — the 4× memory /
+    * scan-bandwidth lever for 100 TB ANN: per-vector symmetric max-abs
+    * scale, codes cᵢ = round(xᵢ/scale) ∈ [−127, 127]. The quantized
+    * COSINE needs no dequantization at all: the per-vector scale cancels
+    * between numerator and norms, so scoring is exact integer code dots
+    * (through the same [[graft.functions.DotFixedPoint]] machinery — the
+    * 10⁻¹⁸ factors cancel too) + one double divide — bit-reproducible
+    * across engines, which is what lets the oracle verify an
+    * approximation technique exactly. `scale` is kept for dequantizing
+    * magnitudes downstream. Zero vectors get scale 1 (all-zero codes)
+    * rather than a 0/0.
+    *
+    * Output: (__vid, __vl codes-as-longs, __nrm, scale) — the same
+    * narrow shape as the exact path, so [[pairCosine]] serves both.
+    */
+  def quantizeInt8(vectors: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val spark = vectors.sparkSession
+    val xs = transform(col(vecCol), x => x.cast("double"))
+    val maxAbs = array_max(transform(xs, x => abs(x)))
+    val scale = when(maxAbs > 0, maxAbs / 127.0).otherwise(lit(1.0))
+    vectors
+      .select(col(idCol).as("__vid"), xs.as("__x"), scale.as("scale"))
+      .select(col("__vid"), col("scale"),
+        transform(col("__x"), x => round(x / col("scale")).cast("long")).as("__vl"))
+      .withColumn("__nrm",
+        sqrt(DotFixedPoint(spark, col("__vl"), col("__vl")).cast("double")))
+  }
+
+  /** Exact top-k over the int8-quantized corpus — [[bruteForceTopK]]'s
+    * shape on codes. The ranking is approximate relative to float cosine
+    * (quantization error), but the quantized scores themselves are exact
+    * integers-over-sqrt, hence oracle-checkable; at scale the candidate
+    * generation composes with the LSH/IVF paths unchanged (they only
+    * need the id column).
+    */
+  def int8TopK(queries: DataFrame, corpus: DataFrame,
+               idCol: String, vecCol: String, k: Int): DataFrame = {
+    val qv = OpCache.persist(quantizeInt8(Stage.spread(corpus), idCol, vecCol))
+    val pairs = queries.select(col(idCol).as("id_a"))
+      .crossJoin(corpus.select(col(idCol).as("id_b")))
+      .filter(col("id_a") =!= col("id_b"))
+    pairCosine(pairs, qv.drop("scale"))
       .select(col("id_a").as("query_id"), col("id_b").as("cand_id"), col("cos_sim"))
       .transform(topK(_, k))
   }
@@ -288,6 +338,103 @@ object Similarity {
         .localCheckpoint(true)
     }
     cents
+  }
+
+  /** Product-quantization codebooks: split the `dim`-dimensional space
+    * into `m` subspaces of dim/m and train a `ksub`-centroid Lloyd's
+    * codebook per subspace (reusing [[kmeansCentroids]] on the sliced
+    * subvectors). Returns (sub, centroid_id, centroid). Codebook
+    * training is the offline step of the IVF-PQ stack; m sequential
+    * trainings are deliberate — each is a full distributed Lloyd's run,
+    * and m is small (8-16) while the corpus is the big axis.
+    */
+  def pqCodebooks(vectors: DataFrame, idCol: String, vecCol: String,
+                  dim: Int, m: Int, ksub: Int, iters: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val sd = dim / m
+    (0 until m).map { s =>
+      val sub = vectors.select(col(idCol),
+        slice(transform(col(vecCol), _.cast("double")), s * sd + 1, sd).as("__sv"))
+      kmeansCentroids(sub, idCol, "__sv", ksub, iters)
+        .select(lit(s).as("sub"), col("centroid_id"), col("centroid"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Collect trained codebooks driver-side: books(s)(cid) = centroid
+    * vector. Codebooks are tiny (m × ksub × dim/m doubles — the whole
+    * point of PQ) and ship to every task as a literal, like
+    * [[planeSigns]].
+    */
+  def collectCodebooks(cb: DataFrame, m: Int, ksub: Int): Array[Array[Array[Double]]] = {
+    val rows = cb.select(col("sub"), col("centroid_id"), col("centroid"))
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
+      .toMap
+    Array.tabulate(m, ksub)((s, c) => rows((s, c)))
+  }
+
+  /** PQ-encode every vector: codes(s) = nearest codebook centroid of
+    * subvector s (min L2, centroid-id tie-break) — dim×4 bytes shrink to
+    * m small ints per vector. Entirely IN-ROW (nested higher-order
+    * argmax against the literal codebooks): zero shuffle, the same
+    * posture as the IVF assignment.
+    */
+  def pqEncode(vectors: DataFrame, idCol: String, vecCol: String,
+               books: Array[Array[Array[Double]]]): DataFrame = {
+    val m = books.length
+    val sd = books(0)(0).length
+    val booksCol = typedlit(books.map(_.map(_.toSeq).toSeq).toSeq)
+    val codes = transform(sequence(lit(0), lit(m - 1)), s => {
+      val qsub = slice(transform(col(vecCol), _.cast("double")), s * sd + 1, lit(sd))
+      val cb = element_at(booksCol, s + 1)
+      val scored = transform(sequence(lit(0), lit(books(0).length - 1)), c => {
+        val cent = element_at(cb, c + 1)
+        val d2 = aggregate(zip_with(qsub, cent, (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, v) => acc + v)
+        struct(d2.as("d2"), c.as("cid"))
+      })
+      aggregate(scored,
+        struct(lit(null).cast("double").as("d2"), lit(null).cast("int").as("cid")),
+        (acc, c) => when(acc.getField("cid").isNull
+            || c.getField("d2") < acc.getField("d2")
+            || (c.getField("d2") === acc.getField("d2")
+                && c.getField("cid") < acc.getField("cid")), c)
+          .otherwise(acc)).getField("cid")
+    })
+    Stage.spread(vectors).select(col(idCol), codes.as("codes"))
+  }
+
+  /** PQ top-k via ADC (asymmetric distance computation): the query stays
+    * full-precision; a candidate's approximate DOT is Σ_s
+    * dot(query_subvec_s, books(s)(code_s)) — m array lookups + tiny
+    * dots per pair, against m-byte codes instead of dim×4-byte vectors.
+    * The crossJoin here is the exact-ADC baseline shape; at scale the
+    * pair space composes with the LSH/IVF candidate generators (they
+    * only need ids), exactly like [[bruteForceTopK]] vs [[annTopK]].
+    */
+  def pqTopK(queries: DataFrame, corpusCodes: DataFrame,
+             idCol: String, vecCol: String,
+             books: Array[Array[Array[Double]]], k: Int): DataFrame = {
+    val m = books.length
+    val sd = books(0)(0).length
+    val booksCol = typedlit(books.map(_.map(_.toSeq).toSeq).toSeq)
+    val q = queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol), _.cast("double")).as("__qv"))
+    val pairs = q.join(
+      corpusCodes.select(col(idCol).as("cand_id"), col("codes")),
+      col("query_id") =!= col("cand_id"))
+    val approx = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, s) => {
+      val qsub = slice(col("__qv"), s * sd + 1, lit(sd))
+      val cent = element_at(element_at(booksCol, s + 1),
+        element_at(col("codes"), s + 1) + 1)
+      acc + aggregate(zip_with(qsub, cent, (a, b) => a * b),
+        lit(0.0), (x, y) => x + y)
+    })
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_dot").desc, col("cand_id").asc)
+    pairs.withColumn("approx_dot", round(approx, 6))
+      .select("query_id", "cand_id", "approx_dot")
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
   /** IVF top-k: exact cosine within the query's `nProbe` nearest centroid

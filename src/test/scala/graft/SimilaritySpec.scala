@@ -87,6 +87,58 @@ class SimilaritySpec extends SparkSpec {
     graft.operators.OpCache.clear()
   }
 
+  test("int8 quantized cosine tracks float cosine and is exact on identical vectors") {
+    val df = Seq(
+      (1L, Array(0.10f, 0.20f, -0.30f, 0.40f)),
+      (2L, Array(0.10f, 0.20f, -0.30f, 0.40f)),   // identical to 1
+      (3L, Array(0.40f, -0.10f, 0.20f, 0.05f)),
+      (4L, Array(-0.20f, 0.30f, 0.10f, -0.40f)),
+      (5L, Array(0.0f, 0.0f, 0.0f, 0.0f)))        // zero vector: scale guard
+      .toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") === 1L)
+    val got = Similarity.int8TopK(q, df, "vec_id", "embedding", k = 4)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    // identical vector quantizes identically → cosine exactly 1.0
+    assert(got(2L) == 1.0, s"got $got")
+    // quantized scores stay within int8 error of the float cosines
+    val exact = Similarity.bruteForceTopK(q, df, "vec_id", "embedding", k = 4)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    Seq(3L, 4L).foreach { id =>
+      assert(math.abs(got(id) - exact(id)) < 0.02,
+        s"id $id: int8 ${got(id)} vs float ${exact(id)}")
+    }
+    // zero vector: defined (0.0), not NaN/error
+    assert(got(5L) == 0.0)
+    graft.operators.OpCache.clear()
+  }
+
+  test("PQ: codebooks train per subspace, identical vectors encode identically, ADC ranks the true neighbor first") {
+    // two well-separated clusters in dim 4, m=2 subspaces of 2
+    val a = (1L to 6L).map(i => (i, Array(1.0f, 0.02f * i, 0.0f, 0.01f * i)))
+    val b = (11L to 16L).map(i => (i, Array(0.0f, 0.01f * i, 1.0f, 0.02f * i)))
+    val df = (a ++ b).toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebooks(df, "vec_id", "embedding",
+      dim = 4, m = 2, ksub = 2, iters = 4)
+    assert(cb.count() == 4) // 2 subspaces × 2 centroids
+    val books = Similarity.collectCodebooks(cb, m = 2, ksub = 2)
+    assert(books.length == 2 && books(0).length == 2 && books(0)(0).length == 2)
+
+    val enc = Similarity.pqEncode(df, "vec_id", "embedding", books)
+    val codes = enc.collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    // within each tight cluster the codes collapse to the cluster's cell
+    assert(a.map(x => codes(x._1)).toSet.size == 1, s"A codes: ${a.map(x => codes(x._1))}")
+    assert(b.map(x => codes(x._1)).toSet.size == 1)
+    assert(codes(1L) != codes(11L))
+
+    // ADC: a query from cluster A must rank an A-member first
+    val top = Similarity.pqTopK(df.filter(col("vec_id") === 1L), enc,
+        "vec_id", "embedding", books, k = 3)
+      .orderBy("rank").collect()
+    assert(top.head.getLong(1) >= 1L && top.head.getLong(1) <= 6L,
+      s"nearest by ADC should be in cluster A: ${top.mkString(",")}")
+    graft.operators.OpCache.clear()
+  }
+
   test("lshBuckets fails loudly on embedding length mismatch (ADVICE r1)") {
     val bad = Seq((1L, Array(0.1f, 0.2f, 0.3f))).toDF("vec_id", "embedding")
     val e = intercept[Exception] {
