@@ -83,6 +83,44 @@ class BoxOffice(spark: SparkSession, storeRoot: String) {
   def activeEvents(asOf: String): DataFrame =
     goodsEvents.filter(try_to_date(col("end_date")) >= to_date(lit(asOf)))
 
+  /** The reference's phase-1 candidate query (movie_events_scraper.py
+    * :67-81 `query1`): names on the recent box office (target_dt ≥
+    * asOf − 1 day) ∪ opening-soon movies (asOf − 1 day < open_dt <
+    * asOf + 7 days, excluding names already on the box office). The
+    * "today" is injected, per SURVEY §7.5.
+    */
+  def recentCandidateNames(asOf: String): DataFrame = {
+    val d = to_date(lit(asOf))
+    val boxNames = boxoffice.select("movie_nm").distinct()
+    val recentBox = boxoffice
+      .filter(col("target_dt") >= date_sub(d, 1))
+      .select("movie_nm").distinct()
+    val openingSoon = movies
+      .filter(try_to_date(col("open_dt")) > date_sub(d, 1)
+        && try_to_date(col("open_dt")) < date_add(d, 7))
+      .select("movie_nm")
+      .join(boxNames, Seq("movie_nm"), "left_anti")
+    recentBox.unionByName(openingSoon).distinct()
+  }
+
+  /** Full goods-event ingestion against the store — the scraper batch's
+    * complete path (movie_events_scraper.py get_events + the upsert in
+    * goods_stock_pipeline.py): enrich the raw batch
+    * ([[graft.pipelines.BoxOfficePipeline.enrichGoodsEvents]], with
+    * phase-1 candidates drawn from THIS store via
+    * [[recentCandidateNames]] and the movie dim as the catalog), then
+    * crash-safe upsert into `goods_event` on event_id. Returns the
+    * post-merge store row count.
+    */
+  def ingestGoodsEvents(rawEvents: DataFrame, aliases: DataFrame,
+                        movieEvents: DataFrame, asOf: String): Long = {
+    val enriched = BoxOfficePipeline.enrichGoodsEvents(
+      rawEvents, aliases, recentCandidateNames(asOf),
+      movies.select("movie_nm"), movieEvents)
+    BoxOfficePipeline.upsertDim(spark, storeRoot, "goods_event",
+      enriched, Seq("event_id"))
+  }
+
   /** The AI agent's engine requirement: execute arbitrary SELECT text
     * against the 4-table schema (ai_agent.py:118-124). Registers the
     * store tables as temp views on each call.

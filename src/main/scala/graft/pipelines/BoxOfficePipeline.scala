@@ -70,11 +70,20 @@ object BoxOfficePipeline {
     * anti-joins to insert only new movie_cds (J2) — expressed here as the
     * general upsert with the store as the loser on conflicts.
     */
-  def upsertMovies(spark: SparkSession, root: String, fresh: DataFrame): Long = {
-    val path = s"$root/movie"
+  def upsertMovies(spark: SparkSession, root: String, fresh: DataFrame): Long =
+    upsertDim(spark, root, "movie", fresh, Seq("movie_cd"))
+
+  /** General dimension upsert against `{root}/{tableName}` — the same
+    * crash-safe shape for every dimension the reference maintains
+    * (movie on movie_cd, goods_event on event_id:
+    * sqlite_connector.py:76-114). Returns the post-merge row count.
+    */
+  def upsertDim(spark: SparkSession, root: String, tableName: String,
+                fresh: DataFrame, keys: Seq[String]): Long = {
+    val path = s"$root/$tableName"
     AtomicStore.recover(spark, path) // roll forward a swap a crash interrupted
     val store = readOrEmpty(spark, path, fresh)
-    val merged = Upsert.upsert(store, fresh, Seq("movie_cd"), lit(0))
+    val merged = Upsert.upsert(store, fresh, keys, lit(0))
     val out = merged.cache()
     val n = out.count()
     // durable staging + rename swap: a crash anywhere leaves a complete
