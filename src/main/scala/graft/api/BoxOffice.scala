@@ -18,8 +18,12 @@ import graft.pipelines.BoxOfficePipeline
   */
 class BoxOffice(spark: SparkSession, storeRoot: String) {
 
-  private def table(name: String): DataFrame =
+  private def table(name: String): DataFrame = {
+    // read-side resilience: roll forward any swap a crashed writer left
+    // mid-flight (idempotent fs-metadata checks; see AtomicStore)
+    graft.pipelines.AtomicStore.recover(spark, s"$storeRoot/$name")
     spark.read.parquet(s"$storeRoot/$name")
+  }
 
   def boxoffice: DataFrame = table("boxoffice")
   def movies: DataFrame = table("movie")

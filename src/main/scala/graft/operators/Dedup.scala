@@ -393,7 +393,7 @@ object Dedup {
                        bandTable: String, docTable: String,
                        nBuckets: Int): Unit = {
     val spark = index.sparkSession
-    Seq(bandTable, docTable).foreach { tbl =>
+    def clear(tbl: String): Unit = {
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
       // a previous JVM's in-memory catalog died with it, but its managed
       // location under the warehouse survives — CREATE refuses to reuse
@@ -403,12 +403,23 @@ object Dedup {
           org.apache.spark.sql.catalyst.TableIdentifier(tbl)))
       loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
     }
+    // build the NEW generation completely under __stage names before
+    // touching the live tables (the AtomicStore discipline for catalog
+    // tables): a crash mid-build leaves the live index untouched; a
+    // crash mid-swap leaves readers failing loudly (table-not-found)
+    // until the idempotent rebuild reruns — never a partial-data index.
+    val stageB = bandTable + "__stage"
+    val stageD = docTable + "__stage"
+    clear(stageB); clear(stageD)
     bandKeys(index, idCol).write.mode(SaveMode.Overwrite)
       .bucketBy(nBuckets, "band", "key").sortBy("band", "key")
-      .saveAsTable(bandTable)
+      .saveAsTable(stageB)
     index.select(col(idCol), col("n"), col("sh")).write.mode(SaveMode.Overwrite)
       .bucketBy(nBuckets, idCol).sortBy(idCol)
-      .saveAsTable(docTable)
+      .saveAsTable(stageD)
+    clear(bandTable); clear(docTable)
+    spark.sql(s"ALTER TABLE $stageB RENAME TO $bandTable")
+    spark.sql(s"ALTER TABLE $stageD RENAME TO $docTable")
   }
 
   /** [[incrementalNearDups]] served from the STORED index tables written

@@ -222,15 +222,41 @@ object Similarity {
                 idCol: String, vecCol: String): DataFrame =
     ivfAssignWith(fixedVectors(vectors, idCol, vecCol), centroids, idCol)
 
+  /** Order-independent arg-best fold over a (s, cid) struct array —
+    * the in-row replacement for the window argmax it superseded, with
+    * the window's FULL semantics: best non-NULL score wins (ties →
+    * smallest cid); NULL-scored elements lose to any scored element and
+    * fall back to smallest-cid when NOTHING scores (the window's
+    * nulls-last + id tie-break). The explicit NULL arms matter: without
+    * them a null-scored accumulator turns every later comparison NULL
+    * and freezes the fold on whatever the array happened to order first
+    * — nondeterministic under retry (round-3 review).
+    * `beats(c, a)` compares two non-null scores (`>` for max, `<` for
+    * min).
+    */
+  private def argBest(scored: Column, scoreType: String, cidType: String,
+                      beats: (Column, Column) => Column): Column =
+    aggregate(scored,
+      struct(lit(null).cast(scoreType).as("s"), lit(null).cast(cidType).as("cid")),
+      (acc, c) => {
+        val cS = c.getField("s")
+        val cId = c.getField("cid")
+        val aS = acc.getField("s")
+        val aId = acc.getField("cid")
+        when(cS.isNotNull && (aId.isNull || aS.isNull || beats(cS, aS)
+              || (cS === aS && cId < aId)), c)
+          .when(cS.isNull && (aId.isNull || (aS.isNull && cId < aId)), c)
+          .otherwise(acc)
+      })
+
   /** Nearest-centroid assignment computed IN-ROW: the centroid set is
     * collapsed to a ONE-ROW array of (cid, vec, norm) structs and
     * broadcast, each corpus row scores every centroid inside a
-    * higher-order `transform` and folds the argmax with `aggregate` —
+    * higher-order `transform` and folds the argmax with [[argBest]] —
     * ZERO shuffle of the corpus (round-2 verdict: the previous shape
     * pushed corpus×nCells scored rows through a row_number window
-    * exchange). Same semantics as that window: max rounded cosine,
-    * smallest centroid id on ties — the fold's comparator is a total
-    * order, so the result is independent of array order.
+    * exchange). Same semantics as that window, including its null
+    * ordering.
     */
   private def ivfAssignWith(fv: DataFrame, centroids: DataFrame,
                             idCol: String): DataFrame = {
@@ -242,15 +268,9 @@ object Similarity {
         col("__nrm").as("cn"))).as("__cents"))
     val scored = transform(col("__cents"), c => struct(
       round(DotFixedPoint(spark, col("__vl"), c.getField("cv")).cast("double")
-        / (col("__nrm") * c.getField("cn")), 6).as("sim"),
+        / (col("__nrm") * c.getField("cn")), 6).as("s"),
       c.getField("cid").as("cid")))
-    val best = aggregate(scored,
-      struct(lit(null).cast("double").as("sim"), lit(null).cast(cidType).as("cid")),
-      (acc, c) => when(acc.getField("cid").isNull
-          || c.getField("sim") > acc.getField("sim")
-          || (c.getField("sim") === acc.getField("sim")
-              && c.getField("cid") < acc.getField("cid")), c)
-        .otherwise(acc))
+    val best = argBest(scored, "double", cidType, _ > _)
     fv.crossJoin(broadcast(centArr))
       .select(col("__vid").as(idCol), best.getField("cid").as("centroid_id"))
   }
@@ -280,20 +300,14 @@ object Similarity {
       .agg(collect_list(struct(col("centroid_id").as("cid"),
         col("centroid").as("cv"))).as("__cents"))
     val scored = transform(col("__cents"), c => struct(
-      cosineSim(col("__v"), c.getField("cv")).as("sim"),
+      cosineSim(col("__v"), c.getField("cv")).as("s"),
       c.getField("cid").as("cid")))
-    val best = aggregate(scored,
-      struct(lit(null).cast("double").as("sim"), lit(null).cast(cidType).as("cid")),
-      (acc, c) => when(acc.getField("cid").isNull
-          || c.getField("sim") > acc.getField("sim")
-          || (c.getField("sim") === acc.getField("sim")
-              && c.getField("cid") < acc.getField("cid")), c)
-        .otherwise(acc))
+    val best = argBest(scored, "double", cidType, _ > _)
     Stage.spread(vectors)
       .select(col(idCol), transform(col(vecCol), _.cast("double")).as("__v"))
       .crossJoin(broadcast(centArr))
       .select(col(idCol), best.getField("cid").as("centroid_id"),
-        best.getField("sim").as("sim"))
+        best.getField("s").as("sim"))
   }
 
   /** Distributed Lloyd's k-means over an embedding column — the offline
@@ -391,15 +405,9 @@ object Similarity {
         val cent = element_at(cb, c + 1)
         val d2 = aggregate(zip_with(qsub, cent, (a, b) => (a - b) * (a - b)),
           lit(0.0), (acc, v) => acc + v)
-        struct(d2.as("d2"), c.as("cid"))
+        struct(d2.as("s"), c.as("cid"))
       })
-      aggregate(scored,
-        struct(lit(null).cast("double").as("d2"), lit(null).cast("int").as("cid")),
-        (acc, c) => when(acc.getField("cid").isNull
-            || c.getField("d2") < acc.getField("d2")
-            || (c.getField("d2") === acc.getField("d2")
-                && c.getField("cid") < acc.getField("cid")), c)
-          .otherwise(acc)).getField("cid")
+      argBest(scored, "double", "int", _ < _).getField("cid")
     })
     Stage.spread(vectors).select(col(idCol), codes.as("codes"))
   }

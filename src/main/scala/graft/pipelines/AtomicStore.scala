@@ -38,6 +38,10 @@ object AtomicStore {
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionByCols.nonEmpty) w.partitionBy(partitionByCols: _*) else w)
       .parquet(staging.toString)
+    // ensure the completion marker recover() keys on, even if the
+    // committer was configured not to stamp one
+    val marker = new Path(staging, "_SUCCESS")
+    if (!fs.exists(marker)) fs.create(marker).close()
     if (fs.exists(old)) fs.delete(old, true)
     if (fs.exists(target) && !fs.rename(target, old))
       throw new java.io.IOException(s"AtomicStore: could not retire $target")
@@ -55,11 +59,21 @@ object AtomicStore {
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = stagingOf(target)
     val old = oldOf(target)
-    if (!fs.exists(target) && fs.exists(staging)) {
+    // a staging dir is only trustworthy once Spark's committer stamped it
+    // (_SUCCESS): a crash MID-staging-write leaves a partial dir that must
+    // never be promoted (round-3 review: first-ever write, no target yet)
+    def stagingComplete = fs.exists(new Path(staging, "_SUCCESS"))
+    if (!fs.exists(target) && fs.exists(staging) && stagingComplete) {
       // crashed between the renames: the staging copy is the completed merge
       if (!fs.rename(staging, target))
         throw new java.io.IOException(s"AtomicStore: recovery rename failed for $staging")
       fs.delete(old, true)
+      true
+    } else if (!fs.exists(target) && fs.exists(staging) && fs.exists(old)) {
+      // incomplete staging + retired previous generation: roll BACK
+      fs.delete(staging, true)
+      if (!fs.rename(old, target))
+        throw new java.io.IOException(s"AtomicStore: recovery rename failed for $old")
       true
     } else if (!fs.exists(target) && fs.exists(old)) {
       // crashed after retiring live but staging also gone (partial write

@@ -137,8 +137,9 @@ object BoxOfficePipeline {
     * richer entries (non-null event_url, then image_url, then url
     * order) — the SURVEY §7.5 determinization discipline. Both lookups
     * are dimension-sized and broadcast; the goods-event side never
-    * shuffles (steps 1 and 3 are broadcast joins; step 2's only exchange
-    * is the per-distinct-title pick).
+    * shuffles (steps 1 and 3 are broadcast joins; step 2 matches the
+    * DISTINCT titles only — its exchange moves the title list, never the
+    * event rows).
     *
     * Expected columns — goodsEvents: (movie_title, goods_name,
     * start_date, end_date, event_url, image_url, …); aliases: (raw,
@@ -162,10 +163,18 @@ object BoxOfficePipeline {
       .withColumn("goods_name", coalesce(col("canonical"), col("goods_name")))
       .drop("raw", "canonical")
 
-    // 2. J6 phased title match (messy scraped title → catalog name)
-    val g2 = graft.operators.FuzzyMatch
-      .phasedBestMatch(g1, "movie_title", recentNames, "movie_nm", catalog, "movie_nm")
-      .withColumn("movie_title", col("matched")).drop("matched")
+    // 2. J6 phased title match (messy scraped title → catalog name) —
+    // computed per DISTINCT title, not per event: hot titles repeat
+    // across events and the match is a function of the title alone, so
+    // the containment join runs T×|candidates| (not N×) and the result
+    // broadcast-joins back onto the events without shuffling them
+    val titles = g1.select("movie_title")
+      .filter(col("movie_title").isNotNull).distinct()
+    val matched = graft.operators.FuzzyMatch
+      .phasedBestMatch(titles, "movie_title", recentNames, "movie_nm", catalog, "movie_nm")
+      .withColumnRenamed("matched", "__matched")
+    val g2 = g1.join(broadcast(matched), Seq("movie_title"), "left")
+      .withColumn("movie_title", col("__matched")).drop("__matched")
 
     // 3. J4 gated two-key enrichment
     def dedupPerKey(df: DataFrame, keys: Seq[String]): DataFrame = {
@@ -227,6 +236,7 @@ object BoxOfficePipeline {
       if (!p.exists()) 0L
       else if (p.isFile) (if (p.getName.endsWith(".parquet")) 1L else 0L)
       else p.listFiles().map(parquetFiles).sum
+    AtomicStore.recover(spark, path) // roll forward a swap a crash interrupted
     val before = parquetFiles(new java.io.File(path))
     val df = spark.read.parquet(path)
     val rows = df.count()

@@ -34,15 +34,22 @@ object StreamingNearDup {
 
   /** Emitted stream. CONTRACT: rows with `truncated = true` are overflow
     * MARKERS, not candidate pairs — they carry `id_a == id_b` (the doc
-    * that hit a full bucket) and must be routed to the batch pass, never
-    * verified as a pair. Consumers filter
-    * `id_a =!= id_b || truncated` before pair verification.
+    * that hit a full bucket). Consumers SPLIT the stream on the flag:
+    * `filter(!col("truncated"))` is the pair-verification feed,
+    * `filter(col("truncated"))` routes to the batch pass. A marker
+    * reaching Jaccard verification would score 1.0 against itself and
+    * read as a self-near-dup.
     */
   case class CandidatePair(id_a: Long, id_b: Long, band: Int, truncated: Boolean)
 
   /** Per-bucket state: joined member ids (capped at `maxBucket`) plus the
     * ids already routed to the batch pass via a truncation marker, so a
     * replayed/duplicated arrival doesn't re-emit its marker every time.
+    *
+    * MIGRATION NOTE: earlier versions stored a bare List[Long]; a
+    * checkpoint written by them fails the state-store schema check on
+    * restart — discard the checkpoint and re-bootstrap bucket state (the
+    * batch index rebuild covers the gap).
     */
   case class BucketState(members: List[Long], marked: List[Long])
 

@@ -36,6 +36,30 @@ class AtomicStoreSpec extends SparkSpec {
     assert(!AtomicStore.recover(spark, path))
   }
 
+  test("recover refuses a PARTIAL staging dir (no _SUCCESS) and rolls back to .old") {
+    val path = tmp()
+    AtomicStore.overwrite(Seq(1).toDF("v"), path)
+    // simulate: live retired, staging half-written (no _SUCCESS marker)
+    assert(new java.io.File(path).renameTo(new java.io.File(path + ".old")))
+    new java.io.File(path + ".staging").mkdirs()
+    new java.io.File(path + ".staging/part-00000.parquet").createNewFile()
+    assert(AtomicStore.recover(spark, path))
+    // previous generation restored, garbage staging removed
+    assert(spark.read.parquet(path).as[Int].collect().toSeq == Seq(1))
+    assert(!new java.io.File(path + ".staging").exists())
+  }
+
+  test("recover leaves a first-ever partial staging alone (nothing to promote)") {
+    val path = tmp()
+    new java.io.File(path + ".staging").mkdirs()
+    new java.io.File(path + ".staging/part-00000.parquet").createNewFile()
+    assert(!AtomicStore.recover(spark, path))
+    assert(!new java.io.File(path).exists())
+    // next overwrite replaces the partial staging and completes normally
+    AtomicStore.overwrite(Seq(5).toDF("v"), path)
+    assert(spark.read.parquet(path).as[Int].collect().toSeq == Seq(5))
+  }
+
   test("recover falls back to the previous generation when staging is gone") {
     val path = tmp()
     AtomicStore.overwrite(Seq(7).toDF("v"), path)

@@ -60,8 +60,8 @@ class StreamingNearDupSpec extends SparkSpec {
       // members capped at 2 per bucket: only the first two pair up
       assert(real == Set((1L, 2L)), s"got $real")
       // the third doc surfaces as truncated (routed to a batch pass);
-      // markers are self-pairs by CONTRACT — consumers filter
-      // id_a =!= id_b || truncated before pair verification
+      // markers are self-pairs by CONTRACT — consumers split on the flag
+      // (!truncated → pair verification, truncated → batch pass)
       assert(rows.exists(r => r.getAs[Boolean]("truncated") && r.getLong(0) == 3L))
 
       // a re-arrival of the same overflow doc does NOT re-emit its marker

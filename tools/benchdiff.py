@@ -6,10 +6,14 @@ threshold and lists adds/drops. Usage:
 """
 import json, re, sys
 
-args = [a for a in sys.argv[1:] if not a.startswith("--")]
-pct = 15.0
-if "--pct" in sys.argv:
-    pct = float(sys.argv[sys.argv.index("--pct") + 1])
+args, pct, expect_pct = [], 15.0, False
+for a in sys.argv[1:]:
+    if expect_pct:
+        pct, expect_pct = float(a), False
+    elif a == "--pct":
+        expect_pct = True
+    elif not a.startswith("--"):
+        args.append(a)
 
 def load(path):
     with open(path) as f:
