@@ -563,6 +563,16 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // product-quantization ADC top-3 with deterministic codebooks
+    // (subvectors of vec_id < 4): codes and approximate dots are
+    // decimal-exact, so the PQ approximation itself is oracle-checked
+    "q_sim_pq_adc" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqAdcDeterministic(emb.filter(col("vec_id") < 5), emb,
+          "vec_id", "embedding", dim = 64, m = 4, ksub = 4, k = 3)
+        .orderBy("query_id", "rank")
+    }),
+
     // LSH-bucketed ANN top-3 (8 sign-projection planes) — the scale path
     "q_sim_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1577,6 +1587,39 @@ object SparkEntry {
                                ORDER BY cos_sim DESC, cand_id) AS INTEGER) AS rank
                     FROM sc)
          SELECT query_id, cand_id, cos_sim, rank
+         FROM r WHERE rank <= 3 ORDER BY query_id, rank""",
+
+    "q_sim_pq_adc" ->
+      """WITH ser AS (SELECT unnest(generate_series(1, 64)) AS i),
+              es AS (SELECT vec_id, i,
+                            CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS x,
+                            (i - 1) // 16 AS s
+                     FROM embeddings CROSS JOIN ser WHERE i <= len(embedding)),
+              cent AS (SELECT vec_id AS cid, s, i, x FROM es WHERE vec_id < 4),
+              d2 AS (SELECT v.vec_id, v.s, c.cid,
+                            SUM(CAST(CAST(v.x - c.x AS DECIMAL(18,9))
+                                     * CAST(v.x - c.x AS DECIMAL(18,9))
+                                     AS DECIMAL(38,18))) AS d2
+                     FROM es v JOIN cent c ON v.i = c.i
+                     GROUP BY 1, 2, 3),
+              code AS (SELECT vec_id, s, cid
+                       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                               ORDER BY d2, cid) AS rn FROM d2)
+                       WHERE rn = 1),
+              adc AS (SELECT q.vec_id AS query_id, cd.vec_id AS cand_id,
+                             SUM(CAST(q.x * c.x AS DECIMAL(38,18))) AS adot
+                      FROM es q
+                      JOIN code cd ON cd.s = q.s
+                      JOIN cent c ON c.cid = cd.cid AND c.s = q.s AND c.i = q.i
+                      WHERE q.vec_id < 5 AND cd.vec_id <> q.vec_id
+                      GROUP BY 1, 2),
+              r AS (SELECT query_id, cand_id,
+                           round(CAST(adot AS DOUBLE), 6) AS approx_dot,
+                           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY round(CAST(adot AS DOUBLE), 6) DESC, cand_id)
+                             AS INTEGER) AS rank
+                    FROM adc)
+         SELECT query_id, cand_id, approx_dot, rank
          FROM r WHERE rank <= 3 ORDER BY query_id, rank""",
 
     "q_sim_int8_topk" ->

@@ -445,6 +445,73 @@ object Similarity {
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Deterministic-codebook PQ with DECIMAL-exact arithmetic — the
+    * oracle-verifiable face of the PQ stack: codebooks are fixed to the
+    * subvectors of the first `ksub` corpus vectors (ids 0..ksub−1, the
+    * same convention as [[ivfTopK]]'s centroids), and every encode
+    * distance / ADC partial dot is computed in decimal, so both the
+    * codes and the approximate scores are bit-reproducible across
+    * engines. The trained path ([[pqCodebooks]]/[[pqEncode]]/[[pqTopK]])
+    * is the production form; this pins down the approximation itself
+    * for the correctness gate.
+    *
+    * Shapes match the production path: one-row broadcast centroid
+    * array, in-row decimal argmin encode (zero corpus shuffle), ADC as
+    * per-pair subspace lookups.
+    */
+  def pqAdcDeterministic(queries: DataFrame, corpus: DataFrame,
+                         idCol: String, vecCol: String,
+                         dim: Int, m: Int, ksub: Int, k: Int): DataFrame = {
+    require(dim % m == 0)
+    val sd = dim / m
+    val dec = "decimal(18,9)"
+    val acc = "decimal(38,18)"
+    def dvec(c: Column) = transform(c, x => x.cast("double").cast(dec))
+    // products stay exact: (18,9) operands → (37,18) ≤ 38 digits; a wider
+    // intermediate would silently lose scale (Spark caps at 38)
+    def d2(a: Column, b: Column) = aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = (x - y).cast(dec)
+        (d * d).cast(acc)
+      }), lit(0).cast(acc), (p, q) => (p + q).cast(acc))
+    def dotD(a: Column, b: Column) = aggregate(
+      zip_with(a, b, (x, y) => (x * y).cast(acc)),
+      lit(0).cast(acc), (p, q) => (p + q).cast(acc))
+    def sub(v: Column, s: Column) = slice(v, s * sd + 1, lit(sd))
+
+    // ordered one-row centroid array: element_at(arr, cid+1) is centroid
+    // cid (ids are the contiguous 0..ksub−1 prefix)
+    val cents = corpus.filter(col(idCol) < ksub)
+      .select(col(idCol).cast("int").as("cid"), dvec(col(vecCol)).as("cv"))
+      .agg(array_sort(collect_list(struct(col("cid"), col("cv")))).as("__cents"))
+
+    val encoded = OpCache.persist(corpus
+      .select(col(idCol).as("cand_id"), dvec(col(vecCol)).as("__cv"))
+      .crossJoin(broadcast(cents))
+      .select(col("cand_id"),
+        transform(sequence(lit(0), lit(m - 1)), s =>
+          argBest(
+            transform(col("__cents"), c => struct(
+              d2(sub(col("__cv"), s), sub(c.getField("cv"), s)).as("s"),
+              c.getField("cid").as("cid"))),
+            acc, "int", _ < _).getField("cid")).as("codes")))
+
+    val q = queries.select(col(idCol).as("query_id"), dvec(col(vecCol)).as("__qv"))
+    val approx = aggregate(sequence(lit(0), lit(m - 1)), lit(0).cast(acc),
+      (a0, s) => {
+        val cent = element_at(col("__cents"),
+          element_at(col("codes"), s + 1) + 1).getField("cv")
+        (a0 + dotD(sub(col("__qv"), s), sub(cent, s))).cast(acc)
+      })
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_dot").desc, col("cand_id").asc)
+    q.join(encoded, col("query_id") =!= col("cand_id"))
+      .crossJoin(broadcast(cents))
+      .withColumn("approx_dot", round(approx.cast("double"), 6))
+      .select("query_id", "cand_id", "approx_dot")
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** IVF top-k: exact cosine within the query's `nProbe` nearest centroid
     * cells. nProbe=1 is the fastest/lowest-recall point; raising it is
     * the standard IVF recall lever — the candidate set grows linearly
