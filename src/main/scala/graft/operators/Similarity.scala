@@ -282,7 +282,10 @@ object Similarity {
   private def cosineSim(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column) =
       aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    // zero-norm side → 0 (not ANSI divide-by-zero): PQ subspace k-means
+    // legitimately sees all-zero subvectors
+    val denom = sqrt(dot(a, a)) * sqrt(dot(b, b))
+    when(denom > 0, dot(a, b) / denom).otherwise(lit(0.0))
   }
 
   /** Assign every vector to its most-cosine-similar centroid from a
@@ -423,14 +426,23 @@ object Similarity {
   def pqTopK(queries: DataFrame, corpusCodes: DataFrame,
              idCol: String, vecCol: String,
              books: Array[Array[Array[Double]]], k: Int): DataFrame = {
-    val m = books.length
-    val sd = books(0)(0).length
-    val booksCol = typedlit(books.map(_.map(_.toSeq).toSeq).toSeq)
     val q = queries.select(col(idCol).as("query_id"),
       transform(col(vecCol), _.cast("double")).as("__qv"))
     val pairs = q.join(
       corpusCodes.select(col(idCol).as("cand_id"), col("codes")),
       col("query_id") =!= col("cand_id"))
+    rankByAdc(pairs, books, k)
+  }
+
+  /** Shared ADC ranking: score (query __qv, candidate codes) pairs by
+    * Σ_s dot(query_subvec_s, books(s)(code_s)) and keep the per-query
+    * top-k.
+    */
+  private def rankByAdc(pairs: DataFrame, books: Array[Array[Array[Double]]],
+                        k: Int): DataFrame = {
+    val m = books.length
+    val sd = books(0)(0).length
+    val booksCol = typedlit(books.map(_.map(_.toSeq).toSeq).toSeq)
     val approx = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, s) => {
       val qsub = slice(col("__qv"), s * sd + 1, lit(sd))
       val cent = element_at(element_at(booksCol, s + 1),
@@ -443,6 +455,41 @@ object Similarity {
     pairs.withColumn("approx_dot", round(approx, 6))
       .select("query_id", "cand_id", "approx_dot")
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** IVF-PQ — the production ANN composition: IVF cells bound WHICH
+    * candidates are scored (nProbe/nCells of the corpus), PQ codes bound
+    * the BYTES per candidate (m small ints instead of dim floats). All
+    * corpus-side stages are the already-audited zero-shuffle shapes
+    * (in-row cell assignment, in-row PQ encode); the only
+    * candidate-generation exchange is the cell equi-join, exactly as in
+    * [[ivfTopK]]. `iters` trains the per-subspace codebooks
+    * ([[pqCodebooks]]) — offline work in production, run inline here.
+    */
+  def ivfPqTopK(vectors: DataFrame, queries: DataFrame,
+                idCol: String, vecCol: String,
+                dim: Int, nCells: Int, m: Int, ksub: Int, iters: Int,
+                k: Int, nProbe: Int = 1): DataFrame = {
+    val fv = OpCache.persist(fixedVectors(Stage.spread(vectors), idCol, vecCol))
+    val centroids = vectors.filter(col(idCol) < nCells)
+    val assigned = ivfAssignWith(fv, centroids, idCol)
+    val books = collectCodebooks(
+      pqCodebooks(vectors, idCol, vecCol, dim, m, ksub, iters), m, ksub)
+    val encoded = pqEncode(vectors, idCol, vecCol, books)
+      .join(assigned, idCol)
+    val probes = probeCells(fv, queries.select(col(idCol).as("__qid")),
+        centroids, idCol, nProbe)
+      .select(col(idCol).as("query_id"), col("centroid_id"))
+    val qv = queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol), _.cast("double")).as("__qv"))
+    val cands = probes
+      .join(encoded.select(col(idCol).as("cand_id"), col("codes"),
+        col("centroid_id")), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      // a candidate can fall in several probed cells — score it once
+      .dropDuplicates("query_id", "cand_id")
+      .join(qv, "query_id")
+    rankByAdc(cands, books, k)
   }
 
   /** Deterministic-codebook PQ with DECIMAL-exact arithmetic — the

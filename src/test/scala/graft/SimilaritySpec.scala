@@ -139,6 +139,24 @@ class SimilaritySpec extends SparkSpec {
     graft.operators.OpCache.clear()
   }
 
+  test("IVF-PQ: cell-bounded ADC ranks a same-cluster member first") {
+    // ids 0 and 1 are the IVF centroids (vec_id < nCells): put one in
+    // each cluster so cells align with clusters
+    val a = Seq(0L, 2L, 3L, 4L).map(i => (i, Array(1.0f, 0.02f * i, 0.0f, 0.01f * i)))
+    val b = Seq(1L, 11L, 12L, 13L).map(i => (i, Array(0.0f, 0.01f * i, 1.0f, 0.02f * i)))
+    val df = (a ++ b).toDF("vec_id", "embedding")
+    val top = Similarity.ivfPqTopK(df, df.filter(col("vec_id") === 2L),
+        "vec_id", "embedding", dim = 4, nCells = 2, m = 2, ksub = 2,
+        iters = 3, k = 2)
+      .orderBy("rank").collect()
+    assert(top.nonEmpty)
+    // every returned candidate comes from the query's own cell = cluster A
+    val aIds = a.map(_._1).toSet
+    assert(top.forall(r => aIds.contains(r.getLong(1))),
+      s"candidates leaked across cells: ${top.mkString(",")}")
+    graft.operators.OpCache.clear()
+  }
+
   test("lshBuckets fails loudly on embedding length mismatch (ADVICE r1)") {
     val bad = Seq((1L, Array(0.1f, 0.2f, 0.3f))).toDF("vec_id", "embedding")
     val e = intercept[Exception] {
