@@ -492,6 +492,58 @@ object Similarity {
     rankByAdc(cands, books, k)
   }
 
+  // — decimal-exact PQ machinery, shared by [[pqAdcDeterministic]] and
+  // [[ivfPqAdcDeterministic]]. Products stay exact: (18,9) operands →
+  // (37,18) ≤ 38 digits; a wider intermediate would silently lose scale
+  // (Spark caps at 38).
+  private val pqDec = "decimal(18,9)"
+  private val pqAcc = "decimal(38,18)"
+  private def pqDvec(c: Column): Column = transform(c, x => x.cast("double").cast(pqDec))
+  private def pqD2(a: Column, b: Column): Column = aggregate(
+    zip_with(a, b, (x, y) => {
+      val d = (x - y).cast(pqDec)
+      (d * d).cast(pqAcc)
+    }), lit(0).cast(pqAcc), (p, q) => (p + q).cast(pqAcc))
+  private def pqDotD(a: Column, b: Column): Column = aggregate(
+    zip_with(a, b, (x, y) => (x * y).cast(pqAcc)),
+    lit(0).cast(pqAcc), (p, q) => (p + q).cast(pqAcc))
+  private def pqSubv(v: Column, s: Column, sd: Int): Column =
+    slice(v, s * sd + 1, lit(sd))
+
+  /** Ordered one-row centroid array: element_at(arr, cid+1) is centroid
+    * cid (ids are the contiguous 0..ksub−1 prefix).
+    */
+  private def pqCentsDet(corpus: DataFrame, idCol: String, vecCol: String,
+                         ksub: Int): DataFrame =
+    corpus.filter(col(idCol) < ksub)
+      .select(col(idCol).cast("int").as("cid"), pqDvec(col(vecCol)).as("cv"))
+      .agg(array_sort(collect_list(struct(col("cid"), col("cv")))).as("__cents"))
+
+  /** In-row decimal argmin encode against the broadcast one-row centroid
+    * array — zero corpus shuffle; → (cand_id, codes).
+    */
+  private def pqEncodeDet(corpus: DataFrame, idCol: String, vecCol: String,
+                          cents: DataFrame, m: Int, sd: Int): DataFrame =
+    corpus
+      .select(col(idCol).as("cand_id"), pqDvec(col(vecCol)).as("__cv"))
+      .crossJoin(broadcast(cents))
+      .select(col("cand_id"),
+        transform(sequence(lit(0), lit(m - 1)), s =>
+          argBest(
+            transform(col("__cents"), c => struct(
+              pqD2(pqSubv(col("__cv"), s, sd), pqSubv(c.getField("cv"), s, sd)).as("s"),
+              c.getField("cid").as("cid"))),
+            pqAcc, "int", _ < _).getField("cid")).as("codes"))
+
+  /** Decimal ADC dot of (__qv, codes) against __cents. */
+  private def pqAdcDotDet(m: Int, sd: Int): Column =
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0).cast(pqAcc),
+      (a0, s) => {
+        val cent = element_at(col("__cents"),
+          element_at(col("codes"), s + 1) + 1).getField("cv")
+        (a0 + pqDotD(pqSubv(col("__qv"), s, sd), pqSubv(cent, s, sd))).cast(pqAcc)
+      })
+
   /** Deterministic-codebook PQ with DECIMAL-exact arithmetic — the
     * oracle-verifiable face of the PQ stack: codebooks are fixed to the
     * subvectors of the first `ksub` corpus vectors (ids 0..ksub−1, the
@@ -511,51 +563,50 @@ object Similarity {
                          dim: Int, m: Int, ksub: Int, k: Int): DataFrame = {
     require(dim % m == 0)
     val sd = dim / m
-    val dec = "decimal(18,9)"
-    val acc = "decimal(38,18)"
-    def dvec(c: Column) = transform(c, x => x.cast("double").cast(dec))
-    // products stay exact: (18,9) operands → (37,18) ≤ 38 digits; a wider
-    // intermediate would silently lose scale (Spark caps at 38)
-    def d2(a: Column, b: Column) = aggregate(
-      zip_with(a, b, (x, y) => {
-        val d = (x - y).cast(dec)
-        (d * d).cast(acc)
-      }), lit(0).cast(acc), (p, q) => (p + q).cast(acc))
-    def dotD(a: Column, b: Column) = aggregate(
-      zip_with(a, b, (x, y) => (x * y).cast(acc)),
-      lit(0).cast(acc), (p, q) => (p + q).cast(acc))
-    def sub(v: Column, s: Column) = slice(v, s * sd + 1, lit(sd))
-
-    // ordered one-row centroid array: element_at(arr, cid+1) is centroid
-    // cid (ids are the contiguous 0..ksub−1 prefix)
-    val cents = corpus.filter(col(idCol) < ksub)
-      .select(col(idCol).cast("int").as("cid"), dvec(col(vecCol)).as("cv"))
-      .agg(array_sort(collect_list(struct(col("cid"), col("cv")))).as("__cents"))
-
-    val encoded = OpCache.persist(corpus
-      .select(col(idCol).as("cand_id"), dvec(col(vecCol)).as("__cv"))
-      .crossJoin(broadcast(cents))
-      .select(col("cand_id"),
-        transform(sequence(lit(0), lit(m - 1)), s =>
-          argBest(
-            transform(col("__cents"), c => struct(
-              d2(sub(col("__cv"), s), sub(c.getField("cv"), s)).as("s"),
-              c.getField("cid").as("cid"))),
-            acc, "int", _ < _).getField("cid")).as("codes")))
-
-    val q = queries.select(col(idCol).as("query_id"), dvec(col(vecCol)).as("__qv"))
-    val approx = aggregate(sequence(lit(0), lit(m - 1)), lit(0).cast(acc),
-      (a0, s) => {
-        val cent = element_at(col("__cents"),
-          element_at(col("codes"), s + 1) + 1).getField("cv")
-        (a0 + dotD(sub(col("__qv"), s), sub(cent, s))).cast(acc)
-      })
+    val cents = pqCentsDet(corpus, idCol, vecCol, ksub)
+    val encoded = OpCache.persist(pqEncodeDet(corpus, idCol, vecCol, cents, m, sd))
+    val q = queries.select(col(idCol).as("query_id"), pqDvec(col(vecCol)).as("__qv"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_dot").desc, col("cand_id").asc)
     q.join(encoded, col("query_id") =!= col("cand_id"))
       .crossJoin(broadcast(cents))
-      .withColumn("approx_dot", round(approx.cast("double"), 6))
+      .withColumn("approx_dot", round(pqAdcDotDet(m, sd).cast("double"), 6))
       .select("query_id", "cand_id", "approx_dot")
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Deterministic IVF-PQ — the oracle-verifiable face of [[ivfPqTopK]]:
+    * IVF cells are the fixed `vec_id < nCells` centroid convention of
+    * [[ivfTopK]] (assignment = max rounded fixed-point cosine, centroid-id
+    * tie-break), PQ codebooks are the fixed subvector convention of
+    * [[pqAdcDeterministic]], and every encode distance / ADC partial dot
+    * is decimal — so the ENTIRE composed approximation (which candidates
+    * get scored AND what approximate score they get) is bit-reproducible
+    * and DuckDB-checkable. Same plan shapes as the trained path: in-row
+    * cell assignment, in-row encode, cell equi-join for candidates.
+    */
+  def ivfPqAdcDeterministic(queries: DataFrame, corpus: DataFrame,
+                            idCol: String, vecCol: String,
+                            dim: Int, nCells: Int, m: Int, ksub: Int,
+                            k: Int): DataFrame = {
+    require(dim % m == 0)
+    val sd = dim / m
+    val fv = OpCache.persist(fixedVectors(Stage.spread(corpus), idCol, vecCol))
+    val assigned = OpCache.persist(
+      ivfAssignWith(fv, corpus.filter(col(idCol) < nCells), idCol))
+    val cents = pqCentsDet(corpus, idCol, vecCol, ksub)
+    val encoded = pqEncodeDet(corpus, idCol, vecCol, cents, m, sd)
+    val q = queries.select(col(idCol).as("query_id"), pqDvec(col(vecCol)).as("__qv"))
+      .join(assigned.withColumnRenamed(idCol, "query_id"), "query_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_dot").desc, col("cand_id").asc)
+    q.join(assigned.select(col(idCol).as("cand_id"), col("centroid_id")),
+        Seq("centroid_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .join(encoded, "cand_id")
+      .crossJoin(broadcast(cents))
+      .withColumn("approx_dot", round(pqAdcDotDet(m, sd).cast("double"), 6))
+      .select("query_id", "centroid_id", "cand_id", "approx_dot")
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
