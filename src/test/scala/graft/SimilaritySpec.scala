@@ -157,6 +157,39 @@ class SimilaritySpec extends SparkSpec {
     graft.operators.OpCache.clear()
   }
 
+  test("deterministic IVF-PQ composes exactly: ivfAssign cells × pqAdcDeterministic scores") {
+    // 2 clusters in dim 8; ids 0/1 are the IVF centroids (one per
+    // cluster) and ids 0/1 also seed the PQ codebooks (ksub = 2)
+    val a = Seq(0L, 2L, 3L, 4L).map(i =>
+      (i, Array(1.0f, 0.03f * i, 0.0f, 0.01f * i, 0.5f, 0.0f, 0.02f * i, 0.1f)))
+    val b = Seq(1L, 11L, 12L).map(i =>
+      (i, Array(0.0f, 0.01f * i, 1.0f, 0.02f * i, 0.0f, 0.5f, 0.1f, 0.03f * i)))
+    val df = (a ++ b).toDF("vec_id", "embedding")
+    val qs = df.filter(col("vec_id") === 2L || col("vec_id") === 11L)
+    // k larger than any cell → no truncation, the FULL candidate sets compare
+    val ivfpq = Similarity.ivfPqAdcDeterministic(qs, df, "vec_id", "embedding",
+        dim = 8, nCells = 2, m = 2, ksub = 2, k = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(ivfpq.nonEmpty)
+    val cells = Similarity.ivfAssign(df, df.filter(col("vec_id") < 2),
+        "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pqAll = Similarity.pqAdcDeterministic(qs, df, "vec_id", "embedding",
+        dim = 8, m = 2, ksub = 2, k = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // candidate set = exactly the query's cell-mates (minus self)...
+    val expected = cells.keySet.flatMap(q => cells.keySet.collect {
+      case c if c != q && cells(c) == cells(q) && Set(2L, 11L)(q) => (q, c)
+    })
+    assert(ivfpq.keySet == expected, s"got ${ivfpq.keySet}, want $expected")
+    ivfpq.foreach { case ((q, c), (cell, adot)) =>
+      assert(cell == cells(q))
+      // ...and each pair's ADC score is bit-identical to the PQ-only path
+      assert(adot == pqAll((q, c)), s"($q,$c): ivfpq $adot vs pq ${pqAll((q, c))}")
+    }
+    graft.operators.OpCache.clear()
+  }
+
   test("lshBuckets fails loudly on embedding length mismatch (ADVICE r1)") {
     val bad = Seq((1L, Array(0.1f, 0.2f, 0.3f))).toDF("vec_id", "embedding")
     val e = intercept[Exception] {
