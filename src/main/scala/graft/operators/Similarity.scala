@@ -283,9 +283,11 @@ object Similarity {
     def dot(x: Column, y: Column) =
       aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
     // zero-norm side → 0 (not ANSI divide-by-zero): PQ subspace k-means
-    // legitimately sees all-zero subvectors
+    // legitimately sees all-zero subvectors. NULL (null/length-mismatched
+    // vector) must stay NULL — argBest's nulls-lose arm depends on it; an
+    // `otherwise(0.0)` would let a corrupt centroid outscore negatives.
     val denom = sqrt(dot(a, a)) * sqrt(dot(b, b))
-    when(denom > 0, dot(a, b) / denom).otherwise(lit(0.0))
+    when(denom > 0, dot(a, b) / denom).when(denom === 0, lit(0.0))
   }
 
   /** Assign every vector to its most-cosine-similar centroid from a
@@ -465,6 +467,12 @@ object Similarity {
     * candidate-generation exchange is the cell equi-join, exactly as in
     * [[ivfTopK]]. `iters` trains the per-subspace codebooks
     * ([[pqCodebooks]]) — offline work in production, run inline here.
+    *
+    * NOTE argument order follows the IVF family ((corpus, queries), as
+    * [[ivfTopK]]/[[annTopK]]); the deterministic face
+    * [[ivfPqAdcDeterministic]] follows the PQ/brute-force family
+    * ((queries, corpus)) — both parameters are DataFrames, so a swap
+    * compiles: keep the named-argument style of the specs when calling.
     */
   def ivfPqTopK(vectors: DataFrame, queries: DataFrame,
                 idCol: String, vecCol: String,
@@ -482,12 +490,14 @@ object Similarity {
       .select(col(idCol).as("query_id"), col("centroid_id"))
     val qv = queries.select(col(idCol).as("query_id"),
       transform(col(vecCol), _.cast("double")).as("__qv"))
+    // no dedup needed: probeCells emits DISTINCT cells per query
+    // (row_number ≤ nProbe) and ivfAssignWith gives each candidate
+    // exactly ONE cell, so (query_id, cand_id) pairs are unique by
+    // construction — a dropDuplicates here would be a dead extra shuffle
     val cands = probes
       .join(encoded.select(col(idCol).as("cand_id"), col("codes"),
         col("centroid_id")), Seq("centroid_id"))
       .filter(col("query_id") =!= col("cand_id"))
-      // a candidate can fall in several probed cells — score it once
-      .dropDuplicates("query_id", "cand_id")
       .join(qv, "query_id")
     rankByAdc(cands, books, k)
   }
