@@ -882,6 +882,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // temperature-scaled mix: quotas from the data itself (w = sqrt of
+    // each language's count, quota = floor(300·w/Σw)) — the multilingual
+    // balancing rule; decimal weight sum keeps quotas engine-exact
+    "q_mix_temperature" -> ((s, dir) => {
+      Analytics.temperatureMix(t(s, dir, "documents"), "lang", "doc_id",
+          alpha = 0.5, total = 300)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
     // training-mix quota: at most 50 docs per source, chosen by md5 order
     "q_sample_stratified" -> ((s, dir) => {
       Analytics.cappedPerGroup(t(s, dir, "documents"), Seq("source"), "doc_id", 50)
@@ -2117,6 +2127,24 @@ object SparkEntry {
                     FROM t)
          SELECT doc_id, lang, n_tokens, CAST((cum - n_tokens) // 2000 AS BIGINT) AS bin_id
          FROM c ORDER BY doc_id""",
+
+    "q_mix_temperature" ->
+      """WITH n AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+              w AS (SELECT lang, CAST(round(sqrt(CAST(n AS DOUBLE)), 6)
+                                      AS DECIMAL(18,6)) AS w FROM n),
+              t AS (SELECT SUM(w) AS ws FROM w),
+              q AS (SELECT lang, CAST(floor(300 * CAST(w AS DOUBLE)
+                                            / CAST(ws AS DOUBLE) + 1e-9)
+                                      AS BIGINT) AS quota
+                    FROM w CROSS JOIN t),
+              r AS (SELECT doc_id, d.lang,
+                           ROW_NUMBER() OVER (PARTITION BY d.lang
+                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+                    FROM documents d)
+         SELECT r.doc_id, r.lang
+         FROM r JOIN q ON q.lang = r.lang
+         WHERE r.rn <= q.quota
+         ORDER BY doc_id""",
 
     "q_sample_mix" ->
       """WITH r AS (SELECT doc_id, lang,

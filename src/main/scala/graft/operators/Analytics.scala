@@ -162,6 +162,45 @@ object Analytics {
       .drop("__rn")
   }
 
+  /** Temperature-scaled mix: per-group quotas derived from the DATA —
+    * w_g = n_g^alpha, quota_g = floor(total · w_g / Σw). alpha < 1
+    * flattens the natural distribution (the multilingual-corpus
+    * balancing rule: small groups get an upsampled share, large ones
+    * are downsampled); alpha = 1 keeps it; alpha = 0 is uniform. Rows
+    * within a group are picked by md5(key) order as in [[weightedMix]].
+    *
+    * Cross-engine exactness: weights are rounded to 6 dp and summed in
+    * DECIMAL (exact, order-independent — a double sum's value depends
+    * on partition merge order), then the quota division runs in doubles
+    * converted from those exact decimals, so every engine computes
+    * identical quotas. alpha = 0.5 goes through sqrt (IEEE
+    * correctly-rounded everywhere); other alphas use pow, whose
+    * last-ulp behavior is libm-specific — fine in production, but the
+    * oracle-checked query pins alpha = 0.5.
+    *
+    * Scale shape: the count is one partial-aggregable pass; the quota
+    * table is group-cardinality-sized and broadcast; the only
+    * corpus-sized exchange is the per-group window shuffle — same shape
+    * as [[cappedPerGroup]]/[[weightedMix]].
+    */
+  def temperatureMix(df: DataFrame, groupCol: String, keyCol: String,
+                     alpha: Double, total: Long): DataFrame = {
+    val nD = col("__n").cast("double")
+    val wexpr = if (alpha == 0.5) sqrt(nD) else pow(nD, lit(alpha))
+    val wts = OpCache.persist(df.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+      .select(col(groupCol), round(wexpr, 6).cast("decimal(18,6)").as("__w")))
+    val quotas = wts.crossJoin(broadcast(wts.agg(sum(col("__w")).as("__ws"))))
+      .select(col(groupCol),
+        floor(lit(total.toDouble) * col("__w").cast("double")
+          / col("__ws").cast("double") + lit(1e-9)).cast("long").as("__q"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(keyCol).cast("string")).asc, col(keyCol).asc)
+    df.join(broadcast(quotas), groupCol)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("__q"))
+      .drop("__rn", "__q")
+  }
+
   /** SCD-2 interval builder: turn a per-key observation log into
     * versioned validity windows — version = ordinal, valid_from = ts,
     * valid_to = next observation's ts (null while current), is_current.

@@ -67,6 +67,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(byG == Map("a" -> 30, "b" -> 10)) // 40×0.75, 40×0.25; no 'c'
   }
 
+  test("temperatureMix flattens the natural distribution at alpha=0.5 and keeps it at alpha=1") {
+    import spark.implicits._
+    // 64 'big' vs 16 'small': natural share 80/20, sqrt share 2:1
+    val df = ((1L to 64L).map((_, "big")) ++ (65L to 80L).map((_, "small")))
+      .toDF("id", "g")
+    val flat = Analytics.temperatureMix(df, "g", "id", alpha = 0.5, total = 30)
+      .collect().map(_.getAs[String]("g"))
+    val byG = flat.groupBy(identity).view.mapValues(_.length).toMap
+    // w = (8, 4), Σ=12 → quotas floor(30·8/12)=20, floor(30·4/12)=10
+    assert(byG == Map("big" -> 20, "small" -> 10), s"got $byG")
+    val natural = Analytics.temperatureMix(df, "g", "id", alpha = 1.0, total = 30)
+      .collect().map(_.getAs[String]("g"))
+    val byGN = natural.groupBy(identity).view.mapValues(_.length).toMap
+    // w = (64, 16), Σ=80 → quotas 24 / 6: the raw proportions
+    assert(byGN == Map("big" -> 24, "small" -> 6), s"got $byGN")
+    // md5-keyed picks: repartitioning must not change the selection
+    val again = Analytics.temperatureMix(df.repartition(7), "g", "id",
+        alpha = 0.5, total = 30)
+      .select("id").collect().map(_.getLong(0)).sorted
+    val first = Analytics.temperatureMix(df, "g", "id", alpha = 0.5, total = 30)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(first sameElements again)
+    graft.operators.OpCache.clear()
+  }
+
   test("scd2Intervals chains valid_from/valid_to with one current row per key") {
     import spark.implicits._
     val obs = Seq((1L, 10L, 100L), (1L, 20L, 101L), (1L, 30L, 102L), (2L, 5L, 103L))
