@@ -882,6 +882,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // composed corpus preparation: quality gate → exact dedup →
+    // temperature mix, quotas over the SURVIVOR counts — one oracle
+    // checks the stage boundaries the unit queries can't see
+    "q_pipeline_corpus_prep" -> ((s, dir) => {
+      graft.operators.CorpusPrep.prepare(t(s, dir, "documents"),
+          "doc_id", "text", "lang", minTokens = 40, maxRepetition = 0.1,
+          minQuality = 0.55, allowedLangs = Seq("en", "es", "fr", "de"),
+          alpha = 0.5, total = 120)
+        .orderBy("doc_id")
+    }),
+
     // temperature-scaled mix: quotas from the data itself (w = sqrt of
     // each language's count, quota = floor(300·w/Σw)) — the multilingual
     // balancing rule; decimal weight sum keeps quotas engine-exact
@@ -2127,6 +2138,79 @@ object SparkEntry {
                     FROM t)
          SELECT doc_id, lang, n_tokens, CAST((cum - n_tokens) // 2000 AS BIGINT) AS bin_id
          FROM c ORDER BY doc_id""",
+
+    "q_pipeline_corpus_prep" ->
+      """WITH t AS (SELECT doc_id, text,
+                           list_filter(string_split(text, ' '), x -> x <> '') AS tk
+                    FROM documents),
+              q AS (SELECT doc_id, CAST(len(tk) AS INTEGER) AS n_tokens,
+                           CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                             / CAST(len(tk) AS DOUBLE) AS avg_token_len,
+                           CAST(len(list_filter(tk, x -> x IN ('the','a','is','and','of','to','in'))) AS DOUBLE)
+                             / CAST(len(tk) AS DOUBLE) AS stop_ratio
+                    FROM t),
+              qs AS (SELECT doc_id, n_tokens,
+                            greatest(0.0, least(1.0,
+                              stop_ratio * 0.3
+                              + least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.4
+                              + least(1.0, avg_token_len / 8.0) * 0.3)) AS quality_score
+                     FROM q),
+              ser AS (SELECT unnest(generate_series(1, (SELECT COALESCE(MAX(len(tk)), 1) FROM t))) AS i),
+              bgr AS (SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS b
+                      FROM t CROSS JOIN ser WHERE i <= len(tk) - 1),
+              rp0 AS (SELECT doc_id, COUNT(*) AS nb, COUNT(DISTINCT b) AS nub
+                      FROM bgr GROUP BY doc_id),
+              rp AS (SELECT t.doc_id,
+                            COALESCE(round(CAST(rp0.nb - rp0.nub AS DOUBLE)
+                                           / CAST(rp0.nb AS DOUBLE), 6), 0.0) AS rep_ratio
+                     FROM t LEFT JOIN rp0 ON t.doc_id = rp0.doc_id),
+              lh AS (SELECT doc_id,
+                            CAST(len(list_filter(tk, x -> x IN ('the','a','is','and','of'))) AS INTEGER) AS en_hits,
+                            CAST(len(list_filter(tk, x -> x IN ('el','la','de','que','y'))) AS INTEGER) AS es_hits,
+                            CAST(len(list_filter(tk, x -> x IN ('le','les','des','et','une'))) AS INTEGER) AS fr_hits,
+                            CAST(len(list_filter(tk, x -> x IN ('der','die','und','das','ist'))) AS INTEGER) AS de_hits
+                     FROM t),
+              ld AS (SELECT doc_id,
+                            CASE WHEN en_hits >= es_hits AND en_hits >= fr_hits
+                                  AND en_hits >= de_hits AND en_hits > 0 THEN 'en'
+                                 WHEN es_hits >= fr_hits AND es_hits >= de_hits
+                                  AND es_hits > 0 THEN 'es'
+                                 WHEN fr_hits >= de_hits AND fr_hits > 0 THEN 'fr'
+                                 WHEN de_hits > 0 THEN 'de'
+                                 ELSE 'und' END AS detected
+                     FROM lh),
+              j AS (SELECT qs.doc_id, qs.n_tokens, rp.rep_ratio, qs.quality_score, ld.detected
+                    FROM qs JOIN rp ON qs.doc_id = rp.doc_id
+                            JOIN ld ON qs.doc_id = ld.doc_id),
+              g AS (SELECT *, CASE WHEN n_tokens < 40 THEN 'too_short'
+                                   WHEN rep_ratio > 0.1 THEN 'too_repetitive'
+                                   WHEN quality_score < 0.55 THEN 'low_quality'
+                                   WHEN detected NOT IN ('en','es','fr','de') THEN 'lang'
+                              END AS drop_reason
+                    FROM j),
+              k AS (SELECT g.doc_id, d.lang, d.text, g.n_tokens
+                    FROM g JOIN documents d ON d.doc_id = g.doc_id
+                    WHERE g.drop_reason IS NULL),
+              canon AS (SELECT md5(text) AS h, MIN(doc_id) AS kept_id
+                        FROM k GROUP BY 1),
+              s AS (SELECT k.doc_id, k.lang, k.n_tokens
+                    FROM k JOIN canon ON k.doc_id = canon.kept_id),
+              n AS (SELECT lang, COUNT(*) AS n FROM s GROUP BY 1),
+              w AS (SELECT lang, CAST(round(sqrt(CAST(n AS DOUBLE)), 6)
+                                      AS DECIMAL(18,6)) AS w FROM n),
+              tt AS (SELECT SUM(w) AS ws FROM w),
+              qq AS (SELECT lang, CAST(floor(120 * CAST(w AS DOUBLE)
+                                             / CAST(ws AS DOUBLE) + 1e-9)
+                                       AS BIGINT) AS quota
+                     FROM w CROSS JOIN tt),
+              r AS (SELECT doc_id, lang, n_tokens,
+                           ROW_NUMBER() OVER (PARTITION BY lang
+                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+                    FROM s)
+         SELECT r.doc_id, r.lang, r.n_tokens
+         FROM r JOIN qq ON qq.lang = r.lang
+         WHERE r.rn <= qq.quota
+         ORDER BY doc_id""",
 
     "q_mix_temperature" ->
       """WITH n AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
