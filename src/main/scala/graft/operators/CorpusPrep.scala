@@ -28,12 +28,21 @@ object CorpusPrep {
   def prepare(df: DataFrame, idCol: String, textCol: String, langCol: String,
               minTokens: Int, maxRepetition: Double, minQuality: Double,
               allowedLangs: Seq[String], alpha: Double, total: Long): DataFrame = {
-    val gated = TextAnalysis.corpusGate(df, idCol, textCol,
+    // persist the NARROW post-gate projection: the gate's signals (the
+    // bigram-explode repetition ratio in particular) are the pipeline's
+    // most expensive map-side work, and the frame feeds three consumers
+    // (dedup agg, survivor join, mix count+window) — recomputing the
+    // gate per consumer tripled the pipeline's cost in the bench. Text
+    // is collapsed to its md5 BEFORE the persist ([[Dedup.exactCanonical]]'s
+    // dedup key), so the cached rows are a few dozen bytes, not documents.
+    val gated = OpCache.persist(TextAnalysis.corpusGate(df, idCol, textCol,
         minTokens, maxRepetition, minQuality, allowedLangs)
       .filter(col("kept"))
-    val canonIds = Dedup.exactCanonical(gated, idCol, textCol)
-      .select(col("kept_id").as(idCol))
-    val survivors = gated.join(canonIds, idCol)
+      .select(col(idCol), md5(col(textCol)).as("__h"), col(langCol),
+        col("n_tokens")))
+    val canonIds = gated.groupBy(col("__h"))
+      .agg(min(col(idCol)).as(idCol)).select(col(idCol))
+    val survivors = gated.join(canonIds, idCol).drop("__h")
     Analytics.temperatureMix(survivors, langCol, idCol, alpha, total)
       .select(col(idCol), col(langCol), col("n_tokens"))
   }
