@@ -181,7 +181,12 @@ object Analytics {
     * Scale shape: the count is one partial-aggregable pass; the quota
     * table is group-cardinality-sized and broadcast; the only
     * corpus-sized exchange is the per-group window shuffle — same shape
-    * as [[cappedPerGroup]]/[[weightedMix]].
+    * as [[cappedPerGroup]]/[[weightedMix]]. With FEW groups (languages)
+    * that window runs on #groups reducers; when quota ≪ n_g — the
+    * normal 100 TB case — pre-filter each group with
+    * [[deterministicSample]] at ~quota/n_g with slack first (md5 keys
+    * make the sample a PREFIX-superset of the window's pick order, so
+    * the result is identical), then window the small remainder.
     */
   def temperatureMix(df: DataFrame, groupCol: String, keyCol: String,
                      alpha: Double, total: Long): DataFrame = {
