@@ -18,7 +18,8 @@ import graft.functions._
   * operators do lazily for themselves. Injection happens at session
   * build, survives `newSession()`, and needs no driver code changes: the
   * SQL surface (§2.11) can call `simhash_agg`, `dot_fixed_point`,
-  * `shingle_hash64`, `contains_ignoring_separators` directly.
+  * `shingle_hash64`, `lsh_bucket_bits`, `contains_ignoring_separators`
+  * directly.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -41,6 +42,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(ShingleHash64.FnName,
         "shingle_hash64(text, k) - distinct xxhash64 hashes of word k-gram shingles"),
       (exprs: Seq[Expression]) => ShingleHash64.fromExprs(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier(LshBucketBits.FnName),
+      info(LshBucketBits.FnName,
+        "lsh_bucket_bits(vec, nPlanes, dim) - '0'/'1' LSH sign-projection bucket of a x1e9 fixed-point long vector"),
+      (exprs: Seq[Expression]) => LshBucketBits.fromExprs(exprs)))
     ext.injectFunction((
       FunctionIdentifier(ContainsIgnoringSeparators.FnName),
       info(ContainsIgnoringSeparators.FnName,

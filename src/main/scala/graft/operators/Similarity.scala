@@ -140,42 +140,36 @@ object Similarity {
   }
 
   /** Deterministic ±1 hyperplanes: sign(p,d) = +1 iff the first md5 hex
-    * digit of "p_d" is odd — computed driver-side (tiny) and inlined as
-    * literal arrays, reproducible in any engine with md5.
+    * digit of "p_d" is odd — the single convention lives in
+    * [[graft.functions.LshBucketBits.signMatrix]] (shared with the
+    * codegen'd bucketing expression), reproducible in any engine with md5.
     */
   def planeSigns(nPlanes: Int, dim: Int): Array[Array[Int]] =
-    Array.tabulate(nPlanes, dim) { (p, d) =>
-      val digest = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"${p}_${d}".getBytes("UTF-8"))
-      if ((((digest(0) >> 4) & 0xF) % 2) == 1) 1 else -1
-    }
+    graft.functions.LshBucketBits.signMatrix(nPlanes, dim).map(_.map(_.toInt))
 
   /** Per-vector LSH bucket: an `nPlanes`-char '0'/'1' string, bit p set
-    * iff Σ_d sign(p,d)·x_d ≥ 0. Each projection is a higher-order
-    * aggregate against an inlined ±1 array — zero explode, zero shuffle:
-    * the bucket is computed in the same scan that reads the vector
-    * (per-row work, where interpreted lambdas are cheap enough).
+    * iff Σ_d sign(p,d)·x_d ≥ 0 — computed by the native codegen'd
+    * [[graft.functions.LshBucketBits]] over the ×10⁹ fixed-point longs
+    * of [[fixedVectors]] (bit-identical to the decimal formulation: a
+    * ±1-weighted long sum is exact), in the same scan that reads the
+    * vector. Zero explode, zero shuffle, and — unlike the previous
+    * nPlanes-lambda form — zero interpreted Decimal work per row.
+    * Throws on length mismatch (fail-loudly contract).
     */
   def lshBuckets(vectors: DataFrame, idCol: String, vecCol: String,
-                 nPlanes: Int, dim: Int): DataFrame = {
-    val signs = planeSigns(nPlanes, dim)
-    val bits = (0 until nPlanes).map { p =>
-      val signArr = array(signs(p).map(lit): _*)
-      val proj = aggregate(
-        zip_with(col(vecCol), signArr,
-          (x, s) => x.cast("double").cast(elemDec) * s),
-        lit(0).cast("decimal(38,9)"),
-        (acc, v) => (acc + v).cast("decimal(38,9)"))
-      when(proj >= 0, "1").otherwise("0")
-    }
-    // zip_with pads with nulls on length mismatch, which would silently turn
-    // the projection null (bucket bit '0'); fail loudly instead.
-    vectors.select(col(idCol),
-      when(size(col(vecCol)) === dim, concat(bits: _*))
-        .otherwise(raise_error(concat(
-          lit(s"lshBuckets: embedding length must be $dim, got "),
-          size(col(vecCol)).cast("string")))).as("bucket"))
-  }
+                 nPlanes: Int, dim: Int): DataFrame =
+    lshBucketsFixed(fixedVectors(vectors, idCol, vecCol), idCol, nPlanes, dim)
+
+  /** [[lshBuckets]] served from an existing [[fixedVectors]] frame —
+    * callers that already persist `fv` ([[annTopK]], [[nearDupPairs]])
+    * bucket off the cache instead of re-scanning and re-casting the
+    * corpus.
+    */
+  private def lshBucketsFixed(fv: DataFrame, idCol: String,
+                              nPlanes: Int, dim: Int): DataFrame =
+    fv.select(col("__vid").as(idCol),
+      graft.functions.LshBucketBits(fv.sparkSession, col("__vl"),
+        nPlanes, dim).as("bucket"))
 
   /** Embedding-cosine near-duplicate pairs: LSH buckets prefilter the
     * O(n²) pair space (same-bucket only), then exact cosine decides.
@@ -185,7 +179,7 @@ object Similarity {
                    nPlanes: Int, dim: Int, threshold: Double): DataFrame = {
     val v = Stage.spread(vectors)
     val fv = OpCache.persist(fixedVectors(v, idCol, vecCol))
-    val buckets = lshBuckets(v, idCol, vecCol, nPlanes, dim)
+    val buckets = lshBucketsFixed(fv, idCol, nPlanes, dim)
     val pairs = buckets.alias("x").join(buckets.alias("y"), Seq("bucket"))
       .select(col("bucket"), col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
       .filter(col("id_a") < col("id_b"))
@@ -200,7 +194,7 @@ object Similarity {
               k: Int): DataFrame = {
     val v = Stage.spread(vectors)
     val fv = OpCache.persist(fixedVectors(v, idCol, vecCol))
-    val buckets = lshBuckets(v, idCol, vecCol, nPlanes, dim)
+    val buckets = lshBucketsFixed(fv, idCol, nPlanes, dim)
     val qb = queries.select(col(idCol)).join(buckets, idCol)
       .select(col(idCol).as("id_a"), col("bucket"))
     val pairs = qb.join(buckets.select(col(idCol).as("id_b"), col("bucket")), Seq("bucket"))

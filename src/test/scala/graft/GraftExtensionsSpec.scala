@@ -47,6 +47,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(spark.sql(
         "SELECT contains_ignoring_separators('하얼빈: 완전판', '하얼빈완전판') AS c")
         .collect().head.getBoolean(0))
+
+      // bit 0 of an all-positive vector: Σ ±v with the md5 sign matrix;
+      // an exact-length 4-plane bucket over dim 2
+      val lsh = spark.sql(
+        "SELECT lsh_bucket_bits(array(1000000000L, 1000000000L), 4, 2) AS b")
+        .collect().head.getString(0)
+      assert(lsh.length == 4 && lsh.forall(c => c == '0' || c == '1'))
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
