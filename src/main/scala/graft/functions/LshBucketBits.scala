@@ -33,8 +33,7 @@ import org.apache.spark.unsafe.types.UTF8String
 case class LshBucketBits(child: Expression, nPlanes: Int, dim: Int)
     extends UnaryExpression {
 
-  require(nPlanes >= 1 && nPlanes <= 64,
-    s"lsh_bucket_bits: nPlanes must be in [1, 64], got $nPlanes")
+  require(nPlanes >= 1, s"lsh_bucket_bits: nPlanes must be >= 1, got $nPlanes")
   require(dim >= 1, s"lsh_bucket_bits: dim must be >= 1, got $dim")
 
   override def dataType: DataType = StringType
@@ -71,7 +70,9 @@ object LshBucketBits {
       if (!e.foldable) throw new IllegalArgumentException(
         s"$FnName: $what must be an integer literal, got ${e.sql}")
       e.eval() match {
-        case n: Number => n.intValue()
+        // reject fractional literals instead of silently truncating
+        // (lsh_bucket_bits(vec, 4.7, 64) must error, not mean 4 planes)
+        case n: Number if n.doubleValue() == n.intValue().toDouble => n.intValue()
         case other => throw new IllegalArgumentException(
           s"$FnName: $what must be an integer literal, got ${if (other == null) "NULL" else other}")
       }
@@ -113,6 +114,11 @@ object LshBucketBits {
     val n = arr.numElements()
     if (n != dim) throw new IllegalArgumentException(
       s"lsh_bucket_bits: embedding length must be $dim, got $n")
+    // enforced, not just documented (the DotFixedPoint discipline): with
+    // every |v| ≤ Long.Max/dim the ±1-weighted sum cannot wrap, so a
+    // silent sign flip is impossible; out-of-contract inputs from the
+    // open SQL surface fail loudly instead
+    val lim = Long.MaxValue / dim
     val signs = signMatrix(nPlanes, dim)
     val out = new Array[Byte](nPlanes)
     var p = 0
@@ -121,7 +127,10 @@ object LshBucketBits {
       var s = 0L
       var d = 0
       while (d < dim) {
-        if (sp(d) > 0) s += arr.getLong(d) else s -= arr.getLong(d)
+        val v = arr.getLong(d)
+        if (v > lim || v < -lim) throw new IllegalArgumentException(
+          s"lsh_bucket_bits: |element| must be <= ${lim} for dim $dim, got $v")
+        if (sp(d) > 0) s += v else s -= v
         d += 1
       }
       out(p) = if (s >= 0L) '1' else '0'

@@ -190,9 +190,14 @@ object Analytics {
     */
   def temperatureMix(df: DataFrame, groupCol: String, keyCol: String,
                      alpha: Double, total: Long): DataFrame = {
+    // NULL-group rows are excluded up front (the analogue of
+    // weightedMix's unweighted groups) — counting them would inflate Σw
+    // and deflate every real group's quota while the equi-join silently
+    // dropped their rows anyway
+    val in = df.filter(col(groupCol).isNotNull)
     val nD = col("__n").cast("double")
     val wexpr = if (alpha == 0.5) sqrt(nD) else pow(nD, lit(alpha))
-    val wts = OpCache.persist(df.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+    val wts = OpCache.persist(in.groupBy(groupCol).agg(count(lit(1)).as("__n"))
       .select(col(groupCol), round(wexpr, 6).cast("decimal(18,6)").as("__w")))
     val quotas = wts.crossJoin(broadcast(wts.agg(sum(col("__w")).as("__ws"))))
       .select(col(groupCol),
@@ -200,7 +205,7 @@ object Analytics {
           / col("__ws").cast("double") + lit(1e-9)).cast("long").as("__q"))
     val w = Window.partitionBy(col(groupCol))
       .orderBy(md5(col(keyCol).cast("string")).asc, col(keyCol).asc)
-    df.join(broadcast(quotas), groupCol)
+    in.join(broadcast(quotas), groupCol)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= col("__q"))
       .drop("__rn", "__q")

@@ -168,8 +168,12 @@ object Similarity {
   private def lshBucketsFixed(fv: DataFrame, idCol: String,
                               nPlanes: Int, dim: Int): DataFrame =
     fv.select(col("__vid").as(idCol),
-      graft.functions.LshBucketBits(fv.sparkSession, col("__vl"),
-        nPlanes, dim).as("bucket"))
+      // a NULL embedding must fail loudly (data-quality signal), not
+      // null-propagate into a bucket the equi-joins silently drop
+      when(col("__vl").isNull,
+          raise_error(lit("lshBuckets: null embedding")))
+        .otherwise(graft.functions.LshBucketBits(fv.sparkSession,
+          col("__vl"), nPlanes, dim)).as("bucket"))
 
   /** Embedding-cosine near-duplicate pairs: LSH buckets prefilter the
     * O(n²) pair space (same-bucket only), then exact cosine decides.

@@ -92,6 +92,18 @@ class AnalyticsSpec extends SparkSpec {
     graft.operators.OpCache.clear()
   }
 
+  test("temperatureMix excludes NULL-group rows from quotas AND output (review r3)") {
+    import spark.implicits._
+    val df = ((1L to 64L).map(i => (i, Some("big"))) ++
+      (65L to 128L).map(i => (i, None: Option[String]))).toDF("id", "g")
+    val out = Analytics.temperatureMix(df, "g", "id", alpha = 1.0, total = 32)
+      .collect()
+    // null group must not deflate big's quota: w over non-null only
+    assert(out.length == 32 && out.forall(_.getAs[String]("g") == "big"),
+      s"got ${out.length} rows")
+    graft.operators.OpCache.clear()
+  }
+
   test("scd2Intervals chains valid_from/valid_to with one current row per key") {
     import spark.implicits._
     val obs = Seq((1L, 10L, 100L), (1L, 20L, 101L), (1L, 30L, 102L), (2L, 5L, 103L))
