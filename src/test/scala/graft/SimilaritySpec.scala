@@ -190,6 +190,42 @@ class SimilaritySpec extends SparkSpec {
     graft.operators.OpCache.clear()
   }
 
+  test("ANN recall floor: LSH and IVF recover most brute-force neighbors on clustered data") {
+    // deterministic 3-cluster corpus in dim 8: cluster axes e0/e2/e4 plus
+    // small per-id jitter on the odd dims — everything downstream is
+    // deterministic, so the floors are stable, not flaky
+    val dim = 8
+    val vecs = (0L until 60L).map { i =>
+      val c = (i % 3).toInt
+      val v = Array.fill(dim)(0.0f)
+      v(c * 2) = 1.0f
+      v(c * 2 + 1) = 0.01f * ((i * 7 % 13) + 1)
+      v(7) = 0.002f * (i % 5)
+      (i, v)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 6)
+    def topSets(r: Array[org.apache.spark.sql.Row]) =
+      r.groupBy(_.getLong(0)).view
+        .mapValues(_.map(x => x.getLong(x.fieldIndex("cand_id"))).toSet).toMap
+    val exact = topSets(Similarity.bruteForceTopK(queries, df,
+      "vec_id", "embedding", k = 3).collect())
+    def recall(approx: Map[Long, Set[Long]]): Double = {
+      val hits = exact.map { case (q, s) =>
+        approx.getOrElse(q, Set.empty).intersect(s).size }.sum
+      hits.toDouble / exact.values.map(_.size).sum
+    }
+    val lsh = topSets(Similarity.annTopK(df, queries,
+      "vec_id", "embedding", nPlanes = 4, dim = dim, k = 3).collect())
+    val ivf = topSets(Similarity.ivfTopK(df, queries, nCells = 3,
+      "vec_id", "embedding", k = 3).collect())
+    val rLsh = recall(lsh)
+    val rIvf = recall(ivf)
+    assert(rLsh >= 0.8, s"LSH recall@3 dropped to $rLsh")
+    assert(rIvf >= 0.8, s"IVF recall@3 dropped to $rIvf")
+    graft.operators.OpCache.clear()
+  }
+
   test("lshBuckets fails loudly on embedding length mismatch (ADVICE r1)") {
     val bad = Seq((1L, Array(0.1f, 0.2f, 0.3f))).toDF("vec_id", "embedding")
     val e = intercept[Exception] {
