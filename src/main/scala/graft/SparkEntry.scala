@@ -429,6 +429,17 @@ object SparkEntry {
     }),
 
     // P6/P7/P12 — conjunctive filters incl. not-null/not-empty + contains
+    // skew-safe two-stage aggregation: salted partial→final decimal sums
+    // are bit-identical to a direct GROUP BY (order-independent), which
+    // is exactly what the oracle proves on the 3-hot-value return flag
+    "q_skew_salted_sum" -> ((s, dir) => {
+      Skew.saltedGroupSum(t(s, dir, "lineitem"), "l_returnflag", "l_quantity",
+          saltBuckets = 16)
+        .select(col("l_returnflag"), col("total").cast("double").as("total"),
+          col("n"))
+        .orderBy("l_returnflag")
+    }),
+
     "q_p6_multi_filter" -> ((s, dir) => {
       t(s, dir, "documents")
         .filter(col("lang").isNotNull && col("lang") =!= ""
@@ -1414,6 +1425,12 @@ object SparkEntry {
          FROM orders
          GROUP BY month, yr, pri_num, pri_label
          ORDER BY month, pri_num""",
+
+    "q_skew_salted_sum" ->
+      """SELECT l_returnflag,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
 
     "q_p6_multi_filter" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
