@@ -18,6 +18,10 @@ object Stage {
     * parallelism.
     */
   def spread(df: DataFrame): DataFrame = {
+    // streaming frames: partitioning is the source/trigger's concern, and
+    // probing df.rdd would throw — pass through so stateless operators
+    // (corpusGate, redaction, lang-id, ...) compose into readStream plans
+    if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
@@ -37,6 +41,7 @@ object Stage {
     * core, i.e. an input smaller than cores × 8 MB stays put.
     */
   def spreadLarge(df: DataFrame, minBytesPerCore: Long = 8L << 20): DataFrame = {
+    if (df.isStreaming) return df // see spread: batch-only plan probes
     val target = df.sparkSession.sparkContext.defaultParallelism
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
     if (est > BigInt(target) * minBytesPerCore) spread(df) else df

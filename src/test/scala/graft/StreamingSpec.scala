@@ -11,6 +11,37 @@ import org.apache.spark.sql.streaming.OutputMode
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("corpusGate runs unchanged on a stream (stateless map-side signals) and matches batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "the cat sat on the mat and then the dog came in too"),
+      (2L, "el la de que y algo mas aqui para el gato"),
+      (3L, "a b"))
+    val input = MemoryStream[(Long, String)]
+    val gated = graft.operators.TextAnalysis.corpusGate(
+      input.toDS().toDF("doc_id", "text"), "doc_id", "text",
+      minTokens = 3, maxRepetition = 0.9, minQuality = 0.0,
+      allowedLangs = Seq("en"))
+    val q = gated.select("doc_id", "kept", "drop_reason")
+      .writeStream.format("memory").queryName("gate_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("gate_stream").collect()
+        .map(r => r.getLong(0) -> (r.getBoolean(1), Option(r.getString(2)))).toMap
+      val batch = graft.operators.TextAnalysis.corpusGate(
+          docs.toDF("doc_id", "text"), "doc_id", "text",
+          minTokens = 3, maxRepetition = 0.9, minQuality = 0.0,
+          allowedLangs = Seq("en"))
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Boolean]("kept"), Option(r.getAs[String]("drop_reason")))).toMap
+      assert(streamed == batch, s"stream $streamed vs batch $batch")
+      assert(streamed(1L)._1 && !streamed(2L)._1 && !streamed(3L)._1)
+    } finally q.stop()
+  }
+
   test("stream keeps the latest observation per (event, theater) across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StockObs]
