@@ -43,6 +43,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "shingle_hash64(text, k) - distinct xxhash64 hashes of word k-gram shingles"),
       (exprs: Seq[Expression]) => ShingleHash64.fromExprs(exprs)))
     ext.injectFunction((
+      FunctionIdentifier(ShingleHash64.PosFnName),
+      info(ShingleHash64.PosFnName,
+        "shingle_hash64_pos(text, k) - xxhash64 of every word k-gram shingle, index = start position"),
+      (exprs: Seq[Expression]) => ShingleHash64.fromExprsPos(exprs)))
+    ext.injectFunction((
       FunctionIdentifier(LshBucketBits.FnName),
       info(LshBucketBits.FnName,
         "lsh_bucket_bits(vec, nPlanes, dim) - '0'/'1' LSH sign-projection bucket of a x1e9 fixed-point long vector"),

@@ -540,6 +540,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // exact-substring span dedup (Lee et al. 2022): maximal 1-based token
+    // spans covered by any word 4-gram occurring >= 2 times corpus-wide
+    // (counting repeats within a document)
+    "q_dedup_spans" -> ((s, dir) => {
+      Dedup.duplicateSpans(t(s, dir, "documents"), "doc_id", "text", k = 4)
+        .orderBy("doc_id", "span_start")
+    }),
+
+    // the matching removal: every document with its duplicated spans cut
+    // out (kept tokens re-joined in order) and the removed-token count
+    "q_dedup_span_removal" -> ((s, dir) => {
+      Dedup.removeDuplicateSpans(t(s, dir, "documents"), "doc_id", "text", k = 4)
+        .orderBy("doc_id")
+    }),
+
     // stored-index round-trip of the same incremental dedup: the corpus
     // index is WRITTEN as (band,key)-bucketed + id-bucketed tables, then
     // the fresh batch is served from those tables — corpus text hashed
@@ -1525,6 +1540,41 @@ object SparkEntry {
          FROM p JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
          WHERE CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) >= 0.8
          ORDER BY id_a, id_b""",
+
+    "q_dedup_spans" ->
+      """WITH docs AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+                       FROM documents),
+              pos AS (SELECT doc_id, unnest(range(1, len(ts) - 2))::BIGINT AS p0, ts FROM docs),
+              g AS (SELECT doc_id, p0, array_to_string(ts[p0:p0+3], ' ') AS s FROM pos),
+              dup AS (SELECT s FROM g GROUP BY s HAVING COUNT(*) >= 2),
+              cov AS (SELECT DISTINCT g.doc_id, g.p0 + r.range AS p
+                      FROM g JOIN dup USING (s) CROSS JOIN range(0, 4) r),
+              runs AS (SELECT doc_id, p,
+                              p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+                       FROM cov)
+         SELECT doc_id, MIN(p) AS span_start, MAX(p) AS span_end, COUNT(*) AS span_len
+         FROM runs GROUP BY doc_id, grp ORDER BY doc_id, span_start""",
+
+    "q_dedup_span_removal" ->
+      """WITH docs AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+                       FROM documents),
+              pos AS (SELECT doc_id, unnest(range(1, len(ts) - 2))::BIGINT AS p0, ts FROM docs),
+              g AS (SELECT doc_id, p0, array_to_string(ts[p0:p0+3], ' ') AS s FROM pos),
+              dup AS (SELECT s FROM g GROUP BY s HAVING COUNT(*) >= 2),
+              cov AS (SELECT DISTINCT g.doc_id, g.p0 + r.range AS p
+                      FROM g JOIN dup USING (s) CROSS JOIN range(0, 4) r),
+              toks AS (SELECT doc_id, unnest(ts) AS tok,
+                              generate_subscripts(ts, 1)::BIGINT AS p FROM docs),
+              kept AS (SELECT t.doc_id, t.tok, t.p
+                       FROM toks t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.p = t.p
+                       WHERE c.p IS NULL),
+              agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text
+                      FROM kept GROUP BY doc_id),
+              nr AS (SELECT doc_id, COUNT(*) AS n_removed FROM cov GROUP BY doc_id)
+         SELECT d.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+                COALESCE(nr.n_removed, 0) AS n_removed
+         FROM docs d LEFT JOIN agg a USING (doc_id) LEFT JOIN nr USING (doc_id)
+         ORDER BY d.doc_id""",
 
     "q_dedup_simhash_pairs" ->
       s"""$SimhashCandCte

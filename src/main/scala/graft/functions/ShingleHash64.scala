@@ -28,7 +28,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * function); the cross-engine oracle compares final jaccard/shared
   * numbers, not hashes.
   */
-case class ShingleHash64(child: Expression, k: Int)
+case class ShingleHash64(child: Expression, k: Int, distinct: Boolean = true)
     extends UnaryExpression {
 
   // k < 1 would drive the byte-assembly loop with a negative length and
@@ -46,10 +46,10 @@ case class ShingleHash64(child: Expression, k: Int)
   }
 
   override protected def nullSafeEval(v: Any): Any =
-    ShingleHash64.shingles(v.asInstanceOf[ArrayData], k)
+    ShingleHash64.shingles(v.asInstanceOf[ArrayData], k, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleHash64.shingles($c, $k)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleHash64.shingles($c, $k, $distinct)")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHash64 =
     copy(child = newChild)
@@ -57,10 +57,14 @@ case class ShingleHash64(child: Expression, k: Int)
 
 object ShingleHash64 {
 
-  /** Called from generated code. Distinct preserves first-occurrence order
-    * (irrelevant downstream — the array is exploded).
+  /** Called from generated code. With `distinct=true` the output keeps
+    * first-occurrence order (irrelevant downstream — the array is
+    * exploded); with `distinct=false` EVERY shingle position is emitted,
+    * so output index i is exactly the 0-based start position of the
+    * shingle — `posexplode` recovers (position, hash) pairs for
+    * position-aware consumers like span-level dedup.
     */
-  def shingles(arr: ArrayData, k: Int): ArrayData = {
+  def shingles(arr: ArrayData, k: Int, distinct: Boolean): ArrayData = {
     val n = arr.numElements()
     if (n < k) return new GenericArrayData(Array.emptyLongArray)
     val toks = new Array[UTF8String](n)
@@ -70,7 +74,7 @@ object ShingleHash64 {
       toks(i) = if (t == null) UTF8String.EMPTY_UTF8 else t
       i += 1
     }
-    val seen = new java.util.HashSet[java.lang.Long]()
+    val seen = if (distinct) new java.util.HashSet[java.lang.Long]() else null
     val out = new Array[Long](n - k + 1)
     var m = 0
     var buf = new Array[Byte](256)
@@ -90,39 +94,63 @@ object ShingleHash64 {
         j += 1
       }
       val h = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, len, 42L)
-      if (seen.add(h)) { out(m) = h; m += 1 }
+      if (seen == null || seen.add(h)) { out(m) = h; m += 1 }
       i += 1
     }
     new GenericArrayData(if (m == out.length) out else java.util.Arrays.copyOf(out, m))
   }
 
   val FnName = "shingle_hash64"
+  val PosFnName = "shingle_hash64_pos"
 
   /** Builder for the SQL surface: validates that `k` is a foldable
     * non-null integer literal up front, instead of letting a column /
     * string / null second argument explode deep in analysis as an opaque
     * UnsupportedOperationException / ClassCastException.
     */
-  def fromExprs(exprs: Seq[Expression]): ShingleHash64 = {
-    require(exprs.length == 2, s"$FnName expects (tokens, k), got ${exprs.length} args")
+  def fromExprs(exprs: Seq[Expression]): ShingleHash64 =
+    build(exprs, FnName, distinct = true)
+
+  /** Positional variant: all shingle positions, no dedup (see `shingles`). */
+  def fromExprsPos(exprs: Seq[Expression]): ShingleHash64 =
+    build(exprs, PosFnName, distinct = false)
+
+  private def build(exprs: Seq[Expression], name: String,
+                    distinct: Boolean): ShingleHash64 = {
+    require(exprs.length == 2, s"$name expects (tokens, k), got ${exprs.length} args")
     val kExpr = exprs(1)
     if (!kExpr.foldable)
-      throw new IllegalArgumentException(s"$FnName: k must be an integer literal, got ${kExpr.sql}")
+      throw new IllegalArgumentException(s"$name: k must be an integer literal, got ${kExpr.sql}")
     kExpr.eval() match {
-      case n: Number if n.intValue() >= 1 => ShingleHash64(exprs.head, n.intValue())
-      case n: Number => throw new IllegalArgumentException(
-        s"$FnName: k must be >= 1, got ${n.intValue()}")
+      // integral types only: a fractional literal (shingle_hash64(t, 2.5))
+      // must error, not silently truncate to 2
+      case n @ (_: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer |
+                _: java.lang.Long) =>
+        val v = n.asInstanceOf[Number].longValue()
+        if (v >= 1 && v <= Int.MaxValue) ShingleHash64(exprs.head, v.toInt, distinct)
+        else throw new IllegalArgumentException(s"$name: k must be >= 1, got $v")
       case other => throw new IllegalArgumentException(
-        s"$FnName: k must be an integer literal, got ${if (other == null) "NULL" else other}")
+        s"$name: k must be an integer literal, got ${if (other == null) "NULL" else other}")
     }
   }
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       FnName, fromExprs, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      PosFnName, fromExprsPos, "scala_udf")
+  }
 
   def apply(spark: SparkSession, tokens: Column, k: Int): Column = {
     register(spark)
     call_function(FnName, tokens, lit(k))
+  }
+
+  /** Column of ALL shingle hashes in position order (index = 0-based
+    * shingle start); pair with `posexplode` for (position, hash) rows.
+    */
+  def positional(spark: SparkSession, tokens: Column, k: Int): Column = {
+    register(spark)
+    call_function(PosFnName, tokens, lit(k))
   }
 }

@@ -495,4 +495,84 @@ object Dedup {
       // doc; probe side is .distinct), so (doc, h) pairs are unique
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** Token positions (1-based) covered by a duplicated k-gram — the core
+    * of exact-substring (span-level) dedup à la Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better"): a
+    * k-gram is duplicated when its TOTAL occurrence count across the
+    * corpus (including repeats inside one document) is >= minCount, and
+    * every token position under any occurrence of a duplicated k-gram is
+    * covered.
+    *
+    * Scale shape: the positional [[graft.functions.ShingleHash64]]
+    * hashes every k-gram in one codegen'd loop per document, so the
+    * occurrence count is a hash aggregation over 8-byte keys (map-side
+    * partial), never over ~40-byte gram strings, and the probe back is
+    * an equi-join on the same longs (AQE broadcasts the duplicated-gram
+    * side when it is small, which it is unless the corpus is mostly
+    * boilerplate). Nothing here is quadratic in documents — work is
+    * linear in total token count, matching the suffix-array formulation's
+    * O(total tokens) while staying embarrassingly parallel.
+    */
+  private def coveredPositions(df: DataFrame, idCol: String, textCol: String,
+                               k: Int, minCount: Long): DataFrame = {
+    require(k >= 1, s"span dedup: k must be >= 1, got $k")
+    require(minCount >= 2, s"span dedup: minCount must be >= 2, got $minCount")
+    val spark = df.sparkSession
+    // persisted: read twice (global gram counts + the probe back)
+    val grams = OpCache.persist(Stage.spread(df)
+      .select(col(idCol), posexplode(graft.functions.ShingleHash64.positional(
+        spark, TextAnalysis.tokens(col(textCol)), k)).as(Seq("__p0", "h"))))
+    val dup = grams.groupBy("h").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minCount).select("h")
+    grams.join(dup, "h")
+      .select(col(idCol), explode(sequence(col("__p0") + 1, col("__p0") + k)).as("p"))
+      .distinct()
+  }
+
+  /** Maximal duplicated spans per document: contiguous runs of token
+    * positions covered by some corpus-duplicated k-gram, as
+    * (id, span_start, span_end, span_len) with 1-based inclusive token
+    * positions. Gaps-and-islands over [[coveredPositions]]: run key is
+    * p - row_number() within the document, so each maximal run collapses
+    * to one group — a per-document window plus one aggregation, both
+    * partitioned by document id.
+    */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     k: Int, minCount: Long = 2L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("p"))
+    coveredPositions(df, idCol, textCol, k, minCount)
+      .withColumn("__grp", col("p") - row_number().over(w))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min(col("p")).cast("long").as("span_start"),
+        max(col("p")).cast("long").as("span_end"),
+        count(lit(1)).as("span_len"))
+      .select(col(idCol), col("span_start"), col("span_end"), col("span_len"))
+  }
+
+  /** Span-level dedup output: each document with its duplicated spans
+    * REMOVED — kept tokens re-joined in order — plus how many tokens were
+    * dropped. Documents with no duplicated span pass through verbatim
+    * (modulo whitespace normalization: tokens re-joined single-spaced);
+    * fully-duplicated documents come out as an empty clean_text, which a
+    * downstream gate can drop.
+    *
+    * The covered-position set rides back to the document row as one
+    * collect_set per id (a single doc-keyed aggregation), and the kept
+    * tokens are selected by a codegen'd positional array filter — no
+    * second explode of the corpus.
+    */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                           k: Int, minCount: Long = 2L): DataFrame = {
+    val cov = coveredPositions(df, idCol, textCol, k, minCount)
+      .groupBy(col(idCol)).agg(collect_set(col("p")).as("__cov"))
+    df.join(cov, Seq(idCol), "left")
+      .withColumn("__cov", coalesce(col("__cov"), array().cast("array<int>")))
+      .withColumn("__toks", TextAnalysis.tokens(col(textCol)))
+      .select(col(idCol),
+        concat_ws(" ", filter(col("__toks"),
+          (x, i) => !array_contains(col("__cov"), i + 1))).as("clean_text"),
+        size(col("__cov")).cast("long").as("n_removed"))
+  }
 }

@@ -169,4 +169,47 @@ class DedupSpec extends SparkSpec {
     assert(out((1L,4L)) == 2) // gap 149 > 100 splits
     assert(out((2L,5L)) == 1)
   }
+
+  test("positional shingle hashes keep every occurrence, index = start position") {
+    import org.apache.spark.sql.functions.{expr, xxhash64, lit}
+    val df = Seq((1L, Seq("a", "b", "a", "b"))).toDF("doc_id", "toks")
+    val hs = df.select(graft.functions.ShingleHash64.positional(
+        spark, col("toks"), 2).as("hs"))
+      .collect().head.getSeq[Long](0)
+    assert(hs.length == 3)          // "a b", "b a", "a b" — no dedup
+    assert(hs(0) == hs(2) && hs(0) != hs(1))
+    val direct = df.select(xxhash64(lit("a b")), xxhash64(lit("b a")))
+      .collect().head
+    assert(hs(0) == direct.getLong(0) && hs(1) == direct.getLong(1))
+    // distinct variant on the same input keeps first occurrences only
+    val dist = df.select(graft.functions.ShingleHash64(
+        spark, col("toks"), 2).as("hs")).collect().head.getSeq[Long](0)
+    assert(dist == Seq(hs(0), hs(1)))
+  }
+
+  private val spanDocs = Seq(
+    (1L, "a b c d e f g h"),            // shares "a b c","b c d" with doc 2
+    (2L, "x x a b c d y z"),
+    (3L, "p q r s t u v w"),            // fully unique
+    (4L, "m n o m n o m n o"))          // self-repeating: fully covered
+
+  test("duplicateSpans merges overlapping duplicated k-grams into maximal spans") {
+    val out = Dedup.duplicateSpans(spanDocs.toDF("doc_id", "text"),
+        "doc_id", "text", k = 3)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq((1L, 1L, 4L, 4L), (2L, 3L, 6L, 4L), (4L, 1L, 9L, 9L)))
+  }
+
+  test("removeDuplicateSpans cuts covered tokens, keeps unique docs verbatim") {
+    val out = Dedup.removeDuplicateSpans(spanDocs.toDF("doc_id", "text"),
+        "doc_id", "text", k = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq(
+      (1L, "e f g h", 4L),
+      (2L, "x x y z", 4L),
+      (3L, "p q r s t u v w", 0L),
+      (4L, "", 9L)))                    // fully duplicated → empty, gate downstream
+  }
 }
