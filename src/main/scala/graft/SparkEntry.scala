@@ -799,6 +799,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // deterministic train/val/test split (10% val, 10% test): label is a
+    // pure function of doc_id — stable under corpus growth, no RNG
+    "q_split_train_test" -> ((s, dir) => {
+      Analytics.withSplit(t(s, dir, "documents"), "doc_id",
+          valRate = 0.1, testRate = 0.1)
+        .select("doc_id", "lang", "split")
+        .orderBy("doc_id")
+    }),
+
+    // one-pass column profiling over lineitem: counts, nulls, exact
+    // distincts, min/max per column
+    "q_profile_columns" -> ((s, dir) => {
+      Analytics.profile(
+          t(s, dir, "lineitem").withColumn("l_shipdate",
+            col("l_shipdate").cast("date")),
+          Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+            "l_shipdate"))
+        .orderBy("column_name")
+    }),
+
     // W3 — gap-based sessionization (4h gap): lag-break + running-sum
     // windows, then per-session rollup
     "q_sessionize" -> ((s, dir) => {
@@ -2051,6 +2071,42 @@ object SparkEntry {
          WHERE CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) AS DOUBLE)
                  / 4503599627370496.0 < 0.05
          ORDER BY doc_id""",
+
+    "q_split_train_test" ->
+      """WITH u AS (SELECT doc_id, lang,
+                CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) AS DOUBLE)
+                  / 4503599627370496.0 AS u
+              FROM documents)
+         SELECT doc_id, lang,
+                CASE WHEN u < 0.1 THEN 'test' WHEN u < 0.2 THEN 'val'
+                     ELSE 'train' END AS split
+         FROM u ORDER BY doc_id""",
+
+    "q_profile_columns" ->
+      """WITH src AS (SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus,
+                             CAST(l_shipdate AS DATE) AS l_shipdate FROM lineitem)
+         SELECT 'l_orderkey' AS column_name, COUNT(*) AS n_rows,
+                COUNT(*) - COUNT(l_orderkey) AS n_null,
+                COUNT(DISTINCT l_orderkey) AS n_distinct,
+                CAST(MIN(l_orderkey) AS VARCHAR) AS min_val,
+                CAST(MAX(l_orderkey) AS VARCHAR) AS max_val FROM src
+         UNION ALL
+         SELECT 'l_linenumber', COUNT(*), COUNT(*) - COUNT(l_linenumber),
+                COUNT(DISTINCT l_linenumber),
+                CAST(MIN(l_linenumber) AS VARCHAR), CAST(MAX(l_linenumber) AS VARCHAR) FROM src
+         UNION ALL
+         SELECT 'l_returnflag', COUNT(*), COUNT(*) - COUNT(l_returnflag),
+                COUNT(DISTINCT l_returnflag),
+                CAST(MIN(l_returnflag) AS VARCHAR), CAST(MAX(l_returnflag) AS VARCHAR) FROM src
+         UNION ALL
+         SELECT 'l_linestatus', COUNT(*), COUNT(*) - COUNT(l_linestatus),
+                COUNT(DISTINCT l_linestatus),
+                CAST(MIN(l_linestatus) AS VARCHAR), CAST(MAX(l_linestatus) AS VARCHAR) FROM src
+         UNION ALL
+         SELECT 'l_shipdate', COUNT(*), COUNT(*) - COUNT(l_shipdate),
+                COUNT(DISTINCT l_shipdate),
+                CAST(MIN(l_shipdate) AS VARCHAR), CAST(MAX(l_shipdate) AS VARCHAR) FROM src
+         ORDER BY column_name""",
 
     "q_text_redact" ->
       """WITH pii AS (SELECT doc_id,

@@ -94,6 +94,55 @@ object Analytics {
       conv(substring(md5(col(keyCol).cast("string")), 1, 13), 16, 10)
         .cast("long").cast("double") / lit(4503599627370496.0) < rate)
 
+  /** Deterministic train/val/test assignment: the split label is a pure
+    * function of the key — the same 52-bit md5-prefix fraction as
+    * [[deterministicSample]] — so membership is reproducible across
+    * engines, partitionings, and reruns, and STABLE UNDER CORPUS GROWTH
+    * (a doc never migrates between splits when new data arrives; the
+    * property that keeps eval sets uncontaminated across dataset
+    * versions). Bands: u < testRate → test, u < testRate+valRate → val,
+    * else train. Map-side only — no shuffle, no RNG state.
+    */
+  def withSplit(df: DataFrame, keyCol: String,
+                valRate: Double, testRate: Double): DataFrame = {
+    require(valRate >= 0 && testRate >= 0 && valRate + testRate < 1,
+      s"split rates must be >= 0 and sum below 1, got val=$valRate test=$testRate")
+    val u = conv(substring(md5(col(keyCol).cast("string")), 1, 13), 16, 10)
+      .cast("long").cast("double") / lit(4503599627370496.0)
+    df.withColumn("split",
+      when(u < testRate, "test")
+        .when(u < testRate + valRate, "val")
+        .otherwise("train"))
+  }
+
+  /** One-pass column profiling: for each requested column — row count,
+    * null count, exact distinct count, min/max rendered as strings — one
+    * row per column. A single global aggregation (partial-aggregable;
+    * the parquet scan reads only the profiled columns). Scale note: k
+    * exact distinct aggregates make Catalyst Expand the input k× before
+    * the partial agg; at the 100 TB tier either profile columns in
+    * separate column-pruned passes (they parallelize trivially) or swap
+    * `countDistinct` for `approx_count_distinct` — the shape of the
+    * output contract stays identical.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile: need at least one column")
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__nn_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val stackArgs = cols.map(c =>
+      s"'$c', `__nn_$c`, `__nd_$c`, `__min_$c`, `__max_$c`").mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(col("__n"), expr(s"stack(${cols.size}, $stackArgs)")
+        .as(Seq("column_name", "__nn", "n_distinct", "min_val", "max_val")))
+      .select(col("column_name"), col("__n").as("n_rows"),
+        (col("__n") - col("__nn")).as("n_null"),
+        col("n_distinct"), col("min_val"), col("max_val"))
+  }
+
   /** Gap-based sessionization: a new session starts whenever the gap to
     * the previous event (per key, time-ordered) exceeds `gap`. Classic
     * two-window shape — lag to flag breaks, running sum of breaks as the

@@ -115,4 +115,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(2).isNullAt(out(2).fieldIndex("valid_to")) && out(2).getAs[Boolean]("is_current"))
     assert(out.count(_.getAs[Boolean]("is_current")) == 2) // one per key
   }
+
+  test("withSplit labels are a pure function of the key, stable under growth") {
+    import spark.implicits._
+    val small = (1L to 200L).toDF("id")
+    val grown = (1L to 400L).toDF("id")
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      Analytics.withSplit(df, "id", valRate = 0.2, testRate = 0.2)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (ls, lg) = (labels(small), labels(grown))
+    // growing the corpus never relabels an existing key
+    assert(ls.forall { case (k, v) => lg(k) == v })
+    val byLabel = ls.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    assert(byLabel("train") > byLabel("val") && byLabel("train") > byLabel("test"))
+  }
+
+  test("profile emits exact per-column stats including nulls") {
+    import spark.implicits._
+    val df = Seq((1L, Some("a")), (2L, None), (3L, Some("a")), (3L, Some("b")))
+      .toDF("k", "s")
+    val out = Analytics.profile(df, Seq("k", "s")).orderBy("column_name")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getString(5))).toSeq
+    assert(out == Seq(
+      ("k", 4L, 0L, 3L, "1", "3"),
+      ("s", 4L, 1L, 2L, "a", "b")))
+  }
 }
