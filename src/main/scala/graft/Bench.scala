@@ -43,7 +43,12 @@ object Bench {
     // compilation and JIT all land outside the measured pass — the
     // reported numbers are steady-state plan execution
     Tables.all.foreach(n => Tables.load(spark, sfDir, n).count())
+    // optional comma-separated filter for local iteration on a few
+    // queries (SPARK_GRAFT_ONLY=q_a,q_b); driver leaves it unset
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     names.foreach(run)
     System.gc()
 

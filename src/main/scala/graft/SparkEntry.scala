@@ -819,6 +819,27 @@ object SparkEntry {
         .orderBy("column_name")
     }),
 
+    // ordered funnel view → click → purchase: first time each stage is
+    // reached strictly after the previous one, per user (micros upfront
+    // so both engines compare identical integers)
+    "q_funnel_stages" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      Analytics.funnel(ev, "user_id", "event_type", "ts_us",
+          Seq("view", "click", "purchase"))
+        .select(col("user_id"), col("t_1").as("t_view_us"),
+          col("t_2").as("t_click_us"), col("t_3").as("t_purchase_us"))
+        .orderBy("user_id")
+    }),
+
+    // cohort retention triangle: cohort = user's first active day,
+    // distinct users per (cohort day, day offset)
+    "q_retention_cohorts" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      Analytics.retentionCohorts(ev, "user_id", "ts_us",
+          bucket = 86400L * 1000000L)
+        .orderBy("cohort", "bucket_offset")
+    }),
+
     // W3 — gap-based sessionization (4h gap): lag-break + running-sum
     // windows, then per-session rollup
     "q_sessionize" -> ((s, dir) => {
@@ -1614,6 +1635,25 @@ object SparkEntry {
                         FROM reach r JOIN edges e ON e.src = r.id)
          SELECT id AS doc_id, MIN(comp) AS cluster_id
          FROM reach GROUP BY id ORDER BY doc_id""",
+
+    "q_funnel_stages" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tu FROM events),
+              s1 AS (SELECT user_id, MIN(tu) AS t1 FROM e
+                     WHERE event_type = 'view' GROUP BY 1),
+              s2 AS (SELECT e.user_id, MIN(tu) AS t2 FROM e JOIN s1 USING (user_id)
+                     WHERE event_type = 'click' AND tu > t1 GROUP BY 1),
+              s3 AS (SELECT e.user_id, MIN(tu) AS t3 FROM e JOIN s2 USING (user_id)
+                     WHERE event_type = 'purchase' AND tu > t2 GROUP BY 1)
+         SELECT s1.user_id, t1 AS t_view_us, t2 AS t_click_us, t3 AS t_purchase_us
+         FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+         ORDER BY user_id""",
+
+    "q_retention_cohorts" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d FROM events),
+              f AS (SELECT user_id, d, MIN(d) OVER (PARTITION BY user_id) AS first_d FROM e)
+         SELECT first_d AS cohort, d - first_d AS bucket_offset,
+                COUNT(DISTINCT user_id) AS n_users
+         FROM f GROUP BY 1, 2 ORDER BY cohort, bucket_offset""",
 
     "q_sessionize" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events),

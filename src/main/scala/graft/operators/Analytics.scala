@@ -94,6 +94,57 @@ object Analytics {
       conv(substring(md5(col(keyCol).cast("string")), 1, 13), 16, 10)
         .cast("long").cast("double") / lit(4503599627370496.0) < rate)
 
+  /** Ordered funnel: for each user, the time each stage was FIRST reached
+    * respecting stage order — t₁ = min time of stage 1, tᵢ = min time of
+    * stage i strictly after tᵢ₋₁. Users appear once they reach stage 1;
+    * unreached later stages are null (`t_1 … t_n` columns). This is the
+    * strict sequential-funnel semantics (a purchase before the first
+    * click does not count), not mere per-stage minima.
+    *
+    * Scale shape: the stage-filtered event stream is persisted once and
+    * re-probed per stage; every join and aggregation is keyed by user, so
+    * all n-1 rounds shuffle only the (tiny) per-user stage frontier plus
+    * the one stage's filtered events — never the full log twice. n is
+    * small and fixed (funnel definitions are hand-written), so the
+    * linear-round plan stays shallow.
+    */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+             tsCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel: need at least one stage")
+    val ev = OpCache.persist(events
+      .select(col(userCol), col(typeCol), col(tsCol))
+      .filter(col(typeCol).isin(stages: _*)))
+    var acc = ev.filter(col(typeCol) === stages.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t_1"))
+    stages.tail.zipWithIndex.foreach { case (s, i) =>
+      val prev = s"t_${i + 1}"
+      val cur = s"t_${i + 2}"
+      val nxt = ev.filter(col(typeCol) === s)
+        .join(acc.select(col(userCol), col(prev)), userCol)
+        .filter(col(tsCol) > col(prev))
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as(cur))
+      acc = acc.join(nxt, Seq(userCol), "left")
+    }
+    acc
+  }
+
+  /** Cohort retention: bucket every event time by `bucket` (same unit as
+    * `tsCol` — e.g. a day of nanos for the nanos-long event log), cohort
+    * = the user's first bucket, and count distinct users per
+    * (cohort, bucket_offset). One shuffle by user for the first-bucket
+    * window, one aggregation — the classic retention-triangle input.
+    */
+  def retentionCohorts(events: DataFrame, userCol: String, tsCol: String,
+                       bucket: Long): DataFrame = {
+    require(bucket > 0)
+    val d = expr(s"CAST($tsCol AS BIGINT) div $bucket")
+    events.withColumn("__d", d)
+      .withColumn("__first", min(col("__d")).over(Window.partitionBy(col(userCol))))
+      .groupBy(col("__first").as("cohort"),
+        (col("__d") - col("__first")).as("bucket_offset"))
+      .agg(countDistinct(col(userCol)).as("n_users"))
+  }
+
   /** Deterministic train/val/test assignment: the split label is a pure
     * function of the key — the same 52-bit md5-prefix fraction as
     * [[deterministicSample]] — so membership is reproducible across

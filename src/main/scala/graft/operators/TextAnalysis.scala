@@ -176,11 +176,15 @@ object TextAnalysis {
     // N for the idf comes from the PERSISTED narrow table, not a second
     // full corpus scan (round-2 verdict). Tokenless docs carry no terms
     // and no output row either way, so "docs with ≥1 term" is the
-    // consistent N — the oracle defines it identically.
-    val n = termFreq.agg(countDistinct(col(idCol))).head().getLong(0)
+    // consistent N — the oracle defines it identically. Joined in as a
+    // broadcast 1-row frame rather than collected with a blocking
+    // .head(): the whole operator stays ONE Spark job.
+    val nRow = termFreq.agg(countDistinct(col(idCol)).as("__N"))
     val docFreq = termFreq.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
-      .withColumn("idf", log((lit(n) + 1.0) / (col("df") + lit(1.0))))
+      .crossJoin(broadcast(nRow))
+      .withColumn("idf", log((col("__N") + 1.0) / (col("df") + lit(1.0))))
+      .drop("__N")
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("__score").desc, col("term").asc)
     termFreq.join(broadcast(docFreq), "term")

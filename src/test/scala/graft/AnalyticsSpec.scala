@@ -116,6 +116,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.count(_.getAs[Boolean]("is_current")) == 2) // one per key
   }
 
+  test("funnel enforces strict stage order per user") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      (2L, "purchase", 5L), (2L, "view", 10L), (2L, "click", 8L),
+      (3L, "click", 5L),                      // never viewed → excluded
+      (4L, "view", 10L), (4L, "click", 20L), (4L, "purchase", 15L))
+      .toDF("user_id", "event_type", "ts")
+    val out = Analytics.funnel(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)), Option(r.get(3))))
+    assert(out.toSeq == Seq(
+      (1L, Some(10L), Some(20L), Some(30L)),
+      (2L, Some(10L), None, None),            // click was before the view
+      (4L, Some(10L), Some(20L), None)))      // purchase before the click
+    graft.operators.OpCache.clear()
+  }
+
+  test("retentionCohorts counts distinct users per cohort and offset") {
+    import spark.implicits._
+    val ev = Seq((1L, 1L), (1L, 5L), (1L, 25L), (2L, 12L), (2L, 38L))
+      .toDF("user_id", "ts")
+    val out = Analytics.retentionCohorts(ev, "user_id", "ts", bucket = 10L)
+      .orderBy("cohort", "bucket_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((0L, 0L, 1L), (0L, 2L, 1L), (1L, 0L, 1L), (1L, 2L, 1L)))
+  }
+
   test("withSplit labels are a pure function of the key, stable under growth") {
     import spark.implicits._
     val small = (1L to 200L).toDF("id")
