@@ -540,6 +540,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // most-duplicated passages: top-20 word 4-grams by total occurrence
+    // count — the boilerplate diagnostic behind span dedup
+    "q_dedup_top_grams" -> ((s, dir) => {
+      Dedup.topDuplicatedGrams(t(s, dir, "documents"), "doc_id", "text",
+          k = 4, topN = 20)
+        .orderBy(col("n_occurrences").desc, col("gram").asc)
+    }),
+
     // exact-substring span dedup (Lee et al. 2022): maximal 1-based token
     // spans covered by any word 4-gram occurring >= 2 times corpus-wide
     // (counting repeats within a document)
@@ -888,6 +896,12 @@ object SparkEntry {
     "q_text_tfidf" -> ((s, dir) => {
       TextAnalysis.tfidfTop1(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
+    }),
+
+    // inverted index: per-term document frequency + sorted posting list
+    "q_text_inverted_index" -> ((s, dir) => {
+      TextAnalysis.invertedIndex(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("term")
     }),
 
     // benchmark decontamination: corpus docs sharing any word 5-gram with
@@ -1581,6 +1595,22 @@ object SparkEntry {
          FROM p JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
          WHERE CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) >= 0.8
          ORDER BY id_a, id_b""",
+
+    "q_dedup_top_grams" ->
+      """WITH docs AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+                       FROM documents),
+              pos AS (SELECT doc_id, unnest(range(1, len(ts) - 2))::BIGINT AS p0, ts FROM docs),
+              g AS (SELECT doc_id, array_to_string(ts[p0:p0+3], ' ') AS gram FROM pos)
+         SELECT gram, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+         FROM g GROUP BY gram ORDER BY n_occurrences DESC, gram LIMIT 20""",
+
+    "q_text_inverted_index" ->
+      """WITH tk AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+                     FROM documents),
+              td AS (SELECT DISTINCT term, doc_id FROM tk)
+         SELECT term, COUNT(*) AS df,
+                string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+         FROM td GROUP BY term ORDER BY term""",
 
     "q_dedup_spans" ->
       """WITH docs AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts

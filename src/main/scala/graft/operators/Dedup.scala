@@ -530,6 +530,34 @@ object Dedup {
       .distinct()
   }
 
+  /** Most-duplicated passages report: the topN word k-grams by total
+    * corpus occurrence count (with the distinct-document count riding
+    * along), ties broken by gram text — the diagnostic a corpus owner
+    * runs before span dedup to see WHAT the boilerplate is. Gram strings
+    * (not hashes) are the output here, so the count groups by string —
+    * map-side partial aggregation means only per-partition-distinct
+    * grams shuffle, and topN goes through TakeOrderedAndProject (no
+    * global sort). For a pure threshold scan at the 100 TB tier, count
+    * hashes first ([[coveredPositions]]' shape) and join the few
+    * surviving hashes back for their text.
+    */
+  def topDuplicatedGrams(df: DataFrame, idCol: String, textCol: String,
+                         k: Int, topN: Int): DataFrame = {
+    require(k >= 1 && topN >= 1)
+    Stage.spread(df)
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= k)
+      .select(col(idCol),
+        explode(sequence(lit(1), size(col("__t")) - (k - 1))).as("__i"),
+        col("__t"))
+      .select(col(idCol), concat_ws(" ", slice(col("__t"), col("__i"), lit(k))).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col(idCol)).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("gram").asc)
+      .limit(topN)
+  }
+
   /** Maximal duplicated spans per document: contiguous runs of token
     * positions covered by some corpus-duplicated k-gram, as
     * (id, span_start, span_end, span_len) with 1-based inclusive token

@@ -195,6 +195,25 @@ object TextAnalysis {
         col("__score").as("tfidf"))
   }
 
+  /** Inverted index: one row per term with its document frequency and
+    * the sorted posting list (comma-joined doc ids — the portable render
+    * of an array column). Shape: explode → distinct (term, doc) pairs →
+    * one term-keyed aggregation; partial aggregation collapses repeats
+    * map-side. Scale notes: posting lists for stop-like terms are the
+    * skew — at the 100 TB tier store postings as arrays bucketed by
+    * term (bucketBy keeps probe joins co-located) and cap or tier
+    * hot-term lists (they're range-partitioned doc-id blocks in real
+    * search engines); df alone never skews (pure count).
+    */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    Stage.spreadLarge(df)
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .distinct()
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        concat_ws(",", transform(sort_array(collect_list(col(idCol))),
+          x => x.cast("string"))).as("postings"))
+
   /** Context-window chunking: split each document's token stream into
     * fixed-size windows with `overlap` tokens of lookback (the text
     * analog of `Multimodal.chunkAudio`, and the standard shape for

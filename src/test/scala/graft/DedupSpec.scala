@@ -201,6 +201,14 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq((1L, 1L, 4L, 4L), (2L, 3L, 6L, 4L), (4L, 1L, 9L, 9L)))
   }
 
+  test("topDuplicatedGrams counts occurrences and docs, ties broken by gram") {
+    val df = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "b c d")).toDF("doc_id", "text")
+    val out = Dedup.topDuplicatedGrams(df, "doc_id", "text", k = 2, topN = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // "a b": doc1 twice + doc2 once = 3 occurrences / 2 docs; then "b c" ×2/2
+    assert(out == Seq(("a b", 3L, 2L), ("b c", 2L, 2L), ("b a", 1L, 1L)))
+  }
+
   test("removeDuplicateSpans cuts covered tokens, keeps unique docs verbatim") {
     val out = Dedup.removeDuplicateSpans(spanDocs.toDF("doc_id", "text"),
         "doc_id", "text", k = 3)

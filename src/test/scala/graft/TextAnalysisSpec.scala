@@ -173,4 +173,14 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1).getAs[String]("top_term") == "boson")
     assert(out(2).getAs[String]("top_term") == "common") // only term present
   }
+
+  test("invertedIndex emits df and numerically-sorted postings") {
+    import spark.implicits._
+    val df = Seq((10L, "b a b"), (2L, "a c"), (1L, "a")).toDF("doc_id", "text")
+    val out = TextAnalysis.invertedIndex(df, "doc_id", "text")
+      .orderBy("term").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    // numeric order: 2 before 10 (string order would give "10,2")
+    assert(out == Seq(("a", 3L, "1,2,10"), ("b", 1L, "10"), ("c", 1L, "2")))
+  }
 }
