@@ -800,6 +800,17 @@ object SparkEntry {
         .orderBy("op", "seg", "nk")
     }),
 
+    // Z-order (Morton) clustering key: bit-interleave of two bucketed
+    // dims — the multi-dimensional data-skipping sort key; zorderWrite
+    // sorts storage by it (file-skip win measured in ZOrderSpec)
+    "q_zorder_key" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          ZOrder.zorderKey(Seq(pmod(col("p_partkey"), lit(64)),
+            pmod(col("p_size"), lit(64))), bits = 6).as("zkey"))
+        .orderBy("zkey", "p_partkey")
+    }),
+
     // A15 — deterministic hash-based corpus subsample (5%)
     "q_sample_deterministic" -> ((s, dir) => {
       Analytics.deterministicSample(t(s, dir, "documents"), "doc_id", 0.05)
@@ -895,6 +906,13 @@ object SparkEntry {
     // per-document top TF-IDF term (two-phase agg + broadcast idf join)
     "q_text_tfidf" -> ((s, dir) => {
       TextAnalysis.tfidfTop1(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // unigram-LM cross-entropy quality signal (CCNet-style): token-weighted
+    // mean −ln p(term) against the corpus's own unigram distribution
+    "q_text_unigram_ce" -> ((s, dir) => {
+      TextAnalysis.unigramCrossEntropy(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
     }),
 
@@ -2136,6 +2154,16 @@ object SparkEntry {
            SELECT seg, nk, 'only_low' AS op FROM (SELECT * FROM big EXCEPT SELECT * FROM small))
          ORDER BY op, seg, nk""",
 
+    "q_zorder_key" -> {
+      // same bit-interleave as ZOrder.zorderKey: bit b of dim i lands at
+      // position b*2+i (dims: 0 = p_partkey%64, 1 = p_size%64)
+      val terms = (0 until 6).flatMap(b => Seq(
+        s"((((p_partkey % 64) >> $b) & 1) * ${1L << (2 * b)})",
+        s"((((p_size % 64) >> $b) & 1) * ${1L << (2 * b + 1)})"))
+      s"""SELECT p_partkey, CAST(${terms.mkString(" + ")} AS BIGINT) AS zkey
+          FROM part ORDER BY zkey, p_partkey"""
+    },
+
     "q_sample_deterministic" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) AS DOUBLE)
@@ -2226,6 +2254,20 @@ object SparkEntry {
                          FROM tf JOIN idf USING (term))
          SELECT doc_id, term AS top_term, score AS tfidf
          FROM scored WHERE rn = 1 ORDER BY doc_id""",
+
+    "q_text_unigram_ce" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+                       FROM documents),
+              tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+              lm AS (SELECT term,
+                            ln(CAST(SUM(tf) AS DOUBLE)
+                               / (SELECT CAST(SUM(tf) AS DOUBLE) FROM tf)) AS lp
+                     FROM tf GROUP BY term)
+         SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+                round(-CAST(SUM(CAST(tf.tf * lm.lp AS DECIMAL(38,6))) AS DOUBLE)
+                      / CAST(SUM(tf.tf) AS DOUBLE), 6) AS unigram_ce
+         FROM tf JOIN lm USING (term)
+         GROUP BY tf.doc_id ORDER BY doc_id""",
 
     "q_decontaminate" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t

@@ -19,7 +19,14 @@ object Verify {
       if (f.isDirectory) f.listFiles().foreach(rmRec)
       f.delete(); ()
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // optional comma-separated filter for local iteration on a few
+    // queries (same contract as Bench); the driver leaves it unset, so
+    // its runs always dump everything
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       // drop any stale dump FIRST: a query that throws must surface as
       // "no spark output" in the compare, never silently reuse a prior
       // run's parquet (round-3 lesson: a leftover warehouse location made

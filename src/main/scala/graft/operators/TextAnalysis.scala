@@ -195,6 +195,40 @@ object TextAnalysis {
         col("__score").as("tfidf"))
   }
 
+  /** Per-document unigram-LM cross-entropy — the CCNet/RedPajama-style
+    * "perplexity" quality signal, with the LM being the corpus's own
+    * unigram distribution: score(doc) = −Σ_t tf·ln(p(t)) / Σ_t tf where
+    * p(t) = corpus_count(t) / total_tokens. Low = stereotypical text,
+    * high = rare-token noise; pipelines band on it (head/middle/tail).
+    *
+    * Shape mirrors [[tfidfTop1]]: ONE exploded-token shuffle builds the
+    * persisted (doc, term, tf) table; the LM itself is a vocabulary-sized
+    * aggregate of that table (broadcast-joined back), and the per-doc
+    * reduce shares the doc-keyed partitioning. Total tokens come from the
+    * persisted narrow table, not a second corpus scan. Cross-engine
+    * exactness: each tf·ln(p) product routes through DECIMAL(38,6)
+    * ([[graft.Tables.dec]]) so the per-doc sum is order-independent; the
+    * exported score is the exact decimal sum → double → one IEEE divide,
+    * rounded to 6 (libm-ln convention of [[tfidfTop1]]).
+    */
+  def unigramCrossEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val termFreq = OpCache.persist(Stage.spread(df)
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .repartition(col(idCol))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf")))
+    val tot = termFreq.agg(sum(col("tf")).as("__T"))
+    val lm = termFreq.groupBy(col("term"))
+      .agg(sum(col("tf")).as("__ctf"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__lp", log(col("__ctf").cast("double") / col("__T").cast("double")))
+      .select("term", "__lp")
+    termFreq.join(broadcast(lm), "term")
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"),
+        round(-sum(graft.Tables.dec(col("tf") * col("__lp"))).cast("double")
+          / sum(col("tf")).cast("double"), 6).as("unigram_ce"))
+  }
+
   /** Inverted index: one row per term with its document frequency and
     * the sorted posting list (comma-joined doc ids — the portable render
     * of an array column). Shape: explode → distinct (term, doc) pairs →

@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Watermarked stream-stream interval join — the remaining Structured
+  * Streaming join shape the engine's stream pack needs: correlate two
+  * live event feeds by key within an event-time window (attribution,
+  * click-to-purchase, sensor pairing), with state bounded by watermarks
+  * on BOTH sides.
+  *
+  * Semantics: (left l, right r) pairs with l.key = r.key and
+  * r.ts ∈ [l.ts, l.ts + within]. The time-range predicate is what lets
+  * Spark expire state: left rows older than `watermark + within` and
+  * right rows older than `watermark` can never match again and are
+  * evicted from the state store — without the range condition the join
+  * state grows without bound (Spark rejects an append-mode stream-stream
+  * join lacking it). This is the streaming dual of the batch
+  * `Analytics.funnel` adjacency: funnel finds ANY later stage hit;
+  * the interval join demands it within a deadline.
+  *
+  * Scale: one keyed exchange per side into the join's state store
+  * (co-partitioned by key), state per key bounded by in-window rows ×
+  * watermark delay. Same posture as a 1000-executor attribution job.
+  */
+object StreamStreamJoin {
+
+  /** Left events paired with right events (same `keyCol`) that occur in
+    * [left.ts, left.ts + within]. Column names: left keeps its names;
+    * right's ts/type come back suffixed `_r`. `within` / `watermark` are
+    * duration strings ("10 minutes").
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   keyCol: String, tsCol: String,
+                   within: String, watermark: String): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark).alias("l")
+    val r = right
+      .withColumnRenamed(tsCol, s"${tsCol}_r")
+      .withWatermark(s"${tsCol}_r", watermark).alias("r")
+    l.join(r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col(s"r.${tsCol}_r") >= col(s"l.$tsCol") &&
+        col(s"r.${tsCol}_r") <= col(s"l.$tsCol") + expr(s"INTERVAL $within"))
+      .drop(col(s"r.$keyCol"))
+  }
+}

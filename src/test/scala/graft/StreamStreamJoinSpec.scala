@@ -1,0 +1,86 @@
+package graft
+
+import graft.streaming.StreamStreamJoin
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+class StreamStreamJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("interval join pairs within the window across batches; outside-window misses") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Timestamp, Long)]
+    val buys = MemoryStream[(Timestamp, Long)]
+    val joined = StreamStreamJoin.intervalJoin(
+      views.toDS().toDF("ts", "user_id"),
+      buys.toDS().toDF("ts", "user_id"),
+      keyCol = "user_id", tsCol = "ts",
+      within = "10 minutes", watermark = "5 minutes")
+    val q = joined.writeStream.format("memory").queryName("attributed")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: views only — no output yet
+      views.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:00:00"), 2L))
+      q.processAllAvailable()
+      assert(spark.table("attributed").count() == 0)
+
+      // batch 2: purchases — user 1 inside the 10-min window, user 2 outside,
+      // user 3 has no view
+      buys.addData(
+        (ts("2024-01-01 10:07:00"), 1L),
+        (ts("2024-01-01 10:20:00"), 2L),
+        (ts("2024-01-01 10:01:00"), 3L))
+      q.processAllAvailable()
+      val out = spark.table("attributed")
+        .select("user_id", "ts", "ts_r")
+        .as[(Long, Timestamp, Timestamp)].collect().toSet
+      assert(out == Set((1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:07:00"))))
+
+      // a purchase BEFORE the view never matches (r.ts >= l.ts)
+      views.addData((ts("2024-01-01 10:30:00"), 4L))
+      buys.addData((ts("2024-01-01 10:25:00"), 4L))
+      q.processAllAvailable()
+      assert(spark.table("attributed").filter($"user_id" === 4L).count() == 0)
+    } finally q.stop()
+  }
+
+  test("streaming interval join agrees with the equivalent batch join") {
+    implicit val sqlCtx = spark.sqlContext
+    val viewRows = Seq(
+      (ts("2024-01-01 09:00:00"), 1L), (ts("2024-01-01 09:30:00"), 1L),
+      (ts("2024-01-01 09:10:00"), 2L))
+    val buyRows = Seq(
+      (ts("2024-01-01 09:05:00"), 1L), (ts("2024-01-01 09:35:00"), 1L),
+      (ts("2024-01-01 09:45:00"), 2L))
+
+    val views = MemoryStream[(Timestamp, Long)]
+    val buys = MemoryStream[(Timestamp, Long)]
+    val q = StreamStreamJoin.intervalJoin(
+        views.toDS().toDF("ts", "user_id"), buys.toDS().toDF("ts", "user_id"),
+        "user_id", "ts", within = "10 minutes", watermark = "5 minutes")
+      .writeStream.format("memory").queryName("ssj_batch_parity")
+      .outputMode(OutputMode.Append).start()
+    try {
+      views.addData(viewRows: _*); buys.addData(buyRows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ssj_batch_parity")
+        .select("user_id", "ts", "ts_r").as[(Long, Timestamp, Timestamp)]
+        .collect().toSet
+
+      val batch = StreamStreamJoin.intervalJoin(
+          viewRows.toDF("ts", "user_id"), buyRows.toDF("ts", "user_id"),
+          "user_id", "ts", within = "10 minutes", watermark = "5 minutes")
+        .select("user_id", "ts", "ts_r").as[(Long, Timestamp, Timestamp)]
+        .collect().toSet
+      assert(streamed == batch)
+      // 09:00 view → 09:05 buy; 09:30 view → 09:35 buy; user-2 buy at
+      // 09:45 is 35 min after its view → dropped
+      assert(batch == Set(
+        (1L, ts("2024-01-01 09:00:00"), ts("2024-01-01 09:05:00")),
+        (1L, ts("2024-01-01 09:30:00"), ts("2024-01-01 09:35:00"))))
+    } finally q.stop()
+  }
+}

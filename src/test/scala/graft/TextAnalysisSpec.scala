@@ -174,6 +174,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2).getAs[String]("top_term") == "common") // only term present
   }
 
+  test("unigram cross-entropy: hand-computed values; rare-token doc scores higher") {
+    // corpus counts: a=3, b=1, c=1, T=5
+    val df = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramCrossEntropy(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    def d6(x: Double) = math.rint(x * 1e6) / 1e6
+    val lpA = math.log(3.0 / 5.0); val lpRare = math.log(1.0 / 5.0)
+    def dec6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ce1 = d6(-(dec6(2 * lpA) + dec6(lpRare)) / 3.0)
+    val ce2 = d6(-(dec6(lpA) + dec6(lpRare)) / 2.0)
+    assert(out(0).getAs[Long]("n_tokens") == 3L)
+    assert(out(0).getAs[Double]("unigram_ce") == ce1)
+    assert(out(1).getAs[Double]("unigram_ce") == ce2)
+    // doc 2 is half rare tokens vs doc 1's third → strictly higher CE
+    assert(ce2 > ce1)
+  }
+
   test("invertedIndex emits df and numerically-sorted postings") {
     import spark.implicits._
     val df = Seq((10L, "b a b"), (2L, "a c"), (1L, "a")).toDF("doc_id", "text")
