@@ -504,6 +504,15 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // asymmetric containment pairs: |A∩B| / min(|A|,|B|) over 5-gram
+    // shingles — catches a short doc quoted inside a long one, which
+    // Jaccard's union-denominator structurally misses
+    "q_dedup_containment" -> ((s, dir) => {
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+          k = 5, threshold = 0.9)
+        .orderBy("id_a", "id_b")
+    }),
+
     // SimHash near-dup pairs: 16-bit chunk banding + Hamming ≤ 8 verify
     "q_dedup_simhash_pairs" -> ((s, dir) => {
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 8)
@@ -836,6 +845,15 @@ object SparkEntry {
           Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
             "l_shipdate"))
         .orderBy("column_name")
+    }),
+
+    // per-group z-score normalization (feature preprocessing): group
+    // stats via one decimal-exact agg, broadcast back, map-side z
+    "q_zscore_group" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").filter(pmod(col("l_orderkey"), lit(20)) === 0)
+      Analytics.zscorePerGroup(li, Seq("l_returnflag"), "l_quantity")
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "zscore")
+        .orderBy("l_orderkey", "l_linenumber")
     }),
 
     // ordered funnel view → click → purchase: first time each stage is
@@ -1614,6 +1632,22 @@ object SparkEntry {
          WHERE CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) >= 0.8
          ORDER BY id_a, id_b""",
 
+    "q_dedup_containment" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+                       FROM documents),
+              ser AS (SELECT unnest(generate_series(1, (SELECT COALESCE(MAX(len(t)), 1) FROM toks))) AS i),
+              sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS s
+                     FROM toks JOIN ser ON i <= len(t) - 4),
+              cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+              p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+                    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+         SELECT id_a, id_b, ca.n AS n_a, cb.n AS n_b, shared,
+                CAST(shared AS DOUBLE) / CAST(least(ca.n, cb.n) AS DOUBLE) AS containment
+         FROM p JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+         WHERE CAST(shared AS DOUBLE) / CAST(least(ca.n, cb.n) AS DOUBLE) >= 0.9
+         ORDER BY id_a, id_b""",
+
     "q_dedup_top_grams" ->
       """WITH docs AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
                        FROM documents),
@@ -2179,6 +2213,19 @@ object SparkEntry {
                 CASE WHEN u < 0.1 THEN 'test' WHEN u < 0.2 THEN 'val'
                      ELSE 'train' END AS split
          FROM u ORDER BY doc_id""",
+
+    "q_zscore_group" ->
+      """WITH sub AS (SELECT * FROM lineitem WHERE l_orderkey % 20 = 0),
+              st AS (SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+                            CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s,
+                            CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s2
+                     FROM sub GROUP BY 1)
+         SELECT l_orderkey, l_linenumber, l.l_returnflag, l_quantity,
+                CASE WHEN sqrt(greatest(0.0, s2/n - (s/n)*(s/n))) > 0
+                     THEN round((l_quantity - s/n) / sqrt(greatest(0.0, s2/n - (s/n)*(s/n))), 6)
+                     ELSE 0.0 END AS zscore
+         FROM sub l JOIN st ON l.l_returnflag = st.l_returnflag
+         ORDER BY l_orderkey, l_linenumber""",
 
     "q_profile_columns" ->
       """WITH src AS (SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus,

@@ -194,6 +194,36 @@ object Analytics {
         col("n_distinct"), col("min_val"), col("max_val"))
   }
 
+  /** Per-group z-score feature normalization — the standard numeric
+    * preprocessing step before model training: z = (x − μ_g) / σ_g with
+    * group mean/stddev (population σ). Shape: ONE hash aggregation to
+    * group-sized stats + a broadcast join back — the stats table has one
+    * row per group (dimension-sized at any corpus scale), so the data
+    * side never shuffles. Cross-engine exactness: μ and σ derive from
+    * DECIMAL(38,6)-routed sums of x and x² (order-independent), then
+    * identical double arithmetic in both engines; exported z is rounded
+    * to 6. Degenerate groups (σ = 0, e.g. a single row) get z = 0 rather
+    * than a 0/0 NaN; cancellation in σ² = s2/n − μ² is clamped at 0.
+    */
+  def zscorePerGroup(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                     outCol: String = "zscore"): DataFrame = {
+    val g = groupCols.map(col)
+    val stats = df.groupBy(g: _*).agg(
+        count(lit(1)).cast("double").as("__n"),
+        sum(graft.Tables.dec(col(valueCol))).cast("double").as("__s"),
+        sum(graft.Tables.dec(col(valueCol) * col(valueCol))).cast("double").as("__s2"))
+      .withColumn("__mean", col("__s") / col("__n"))
+      .withColumn("__std",
+        sqrt(greatest(lit(0.0), col("__s2") / col("__n") - col("__mean") * col("__mean"))))
+      .select(g :+ col("__mean") :+ col("__std"): _*)
+    df.join(broadcast(stats), groupCols)
+      .withColumn(outCol,
+        when(col("__std") > 0,
+          round((col(valueCol) - col("__mean")) / col("__std"), 6))
+          .otherwise(lit(0.0)))
+      .drop("__mean", "__std")
+  }
+
   /** Gap-based sessionization: a new session starts whenever the gap to
     * the previous event (per key, time-ordered) exceeds `gap`. Classic
     * two-window shape — lag to flag breaks, running sum of breaks as the

@@ -92,6 +92,34 @@ object Dedup {
       .select("id_a", "id_b", "shared", "jaccard")
   }
 
+  /** Asymmetric containment near-dup pairs: score = |A∩B| / min(|A|,|B|)
+    * over distinct k-gram shingles — the signal Jaccard structurally
+    * misses: a short document wholly quoted inside a much longer one has
+    * tiny Jaccard (union is dominated by the long doc) but containment
+    * ≈ 1. Standard companion rule in pretraining dedup (subsumed docs
+    * carry no new tokens). Same scale shape as [[jaccardPairsFromText]]:
+    * native [[graft.functions.ShingleHash64]] in-scan, 64-bit-key
+    * self-join, counts riding the exploded rows — only the score differs.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       k: Int, threshold: Double): DataFrame = {
+    val spark = df.sparkSession
+    val ex = OpCache.persist(Stage.spread(df)
+      .select(col(idCol),
+        graft.functions.ShingleHash64(spark,
+          TextAnalysis.tokens(col(textCol)), k).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col(idCol), size(col("hs")).as("n"), explode(col("hs")).as("h")))
+    val a = ex.select(col(idCol).as("id_a"), col("n").as("n_a"), col("h"))
+    val b = ex.select(col(idCol).as("id_b"), col("n").as("n_b"), col("h"))
+    a.join(b, Seq("h")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "n_a", "n_b").agg(count(lit(1)).as("shared"))
+      .withColumn("containment",
+        col("shared").cast("double") / least(col("n_a"), col("n_b")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "n_a", "n_b", "shared", "containment")
+  }
+
   /** MinHash signatures: each shingle is md5-hashed ONCE; hash function i
     * is the 16-hex-char window of the doubled digest starting at offset
     * 2i, and the signature is the lexicographic MIN of that window across

@@ -171,4 +171,20 @@ class AnalyticsSpec extends SparkSpec {
       ("k", 4L, 0L, 3L, "1", "3"),
       ("s", 4L, 1L, 2L, "a", "b")))
   }
+
+  test("zscorePerGroup normalizes within each group; degenerate groups get 0") {
+    import spark.implicits._
+    // group g: values 1,2,3 → μ=2, population σ=sqrt(2/3); group h: single row
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("h", 7.0))
+      .toDF("grp", "x")
+    val out = Analytics.zscorePerGroup(df, Seq("grp"), "x")
+      .orderBy("grp", "x")
+      .select("grp", "x", "zscore")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+    val sd = math.sqrt(2.0 / 3.0)
+    def r6(v: Double) = math.rint(v * 1e6) / 1e6
+    assert(out == Seq(
+      ("g", 1.0, r6(-1.0 / sd)), ("g", 2.0, 0.0), ("g", 3.0, r6(1.0 / sd)),
+      ("h", 7.0, 0.0))) // σ=0 → 0, not NaN
+  }
 }

@@ -33,6 +33,24 @@ class DedupSpec extends SparkSpec {
     assert(pairs.head.getDouble(3) > 0.5 && pairs.head.getDouble(3) < 1.0)
   }
 
+  test("containmentPairs flags a short doc quoted inside a long one that Jaccard misses") {
+    // doc 2 = doc 1's text embedded in much longer surrounding prose:
+    // every 5-gram of doc 1 appears in doc 2 → containment 1.0, while
+    // Jaccard is diluted by doc 2's extra shingles
+    val long = "opening words before the quote begin here " + near1 +
+      " and then a very long tail of additional commentary keeps going " +
+      "with many more unrelated tokens stretching the document further and further"
+    val df = Seq((1L, near1), (2L, long), (3L, other)).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(df, "doc_id", "text", k = 5, threshold = 0.9)
+      .collect()
+    assert(cont.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(cont.head.getAs[Double]("containment") == 1.0)
+    // the same pair is BELOW a 0.9 Jaccard bar — containment is the
+    // signal that catches it
+    val jac = Dedup.jaccardPairsFromText(df, "doc_id", "text", k = 5, threshold = 0.9)
+    assert(jac.count() == 0)
+  }
+
   test("minhashLshPairs recovers the same near-dup pair via banding") {
     val df = Seq((1L, near1), (2L, near2), (3L, other)).toDF("doc_id", "text")
     val pairs = Dedup.minhashLshPairs(df, "doc_id", "text",
