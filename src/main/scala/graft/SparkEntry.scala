@@ -2216,15 +2216,16 @@ object SparkEntry {
 
     "q_zscore_group" ->
       """WITH sub AS (SELECT * FROM lineitem WHERE l_orderkey % 20 = 0),
-              st AS (SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+              st AS (SELECT l_returnflag, CAST(COUNT(l_quantity) AS DOUBLE) AS n,
                             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s,
                             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s2
                      FROM sub GROUP BY 1)
          SELECT l_orderkey, l_linenumber, l.l_returnflag, l_quantity,
-                CASE WHEN sqrt(greatest(0.0, s2/n - (s/n)*(s/n))) > 0
+                CASE WHEN l_quantity IS NULL THEN NULL
+                     WHEN sqrt(greatest(0.0, s2/n - (s/n)*(s/n))) > 0
                      THEN round((l_quantity - s/n) / sqrt(greatest(0.0, s2/n - (s/n)*(s/n))), 6)
                      ELSE 0.0 END AS zscore
-         FROM sub l JOIN st ON l.l_returnflag = st.l_returnflag
+         FROM sub l JOIN st ON l.l_returnflag IS NOT DISTINCT FROM st.l_returnflag
          ORDER BY l_orderkey, l_linenumber""",
 
     "q_profile_columns" ->

@@ -21,9 +21,21 @@ object Verify {
     }
     // optional comma-separated filter for local iteration on a few
     // queries (same contract as Bench); the driver leaves it unset, so
-    // its runs always dump everything
+    // its runs always dump everything. A filtered run leaves every OTHER
+    // query's dump stale in outDir while oracle_sql.json is rewritten in
+    // full — a subsequent full compare would silently bless those stale
+    // outputs (round-3 review), so the filter is recorded in a marker
+    // that tools/check.py surfaces as a warning; a full run clears it.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val marker = Paths.get(s"$outDir/FILTERED_RUN")
+    only match {
+      case Some(names) =>
+        val prior = if (Files.exists(marker))
+          Files.readString(marker).split("\n").toSeq else Nil
+        Files.writeString(marker, (prior ++ names).distinct.sorted.mkString("\n"))
+      case None => Files.deleteIfExists(marker)
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

@@ -216,22 +216,33 @@ object Analytics {
     * identical double arithmetic in both engines; exported z is rounded
     * to 6. Degenerate groups (σ = 0, e.g. a single row) get z = 0 rather
     * than a 0/0 NaN; cancellation in σ² = s2/n − μ² is clamped at 0.
+    *
+    * Null handling (round-3 review): n counts NON-NULL values — a null
+    * measurement must not dilute μ/σ (its row keeps a null z instead);
+    * and the stats join back is NULL-SAFE on the group keys, so rows in
+    * a null group are normalized within that group rather than silently
+    * dropped from the feature table.
     */
   def zscorePerGroup(df: DataFrame, groupCols: Seq[String], valueCol: String,
                      outCol: String = "zscore"): DataFrame = {
     val g = groupCols.map(col)
     val stats = df.groupBy(g: _*).agg(
-        count(lit(1)).cast("double").as("__n"),
+        count(col(valueCol)).cast("double").as("__n"),
         sum(graft.Tables.dec(col(valueCol))).cast("double").as("__s"),
         sum(graft.Tables.dec(col(valueCol) * col(valueCol))).cast("double").as("__s2"))
       .withColumn("__mean", col("__s") / col("__n"))
       .withColumn("__std",
         sqrt(greatest(lit(0.0), col("__s2") / col("__n") - col("__mean") * col("__mean"))))
       .select(g :+ col("__mean") :+ col("__std"): _*)
-    df.join(broadcast(stats), groupCols)
+    val l = df.alias("__zl")
+    val r = broadcast(stats.alias("__zr"))
+    val rGroupCols = groupCols.map(c => col(s"__zr.$c"))
+    l.join(r, groupCols.map(c => col(s"__zl.$c") <=> col(s"__zr.$c")).reduce(_ && _))
+      .drop(rGroupCols.head, rGroupCols.tail: _*)
       .withColumn(outCol,
-        when(col("__std") > 0,
-          round((col(valueCol) - col("__mean")) / col("__std"), 6))
+        when(col(valueCol).isNull, lit(null).cast("double"))
+          .when(col("__std") > 0,
+            round((col(valueCol) - col("__mean")) / col("__std"), 6))
           .otherwise(lit(0.0)))
       .drop("__mean", "__std")
   }

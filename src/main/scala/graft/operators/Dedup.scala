@@ -71,7 +71,22 @@ object Dedup {
     *     jaccard denominator needs no extra join.
     */
   def jaccardPairsFromText(df: DataFrame, idCol: String, textCol: String,
-                           k: Int, threshold: Double): DataFrame = {
+                           k: Int, threshold: Double): DataFrame =
+    sharedShingleCounts(df, idCol, textCol, k)
+      .withColumn("jaccard",
+        col("shared").cast("double")
+          / (col("n_a") + col("n_b") - col("shared")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "shared", "jaccard")
+
+  /** Shared candidate core of [[jaccardPairsFromText]] and
+    * [[containmentPairs]]: (id_a, id_b, n_a, n_b, shared) for every pair
+    * of documents co-occurring on ≥1 shingle hash — the per-doc shingle
+    * counts ride the exploded rows so no score needs an extra join. One
+    * place to apply the hot-shingle df-cap when a corpus needs it.
+    */
+  private def sharedShingleCounts(df: DataFrame, idCol: String,
+                                  textCol: String, k: Int): DataFrame = {
     val spark = df.sparkSession
     // persisted: the self-join would otherwise recompute the shingle
     // hashing for BOTH sides (alias mismatch defeats ReuseExchange)
@@ -85,11 +100,6 @@ object Dedup {
     val b = ex.select(col(idCol).as("id_b"), col("n").as("n_b"), col("h"))
     a.join(b, Seq("h")).filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b", "n_a", "n_b").agg(count(lit(1)).as("shared"))
-      .withColumn("jaccard",
-        col("shared").cast("double")
-          / (col("n_a") + col("n_b") - col("shared")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "shared", "jaccard")
   }
 
   /** Asymmetric containment near-dup pairs: score = |A∩B| / min(|A|,|B|)
@@ -102,23 +112,12 @@ object Dedup {
     * self-join, counts riding the exploded rows — only the score differs.
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
-                       k: Int, threshold: Double): DataFrame = {
-    val spark = df.sparkSession
-    val ex = OpCache.persist(Stage.spread(df)
-      .select(col(idCol),
-        graft.functions.ShingleHash64(spark,
-          TextAnalysis.tokens(col(textCol)), k).as("hs"))
-      .filter(size(col("hs")) > 0)
-      .select(col(idCol), size(col("hs")).as("n"), explode(col("hs")).as("h")))
-    val a = ex.select(col(idCol).as("id_a"), col("n").as("n_a"), col("h"))
-    val b = ex.select(col(idCol).as("id_b"), col("n").as("n_b"), col("h"))
-    a.join(b, Seq("h")).filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "n_a", "n_b").agg(count(lit(1)).as("shared"))
+                       k: Int, threshold: Double): DataFrame =
+    sharedShingleCounts(df, idCol, textCol, k)
       .withColumn("containment",
         col("shared").cast("double") / least(col("n_a"), col("n_b")).cast("double"))
       .filter(col("containment") >= threshold)
       .select("id_a", "id_b", "n_a", "n_b", "shared", "containment")
-  }
 
   /** MinHash signatures: each shingle is md5-hashed ONCE; hash function i
     * is the 16-hex-char window of the doubled digest starting at offset

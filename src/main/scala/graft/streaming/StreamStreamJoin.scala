@@ -27,15 +27,19 @@ object StreamStreamJoin {
 
   /** Left events paired with right events (same `keyCol`) that occur in
     * [left.ts, left.ts + within]. Column names: left keeps its names;
-    * right's ts/type come back suffixed `_r`. `within` / `watermark` are
+    * EVERY right column except the (dropped) join key comes back
+    * suffixed `_r` — the two sides of an attribution join usually share
+    * a schema, and an unsuffixed survivor would make every name-keyed
+    * select/sink ambiguous (round-3 review). `within` / `watermark` are
     * duration strings ("10 minutes").
     */
   def intervalJoin(left: DataFrame, right: DataFrame,
                    keyCol: String, tsCol: String,
                    within: String, watermark: String): DataFrame = {
     val l = left.withWatermark(tsCol, watermark).alias("l")
-    val r = right
-      .withColumnRenamed(tsCol, s"${tsCol}_r")
+    val r = right.columns.foldLeft(right) { (d, c) =>
+        if (c == keyCol) d else d.withColumnRenamed(c, s"${c}_r")
+      }
       .withWatermark(s"${tsCol}_r", watermark).alias("r")
     l.join(r,
       col(s"l.$keyCol") === col(s"r.$keyCol") &&

@@ -172,6 +172,16 @@ class AnalyticsSpec extends SparkSpec {
       ("s", 4L, 1L, 2L, "a", "b")))
   }
 
+  test("profile plan has no Expand (per-column distinct aggs, not one k-distinct agg)") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    val plan = Analytics.profile(df, Seq("k", "s"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"),
+      s"profile should not multiply rows through Expand:\n$plan")
+    graft.operators.OpCache.clear()
+  }
+
   test("zscorePerGroup normalizes within each group; degenerate groups get 0") {
     import spark.implicits._
     // group g: values 1,2,3 → μ=2, population σ=sqrt(2/3); group h: single row
@@ -186,5 +196,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Seq(
       ("g", 1.0, r6(-1.0 / sd)), ("g", 2.0, 0.0), ("g", 3.0, r6(1.0 / sd)),
       ("h", 7.0, 0.0))) // σ=0 → 0, not NaN
+  }
+
+  test("zscorePerGroup: null values don't dilute stats; null groups are kept (review r3)") {
+    import spark.implicits._
+    // group g has a null measurement: stats must come from the two
+    // non-null values (μ=2, σ=1), not divide by 3
+    val df = Seq((Some("g"), Some(1.0)), (Some("g"), Some(3.0)),
+      (Some("g"), None), (None, Some(5.0)), (None, Some(7.0)))
+      .toDF("grp", "x")
+    val out = Analytics.zscorePerGroup(df, Seq("grp"), "x")
+      .select("grp", "x", "zscore").collect()
+      .map(r => (Option(r.getString(0)), Option(r.get(1)), Option(r.get(2)))).toSet
+    assert(out == Set(
+      (Some("g"), Some(1.0), Some(-1.0)),
+      (Some("g"), Some(3.0), Some(1.0)),
+      (Some("g"), None, None),              // null x → null z, row kept
+      (None, Some(5.0), Some(-1.0)),        // null group normalized, not dropped
+      (None, Some(7.0), Some(1.0))))
   }
 }

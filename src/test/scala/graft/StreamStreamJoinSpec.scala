@@ -12,36 +12,41 @@ class StreamStreamJoinSpec extends SparkSpec {
 
   test("interval join pairs within the window across batches; outside-window misses") {
     implicit val sqlCtx = spark.sqlContext
-    val views = MemoryStream[(Timestamp, Long)]
-    val buys = MemoryStream[(Timestamp, Long)]
+    // both sides carry a same-named non-key column (`kind`) — the normal
+    // attribution shape; the join must suffix it, not leave it ambiguous
+    val views = MemoryStream[(Timestamp, Long, String)]
+    val buys = MemoryStream[(Timestamp, Long, String)]
     val joined = StreamStreamJoin.intervalJoin(
-      views.toDS().toDF("ts", "user_id"),
-      buys.toDS().toDF("ts", "user_id"),
+      views.toDS().toDF("ts", "user_id", "kind"),
+      buys.toDS().toDF("ts", "user_id", "kind"),
       keyCol = "user_id", tsCol = "ts",
       within = "10 minutes", watermark = "5 minutes")
     val q = joined.writeStream.format("memory").queryName("attributed")
       .outputMode(OutputMode.Append).start()
     try {
       // batch 1: views only — no output yet
-      views.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:00:00"), 2L))
+      views.addData((ts("2024-01-01 10:00:00"), 1L, "view"),
+        (ts("2024-01-01 10:00:00"), 2L, "view"))
       q.processAllAvailable()
       assert(spark.table("attributed").count() == 0)
 
       // batch 2: purchases — user 1 inside the 10-min window, user 2 outside,
       // user 3 has no view
       buys.addData(
-        (ts("2024-01-01 10:07:00"), 1L),
-        (ts("2024-01-01 10:20:00"), 2L),
-        (ts("2024-01-01 10:01:00"), 3L))
+        (ts("2024-01-01 10:07:00"), 1L, "buy"),
+        (ts("2024-01-01 10:20:00"), 2L, "buy"),
+        (ts("2024-01-01 10:01:00"), 3L, "buy"))
       q.processAllAvailable()
+      // name-keyed select works because the right side is fully suffixed
       val out = spark.table("attributed")
-        .select("user_id", "ts", "ts_r")
-        .as[(Long, Timestamp, Timestamp)].collect().toSet
-      assert(out == Set((1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:07:00"))))
+        .select("user_id", "ts", "ts_r", "kind", "kind_r")
+        .as[(Long, Timestamp, Timestamp, String, String)].collect().toSet
+      assert(out == Set(
+        (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:07:00"), "view", "buy")))
 
       // a purchase BEFORE the view never matches (r.ts >= l.ts)
-      views.addData((ts("2024-01-01 10:30:00"), 4L))
-      buys.addData((ts("2024-01-01 10:25:00"), 4L))
+      views.addData((ts("2024-01-01 10:30:00"), 4L, "view"))
+      buys.addData((ts("2024-01-01 10:25:00"), 4L, "buy"))
       q.processAllAvailable()
       assert(spark.table("attributed").filter($"user_id" === 4L).count() == 0)
     } finally q.stop()

@@ -76,5 +76,12 @@ for name, sql in sorted(oracle.items()):
     else:
         print(f"PASS {name} ({exp.shape[0]} rows x {exp.shape[1]} cols)")
 
+marker = f"{OUT}/FILTERED_RUN"
+if os.path.exists(marker):
+    names = open(marker).read().split()
+    print(f"\nWARNING: outDir was last written by a FILTERED Verify run "
+          f"({len(names)} queries: {', '.join(names[:5])}{'…' if len(names) > 5 else ''}); "
+          f"all other dumps are STALE — rerun an unfiltered Verify before trusting the full compare")
+
 print(f"\n{len(oracle) - len(fails)}/{len(oracle)} queries pass")
 sys.exit(1 if fails else 0)
