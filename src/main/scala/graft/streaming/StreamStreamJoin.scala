@@ -35,7 +35,8 @@ object StreamStreamJoin {
     */
   def intervalJoin(left: DataFrame, right: DataFrame,
                    keyCol: String, tsCol: String,
-                   within: String, watermark: String): DataFrame = {
+                   within: String, watermark: String,
+                   joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(tsCol, watermark).alias("l")
     val r = right.columns.foldLeft(right) { (d, c) =>
         if (c == keyCol) d else d.withColumnRenamed(c, s"${c}_r")
@@ -44,7 +45,20 @@ object StreamStreamJoin {
     l.join(r,
       col(s"l.$keyCol") === col(s"r.$keyCol") &&
         col(s"r.${tsCol}_r") >= col(s"l.$tsCol") &&
-        col(s"r.${tsCol}_r") <= col(s"l.$tsCol") + expr(s"INTERVAL $within"))
+        col(s"r.${tsCol}_r") <= col(s"l.$tsCol") + expr(s"INTERVAL $within"),
+      joinType)
       .drop(col(s"r.$keyCol"))
   }
+
+  /** Left-outer face of [[intervalJoin]] — the "unattributed" report: a
+    * left row with NO in-window right match is emitted with null right
+    * columns once the watermark passes the end of its match window
+    * (before that the match could still arrive, so outer results are
+    * inherently watermark-delayed — the semantics only a stream-stream
+    * OUTER join exercises; inner matches still emit immediately).
+    */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame,
+                            keyCol: String, tsCol: String,
+                            within: String, watermark: String): DataFrame =
+    intervalJoin(left, right, keyCol, tsCol, within, watermark, "left_outer")
 }

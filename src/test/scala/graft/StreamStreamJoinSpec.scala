@@ -52,6 +52,38 @@ class StreamStreamJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits unattributed rows with nulls after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Timestamp, Long)]
+    val buys = MemoryStream[(Timestamp, Long)]
+    val q = StreamStreamJoin.intervalJoinLeftOuter(
+        views.toDS().toDF("ts", "user_id"), buys.toDS().toDF("ts", "user_id"),
+        "user_id", "ts", within = "10 minutes", watermark = "5 minutes")
+      .writeStream.format("memory").queryName("unattributed")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1 converts in-window; user 2 never does
+      views.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:00:00"), 2L))
+      buys.addData((ts("2024-01-01 10:07:00"), 1L))
+      q.processAllAvailable()
+      // advance BOTH sides' event time far past 10:00 + within + delay so
+      // the global watermark closes user 2's match window, then let the
+      // next micro-batch evict and emit the outer row
+      views.addData((ts("2024-01-01 11:00:00"), 9L))
+      buys.addData((ts("2024-01-01 11:00:00"), 9L))
+      q.processAllAvailable()
+      views.addData((ts("2024-01-01 11:30:00"), 9L))
+      buys.addData((ts("2024-01-01 11:30:00"), 9L))
+      q.processAllAvailable()
+      val out = spark.table("unattributed")
+        .select("user_id", "ts", "ts_r")
+        .as[(Long, Timestamp, Option[Timestamp])].collect().toSet
+      assert(out.contains((1L, ts("2024-01-01 10:00:00"), Some(ts("2024-01-01 10:07:00")))))
+      assert(out.contains((2L, ts("2024-01-01 10:00:00"), None)),
+        s"expected an unattributed null row for user 2, got: $out")
+    } finally q.stop()
+  }
+
   test("streaming interval join agrees with the equivalent batch join") {
     implicit val sqlCtx = spark.sqlContext
     val viewRows = Seq(
