@@ -57,10 +57,24 @@ object ZOrder {
     * plain global sort costs, amortized over every scan thereafter.
     */
   def zorderWrite(df: DataFrame, path: String, nFiles: Int,
-                  zCols: Seq[String], bits: Int): Unit =
+                  zCols: Seq[String], bits: Int): Unit = {
+    // zorderKey's cast("long") would silently TRUNCATE fractional types,
+    // z-ordering on floor(x) without the caller noticing — reject here,
+    // where the schema is known (the Column-based key can't check)
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val nonIntegral = zCols.filterNot { c =>
+      df.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    }
+    require(nonIntegral.isEmpty,
+      s"zorderWrite: zCols must be integral (bucket first), got non-integral: " +
+        nonIntegral.map(c => s"$c: ${df.schema(c).dataType.simpleString}").mkString(", "))
     df.withColumn("__z", zorderKey(zCols.map(col), bits))
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 }

@@ -30,6 +30,14 @@ class ZOrderSpec extends SparkSpec {
     assert(e2.getMessage.contains("zorder_key"))
   }
 
+  test("zorderWrite rejects non-integral clustering columns (silent truncation guard)") {
+    val df = Seq((1, 2.5)).toDF("x", "y")
+    val dir = Files.createTempDirectory("graft_zbad_").toString
+    val e = intercept[IllegalArgumentException](
+      ZOrder.zorderWrite(df, dir, nFiles = 1, zCols = Seq("x", "y"), bits = 6))
+    assert(e.getMessage.contains("non-integral") && e.getMessage.contains("y"))
+  }
+
   test("z-ordered files prune a y-range predicate that an x-sort cannot") {
     // 64×64 grid; 16 files. x-sorted layout: every file spans the full
     // y range, so a y-predicate matches ALL files. Z-ordered layout:
