@@ -61,16 +61,24 @@ object ZOrder {
     // zorderKey's cast("long") would silently TRUNCATE fractional types,
     // z-ordering on floor(x) without the caller noticing — reject here,
     // where the schema is known (the Column-based key can't check)
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
+    // resolve through the analyzer (honors spark.sql.caseSensitive) rather
+    // than a case-sensitive StructType lookup; scale-0 decimals are exact
+    // under cast("long"), so they pass
+    def dtype(c: String) = df.select(col(c)).schema.head.dataType
     val nonIntegral = zCols.filterNot { c =>
-      df.schema(c).dataType match {
+      dtype(c) match {
         case ByteType | ShortType | IntegerType | LongType => true
+        case d: DecimalType if d.scale == 0 => true
         case _ => false
       }
     }
     require(nonIntegral.isEmpty,
-      s"zorderWrite: zCols must be integral (bucket first), got non-integral: " +
-        nonIntegral.map(c => s"$c: ${df.schema(c).dataType.simpleString}").mkString(", "))
+      s"zorderWrite: zCols must be integral (cast/bucket first), got non-integral: " +
+        nonIntegral.map(c => s"$c: ${dtype(c).simpleString}").mkString(", "))
+    require(!df.columns.contains("__z"),
+      "zorderWrite: input already has a __z column — rename it; the writer " +
+        "uses __z as its internal sort key and would silently drop yours")
     df.withColumn("__z", zorderKey(zCols.map(col), bits))
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))

@@ -37,6 +37,13 @@ object StreamStreamJoin {
                    keyCol: String, tsCol: String,
                    within: String, watermark: String,
                    joinType: String = "inner"): DataFrame = {
+    // the output contract drops the RIGHT key (the left one survives);
+    // under right/full outer joins the right key is the only non-null
+    // one on unmatched rows, so those join types would emit keyless rows
+    // — reject them rather than produce unusable output
+    require(Set("inner", "leftouter", "left").contains(
+        joinType.toLowerCase.replace("_", "")),
+      s"intervalJoin supports inner/left_outer, got $joinType")
     val l = left.withWatermark(tsCol, watermark).alias("l")
     val r = right.columns.foldLeft(right) { (d, c) =>
         if (c == keyCol) d else d.withColumnRenamed(c, s"${c}_r")
