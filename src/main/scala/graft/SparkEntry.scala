@@ -847,6 +847,13 @@ object SparkEntry {
         .orderBy("column_name")
     }),
 
+    // exact equi-width histogram of a fact column (distribution profile
+    // for banding decisions): broadcast bounds, map-side bucketing
+    "q_histogram" -> ((s, dir) => {
+      Analytics.histogram(t(s, dir, "lineitem"), "l_extendedprice", nBins = 16)
+        .orderBy("bin")
+    }),
+
     // per-group z-score normalization (feature preprocessing): group
     // stats via one decimal-exact agg, broadcast back, map-side z
     "q_zscore_group" -> ((s, dir) => {
@@ -2213,6 +2220,19 @@ object SparkEntry {
                 CASE WHEN u < 0.1 THEN 'test' WHEN u < 0.2 THEN 'val'
                      ELSE 'train' END AS split
          FROM u ORDER BY doc_id""",
+
+    "q_histogram" ->
+      """WITH b AS (SELECT CAST(MIN(l_extendedprice) AS DOUBLE) AS lo,
+                           CAST(MAX(l_extendedprice) AS DOUBLE) AS hi FROM lineitem),
+              x AS (SELECT CASE WHEN hi = lo THEN 0
+                                ELSE least(15, CAST(floor((l_extendedprice - lo)
+                                                          / ((hi - lo) / 16)) AS INTEGER)) END AS bin,
+                           lo, hi
+                    FROM lineitem, b WHERE l_extendedprice IS NOT NULL)
+         SELECT bin, COUNT(*) AS n,
+                lo + bin * ((hi - lo) / 16) AS bin_lo,
+                lo + (bin + 1) * ((hi - lo) / 16) AS bin_hi
+         FROM x GROUP BY bin, lo, hi ORDER BY bin""",
 
     "q_zscore_group" ->
       """WITH sub AS (SELECT * FROM lineitem WHERE l_orderkey % 20 = 0),

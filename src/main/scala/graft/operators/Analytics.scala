@@ -206,6 +206,37 @@ object Analytics {
         col("n_distinct"), col("min_val"), col("max_val"))
   }
 
+  /** Exact equi-width histogram: derive [min, max] in one tiny aggregate,
+    * broadcast it, bucket every row map-side (bin = floor((x−lo)/w),
+    * last bin closed), ONE group-sized aggregation — the distribution
+    * profile behind length/score banding decisions in corpus curation.
+    * Empty bins are absent from the output (count 0 adds no information
+    * and no join). Cross-engine exactness: identical double arithmetic
+    * from the same exact bounds in both engines; a degenerate column
+    * (min = max) puts everything in bin 0 instead of dividing by zero.
+    * Scale: two passes over the column (bounds + bucketing) — both
+    * pruned scans; at 100 TB feed `bounds` from table statistics and it
+    * drops to one.
+    */
+  def histogram(df: DataFrame, valueCol: String, nBins: Int): DataFrame = {
+    require(nBins >= 1, s"histogram: nBins must be >= 1, got $nBins")
+    val bounds = df.agg(min(col(valueCol)).cast("double").as("__lo"),
+                        max(col(valueCol)).cast("double").as("__hi"))
+    val w = (col("__hi") - col("__lo")) / nBins
+    df.select(col(valueCol).cast("double").as("__x"))
+      .filter(col("__x").isNotNull)
+      .crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        when(col("__hi") === col("__lo"), lit(0))
+          .otherwise(least(lit(nBins - 1),
+            floor((col("__x") - col("__lo")) / w).cast("int"))))
+      .groupBy("bin", "__lo", "__hi")
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin"), col("n"),
+        (col("__lo") + col("bin") * w).as("bin_lo"),
+        (col("__lo") + (col("bin") + 1) * w).as("bin_hi"))
+  }
+
   /** Per-group z-score feature normalization — the standard numeric
     * preprocessing step before model training: z = (x − μ_g) / σ_g with
     * group mean/stddev (population σ). Shape: ONE hash aggregation to

@@ -182,6 +182,19 @@ class AnalyticsSpec extends SparkSpec {
     graft.operators.OpCache.clear()
   }
 
+  test("histogram buckets exactly; max lands in the closed last bin; degenerate column -> bin 0") {
+    import spark.implicits._
+    // values 0..10 over 5 bins of width 2: bins 0..4, 10 closes into bin 4
+    val df = (0 to 10).map(_.toDouble).toDF("x")
+    val out = Analytics.histogram(df, "x", nBins = 5).orderBy("bin")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(out == Seq(
+      (0, 2L, 0.0, 2.0), (1, 2L, 2.0, 4.0), (2, 2L, 4.0, 6.0),
+      (3, 2L, 6.0, 8.0), (4, 3L, 8.0, 10.0))) // 8, 9 and the closed max 10
+    val flat = Analytics.histogram(Seq(7.0, 7.0).toDF("x"), "x", nBins = 4).collect()
+    assert(flat.length == 1 && flat.head.getInt(0) == 0 && flat.head.getLong(1) == 2L)
+  }
+
   test("zscorePerGroup normalizes within each group; degenerate groups get 0") {
     import spark.implicits._
     // group g: values 1,2,3 → μ=2, population σ=sqrt(2/3); group h: single row
