@@ -863,6 +863,15 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // per-group robust scaling (median/IQR) — the outlier-resistant
+    // normalization for heavy-tailed features
+    "q_robust_scale" -> ((s, dir) => {
+      val o = t(s, dir, "orders").filter(pmod(col("o_orderkey"), lit(10)) === 0)
+      Analytics.robustScalePerGroup(o, Seq("o_orderpriority"), "o_totalprice")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice", "robust_z")
+        .orderBy("o_orderkey")
+    }),
+
     // ordered funnel view → click → purchase: first time each stage is
     // reached strictly after the previous one, per user (micros upfront
     // so both engines compare identical integers)
@@ -2220,6 +2229,20 @@ object SparkEntry {
                 CASE WHEN u < 0.1 THEN 'test' WHEN u < 0.2 THEN 'val'
                      ELSE 'train' END AS split
          FROM u ORDER BY doc_id""",
+
+    "q_robust_scale" ->
+      """WITH sub AS (SELECT * FROM orders WHERE o_orderkey % 10 = 0),
+              st AS (SELECT o_orderpriority,
+                            round(quantile_cont(o_totalprice, 0.5), 6) AS med,
+                            round(quantile_cont(o_totalprice, 0.75), 6)
+                              - round(quantile_cont(o_totalprice, 0.25), 6) AS iqr
+                     FROM sub GROUP BY 1)
+         SELECT o_orderkey, o.o_orderpriority, o_totalprice,
+                CASE WHEN o_totalprice IS NULL THEN NULL
+                     WHEN iqr > 0 THEN round((o_totalprice - med) / iqr, 6)
+                     ELSE 0.0 END AS robust_z
+         FROM sub o JOIN st ON o.o_orderpriority IS NOT DISTINCT FROM st.o_orderpriority
+         ORDER BY o_orderkey""",
 
     "q_histogram" ->
       """WITH b AS (SELECT CAST(MIN(l_extendedprice) AS DOUBLE) AS lo,

@@ -265,17 +265,56 @@ object Analytics {
       .withColumn("__std",
         sqrt(greatest(lit(0.0), col("__s2") / col("__n") - col("__mean") * col("__mean"))))
       .select(g :+ col("__mean") :+ col("__std"): _*)
-    val l = df.alias("__zl")
-    val r = broadcast(stats.alias("__zr"))
-    val rGroupCols = groupCols.map(c => col(s"__zr.$c"))
-    l.join(r, groupCols.map(c => col(s"__zl.$c") <=> col(s"__zr.$c")).reduce(_ && _))
-      .drop(rGroupCols.head, rGroupCols.tail: _*)
+    joinGroupStats(df, stats, groupCols)
       .withColumn(outCol,
         when(col(valueCol).isNull, lit(null).cast("double"))
           .when(col("__std") > 0,
             round((col(valueCol) - col("__mean")) / col("__std"), 6))
           .otherwise(lit(0.0)))
       .drop("__mean", "__std")
+  }
+
+  /** NULL-SAFE broadcast join of a group-keyed stats table back onto the
+    * data (shared by [[zscorePerGroup]]/[[robustScalePerGroup]]): rows in
+    * a null group match their stats row instead of silently dropping.
+    */
+  private def joinGroupStats(df: DataFrame, stats: DataFrame,
+                             groupCols: Seq[String]): DataFrame = {
+    val l = df.alias("__zl")
+    val r = broadcast(stats.alias("__zr"))
+    val rGroupCols = groupCols.map(c => col(s"__zr.$c"))
+    l.join(r, groupCols.map(c => col(s"__zl.$c") <=> col(s"__zr.$c")).reduce(_ && _))
+      .drop(rGroupCols.head, rGroupCols.tail: _*)
+  }
+
+  /** Per-group ROBUST scaling — the outlier-resistant sibling of
+    * [[zscorePerGroup]]: z = (x − median_g) / IQR_g. Mean/stddev move
+    * with every heavy-tailed outlier (a handful of giant documents drag
+    * μ and explode σ); median and interquartile range don't, which is
+    * why sklearn-style pipelines default to RobustScaler on skewed
+    * features. Same shape: one group-sized aggregate (Spark's exact
+    * `percentile` — the [[q_percentiles]] parity convention with DuckDB
+    * `quantile_cont`), broadcast back (null-safe), map-side scale.
+    * Cross-engine exactness: each percentile is rounded to 6 BEFORE the
+    * subtraction/divide so both engines run identical double arithmetic;
+    * zero-IQR groups get 0 (not a division blow-up), null measurements
+    * keep a null z.
+    */
+  def robustScalePerGroup(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                          outCol: String = "robust_z"): DataFrame = {
+    val g = groupCols.map(col)
+    val stats = df.groupBy(g: _*).agg(
+        round(expr(s"percentile($valueCol, 0.5)"), 6).as("__med"),
+        (round(expr(s"percentile($valueCol, 0.75)"), 6)
+          - round(expr(s"percentile($valueCol, 0.25)"), 6)).as("__iqr"))
+      .select(g :+ col("__med") :+ col("__iqr"): _*)
+    joinGroupStats(df, stats, groupCols)
+      .withColumn(outCol,
+        when(col(valueCol).isNull, lit(null).cast("double"))
+          .when(col("__iqr") > 0,
+            round((col(valueCol) - col("__med")) / col("__iqr"), 6))
+          .otherwise(lit(0.0)))
+      .drop("__med", "__iqr")
   }
 
   /** Gap-based sessionization: a new session starts whenever the gap to

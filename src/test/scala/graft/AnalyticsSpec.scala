@@ -211,6 +211,28 @@ class AnalyticsSpec extends SparkSpec {
       ("h", 7.0, 0.0))) // σ=0 → 0, not NaN
   }
 
+  test("robustScalePerGroup: median/IQR scaling resists an outlier that wrecks z-score") {
+    import spark.implicits._
+    // group g: 1..5 → median 3, IQR = 4 − 2 = 2; an outlier group o where
+    // one huge value dominates mean/σ but barely moves median/IQR
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0), ("g", 5.0),
+      ("o", 1.0), ("o", 2.0), ("o", 3.0), ("o", 4.0), ("o", 1000.0))
+      .toDF("grp", "x")
+    val out = Analytics.robustScalePerGroup(df, Seq("grp"), "x")
+      .orderBy("grp", "x").select("grp", "x", "robust_z")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(out.filter(_._1 == "g").map(_._3).toSeq ==
+      Seq(-1.0, -0.5, 0.0, 0.5, 1.0))
+    // in the outlier group the inliers keep moderate robust-z (median 3,
+    // IQR 2): x=1 → -1; the outlier itself is far out — exactly the
+    // separation a mean/σ scaler loses (σ≈445 squashes inliers to ~0)
+    val o = out.filter(_._1 == "o").map(t => t._2 -> t._3).toMap
+    assert(o(1.0) == -1.0 && o(1000.0) > 100)
+    val z = Analytics.zscorePerGroup(df.filter($"grp" === "o"), Seq("grp"), "x")
+      .select("x", "zscore").collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(math.abs(z(1.0)) < 0.6) // z-score squashed the same inlier
+  }
+
   test("zscorePerGroup: null values don't dilute stats; null groups are kept (review r3)") {
     import spark.implicits._
     // group g has a null measurement: stats must come from the two
