@@ -863,6 +863,14 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // exact Pearson correlation matrix over lineitem's numeric columns
+    // (feature-selection profile; one pass, decimal-exact sums)
+    "q_correlation" -> ((s, dir) => {
+      Analytics.correlationMatrix(t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("col_a", "col_b")
+    }),
+
     // per-group robust scaling (median/IQR) — the outlier-resistant
     // normalization for heavy-tailed features
     "q_robust_scale" -> ((s, dir) => {
@@ -2229,6 +2237,32 @@ object SparkEntry {
                 CASE WHEN u < 0.1 THEN 'test' WHEN u < 0.2 THEN 'val'
                      ELSE 'train' END AS split
          FROM u ORDER BY doc_id""",
+
+    "q_correlation" -> {
+      // mirrors Analytics.correlationMatrix exactly: conditional decimal
+      // sums per pair, then the same double formula and parenthesization
+      val corrCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      def csum(e: String, both: String) =
+        s"CAST(SUM(CAST(CASE WHEN $both THEN $e END AS DECIMAL(38,6))) AS DOUBLE)"
+      val pairSql = (for {
+        i <- corrCols.indices; j <- (i + 1) until corrCols.size
+      } yield {
+        val (a, b) = (corrCols(i), corrCols(j))
+        val both = s"$a IS NOT NULL AND $b IS NOT NULL"
+        val (x, y) = (s"CAST($a AS DOUBLE)", s"CAST($b AS DOUBLE)")
+        s"""SELECT '$a' AS col_a, '$b' AS col_b, CAST(n AS BIGINT) AS n,
+              CASE WHEN (n*sx2 - sx*sx) * (n*sy2 - sy*sy) > 0
+                   THEN round((n*sxy - sx*sy) / sqrt((n*sx2 - sx*sx) * (n*sy2 - sy*sy)), 6)
+              END AS corr
+            FROM (SELECT CAST(COUNT(CASE WHEN $both THEN 1 END) AS DOUBLE) AS n,
+                         ${csum(x, both)} AS sx, ${csum(y, both)} AS sy,
+                         ${csum(s"$x * $y", both)} AS sxy,
+                         ${csum(s"$x * $x", both)} AS sx2,
+                         ${csum(s"$y * $y", both)} AS sy2
+                  FROM lineitem)"""
+      }).mkString(" UNION ALL ")
+      s"SELECT * FROM ($pairSql) ORDER BY col_a, col_b"
+    },
 
     "q_robust_scale" ->
       """WITH sub AS (SELECT * FROM orders WHERE o_orderkey % 10 = 0),

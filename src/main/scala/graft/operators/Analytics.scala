@@ -237,6 +237,45 @@ object Analytics {
         (col("__lo") + (col("bin") + 1) * w).as("bin_hi"))
   }
 
+  /** Exact Pearson correlation matrix over numeric columns — the
+    * feature-selection profile: one row per column pair with the
+    * pairwise-complete sample size and r. ONE partial-aggregable pass
+    * computes every pair's conditional sums (n, Σx, Σy, Σxy, Σx², Σy²
+    * over rows where BOTH sides are non-null — a null in one column must
+    * not poison its other pairs); r derives map-side as
+    * (n·Σxy − Σx·Σy) / √((n·Σx² − Σx²ₛ)(n·Σy² − Σy²ₛ)). Cross-engine
+    * exactness: every sum routes through DECIMAL(38,6)
+    * ([[graft.Tables.dec]]) then identical double arithmetic; constant
+    * columns (zero variance) yield a null r rather than 0/0. k(k−1)/2
+    * pairs × 6 aggregates stay one aggregation row at any corpus scale.
+    */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "correlationMatrix: need at least two columns")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j), s"${i}_$j")
+    val aggs = pairs.flatMap { case (a, b, t) =>
+      val both = col(a).isNotNull && col(b).isNotNull
+      val x = when(both, col(a).cast("double"))
+      val y = when(both, col(b).cast("double"))
+      Seq(count(when(both, lit(1))).cast("double").as(s"__n_$t"),
+        sum(graft.Tables.dec(x)).cast("double").as(s"__sx_$t"),
+        sum(graft.Tables.dec(y)).cast("double").as(s"__sy_$t"),
+        sum(graft.Tables.dec(x * y)).cast("double").as(s"__sxy_$t"),
+        sum(graft.Tables.dec(x * x)).cast("double").as(s"__sx2_$t"),
+        sum(graft.Tables.dec(y * y)).cast("double").as(s"__sy2_$t"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.map { case (a, b, t) =>
+      val n = col(s"__n_$t"); val sx = col(s"__sx_$t"); val sy = col(s"__sy_$t")
+      val den2 = (n * col(s"__sx2_$t") - sx * sx) * (n * col(s"__sy2_$t") - sy * sy)
+      struct(lit(a).as("col_a"), lit(b).as("col_b"), n.cast("long").as("n"),
+        when(den2 > 0,
+          round((n * col(s"__sxy_$t") - sx * sy) / sqrt(den2), 6)).as("corr"))
+    }
+    one.select(explode(array(rows: _*)).as("__p")).select("__p.*")
+  }
+
   /** Per-group z-score feature normalization — the standard numeric
     * preprocessing step before model training: z = (x − μ_g) / σ_g with
     * group mean/stddev (population σ). Shape: ONE hash aggregation to

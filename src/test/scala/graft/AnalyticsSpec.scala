@@ -211,6 +211,23 @@ class AnalyticsSpec extends SparkSpec {
       ("h", 7.0, 0.0))) // σ=0 → 0, not NaN
   }
 
+  test("correlationMatrix: perfect +/-1, null pairwise exclusion, constant column -> null") {
+    import spark.implicits._
+    // y = 2x (corr 1), z = -x (corr -1 with both), c constant, and a null
+    // in x that must only shrink x's pairs, not the (y,z) pair
+    val df = Seq(
+      (Some(1.0), 2.0, -1.0, 5.0), (Some(2.0), 4.0, -2.0, 5.0),
+      (Some(3.0), 6.0, -3.0, 5.0), (None, 8.0, -4.0, 5.0))
+      .toDF("x", "y", "z", "c")
+    val out = Analytics.correlationMatrix(df, Seq("x", "y", "z", "c"))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(out(("x", "y")) == (3L, Some(1.0)))
+    assert(out(("x", "z")) == (3L, Some(-1.0)))
+    assert(out(("y", "z")) == (4L, Some(-1.0))) // null x row still counts here
+    assert(out(("x", "c")) == (3L, None))       // zero variance → null r
+  }
+
   test("robustScalePerGroup: median/IQR scaling resists an outlier that wrecks z-score") {
     import spark.implicits._
     // group g: 1..5 → median 3, IQR = 4 − 2 = 2; an outlier group o where
