@@ -248,6 +248,11 @@ object Analytics {
     * ([[graft.Tables.dec]]) then identical double arithmetic; constant
     * columns (zero variance) yield a null r rather than 0/0. k(k−1)/2
     * pairs × 6 aggregates stay one aggregation row at any corpus scale.
+    * Cost note: wide-decimal (precision>18) sums run on BigDecimal, not
+    * longs — the dominant constant factor here (the plan shape — one
+    * linear partial-aggregable pass — is already optimal). Where
+    * bit-reproducibility doesn't matter, swap the sum expressions for
+    * the built-in `corr` and the pass gets ~4× cheaper.
     */
   def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "correlationMatrix: need at least two columns")
