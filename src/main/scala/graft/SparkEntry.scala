@@ -2248,7 +2248,8 @@ object SparkEntry {
         i <- corrCols.indices; j <- (i + 1) until corrCols.size
       } yield {
         val (a, b) = (corrCols(i), corrCols(j))
-        val both = s"$a IS NOT NULL AND $b IS NOT NULL"
+        val both = s"$a IS NOT NULL AND $b IS NOT NULL " +
+          s"AND NOT isnan(CAST($a AS DOUBLE)) AND NOT isnan(CAST($b AS DOUBLE))"
         val (x, y) = (s"CAST($a AS DOUBLE)", s"CAST($b AS DOUBLE)")
         s"""SELECT '$a' AS col_a, '$b' AS col_b, CAST(n AS BIGINT) AS n,
               CASE WHEN (n*sx2 - sx*sx) * (n*sy2 - sy*sy) > 0
@@ -2279,13 +2280,17 @@ object SparkEntry {
          ORDER BY o_orderkey""",
 
     "q_histogram" ->
-      """WITH b AS (SELECT CAST(MIN(l_extendedprice) AS DOUBLE) AS lo,
-                           CAST(MAX(l_extendedprice) AS DOUBLE) AS hi FROM lineitem),
+      """WITH src AS (SELECT CAST(l_extendedprice AS DOUBLE) AS l_extendedprice
+                      FROM lineitem
+                      WHERE l_extendedprice IS NOT NULL
+                        AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+              b AS (SELECT MIN(l_extendedprice) AS lo,
+                           MAX(l_extendedprice) AS hi FROM src),
               x AS (SELECT CASE WHEN hi = lo THEN 0
                                 ELSE least(15, CAST(floor((l_extendedprice - lo)
                                                           / ((hi - lo) / 16)) AS INTEGER)) END AS bin,
                            lo, hi
-                    FROM lineitem, b WHERE l_extendedprice IS NOT NULL)
+                    FROM src, b)
          SELECT bin, COUNT(*) AS n,
                 lo + bin * ((hi - lo) / 16) AS bin_lo,
                 lo + (bin + 1) * ((hi - lo) / 16) AS bin_hi

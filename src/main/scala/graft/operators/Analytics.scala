@@ -220,12 +220,16 @@ object Analytics {
     */
   def histogram(df: DataFrame, valueCol: String, nBins: Int): DataFrame = {
     require(nBins >= 1, s"histogram: nBins must be >= 1, got $nBins")
-    val bounds = df.agg(min(col(valueCol)).cast("double").as("__lo"),
-                        max(col(valueCol)).cast("double").as("__hi"))
+    // NaN would poison max → NaN width → every row in a garbage bin 0
+    // (and diverge from the oracle, whose NaN→int cast errors): exclude
+    // it like null — a non-value, not a bucketable measurement. persist:
+    // bounds + bucketing are two passes over the same narrow projection
+    // (the profile() convention).
+    val v = OpCache.persist(df.select(col(valueCol).cast("double").as("__x"))
+      .filter(col("__x").isNotNull && !isnan(col("__x"))))
+    val bounds = v.agg(min(col("__x")).as("__lo"), max(col("__x")).as("__hi"))
     val w = (col("__hi") - col("__lo")) / nBins
-    df.select(col(valueCol).cast("double").as("__x"))
-      .filter(col("__x").isNotNull)
-      .crossJoin(broadcast(bounds))
+    v.crossJoin(broadcast(bounds))
       .withColumn("bin",
         when(col("__hi") === col("__lo"), lit(0))
           .otherwise(least(lit(nBins - 1),
@@ -260,7 +264,12 @@ object Analytics {
       i <- cols.indices; j <- (i + 1) until cols.size
     } yield (cols(i), cols(j), s"${i}_$j")
     val aggs = pairs.flatMap { case (a, b, t) =>
-      val both = col(a).isNotNull && col(b).isNotNull
+      // a NaN is non-null, so it would COUNT into n while its decimal
+      // cast nulls out of every sum — n and the sums would describe
+      // different samples and r would be silently wrong. Treat NaN like
+      // null: the row leaves this pair entirely.
+      def ok(c: String) = col(c).isNotNull && !isnan(col(c).cast("double"))
+      val both = ok(a) && ok(b)
       val x = when(both, col(a).cast("double"))
       val y = when(both, col(b).cast("double"))
       Seq(count(when(both, lit(1))).cast("double").as(s"__n_$t"),
@@ -347,11 +356,15 @@ object Analytics {
   def robustScalePerGroup(df: DataFrame, groupCols: Seq[String], valueCol: String,
                           outCol: String = "robust_z"): DataFrame = {
     val g = groupCols.map(col)
-    val stats = df.groupBy(g: _*).agg(
-        round(expr(s"percentile($valueCol, 0.5)"), 6).as("__med"),
-        (round(expr(s"percentile($valueCol, 0.75)"), 6)
-          - round(expr(s"percentile($valueCol, 0.25)"), 6)).as("__iqr"))
-      .select(g :+ col("__med") :+ col("__iqr"): _*)
+    // ONE percentile aggregate with an array of fractions: a single
+    // sorted buffer per group instead of three independent full copies
+    // (each percentile(x, p) call buffers and sorts the whole group);
+    // backticked so names needing quoting work like in zscorePerGroup
+    val q = expr(s"percentile(`$valueCol`, array(0.25D, 0.5D, 0.75D))")
+    val stats = df.groupBy(g: _*).agg(q.as("__q"))
+      .select(g :+ round(element_at(col("__q"), 2), 6).as("__med") :+
+        (round(element_at(col("__q"), 3), 6)
+          - round(element_at(col("__q"), 1), 6)).as("__iqr"): _*)
     joinGroupStats(df, stats, groupCols)
       .withColumn(outCol,
         when(col(valueCol).isNull, lit(null).cast("double"))

@@ -193,6 +193,20 @@ class AnalyticsSpec extends SparkSpec {
       (3, 2L, 6.0, 8.0), (4, 3L, 8.0, 10.0))) // 8, 9 and the closed max 10
     val flat = Analytics.histogram(Seq(7.0, 7.0).toDF("x"), "x", nBins = 4).collect()
     assert(flat.length == 1 && flat.head.getInt(0) == 0 && flat.head.getLong(1) == 2L)
+    // NaN must not poison the bounds (max=NaN → NaN width → garbage bins)
+    val nan = Analytics.histogram(Seq(0.0, 1.0, Double.NaN).toDF("x"), "x", nBins = 2)
+      .orderBy("bin").collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(nan == Seq((0, 1L), (1, 1L)))
+    graft.operators.OpCache.clear()
+  }
+
+  test("correlationMatrix treats NaN like null: excluded from n AND the sums") {
+    import spark.implicits._
+    val df = Seq((1.0, 1.0), (2.0, 2.0), (Double.NaN, 3.0), (3.0, 3.0))
+      .toDF("x", "y")
+    val out = Analytics.correlationMatrix(df, Seq("x", "y")).collect().head
+    assert(out.getLong(2) == 3L)          // NaN row out of n, not just the sums
+    assert(out.getDouble(3) == 1.0)       // remaining rows are perfectly linear
   }
 
   test("zscorePerGroup normalizes within each group; degenerate groups get 0") {
