@@ -49,23 +49,45 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    names.foreach(run)
+    names.foreach { n =>
+      val t = run(n); System.err.println(f"[bench] warm $n%-36s $t%7.3f s")
+    }
     System.gc()
 
-    // three INTERLEAVED measured passes, min per query: multi-second
-    // host/GC stalls land at random times, and back-to-back repetitions
-    // of one query sit inside the same stall window — full passes spread
-    // each query's repetitions minutes apart so the min picks a clean run
-    val passes = (1 to 3).map(_ => names.map(n => n -> run(n)).toMap)
-    val results = names.map { n =>
-      val ts = passes.map(_(n))
-      val ok = ts.filter(_ >= 0)
-      n -> (if (ok.isEmpty) -1.0 else ok.min)
+    // Measured passes are INTERLEAVED full sweeps (min per query):
+    // multi-second host/GC stalls land at random times, and back-to-back
+    // repetitions of one query sit inside the same stall window — full
+    // passes spread each query's repetitions minutes apart so the min
+    // picks a clean run. Pass count is env-tunable because warm + 3
+    // measured sweeps over the full 95-query suite no longer fits a
+    // bounded harness budget: the default is ONE measured pass (warm +
+    // measured ≈ 2 sweeps total); local tuning sessions can export
+    // SPARK_GRAFT_BENCH_PASSES=3 for the lower-variance min-of-3.
+    val nPasses = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
+      .map(_.trim.toInt).filter(_ >= 1).getOrElse(1)
+    // A complete cumulative JSON line is emitted after EVERY pass (and a
+    // per-query progress line to stderr after every query), so an
+    // external timeout that kills the JVM mid-pass still leaves the
+    // previous pass's full result as the last stdout line instead of
+    // zero data. Every emitted line has the same schema; the final line
+    // is the final min-over-passes result.
+    var best = Map.empty[String, Double]
+    def emit(): Unit = {
+      val results = names.map(n => n -> best.getOrElse(n, -1.0))
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val total = results.map(_._2).filter(_ >= 0).sum
+      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      System.out.flush()
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    for (pass <- 1 to nPasses) {
+      names.foreach { n =>
+        val t = run(n)
+        System.err.println(f"[bench] pass $pass $n%-36s $t%7.3f s")
+        if (t >= 0 && best.get(n).forall(t < _)) best += (n -> t)
+      }
+      emit()
+    }
     spark.stop()
   }
 }

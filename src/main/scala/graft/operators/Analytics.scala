@@ -12,6 +12,20 @@ import org.apache.spark.sql.functions._
   */
 object Analytics {
 
+  /** True iff the value is a usable measurement: non-null, not NaN, not
+    * ±Inf. The numeric-stats convention shared by [[histogram]],
+    * [[correlationMatrix]], [[zscorePerGroup]] and
+    * [[robustScalePerGroup]]: a non-finite value is non-null, so it
+    * would COUNT into n while its sum/percentile contribution poisons or
+    * nulls out — n and the moments would describe different samples.
+    * Treat it like null everywhere (and DuckDB oracles mirror this with
+    * `isfinite`).
+    */
+  private[graft] def finite(c: Column): Column = {
+    val d = c.cast("double")
+    d.isNotNull && !isnan(d) && abs(d) =!= lit(Double.PositiveInfinity)
+  }
+
   /** W1 — latest row per key (ref: dashboard.py:104-119, the reference's
     * one true window function: ROW_NUMBER() PARTITION BY event_id,
     * theater_name ORDER BY scraped_at DESC → rn=1).
@@ -220,13 +234,15 @@ object Analytics {
     */
   def histogram(df: DataFrame, valueCol: String, nBins: Int): DataFrame = {
     require(nBins >= 1, s"histogram: nBins must be >= 1, got $nBins")
-    // NaN would poison max → NaN width → every row in a garbage bin 0
-    // (and diverge from the oracle, whose NaN→int cast errors): exclude
-    // it like null — a non-value, not a bucketable measurement. persist:
-    // bounds + bucketing are two passes over the same narrow projection
-    // (the profile() convention).
+    // A NaN would poison max → NaN width → every row in a garbage bin 0,
+    // and ONE ±Inf bound makes width Inf → every finite row collapses to
+    // bin 0 while the Inf row itself lands in bin nBins−1 via least()'s
+    // null-skip (and the oracle's int cast errors): exclude every
+    // non-finite value like null — a non-value, not a bucketable
+    // measurement. persist: bounds + bucketing are two passes over the
+    // same narrow projection (the profile() convention).
     val v = OpCache.persist(df.select(col(valueCol).cast("double").as("__x"))
-      .filter(col("__x").isNotNull && !isnan(col("__x"))))
+      .filter(finite(col("__x"))))
     val bounds = v.agg(min(col("__x")).as("__lo"), max(col("__x")).as("__hi"))
     val w = (col("__hi") - col("__lo")) / nBins
     v.crossJoin(broadcast(bounds))
@@ -245,47 +261,108 @@ object Analytics {
     * feature-selection profile: one row per column pair with the
     * pairwise-complete sample size and r. ONE partial-aggregable pass
     * computes every pair's conditional sums (n, Σx, Σy, Σxy, Σx², Σy²
-    * over rows where BOTH sides are non-null — a null in one column must
-    * not poison its other pairs); r derives map-side as
-    * (n·Σxy − Σx·Σy) / √((n·Σx² − Σx²ₛ)(n·Σy² − Σy²ₛ)). Cross-engine
-    * exactness: every sum routes through DECIMAL(38,6)
-    * ([[graft.Tables.dec]]) then identical double arithmetic; constant
-    * columns (zero variance) yield a null r rather than 0/0. k(k−1)/2
-    * pairs × 6 aggregates stay one aggregation row at any corpus scale.
-    * Cost note: wide-decimal (precision>18) sums run on BigDecimal, not
-    * longs — the dominant constant factor here (the plan shape — one
-    * linear partial-aggregable pass — is already optimal). Where
-    * bit-reproducibility doesn't matter, swap the sum expressions for
-    * the built-in `corr` and the pass gets ~4× cheaper.
+    * over rows where BOTH sides are finite — null/NaN/±Inf in one column
+    * must not poison its other pairs); r derives from the scale-free
+    * integer identity r = A/√(Bx·By) with A = n·Sxy·10⁶ − Sx·Sy,
+    * Bx = n·Sx2·10⁶ − Sx² (the ×10⁶ per-value scale cancels).
+    *
+    * Cross-engine exactness WITHOUT per-row BigDecimal (the
+    * [[graft.functions.DotFixedPoint]] discipline applied to scalar
+    * sums): each per-row value v (x, y, x·y, x², y²) becomes the
+    * fixed-point integer floor(v·10⁶), decomposed into three long limbs
+    * base 2²⁰ (h = ⌊p/2⁴⁰⌋, mid, lo ∈ [0,2²⁰) — pure IEEE-identical
+    * double/long arithmetic in both engines, floor-division composition
+    * keeps every limb exact). The 15 limb sums per pair are plain
+    * codegen'd LONG sums — order-independent and exact — reassembled
+    * into exact DECIMAL(38,0) integers only on the final one-row
+    * projection, cast to double once, and fed to the same r formula and
+    * parenthesization in both engines. Overflow is GUARDED, not silent:
+    * a same-pass max|p| aggregate feeds a raise_error check on limb-sum
+    * capacity (n < 2⁴³ for the low limbs, n·(max|p|/2⁴⁰+1) < 2⁶³ for the
+    * high limb) — at lineitem-like magnitudes (|x·y| ≲ 10¹⁰) that
+    * envelope holds to ~10¹⁴ rows, i.e. the 100 TB shape; beyond it the
+    * operator fails loudly instead of wrapping. Constant columns (zero
+    * variance) yield a null r rather than 0/0. 16·k(k−1)/2 + k
+    * long aggregates stay one aggregation row at any corpus scale, and
+    * the count is kept ≤ spark.sql.codegen.maxFields (100) for k ≤ 4 so
+    * the pass stays inside whole-stage codegen; for wider matrices raise
+    * that conf to keep codegen (correctness is unaffected either way).
     */
   def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "correlationMatrix: need at least two columns")
+    val B20 = 1048576L          // 2^20, limb base
+    val B40 = 1099511627776L    // 2^40
     val pairs = for {
       i <- cols.indices; j <- (i + 1) until cols.size
     } yield (cols(i), cols(j), s"${i}_$j")
-    val aggs = pairs.flatMap { case (a, b, t) =>
-      // a NaN is non-null, so it would COUNT into n while its decimal
-      // cast nulls out of every sum — n and the sums would describe
-      // different samples and r would be silently wrong. Treat NaN like
-      // null: the row leaves this pair entirely.
-      def ok(c: String) = col(c).isNotNull && !isnan(col(c).cast("double"))
+    // a NaN/±Inf is non-null, so it would COUNT into n while poisoning
+    // the sums — n and the sums would describe different samples and r
+    // would be silently wrong (and the oracle's int casts would error).
+    // Treat any non-finite value like null: the row leaves the pair.
+    def ok(c: String) = finite(col(c).cast("double"))
+    val pairAggs = pairs.flatMap { case (a, b, t) =>
       val both = ok(a) && ok(b)
-      val x = when(both, col(a).cast("double"))
-      val y = when(both, col(b).cast("double"))
-      Seq(count(when(both, lit(1))).cast("double").as(s"__n_$t"),
-        sum(graft.Tables.dec(x)).cast("double").as(s"__sx_$t"),
-        sum(graft.Tables.dec(y)).cast("double").as(s"__sy_$t"),
-        sum(graft.Tables.dec(x * y)).cast("double").as(s"__sxy_$t"),
-        sum(graft.Tables.dec(x * x)).cast("double").as(s"__sx2_$t"),
-        sum(graft.Tables.dec(y * y)).cast("double").as(s"__sy2_$t"))
+      val x = col(a).cast("double")
+      val y = col(b).cast("double")
+      val vals = Seq("x" -> x, "y" -> y, "xy" -> (x * y),
+        "x2" -> (x * x), "y2" -> (y * y))
+      val limbSums = vals.flatMap { case (tag, v) =>
+        val p = v * lit(1e6)
+        // dividing a double by a power of two only shifts the exponent —
+        // exact in both engines — and ⌊⌊p/2²⁰⌋/2²⁰⌋ = ⌊p/2⁴⁰⌋, so the
+        // three limbs reassemble to exactly ⌊p⌋: h·2⁴⁰ + mid·2²⁰ + lo
+        val q1 = floor(p / lit(1048576.0))       // ⌊p/2²⁰⌋, long
+        val h = floor(p / lit(1099511627776.0))  // ⌊p/2⁴⁰⌋, long
+        val mid = q1 - h * lit(B20)              // ∈ [0, 2²⁰)
+        val lo = floor(p) - q1 * lit(B20)        // ∈ [0, 2²⁰)
+        Seq(sum(when(both, h)).as(s"__h_${tag}_$t"),
+          sum(when(both, mid)).as(s"__m_${tag}_$t"),
+          sum(when(both, lo)).as(s"__l_${tag}_$t"))
+      }
+      limbSums :+ count(when(both, lit(1))).as(s"__n_$t")
     }
+    // ONE filtered max-|p| per COLUMN (not per pair) keeps the aggregate
+    // count at 16·k(k−1)/2 + k — with the 4-column flagship that is 100,
+    // exactly the spark.sql.codegen.maxFields default, so the pass stays
+    // inside whole-stage codegen (at 102 it silently fell out — measured
+    // 4.4 s vs 1.x s). Per-pair guard bounds derive from column maxes:
+    // max|x·y| ≤ max|x|·max|y|, conservative and still loud, and an x·y
+    // that overflowed to Inf is ≤ that product too.
+    val colMaxes = cols.map(c =>
+      max(when(ok(c), abs(col(c).cast("double") * lit(1e6)))).as(s"__cm_$c"))
+    val aggs = pairAggs ++ colMaxes
     val one = df.agg(aggs.head, aggs.tail: _*)
     val rows = pairs.map { case (a, b, t) =>
-      val n = col(s"__n_$t"); val sx = col(s"__sx_$t"); val sy = col(s"__sy_$t")
-      val den2 = (n * col(s"__sx2_$t") - sx * sx) * (n * col(s"__sy2_$t") - sy * sy)
-      struct(lit(a).as("col_a"), lit(b).as("col_b"), n.cast("long").as("n"),
-        when(den2 > 0,
-          round((n * col(s"__sxy_$t") - sx * sy) / sqrt(den2), 6)).as("corr"))
+      // exact integer Σ⌊v·10⁶⌋ reassembled from the limb sums, brought
+      // back to value scale as a DOUBLE: one int→double rounding, then
+      // one /1e6 double divide — the identical two-step sequence the
+      // oracle runs, so both engines see the same 64-bit sums
+      def S(tag: String): Column =
+        (col(s"__h_${tag}_$t").cast(org.apache.spark.sql.types.DecimalType(38, 0)) * lit(B40) +
+          col(s"__m_${tag}_$t").cast(org.apache.spark.sql.types.DecimalType(38, 0)) * lit(B20) +
+          col(s"__l_${tag}_$t")).cast("double") / lit(1e6)
+      val n = col(s"__n_$t")
+      val nD = n.cast("double")
+      val sx = S("x"); val sy = S("y")
+      val den2 = (nD * S("x2") - sx * sx) * (nD * S("y2") - sy * sy)
+      // capacity guards (loud, from the same pass): per-row |p| must fit
+      // a long with slack; low/mid limb sums hold n·2²⁰ (n < 2⁴³); the
+      // high-limb sum holds n·(max|p|/2⁴⁰+1). max|p| over the five value
+      // exprs is bounded from the two column maxes: max|x·y|·10⁶ ≤
+      // (max|x|·10⁶)·(max|y|·10⁶)/10⁶ (holds even when x·y overflowed to
+      // Inf). Checked in double.
+      val mx = col(s"__cm_$a"); val my = col(s"__cm_$b")
+      val m = greatest(mx, my, mx * my / lit(1e6),
+        mx * mx / lit(1e6), my * my / lit(1e6))
+      val risk = (m >= lit(4.6e18)) || (nD >= lit(8.0e12)) ||
+        (nD * (m / lit(1099511627776.0) + lit(1.0)) >= lit(9.0e18))
+      struct(lit(a).as("col_a"), lit(b).as("col_b"), n.as("n"),
+        when(risk, raise_error(concat(
+            lit(s"correlationMatrix: fixed-point capacity exceeded for ($a, $b): n="),
+            nD.cast("string"), lit(" max|p|="), m.cast("string"))))
+          .otherwise(when(den2 > 0,
+            round((nD * S("xy") - sx * sy) / sqrt(den2), 6)))
+          .as("corr"))
     }
     one.select(explode(array(rows: _*)).as("__p")).select("__p.*")
   }
@@ -301,26 +378,30 @@ object Analytics {
     * to 6. Degenerate groups (σ = 0, e.g. a single row) get z = 0 rather
     * than a 0/0 NaN; cancellation in σ² = s2/n − μ² is clamped at 0.
     *
-    * Null handling (round-3 review): n counts NON-NULL values — a null
-    * measurement must not dilute μ/σ (its row keeps a null z instead);
-    * and the stats join back is NULL-SAFE on the group keys, so rows in
-    * a null group are normalized within that group rather than silently
-    * dropped from the feature table.
+    * Non-value handling (round-3 review + round-4 advice): n counts
+    * FINITE values only ([[finite]]) — a null must not dilute μ/σ, and a
+    * NaN/±Inf would COUNT into n while its decimal-cast sum nulls out,
+    * leaving n and the sums describing different samples (silently wrong
+    * σ). Non-finite rows keep a null z instead. The stats join back is
+    * NULL-SAFE on the group keys, so rows in a null group are normalized
+    * within that group rather than silently dropped from the feature
+    * table.
     */
   def zscorePerGroup(df: DataFrame, groupCols: Seq[String], valueCol: String,
                      outCol: String = "zscore"): DataFrame = {
     val g = groupCols.map(col)
+    val v = when(finite(col(valueCol)), col(valueCol))
     val stats = df.groupBy(g: _*).agg(
-        count(col(valueCol)).cast("double").as("__n"),
-        sum(graft.Tables.dec(col(valueCol))).cast("double").as("__s"),
-        sum(graft.Tables.dec(col(valueCol) * col(valueCol))).cast("double").as("__s2"))
+        count(v).cast("double").as("__n"),
+        sum(graft.Tables.dec(v)).cast("double").as("__s"),
+        sum(graft.Tables.dec(v * v)).cast("double").as("__s2"))
       .withColumn("__mean", col("__s") / col("__n"))
       .withColumn("__std",
         sqrt(greatest(lit(0.0), col("__s2") / col("__n") - col("__mean") * col("__mean"))))
       .select(g :+ col("__mean") :+ col("__std"): _*)
     joinGroupStats(df, stats, groupCols)
       .withColumn(outCol,
-        when(col(valueCol).isNull, lit(null).cast("double"))
+        when(!finite(col(valueCol)), lit(null).cast("double"))
           .when(col("__std") > 0,
             round((col(valueCol) - col("__mean")) / col("__std"), 6))
           .otherwise(lit(0.0)))
@@ -350,8 +431,9 @@ object Analytics {
     * `quantile_cont`), broadcast back (null-safe), map-side scale.
     * Cross-engine exactness: each percentile is rounded to 6 BEFORE the
     * subtraction/divide so both engines run identical double arithmetic;
-    * zero-IQR groups get 0 (not a division blow-up), null measurements
-    * keep a null z.
+    * zero-IQR groups get 0 (not a division blow-up), non-finite
+    * measurements ([[finite]] — a NaN would sort into the percentile
+    * buffer and shift every quantile) keep a null z and leave the stats.
     */
   def robustScalePerGroup(df: DataFrame, groupCols: Seq[String], valueCol: String,
                           outCol: String = "robust_z"): DataFrame = {
@@ -359,15 +441,20 @@ object Analytics {
     // ONE percentile aggregate with an array of fractions: a single
     // sorted buffer per group instead of three independent full copies
     // (each percentile(x, p) call buffers and sorts the whole group);
-    // backticked so names needing quoting work like in zscorePerGroup
-    val q = expr(s"percentile(`$valueCol`, array(0.25D, 0.5D, 0.75D))")
+    // percentile skips nulls, so the when() drops non-finite values from
+    // the buffer; backticked so names needing quoting work like in
+    // zscorePerGroup
+    val q = expr(s"percentile(CASE WHEN `$valueCol` IS NOT NULL " +
+      s"AND NOT isnan(CAST(`$valueCol` AS DOUBLE)) " +
+      s"AND abs(CAST(`$valueCol` AS DOUBLE)) != double('Infinity') " +
+      s"THEN `$valueCol` END, array(0.25D, 0.5D, 0.75D))")
     val stats = df.groupBy(g: _*).agg(q.as("__q"))
       .select(g :+ round(element_at(col("__q"), 2), 6).as("__med") :+
         (round(element_at(col("__q"), 3), 6)
           - round(element_at(col("__q"), 1), 6)).as("__iqr"): _*)
     joinGroupStats(df, stats, groupCols)
       .withColumn(outCol,
-        when(col(valueCol).isNull, lit(null).cast("double"))
+        when(!finite(col(valueCol)), lit(null).cast("double"))
           .when(col("__iqr") > 0,
             round((col(valueCol) - col("__med")) / col("__iqr"), 6))
           .otherwise(lit(0.0)))

@@ -10,6 +10,20 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** DETERMINISTIC salt in [0, n): xxhash64 over every column of the row,
+    * so rows of a hot key spread uniformly across buckets while the
+    * assignment is a pure function of row CONTENT. The obvious
+    * alternative — spark_partition_id()+monotonically_increasing_id() —
+    * marks the stage INDETERMINATE: on a fetch failure Spark must roll
+    * back and recompute the WHOLE stage (every task, not just the lost
+    * one), which at 100 TB turns one lost executor into a full-stage
+    * redo. Content hashing keeps retries idempotent. (Fully duplicate
+    * rows share a bucket — harmless for aggregation/join semantics, and
+    * a duplicate-dominated hot key is a dedup problem, not a salt one.)
+    */
+  private def contentSalt(df: DataFrame, saltBuckets: Int): Column =
+    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(saltBuckets.toLong))
+
   /** Two-stage (salted) aggregation: a hot group key no longer lands on
     * one reducer — stage 1 aggregates (key, salt) across `saltBuckets`
     * partitions, stage 2 combines the partials per key. Result is
@@ -18,7 +32,7 @@ object Skew {
     */
   def saltedGroupSum(df: DataFrame, keyCol: String, valueCol: String,
                      saltBuckets: Int): DataFrame =
-    df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    df.withColumn("__salt", contentSalt(df, saltBuckets))
       .groupBy(col(keyCol), col("__salt"))
       .agg(sum(graft.Tables.dec(col(valueCol))).as("__partial"),
            count(lit(1)).as("__pn"))
@@ -26,15 +40,14 @@ object Skew {
       .agg(sum(col("__partial")).as("total"), sum(col("__pn")).as("n"))
 
   /** Salted join for a skewed fact key against a non-broadcastable lookup:
-    * fact rows get a random-ish salt in [0, saltBuckets); the lookup side
-    * is replicated once per salt value, so the hot key's rows spread over
-    * `saltBuckets` reducers instead of one. Equi-join semantics preserved
-    * exactly (inner join on the original keys).
+    * fact rows get a deterministic content-hash salt in [0, saltBuckets);
+    * the lookup side is replicated once per salt value, so the hot key's
+    * rows spread over `saltBuckets` reducers instead of one. Equi-join
+    * semantics preserved exactly (inner join on the original keys).
     */
   def saltedJoin(fact: DataFrame, lookup: DataFrame, keys: Seq[String],
                  saltBuckets: Int): DataFrame = {
-    val saltedFact = fact.withColumn("__salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    val saltedFact = fact.withColumn("__salt", contentSalt(fact, saltBuckets))
     val replicatedLookup = lookup.withColumn("__salt",
       explode(sequence(lit(0), lit(saltBuckets - 1)).cast("array<long>")))
     saltedFact.join(replicatedLookup, keys :+ "__salt").drop("__salt")

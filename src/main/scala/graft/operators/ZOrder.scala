@@ -32,8 +32,12 @@ object ZOrder {
     */
   def zorderKey(cols: Seq[Column], bits: Int): Column = {
     require(cols.nonEmpty, "zorderKey: at least one column")
-    require(bits >= 1 && cols.size * bits <= 63,
-      s"zorderKey: need 1 <= bits and n*bits <= 63, got n=${cols.size} bits=$bits")
+    // bits <= 62: the range guard computes 1L << bits, which at bits=63
+    // overflows to Long.MinValue — every row would then "fail" the range
+    // check (with a negative bound in the message) even though the
+    // interleave itself is valid
+    require(bits >= 1 && bits <= 62 && cols.size * bits <= 63,
+      s"zorderKey: need 1 <= bits <= 62 and n*bits <= 63, got n=${cols.size} bits=$bits")
     val n = cols.size
     val longs = cols.map(_.cast("long"))
     val key = longs.zipWithIndex.map { case (c, i) =>

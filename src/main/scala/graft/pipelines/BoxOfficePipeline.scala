@@ -73,6 +73,39 @@ object BoxOfficePipeline {
   def upsertMovies(spark: SparkSession, root: String, fresh: DataFrame): Long =
     upsertDim(spark, root, "movie", fresh, Seq("movie_cd"))
 
+  /** Range backfill for a DIMENSION table — the reference's
+    * delete-then-insert (backfill_movie.py:31-33: `DELETE FROM movie
+    * WHERE substr(open_dt,1,4) BETWEEN y1 AND y2`, then insert the
+    * freshly fetched rows). This is NOT an upsert: an in-range store row
+    * absent from `fresh` must DISAPPEAR (the reference re-fetches the
+    * whole range, so absence means the row no longer exists upstream).
+    * SQL DELETE semantics on the predicate: only rows where `rangePred`
+    * is TRUE are deleted — null/false survivors keep their rows.
+    *
+    * Atomic + idempotent: survivors ∪ fresh is built against the live
+    * store, staged, and rename-swapped ([[AtomicStore]]) — a crash
+    * leaves either the old or the new generation, never a hole, and a
+    * rerun recomputes the identical result. Returns the post-swap count.
+    *
+    * 100 TB: dimensions are small by definition; the full rewrite is the
+    * lakehouse `REPLACE WHERE` shape. Facts use [[backfillRange]]'s
+    * partition overwrite instead — pruning does the range delete there.
+    */
+  def backfillDimRange(spark: SparkSession, root: String, tableName: String,
+                       rangePred: org.apache.spark.sql.Column,
+                       fresh: DataFrame): Long = {
+    val path = s"$root/$tableName"
+    AtomicStore.recover(spark, path) // roll forward a swap a crash interrupted
+    val store = readOrEmpty(spark, path, fresh)
+    val merged = store.filter(!coalesce(rangePred, lit(false)))
+      .unionByName(fresh)
+    val out = merged.cache()
+    val n = out.count()
+    AtomicStore.overwrite(out, path)
+    out.unpersist()
+    n
+  }
+
   /** General dimension upsert against `{root}/{tableName}` — the same
     * crash-safe shape for every dimension the reference maintains
     * (movie on movie_cd, goods_event on event_id:

@@ -45,4 +45,58 @@ object EventParse {
       .when(eventName.contains("SPECIAL ART CARD"), lit("스페셜 아트카드"))
       .otherwise(when(cleaned.rlike(",\\s*.*?\\s*\\)"), extracted).otherwise(cleaned))
   }
+
+  // The Megabox feed's bracket convention differs from Lotte's: EITHER
+  // delimiter pair — '<...>' or '[...]' (or mixed, per the reference's
+  // character classes) — and the lazy group may be empty.
+  private val MegaboxBracket = "[<\\[](.*?)[>\\]]"
+
+  /** Megabox movie-title extract (ref: movie_events_scraper.py:736-746):
+    * the first `<...>`/`[...]` segment of the (already HTML-unescaped —
+    * F14 is a source-adapter concern) goods name, falling back to the
+    * event title when the goods name carries none. The reference's
+    * post-normalization falsy check (`if not movie_title`) means a
+    * matched-but-blank segment also falls through — mirrored here by
+    * mapping a blank trimmed group to null before the coalesce. The
+    * result feeds [[graft.operators.FuzzyMatch.phasedBestMatch]], which
+    * is the reference's `_normalize_movie_title` catalog ladder (:56-127).
+    */
+  def megaboxMovieTitle(goodsName: Column, eventTitle: Column): Column = {
+    def seg(c: Column): Column = {
+      val m = trim(regexp_extract(c, MegaboxBracket, 1))
+      when(length(m) > 0, m)
+    }
+    coalesce(seg(goodsName), seg(eventTitle))
+  }
+
+  /** Megabox goods-name rule (ref :748-753): when a movie title was
+    * found, the goods name is the goods name with every bracket segment
+    * (and surrounding whitespace) stripped; if THAT strips to empty, the
+    * same rule applies to the event title instead. With no movie title,
+    * the goods name passes through untouched. `movieTitle` is the
+    * [[megaboxMovieTitle]] result — the reference branches on the same
+    * derived value.
+    */
+  def megaboxGoodsName(movieTitle: Column, goodsName: Column,
+                       eventTitle: Column): Column = {
+    def strip(c: Column): Column =
+      trim(regexp_replace(c, "\\s*[<\\[].*?[>\\]]\\s*", ""))
+    val g = strip(goodsName)
+    when(movieTitle.isNull, goodsName)
+      .otherwise(when(length(g) > 0, g).otherwise(strip(eventTitle)))
+  }
+
+  /** Megabox period split (ref :756-758): `'start ~ end'` → trimmed
+    * (start_date, end_date) struct. Python's `period.split('~')` always
+    * yields at least one element, so start_date mirrors element 1 even
+    * when blank; end_date is element 2 when present, else null (extra
+    * `~` segments beyond the second are dropped, like `dates[1]`). A
+    * null period yields a null-fielded struct.
+    */
+  def megaboxPeriodDates(period: Column): Column = {
+    val parts = split(period, "~")
+    struct(
+      trim(element_at(parts, 1)).as("start_date"),
+      when(size(parts) >= 2, trim(element_at(parts, 2))).as("end_date"))
+  }
 }

@@ -44,6 +44,23 @@ object StreamStreamJoin {
     require(Set("inner", "leftouter", "left").contains(
         joinType.toLowerCase.replace("_", "")),
       s"intervalJoin supports inner/left_outer, got $joinType")
+    // the _r suffixing exists to prevent ambiguous names — but it can
+    // CREATE them: a right side already holding both `foo` and `foo_r`
+    // makes `foo`'s new name ambiguous with the original `foo_r` (the
+    // sequential rename then cascades it to `foo_r_r`, silently shifting
+    // which column a name-keyed select reads), and a left `foo_r`
+    // collides with the renamed right `foo`. Fail loudly instead (the
+    // zorderWrite __z convention), naming the offenders: a suffix target
+    // may match neither an existing right column nor a left column.
+    val targets = right.columns.filter(_ != keyCol).map(c => s"${c}_r")
+    val selfClash = targets.intersect(right.columns)
+    require(selfClash.isEmpty,
+      s"intervalJoin: _r suffixing collides with existing right columns " +
+        s"${selfClash.mkString(", ")} — rename before joining")
+    val crossClash = targets.intersect(left.columns)
+    require(crossClash.isEmpty,
+      s"intervalJoin: suffixed right columns collide with left columns " +
+        s"${crossClash.mkString(", ")} — rename before joining")
     val l = left.withWatermark(tsCol, watermark).alias("l")
     val r = right.columns.foldLeft(right) { (d, c) =>
         if (c == keyCol) d else d.withColumnRenamed(c, s"${c}_r")

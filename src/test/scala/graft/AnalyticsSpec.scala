@@ -281,4 +281,52 @@ class AnalyticsSpec extends SparkSpec {
       (None, Some(5.0), Some(-1.0)),        // null group normalized, not dropped
       (None, Some(7.0), Some(1.0))))
   }
+
+  test("zscore/robustScale treat NaN and ±Inf like null (round-4 advice)") {
+    import spark.implicits._
+    // a NaN is non-null: without the finite() guard it would COUNT into n
+    // while its decimal sum nulls out — μ/σ over a phantom sample. The
+    // finite rows are 1 and 3 (μ=2, σ=1); non-finite rows keep null z.
+    val df = Seq(("g", 1.0), ("g", 3.0), ("g", Double.NaN),
+      ("g", Double.PositiveInfinity), ("g", Double.NegativeInfinity))
+      .toDF("grp", "x")
+    val z = Analytics.zscorePerGroup(df, Seq("grp"), "x")
+      .select("x", "zscore").collect()
+      .map(r => r.getDouble(0) -> Option(r.get(1)))
+    // NaN can't be a map key (boxed-double == is false for NaN): split
+    // finite and non-finite rows by predicate instead
+    val zFin = z.filter(t => java.lang.Double.isFinite(t._1)).toMap
+    assert(zFin == Map(1.0 -> Some(-1.0), 3.0 -> Some(1.0)))
+    assert(z.filterNot(t => java.lang.Double.isFinite(t._1))
+      .forall(_._2.isEmpty) && z.count(t => !java.lang.Double.isFinite(t._1)) == 3)
+    // robust: finite 1..5 → median 3, IQR 2; the Inf row must not sit in
+    // the percentile buffer (it would shift q75 to Inf → IQR Inf → z 0)
+    val rdf = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0), ("g", 5.0),
+      ("g", Double.PositiveInfinity), ("g", Double.NaN)).toDF("grp", "x")
+    val rz = Analytics.robustScalePerGroup(rdf, Seq("grp"), "x")
+      .select("x", "robust_z").collect()
+      .map(r => r.getDouble(0) -> Option(r.get(1)))
+    val rzFin = rz.filter(t => java.lang.Double.isFinite(t._1)).toMap
+    assert(rzFin(1.0) == Some(-1.0) && rzFin(5.0) == Some(1.0))
+    assert(rz.filterNot(t => java.lang.Double.isFinite(t._1))
+      .forall(_._2.isEmpty) && rz.count(t => !java.lang.Double.isFinite(t._1)) == 2)
+  }
+
+  test("histogram and correlationMatrix exclude ±Inf like NaN (round-4 advice)") {
+    import spark.implicits._
+    // one +Inf bound would make width Inf: every finite row collapses to
+    // bin 0 and the Inf row sneaks into the last bin via least(null-skip)
+    val h = Analytics.histogram(
+        Seq(0.0, 1.0, Double.PositiveInfinity, Double.NegativeInfinity)
+          .toDF("x"), "x", nBins = 2)
+      .orderBy("bin").collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(h == Seq((0, 1L), (1, 1L)))
+    graft.operators.OpCache.clear()
+    // an Inf x would poison Σx while still counting into n
+    val df = Seq((1.0, 1.0), (2.0, 2.0), (Double.PositiveInfinity, 3.0),
+      (3.0, 3.0)).toDF("x", "y")
+    val out = Analytics.correlationMatrix(df, Seq("x", "y")).collect().head
+    assert(out.getLong(2) == 3L)
+    assert(out.getDouble(3) == 1.0)
+  }
 }

@@ -89,6 +89,31 @@ class BoxOfficePipelineSpec extends SparkSpec {
       .select("movie_nm").as[String].head() == "시크릿 2")
   }
 
+  test("backfillDimRange: in-range rows absent from fresh are DELETED, rerun idempotent") {
+    val root = freshRoot()
+    // store: two 2024 movies, one 2023 movie, one null open_dt
+    val v1 = Seq(("m1", "a", "2024-01-10"), ("m2", "b", "2024-06-01"),
+        ("m3", "c", "2023-03-03"), ("m4", "d", null.asInstanceOf[String]))
+      .toDF("movie_cd", "movie_nm", "open_dt")
+    assert(BoxOfficePipeline.upsertDim(spark, root, "movie", v1, Seq("movie_cd")) == 4)
+    // backfill 2024: fresh carries m1 (renamed) and a new m5 — m2 is
+    // GONE upstream, so delete-then-insert must drop it (the upsert
+    // would have kept it: backfill_movie.py:31 semantics)
+    val fresh = Seq(("m1", "a2", "2024-01-10"), ("m5", "e", "2024-09-09"))
+      .toDF("movie_cd", "movie_nm", "open_dt")
+    val pred = substring(col("open_dt"), 1, 4).between("2024", "2024")
+    assert(BoxOfficePipeline.backfillDimRange(spark, root, "movie", pred, fresh) == 4)
+    val dim = spark.read.parquet(s"$root/movie")
+    val byCd = dim.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // m2 deleted; m1 replaced; m3 (out of range) and m4 (null pred → not
+    // TRUE → survives, like SQL DELETE) untouched
+    assert(byCd == Map("m1" -> "a2", "m3" -> "c", "m4" -> "d", "m5" -> "e"))
+    // rerun: identical result (idempotent)
+    assert(BoxOfficePipeline.backfillDimRange(spark, root, "movie", pred, fresh) == 4)
+    assert(spark.read.parquet(s"$root/movie").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap == byCd)
+  }
+
   test("stock append + latest view + CSV dump + introspection") {
     val root = freshRoot()
     val obs1 = Seq(("e1", "CGV강남", "보유"), ("e1", "용산", "보유"))

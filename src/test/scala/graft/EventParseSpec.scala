@@ -42,4 +42,54 @@ class EventParseSpec extends SparkSpec {
     val out = parse(Seq(("행사", "티켓 (,)")))
     assert(out.head == (null, ""))
   }
+
+  // ---- Megabox rules (movie_events_scraper.py:736-758) ----
+
+  private def parseMegabox(rows: Seq[(String, String, String)]): Seq[(String, String, String, String)] =
+    rows.toDF("goods_name", "event_title", "period")
+      .withColumn("__d", EventParse.megaboxPeriodDates(col("period")))
+      .select(
+        EventParse.megaboxMovieTitle(col("goods_name"), col("event_title")).as("t"),
+        EventParse.megaboxGoodsName(
+          EventParse.megaboxMovieTitle(col("goods_name"), col("event_title")),
+          col("goods_name"), col("event_title")).as("g"),
+        col("__d.start_date"), col("__d.end_date"))
+      .as[(String, String, String, String)].collect().toSeq
+
+  test("megabox: square-bracket title from goods name, brackets stripped from goods name") {
+    val out = parseMegabox(Seq(
+      ("[퀴어] 오리지널 포토카드", "이벤트 안내", "2025.01.01 ~ 2025.01.31")))
+    assert(out.head == ("퀴어", "오리지널 포토카드", "2025.01.01", "2025.01.31"))
+  }
+
+  test("megabox: angle-bracket title falls back to the event title when the goods name has none") {
+    val out = parseMegabox(Seq(
+      ("스페셜 배지", "<판타스틱4> 개봉 기념", "2025.07.01~2025.07.15")))
+    assert(out.head == ("판타스틱4", "스페셜 배지", "2025.07.01", "2025.07.15"))
+  }
+
+  test("megabox: goods name that strips to empty falls back to the stripped event title") {
+    val out = parseMegabox(Seq(
+      ("<엔드게임>", "<엔드게임> 아트카드 증정", "2025.03.01 ~ 2025.03.31")))
+    assert(out.head == ("엔드게임", "아트카드 증정", "2025.03.01", "2025.03.31"))
+  }
+
+  test("megabox: no brackets anywhere → null title, goods name untouched; single-date period") {
+    val out = parseMegabox(Seq(("포토카드 세트", "주간 이벤트", "2025.05.01")))
+    assert(out.head == (null, "포토카드 세트", "2025.05.01", null))
+  }
+
+  test("megabox: matched-but-blank bracket falls through to the event title (falsy parity)") {
+    // '<>' matches with an empty group — the reference normalizes to ''
+    // (falsy) and retries the event title
+    val out = parseMegabox(Seq(("<> 굿즈", "[하얼빈] 이벤트", "")))
+    assert(out.head == ("하얼빈", "굿즈", "", null))
+  }
+
+  test("megabox: extra ~ segments drop like Python dates[1]; null period → null dates") {
+    val out = parseMegabox(Seq(
+      ("[A] 카드", "ev", "1 ~ 2 ~ 3"),
+      ("[B] 카드", "ev", null.asInstanceOf[String])))
+    assert(out == Seq(("A", "카드", "1", "2"), ("B", "카드", null, null)))
+  }
 }

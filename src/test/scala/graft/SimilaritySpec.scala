@@ -226,6 +226,49 @@ class SimilaritySpec extends SparkSpec {
     graft.operators.OpCache.clear()
   }
 
+  test("trained IVF-PQ recall floor on a codebook-representable clustered corpus (round-4 verdict)") {
+    // pins the TRAINED composition end-to-end — k-means codebook init →
+    // Lloyd's → in-row encode → cell-bounded ADC ranking — not just its
+    // oracle-exact deterministic face. PQ can only rank what its
+    // codebooks can REPRESENT, so the fixture puts the within-cluster
+    // variation in its own subspace with exactly ksub distinct patterns
+    // (a lossless codebook exists; training must find it), and gives
+    // every vector the same norm so ADC's dot-ranking and brute-force's
+    // cosine-ranking order candidates identically.
+    val dim = 8
+    // cluster identity c on dims 0/2/4 (subspaces 0-2 under m=4), four
+    // equal-norm jitter patterns j on dims 6-7 (subspace 3). The k-means
+    // init picks the first ksub ids in md5(id) order — 27, 59, 6, 43 for
+    // 0..59 (md5 is stable, so this is deterministic) — and a lossless
+    // codebook is only FOUND if those four start on distinct patterns:
+    // remap 59→1 and 43→0 so init covers {3,1,2,0}
+    val jOverride = Map(59L -> 1, 43L -> 0)
+    val vecs = (0L until 60L).map { i =>
+      val c = (i % 3).toInt
+      val j = jOverride.getOrElse(i, (i % 4).toInt)
+      val v = Array.fill(dim)(0.0f)
+      v(c * 2) = 1.0f
+      v(6) = (0.5 * math.cos(0.3 * j)).toFloat
+      v(7) = (0.5 * math.sin(0.3 * j)).toFloat
+      (i, v)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 6)
+    def topSets(r: Array[org.apache.spark.sql.Row]) =
+      r.groupBy(_.getLong(0)).view
+        .mapValues(_.map(x => x.getLong(x.fieldIndex("cand_id"))).toSet).toMap
+    val exact = topSets(Similarity.bruteForceTopK(queries, df,
+      "vec_id", "embedding", k = 3).collect())
+    val ivfpq = topSets(Similarity.ivfPqTopK(df, queries,
+      "vec_id", "embedding", dim = dim, nCells = 3, m = 4, ksub = 4,
+      iters = 3, k = 3, nProbe = 1).collect())
+    val hits = exact.map { case (q, s) =>
+      ivfpq.getOrElse(q, Set.empty).intersect(s).size }.sum
+    val r = hits.toDouble / exact.values.map(_.size).sum
+    assert(r >= 0.9, s"trained IVF-PQ recall@3 dropped to $r")
+    graft.operators.OpCache.clear()
+  }
+
   test("lshBuckets fails loudly on embedding length mismatch (ADVICE r1)") {
     val bad = Seq((1L, Array(0.1f, 0.2f, 0.3f))).toDF("vec_id", "embedding")
     val e = intercept[Exception] {

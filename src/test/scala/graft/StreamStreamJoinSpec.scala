@@ -52,6 +52,26 @@ class StreamStreamJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("interval join rejects suffix collisions instead of producing duplicate names") {
+    implicit val sqlCtx = spark.sqlContext
+    val l = MemoryStream[(Timestamp, Long, String)].toDS().toDF("ts", "user_id", "kind")
+    // right side already has kind AND kind_r: suffixing kind → two kind_r
+    val rDup = MemoryStream[(Timestamp, Long, String, String)].toDS()
+      .toDF("ts", "user_id", "kind", "kind_r")
+    val e = intercept[IllegalArgumentException](StreamStreamJoin.intervalJoin(
+      l, rDup, keyCol = "user_id", tsCol = "ts",
+      within = "10 minutes", watermark = "5 minutes"))
+    assert(e.getMessage.contains("kind_r"))
+    // left already has ts_r: the renamed right ts collides cross-side
+    val lDup = MemoryStream[(Timestamp, Timestamp, Long)].toDS()
+      .toDF("ts", "ts_r", "user_id")
+    val r = MemoryStream[(Timestamp, Long)].toDS().toDF("ts", "user_id")
+    val e2 = intercept[IllegalArgumentException](StreamStreamJoin.intervalJoin(
+      lDup, r, keyCol = "user_id", tsCol = "ts",
+      within = "10 minutes", watermark = "5 minutes"))
+    assert(e2.getMessage.contains("ts_r"))
+  }
+
   test("left-outer interval join emits unattributed rows with nulls after the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val views = MemoryStream[(Timestamp, Long)]

@@ -30,6 +30,14 @@ class ZOrderSpec extends SparkSpec {
     assert(e2.getMessage.contains("zorder_key"))
   }
 
+  test("zorderKey rejects bits=63 (1L<<63 overflow would fail every row)") {
+    val e = intercept[IllegalArgumentException](
+      ZOrder.zorderKey(Seq(col("x")), bits = 63))
+    assert(e.getMessage.contains("bits <= 62"))
+    // bits=62 single-column stays legal: guard bound 1L<<62 is positive
+    ZOrder.zorderKey(Seq(col("x")), bits = 62)
+  }
+
   test("zorderWrite rejects non-integral clustering columns (silent truncation guard)") {
     val df = Seq((1, 2.5)).toDF("x", "y")
     val dir = Files.createTempDirectory("graft_zbad_").toString

@@ -28,8 +28,21 @@ for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+
+# A FILTERED Verify rewrote only the listed dumps; every other dump on disk
+# is from an older code state. Comparing those would print PASS against
+# stale outputs — the exact false blessing the marker exists to prevent —
+# so they are flagged STALE and skipped, not compared.
+marker = f"{OUT}/FILTERED_RUN"
+fresh = set(open(marker).read().split()) if os.path.exists(marker) else None
+
 fails = []
+stale = []
 for name, sql in sorted(oracle.items()):
+    if fresh is not None and name not in fresh:
+        stale.append(name)
+        print(f"STALE {name}: dump predates the last (filtered) Verify run — not compared")
+        continue
     path = f"{OUT}/{name}"
     if not os.path.isdir(path):
         fails.append(name); print(f"FAIL {name}: no spark output"); continue
@@ -76,12 +89,13 @@ for name, sql in sorted(oracle.items()):
     else:
         print(f"PASS {name} ({exp.shape[0]} rows x {exp.shape[1]} cols)")
 
-marker = f"{OUT}/FILTERED_RUN"
-if os.path.exists(marker):
-    names = open(marker).read().split()
+if fresh is not None:
     print(f"\nWARNING: outDir was last written by a FILTERED Verify run "
-          f"({len(names)} queries: {', '.join(names[:5])}{'…' if len(names) > 5 else ''}); "
-          f"all other dumps are STALE — rerun an unfiltered Verify before trusting the full compare")
+          f"({len(fresh)} queries: {', '.join(sorted(fresh)[:5])}{'…' if len(fresh) > 5 else ''}); "
+          f"{len(stale)} stale dumps were SKIPPED, not blessed — rerun an "
+          f"unfiltered Verify for a full compare")
 
-print(f"\n{len(oracle) - len(fails)}/{len(oracle)} queries pass")
+compared = len(oracle) - len(stale)
+print(f"\n{compared - len(fails)}/{compared} compared queries pass"
+      + (f" ({len(stale)} stale skipped)" if stale else ""))
 sys.exit(1 if fails else 0)
