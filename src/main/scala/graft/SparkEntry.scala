@@ -42,9 +42,14 @@ object SparkEntry {
   @volatile private var dedupIndexDir: Option[String] = None
 
   private def buildDedupIndex(s: SparkSession, dir: String): Unit = synchronized {
-    val rest = Dedup.minhashIndex(
+    // persist before writeIndexTables: the two bucketed saveAsTables each
+    // scan the index, and a bucketed write SORTS its input — feeding the
+    // raw expression chain makes every write recompute the whole
+    // shingle→md5→signature pipeline inside its sort (measured ~10× the
+    // cached scan). The cache is released by the caller's OpCache.clear().
+    val rest = graft.operators.OpCache.persist(Dedup.minhashIndex(
       t(s, dir, "documents").filter(pmod(col("doc_id"), lit(5)) =!= 0),
-      "doc_id", "text", k = 5, numHashes = 16, numBands = 4)
+      "doc_id", "text", k = 5, numHashes = 16, numBands = 4))
     Dedup.writeIndexTables(rest, "doc_id", DedupIdxBands, DedupIdxDocs, nBuckets = 8)
     dedupIndexDir = Some(dir)
   }
