@@ -788,6 +788,16 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // SemDeDup semantic dedup (Abbas et al. 2023): 16 deterministic
+    // cells, within-cell cosine ≥ 0.3 components, min-id survivor per
+    // component with its cluster size
+    "q_dedup_semantic" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.semanticDedup(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 16), threshold = 0.3)
+        .orderBy("vec_id")
+    }),
+
     // J7 — as-of join: latest event value per user at each week start
     // (temporal join over the union-window shape; see Joins.asOf)
     "q_asof_latest_value" -> ((s, dir) => {
@@ -889,6 +899,15 @@ object SparkEntry {
     // A15 — deterministic hash-based corpus subsample (5%)
     "q_sample_deterministic" -> ((s, dir) => {
       Analytics.deterministicSample(t(s, dir, "documents"), "doc_id", 0.05)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // Efraimidis-Spirakis weighted sampling without replacement:
+    // n_chars-weighted top-100, md5-deterministic draw (salt "r4")
+    "q_sample_weighted" -> ((s, dir) => {
+      Analytics.weightedSample(t(s, dir, "documents"), "doc_id", "n_chars",
+          n = 100, salt = "r4")
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
     }),
@@ -2227,6 +2246,58 @@ object SparkEntry {
          SELECT id_a, id_b, bucket, cos_sim
          FROM sc WHERE cos_sim >= 0.3 ORDER BY id_a, id_b""",
 
+    // semantic dedup: the cell assignment is the q_sim_ivf_topk asg CTE
+    // verbatim (same rounded-cosine argmax, same tie-break), pairs are
+    // within-cell exact cosine ≥ 0.3, components via the recursive
+    // reachability of the dedup-corpus oracle, survivor = min id
+    "q_dedup_semantic" ->
+      """WITH RECURSIVE ser AS (SELECT unnest(generate_series(1, 64)) AS i),
+              e AS (SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS x
+                    FROM embeddings CROSS JOIN ser WHERE i <= len(embedding)),
+              nrm AS (SELECT vec_id, sqrt(CAST(SUM(x * x) AS DOUBLE)) AS nrm
+                      FROM e GROUP BY vec_id),
+              adots AS (SELECT v.vec_id, c.vec_id AS centroid_id, SUM(v.x * c.x) AS dot
+                        FROM e v JOIN e c ON c.i = v.i AND c.vec_id < 16
+                        GROUP BY 1, 2),
+              asg AS (SELECT vec_id, centroid_id
+                      FROM (SELECT a.vec_id, a.centroid_id,
+                                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                     ORDER BY round(CAST(a.dot AS DOUBLE) / (nv.nrm * nc.nrm), 6) DESC,
+                                              a.centroid_id) AS rn
+                            FROM adots a
+                            JOIN nrm nv ON nv.vec_id = a.vec_id
+                            JOIN nrm nc ON nc.vec_id = a.centroid_id) t
+                      WHERE rn = 1),
+              cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                       FROM asg a JOIN asg b ON a.centroid_id = b.centroid_id
+                                            AND a.vec_id < b.vec_id),
+              dots AS (SELECT id_a, id_b, SUM(qa.x * qb.x) AS dot
+                       FROM cand
+                       JOIN e qa ON qa.vec_id = id_a
+                       JOIN e qb ON qb.vec_id = id_b AND qb.i = qa.i
+                       GROUP BY 1, 2),
+              pairs AS (SELECT id_a, id_b
+                        FROM dots
+                        JOIN nrm na ON na.vec_id = id_a
+                        JOIN nrm nb ON nb.vec_id = id_b
+                        WHERE round(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 6) >= 0.3),
+              nodes AS (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs),
+              edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                        UNION SELECT id_b, id_a FROM pairs),
+              reach AS (SELECT id, id AS comp FROM nodes
+                        UNION
+                        SELECT g.dst AS id, r.comp
+                        FROM reach r JOIN edges g ON g.src = r.id),
+              lab AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id),
+              canon AS (SELECT comp AS vec_id, COUNT(*) AS cluster_size
+                        FROM lab GROUP BY comp),
+              uniq AS (SELECT vec_id, CAST(1 AS BIGINT) AS cluster_size
+                       FROM embeddings WHERE vec_id NOT IN (SELECT id FROM lab))
+         SELECT u.vec_id, asg.centroid_id, cluster_size
+         FROM (SELECT * FROM canon UNION ALL SELECT * FROM uniq) u
+         JOIN asg ON asg.vec_id = u.vec_id
+         ORDER BY u.vec_id""",
+
     "q_asof_latest_value" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events),
               b AS (SELECT date_trunc('week', MIN(CAST(ts AS DATE))) AS lo,
@@ -2324,6 +2395,20 @@ object SparkEntry {
          WHERE CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) AS DOUBLE)
                  / 4503599627370496.0 < 0.05
          ORDER BY doc_id""",
+
+    // E-S key: ln(u)/w with u = (h52 + 0.5)/2^52 — identical
+    // parenthesization to the Spark side so both engines rank the same
+    // doubles; top-100 by (key DESC, doc_id), then the total ORDER BY
+    "q_sample_weighted" ->
+      """WITH k AS (SELECT doc_id, lang, n_chars,
+                           ln((CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '_r4'), 1, 13) AS BIGINT) AS DOUBLE) + 0.5)
+                              / 4503599627370496.0)
+                             / CAST(n_chars AS DOUBLE) AS esk
+                    FROM documents
+                    WHERE n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0),
+              top AS (SELECT doc_id, lang, n_chars FROM k
+                      ORDER BY esk DESC, doc_id LIMIT 100)
+         SELECT doc_id, lang, n_chars FROM top ORDER BY doc_id""",
 
     "q_split_train_test" ->
       """WITH u AS (SELECT doc_id, lang,

@@ -108,6 +108,39 @@ object Analytics {
       conv(substring(md5(col(keyCol).cast("string")), 1, 13), 16, 10)
         .cast("long").cast("double") / lit(4503599627370496.0) < rate)
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis 2006): each row gets the key ln(u)/w with u an md5-derived
+    * uniform of (id, salt) and w its weight; the n LARGEST keys are the
+    * sample — exactly the classic uᵢ^(1/wᵢ) order statistic in log form
+    * (monotone-equivalent, numerically tame for tiny weights). This is
+    * how a pipeline draws a quality-weighted corpus subsample (DSIR-style
+    * importance resampling, temperature-free): inclusion probability
+    * scales with w, no replacement, and — the [[deterministicSample]]
+    * discipline — the draw is a pure function of (id, salt, w):
+    * reproducible across engines, partitionings, and reruns; a new salt
+    * is a fresh independent draw.
+    *
+    * Scale: one narrow map pass + `orderBy().limit(n)` →
+    * TakeOrderedAndProject (per-partition n-heaps, driver merge — no
+    * global sort, no window). u = (h52 + 0.5)/2⁵² keeps u strictly
+    * inside (0,1) so ln(u) is finite; rows with NULL or non-positive
+    * weight are excluded (they have inclusion probability 0 and ln(u)/w
+    * would flip sign). Ties (same key) break by id in both engines.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     n: Int, salt: String): DataFrame = {
+    require(n >= 1, s"weightedSample: n must be >= 1, got $n")
+    val w = col(weightCol).cast("double")
+    val u = (conv(substring(md5(concat(col(idCol).cast("string"), lit("_" + salt))),
+        1, 13), 16, 10)
+      .cast("long").cast("double") + lit(0.5)) / lit(4503599627370496.0)
+    df.filter(w.isNotNull && w > 0)
+      .withColumn("__esk", log(u) / w)
+      .orderBy(col("__esk").desc, col(idCol).asc)
+      .limit(n)
+      .drop("__esk")
+  }
+
   /** Ordered funnel: for each user, the time each stage was FIRST reached
     * respecting stage order — t₁ = min time of stage 1, tᵢ = min time of
     * stage i strictly after tᵢ₋₁. Users appear once they reach stage 1;

@@ -192,6 +192,53 @@ object Similarity {
       .select("id_a", "id_b", "bucket", "cos_sim")
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus by embedding, then within
+    * each cluster collapse documents whose COSINE similarity reaches
+    * `threshold` — the semantic complement of the lexical MinHash path
+    * (paraphrases and re-renderings share no shingles but sit together
+    * in embedding space). Deterministic set semantics (no greedy
+    * scan-order dependence, SURVEY §7.5): candidate pairs are
+    * within-cell pairs at cosine ≥ threshold, components are connected
+    * components over those pairs, and each component keeps its min-id
+    * member. Returns one row per SURVIVING doc:
+    * (id, centroid_id, cluster_size) — cluster_size 1 for docs with no
+    * semantic dup, so removed count = |corpus| − |survivors|.
+    *
+    * `centroids` selects the cluster centers BY ID (rows of the corpus
+    * whose vectors serve as centers — a [[kmeansCentroids]]-nearest pick
+    * or a deterministic id prefix, as [[ivfTopK]]); assignment is the
+    * audited in-row broadcast argmax — zero corpus shuffle. The within-cell pair join is the SemDeDup design
+    * point: O(Σ|cell|²) pairs, kept tractable by the cluster count
+    * (k ≈ √N balanced cells ⇒ ~N·√N pairs corpus-wide; the paper runs
+    * 50k cells over 5B docs). Like the paper — and unlike the LSH
+    * near-dup path — a cross-CELL near-identical pair is deliberately
+    * NOT collapsed; that trade is what bounds the pair space.
+    */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, threshold: Double): DataFrame = {
+    val fv = OpCache.persist(fixedVectors(Stage.spread(corpus), idCol, vecCol))
+    val assigned = OpCache.persist(ivfAssignWith(fv, centroids, idCol))
+    val pairs0 = assigned.select(col(idCol).as("id_a"), col("centroid_id"))
+      .join(assigned.select(col(idCol).as("id_b"), col("centroid_id")), "centroid_id")
+      .filter(col("id_a") < col("id_b"))
+    val pairs = pairCosine(pairs0, fv)
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b")
+    val labels = OpCache.persist(
+      Dedup.connectedComponents(pairs, "id_a", "id_b"))
+    // min-label propagation converges to the min id, so the component
+    // label IS the canonical survivor (the dedupCorpus discipline)
+    val canon = labels.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+      .select(col("comp").as(idCol), col("cluster_size"))
+    val unique = corpus.select(col(idCol))
+      .join(labels.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+      .withColumn("cluster_size", lit(1L))
+    unique.unionByName(canon)
+      .join(assigned, idCol)
+      .select(col(idCol), col("centroid_id"), col("cluster_size"))
+  }
+
   /** ANN top-k: exact cosine, but only within the query's LSH bucket. */
   def annTopK(vectors: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, nPlanes: Int, dim: Int,

@@ -282,6 +282,30 @@ class AnalyticsSpec extends SparkSpec {
       (None, Some(7.0), Some(1.0))))
   }
 
+  test("weightedSample: deterministic, weight-dominant, excludes non-positive weights") {
+    import spark.implicits._
+    // id 1 carries a weight 10^6× the rest: its E-S key ln(u)/w is
+    // ≥ −4e−5 even at the worst-case u, while a weight-1 row needs
+    // u > 0.99996 to beat it — with 9 light rows the heavy one is in
+    // any top-3 with near-certainty, and the md5 draw is FIXED, so this
+    // assertion is deterministic, not flaky
+    val df = (Seq((1L, Option(1e6))) ++ (2L to 10L).map(i => (i, Option(1.0))) ++
+      Seq((11L, Option(0.0)), (12L, Option(-5.0)), (13L, None: Option[Double])))
+      .toDF("id", "w")
+    val s1 = Analytics.weightedSample(df, "id", "w", n = 3, salt = "t")
+      .select("id").as[Long].collect().toSet
+    assert(s1.contains(1L) && s1.size == 3)
+    assert(Seq(11L, 12L, 13L).forall(!s1.contains(_)))
+    // identical rerun → identical sample (pure function of id/salt/w)
+    val s2 = Analytics.weightedSample(df, "id", "w", n = 3, salt = "t")
+      .select("id").as[Long].collect().toSet
+    assert(s1 == s2)
+    // n beyond the eligible row count returns all positive-weight rows
+    val all = Analytics.weightedSample(df, "id", "w", n = 100, salt = "t")
+      .select("id").as[Long].collect().toSet
+    assert(all == (1L to 10L).toSet)
+  }
+
   test("zscore/robustScale treat NaN and ±Inf like null (round-4 advice)") {
     import spark.implicits._
     // a NaN is non-null: without the finite() guard it would COUNT into n

@@ -269,6 +269,30 @@ class SimilaritySpec extends SparkSpec {
     graft.operators.OpCache.clear()
   }
 
+  test("semanticDedup: within-cell cosine components collapse to min-id survivors") {
+    import spark.implicits._
+    // two cells (centers 0 = e0, 1 = e1); ids 0/2/4 form a semantic
+    // cluster in cell 0 (pairwise cos ≥ 0.99), ids 1/3 duplicate in
+    // cell 1, id 5 sits in cell 1 but below the threshold (survives
+    // alone with size 1)
+    val vecs = Seq(
+      0L -> Array(1.0f, 0.0f, 0.0f, 0.0f),
+      1L -> Array(0.0f, 1.0f, 0.0f, 0.0f),
+      2L -> Array(1.0f, 0.0f, 0.0f, 0.0f),
+      3L -> Array(0.0f, 1.0f, 0.0f, 0.0f),
+      4L -> Array(0.9f, 0.0f, 0.1f, 0.0f),
+      5L -> Array(0.0f, 0.6f, 0.0f, 0.8f))
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(df, "vec_id", "embedding",
+        df.filter(col("vec_id") < 2), threshold = 0.8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(
+      0L -> (0L, 3L),   // survivor of {0,2,4}
+      1L -> (1L, 2L),   // survivor of {1,3}
+      5L -> (1L, 1L)))  // no semantic dup: survives with size 1
+    graft.operators.OpCache.clear()
+  }
+
   test("lshBuckets fails loudly on embedding length mismatch (ADVICE r1)") {
     val bad = Seq((1L, Array(0.1f, 0.2f, 0.3f))).toDF("vec_id", "embedding")
     val e = intercept[Exception] {
