@@ -603,6 +603,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // quality-preferring corpus dedup: each near-dup cluster keeps its
+    // LONGEST member (n_chars desc, id tie-break) — the CCNet/
+    // RefinedWeb keep-best-rendition policy, vs dedupCorpus's min-id
+    "q_dedup_corpus_best" -> ((s, dir) => {
+      Dedup.dedupCorpusBy(t(s, dir, "documents"), "doc_id", "text", "n_chars",
+          k = 5, numHashes = 16, numBands = 4, threshold = 0.5)
+        .orderBy("doc_id")
+    }),
+
     // most-duplicated passages: top-20 word 4-grams by total occurrence
     // count — the boilerplate diagnostic behind span dedup
     "q_dedup_top_grams" -> ((s, dir) => {
@@ -1041,6 +1050,16 @@ object SparkEntry {
     "q_text_unigram_ce" -> ((s, dir) => {
       TextAnalysis.unigramCrossEntropy(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
+    }),
+
+    // corpus-vs-corpus token-distribution divergence (even/odd doc
+    // split): add-one-smoothed KL(P‖Q) + cross-entropy over the union
+    // vocabulary — the domain-shift diagnostic
+    "q_text_divergence" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.tokenDivergence(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1), "text")
     }),
 
     // inverted index: per-term document frequency + sorted posting list
@@ -1934,6 +1953,47 @@ object SparkEntry {
          FROM (SELECT * FROM canon UNION ALL SELECT * FROM uniq)
          ORDER BY doc_id""",
 
+    // same clustering as q_dedup_corpus; the survivor is the per-component
+    // best by (n_chars DESC, id) instead of the min id
+    "q_dedup_corpus_best" ->
+      s"""${MinhashBkCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+              candAll AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+                          FROM bk a JOIN bk c ON a.b = c.b AND a.key = c.key
+                                             AND a.doc_id < c.doc_id),
+              cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+              shr AS (SELECT id_a, id_b, COUNT(*) AS shared
+                      FROM candAll
+                      JOIN sh sa ON sa.doc_id = id_a
+                      JOIN sh sb ON sb.doc_id = id_b AND sb.s = sa.s
+                      GROUP BY 1, 2),
+              pairs AS (SELECT id_a, id_b
+                        FROM shr JOIN cnt ca ON ca.doc_id = id_a
+                                 JOIN cnt cb ON cb.doc_id = id_b
+                        WHERE CAST(shared AS DOUBLE)
+                              / CAST(ca.n + cb.n - shared AS DOUBLE) >= 0.5),
+              nodes AS (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs),
+              edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                        UNION SELECT id_b, id_a FROM pairs),
+              reach AS (SELECT id, id AS comp FROM nodes
+                        UNION
+                        SELECT g.dst AS id, r.comp
+                        FROM reach r JOIN edges g ON g.src = r.id),
+              lab AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id),
+              sz AS (SELECT comp, COUNT(*) AS cluster_size FROM lab GROUP BY comp),
+              best AS (SELECT id, comp
+                       FROM (SELECT lab.id, lab.comp,
+                                    ROW_NUMBER() OVER (PARTITION BY lab.comp
+                                      ORDER BY d.n_chars DESC, lab.id) AS rn
+                             FROM lab JOIN documents d ON d.doc_id = lab.id) t
+                       WHERE rn = 1),
+              canon AS (SELECT best.id AS doc_id, sz.cluster_size
+                        FROM best JOIN sz ON sz.comp = best.comp),
+              uniq AS (SELECT doc_id, CAST(1 AS BIGINT) AS cluster_size
+                       FROM documents WHERE doc_id NOT IN (SELECT id FROM lab))
+         SELECT doc_id, cluster_size
+         FROM (SELECT * FROM canon UNION ALL SELECT * FROM uniq)
+         ORDER BY doc_id""",
+
     "q_dedup_incremental" -> IncrementalDedupOracle,
 
     // same contract as q_dedup_incremental: the stored-table round-trip
@@ -2600,6 +2660,37 @@ object SparkEntry {
                       / CAST(SUM(tf.tf) AS DOUBLE), 6) AS unigram_ce
          FROM tf JOIN lm USING (term)
          GROUP BY tf.doc_id ORDER BY doc_id""",
+
+    // count-scale sums (see TextAnalysis.tokenDivergence): per-term
+    // decimal routing at O(count) magnitude, closed-form remainder in
+    // identical double parenthesization
+    "q_text_divergence" ->
+      """WITH ta AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+                     FROM documents WHERE doc_id % 2 = 0),
+              tb AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+                     FROM documents WHERE doc_id % 2 = 1),
+              ga AS (SELECT term, COUNT(*) AS cnt_a FROM ta GROUP BY term),
+              gb AS (SELECT term, COUNT(*) AS cnt_b FROM tb GROUP BY term),
+              j AS (SELECT COALESCE(ga.cnt_a, 0) AS cnt_a,
+                           COALESCE(gb.cnt_b, 0) AS cnt_b
+                    FROM ga FULL JOIN gb ON ga.term = gb.term),
+              s AS (SELECT COUNT(*) AS vocab,
+                           SUM(cnt_a) AS na, SUM(cnt_b) AS nb,
+                           SUM(CAST((CAST(cnt_a AS DOUBLE) + 1.0)
+                                 * ln((CAST(cnt_a AS DOUBLE) + 1.0)
+                                      / (CAST(cnt_b AS DOUBLE) + 1.0)) AS DECIMAL(38,6))) AS s1,
+                           SUM(CAST((CAST(cnt_a AS DOUBLE) + 1.0)
+                                 * ln(CAST(cnt_b AS DOUBLE) + 1.0) AS DECIMAL(38,6))) AS s2
+                    FROM j)
+         SELECT CAST(vocab AS BIGINT) AS vocab,
+                CAST(na AS BIGINT) AS n_tokens_a,
+                CAST(nb AS BIGINT) AS n_tokens_b,
+                round(CAST(s1 AS DOUBLE) / (CAST(na AS DOUBLE) + CAST(vocab AS DOUBLE))
+                      + ln((CAST(nb AS DOUBLE) + CAST(vocab AS DOUBLE))
+                           / (CAST(na AS DOUBLE) + CAST(vocab AS DOUBLE))), 6) AS kl_ab,
+                round(ln(CAST(nb AS DOUBLE) + CAST(vocab AS DOUBLE))
+                      - CAST(s2 AS DOUBLE) / (CAST(na AS DOUBLE) + CAST(vocab AS DOUBLE)), 6) AS cross_entropy_ab
+         FROM s""",
 
     "q_decontaminate" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t

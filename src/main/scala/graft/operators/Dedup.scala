@@ -403,6 +403,40 @@ object Dedup {
     unique.unionByName(canon)
   }
 
+  /** [[dedupCorpus]] with a QUALITY-preferring survivor: each near-dup
+    * cluster keeps its best row by `preferCol` (DESC, nulls last, min-id
+    * tie-break) instead of the min id — the CCNet/RefinedWeb "keep the
+    * best rendition" policy (duplicates differ in boilerplate, OCR noise,
+    * truncation; a quality or length score picks the one worth
+    * training on). Deterministic: the (prefer, id) order is total.
+    * Returns (id, cluster_size) survivors like [[dedupCorpus]].
+    *
+    * Scale: identical to [[dedupCorpus]] until the survivor pick, which
+    * joins `preferCol` onto the LABEL table only (clustered docs — the
+    * small side, never the corpus) and rank-filters per component; the
+    * window partitions by component over that label-sized frame.
+    */
+  def dedupCorpusBy(df: DataFrame, idCol: String, textCol: String,
+                    preferCol: String, k: Int, numHashes: Int, numBands: Int,
+                    threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = minhashLshPairs(df, idCol, textCol, k, numHashes, numBands, threshold)
+      .select("id_a", "id_b")
+    val labels = OpCache.persist(connectedComponents(pairs, "id_a", "id_b"))
+    val w = Window.partitionBy(col("comp"))
+      .orderBy(col(preferCol).desc_nulls_last, col("id").asc)
+    val canon = labels
+      .join(df.select(col(idCol).as("id"), col(preferCol)), "id")
+      .withColumn("__sz", count(lit(1)).over(Window.partitionBy(col("comp"))))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("id").as(idCol), col("__sz").as("cluster_size"))
+    val unique = df.select(col(idCol))
+      .join(labels.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+      .withColumn("cluster_size", lit(1L))
+    unique.unionByName(canon)
+  }
+
   /** Persist a [[minhashIndex]] as the two stored tables the incremental
     * path probes — the promised SCALE.md shape, now actually exercised:
     *

@@ -229,6 +229,51 @@ object TextAnalysis {
           / sum(col("tf")).cast("double"), 6).as("unigram_ce"))
   }
 
+  /** Corpus-level token-distribution divergence — the domain-shift /
+    * mixture-drift diagnostic a pipeline runs when swapping a data
+    * source: KL(P‖Q) and cross-entropy H(P,Q) of corpus A's unigram
+    * distribution P against corpus B's Q, add-one smoothed over the
+    * UNION vocabulary V (q > 0 everywhere, both quantities finite):
+    * p = (ca+1)/(Na+|V|), q = (cb+1)/(Nb+|V|). One row out:
+    * (vocab, n_tokens_a, n_tokens_b, kl_ab, cross_entropy_ab).
+    *
+    * Shape: one exploded-token aggregation per corpus (map-side
+    * combine), one vocab-keyed full-outer join, one scalar aggregate —
+    * vocabulary-sized state only, never doc-count-sized. Cross-engine
+    * exactness with order-independent sums at COUNT scale (not
+    * probability scale, where 6-dp decimal rounding would destroy the
+    * tiny per-term mass): the identities
+    *   KL = S₁/A + ln(B/A),    A = Na+|V|, B = Nb+|V|,
+    *        S₁ = Σ (ca+1)·ln((ca+1)/(cb+1))
+    *   H  = ln(B) − S₂/A,      S₂ = Σ (ca+1)·ln(cb+1)
+    * keep every summed term O(count) so the [[graft.Tables.dec]] routing
+    * loses nothing; the closed-form remainder is scalar double math with
+    * the identical parenthesization in the oracle.
+    */
+  def tokenDivergence(corpusA: DataFrame, corpusB: DataFrame,
+                      textCol: String): DataFrame = {
+    def termCounts(df: DataFrame, out: String) = Stage.spread(df)
+      .select(explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as(out))
+    val joined = termCounts(corpusA, "__ca")
+      .join(termCounts(corpusB, "__cb"), Seq("term"), "full_outer")
+      .select(coalesce(col("__ca"), lit(0L)).as("__ca"),
+              coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val caD = col("__ca").cast("double") + lit(1.0)
+    val cbD = col("__cb").cast("double") + lit(1.0)
+    val agg = joined.agg(
+      count(lit(1)).as("vocab"),
+      sum(col("__ca")).as("n_tokens_a"),
+      sum(col("__cb")).as("n_tokens_b"),
+      sum(graft.Tables.dec(caD * log(caD / cbD))).cast("double").as("__s1"),
+      sum(graft.Tables.dec(caD * log(cbD))).cast("double").as("__s2"))
+    val aD = col("n_tokens_a").cast("double") + col("vocab").cast("double")
+    val bD = col("n_tokens_b").cast("double") + col("vocab").cast("double")
+    agg.select(col("vocab"), col("n_tokens_a"), col("n_tokens_b"),
+      round(col("__s1") / aD + log(bD / aD), 6).as("kl_ab"),
+      round(log(bD) - col("__s2") / aD, 6).as("cross_entropy_ab"))
+  }
+
   /** Inverted index: one row per term with its document frequency and
     * the sorted posting list (comma-joined doc ids — the portable render
     * of an array column). Shape: explode → distinct (term, doc) pairs →

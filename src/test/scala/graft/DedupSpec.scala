@@ -238,4 +238,26 @@ class DedupSpec extends SparkSpec {
       (3L, "p q r s t u v w", 0L),
       (4L, "", 9L)))                    // fully duplicated → empty, gate downstream
   }
+
+  test("dedupCorpusBy keeps the best-quality member per cluster, not the min id") {
+    import spark.implicits._
+    // docs 1/2 are exact text duplicates but doc 2 has the higher quality
+    // score (pre-cleaning n_chars): dedupCorpus would keep min-id 1,
+    // dedupCorpusBy must keep 2; unrelated doc 3 survives alone
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", 10L),
+      (2L, "alpha beta gamma delta epsilon zeta", 99L),
+      (3L, "one two three four five six seven eight", 5L))
+      .toDF("doc_id", "text", "n_chars")
+    val best = Dedup.dedupCorpusBy(docs, "doc_id", "text", "n_chars",
+        k = 5, numHashes = 16, numBands = 4, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(best == Map(2L -> 2L, 3L -> 1L))
+    graft.operators.OpCache.clear()
+    val minId = Dedup.dedupCorpus(docs, "doc_id", "text",
+        k = 5, numHashes = 16, numBands = 4, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(minId == Map(1L -> 2L, 3L -> 1L))
+    graft.operators.OpCache.clear()
+  }
 }

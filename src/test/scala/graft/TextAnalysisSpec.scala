@@ -200,4 +200,27 @@ class TextAnalysisSpec extends SparkSpec {
     // numeric order: 2 before 10 (string order would give "10,2")
     assert(out == Seq(("a", 3L, "1,2,10"), ("b", 1L, "10"), ("c", 1L, "2")))
   }
+
+  test("tokenDivergence matches a brute-force smoothed KL and cross-entropy") {
+    import spark.implicits._
+    val a = Seq((1L, "x x y"), (2L, "x z")).toDF("doc_id", "text")
+    val b = Seq((3L, "x y y z z z")).toDF("doc_id", "text")
+    val row = TextAnalysis.tokenDivergence(a, b, "text").collect().head
+    // union vocab {x,y,z}: ca = x:3,y:1,z:1 (Na=5); cb = x:1,y:2,z:3 (Nb=6)
+    val ca = Map("x" -> 3, "y" -> 1, "z" -> 1)
+    val cb = Map("x" -> 1, "y" -> 2, "z" -> 3)
+    val A = 5.0 + 3; val B = 6.0 + 3
+    val kl = ca.keys.map { t =>
+      val p = (ca(t) + 1) / A; val q = (cb(t) + 1) / B; p * math.log(p / q)
+    }.sum
+    val ce = ca.keys.map { t =>
+      val p = (ca(t) + 1) / A; -p * math.log((cb(t) + 1) / B)
+    }.sum
+    assert(row.getAs[Long]("vocab") == 3L)
+    assert(row.getAs[Long]("n_tokens_a") == 5L && row.getAs[Long]("n_tokens_b") == 6L)
+    // the operator's count-scale decimal routing differs from this
+    // brute force by per-term 1e-6 rounding at most
+    assert(math.abs(row.getAs[Double]("kl_ab") - kl) < 1e-4, s"kl ${row.getAs[Double]("kl_ab")} vs $kl")
+    assert(math.abs(row.getAs[Double]("cross_entropy_ab") - ce) < 1e-4)
+  }
 }
