@@ -292,8 +292,11 @@ class AnalyticsSpec extends SparkSpec {
     val df = (Seq((1L, Option(1e6))) ++ (2L to 10L).map(i => (i, Option(1.0))) ++
       Seq((11L, Option(0.0)), (12L, Option(-5.0)), (13L, None: Option[Double])))
       .toDF("id", "w")
-    val s1 = Analytics.weightedSample(df, "id", "w", n = 3, salt = "t")
-      .select("id").as[Long].collect().toSet
+    val sampled = Analytics.weightedSample(df, "id", "w", n = 3, salt = "t")
+    // orderBy().limit() must plan as the per-partition top-n heap, not a
+    // global sort — the property that makes the draw scale
+    assert(sampled.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+    val s1 = sampled.select("id").as[Long].collect().toSet
     assert(s1.contains(1L) && s1.size == 3)
     assert(Seq(11L, 12L, 13L).forall(!s1.contains(_)))
     // identical rerun → identical sample (pure function of id/salt/w)
