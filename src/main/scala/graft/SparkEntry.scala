@@ -921,6 +921,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // per-group quota form: up to 20 docs per language, weight-
+    // proportional within each language cell (same deterministic draw)
+    "q_sample_weighted_group" -> ((s, dir) => {
+      Analytics.weightedSamplePerGroup(t(s, dir, "documents"), Seq("lang"),
+          "doc_id", "n_chars", nPerGroup = 20, salt = "r4")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // deterministic train/val/test split (10% val, 10% test): label is a
     // pure function of doc_id — stable under corpus growth, no RNG
     "q_split_train_test" -> ((s, dir) => {
@@ -2469,6 +2478,19 @@ object SparkEntry {
               top AS (SELECT doc_id, lang, n_chars FROM k
                       ORDER BY esk DESC, doc_id LIMIT 100)
          SELECT doc_id, lang, n_chars FROM top ORDER BY doc_id""",
+
+    "q_sample_weighted_group" ->
+      """WITH k AS (SELECT doc_id, lang, n_chars,
+                           ln((CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '_r4'), 1, 13) AS BIGINT) AS DOUBLE) + 0.5)
+                              / 4503599627370496.0)
+                             / CAST(n_chars AS DOUBLE) AS esk
+                    FROM documents
+                    WHERE n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0),
+              r AS (SELECT doc_id, lang, n_chars,
+                           ROW_NUMBER() OVER (PARTITION BY lang
+                             ORDER BY esk DESC, doc_id) AS rn
+                    FROM k)
+         SELECT doc_id, lang, n_chars FROM r WHERE rn <= 20 ORDER BY doc_id""",
 
     "q_split_train_test" ->
       """WITH u AS (SELECT doc_id, lang,

@@ -130,15 +130,49 @@ object Analytics {
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
                      n: Int, salt: String): DataFrame = {
     require(n >= 1, s"weightedSample: n must be >= 1, got $n")
-    val w = col(weightCol).cast("double")
-    val u = (conv(substring(md5(concat(col(idCol).cast("string"), lit("_" + salt))),
-        1, 13), 16, 10)
-      .cast("long").cast("double") + lit(0.5)) / lit(4503599627370496.0)
-    df.filter(w.isNotNull && w > 0)
-      .withColumn("__esk", log(u) / w)
+    df.filter(esWeight(weightCol).isNotNull && esWeight(weightCol) > 0)
+      .withColumn("__esk", esKey(idCol, weightCol, salt))
       .orderBy(col("__esk").desc, col(idCol).asc)
       .limit(n)
       .drop("__esk")
+  }
+
+  private def esWeight(weightCol: String): Column = col(weightCol).cast("double")
+
+  /** The shared Efraimidis–Spirakis key ln(u)/w (see [[weightedSample]]). */
+  private def esKey(idCol: String, weightCol: String, salt: String): Column = {
+    val u = (conv(substring(md5(concat(col(idCol).cast("string"), lit("_" + salt))),
+        1, 13), 16, 10)
+      .cast("long").cast("double") + lit(0.5)) / lit(4503599627370496.0)
+    log(u) / esWeight(weightCol)
+  }
+
+  /** [[weightedSample]] with a PER-GROUP quota — the form a mixture
+    * pipeline actually runs: up to `nPerGroup` rows per (language,
+    * domain, source, …) cell, drawn weight-proportionally without
+    * replacement inside each cell, deterministically (same md5-keyed
+    * draw, so a cell's sample is stable as OTHER cells grow). The
+    * [[cappedPerGroup]] quota shape with importance weights instead of
+    * an ordering column.
+    *
+    * Scale: one group-keyed window (rank within group over the E-S key)
+    * — the shuffle is by group key; per-group state is the rank counter,
+    * never a buffer. Skewed cells rank in parallel within their
+    * partition's sort (no global sort).
+    */
+  def weightedSamplePerGroup(df: DataFrame, groupCols: Seq[String],
+                             idCol: String, weightCol: String,
+                             nPerGroup: Int, salt: String): DataFrame = {
+    require(nPerGroup >= 1,
+      s"weightedSamplePerGroup: nPerGroup must be >= 1, got $nPerGroup")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__esk").desc, col(idCol).asc)
+    df.filter(esWeight(weightCol).isNotNull && esWeight(weightCol) > 0)
+      .withColumn("__esk", esKey(idCol, weightCol, salt))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= nPerGroup)
+      .drop("__esk", "__rn")
   }
 
   /** Ordered funnel: for each user, the time each stage was FIRST reached

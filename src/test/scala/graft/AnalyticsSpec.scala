@@ -309,6 +309,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(all == (1L to 10L).toSet)
   }
 
+  test("weightedSamplePerGroup: per-group quota, deterministic, small groups kept whole") {
+    import spark.implicits._
+    val df = (Seq.tabulate(10)(i => ("a", i.toLong, 1.0 + i)) ++
+      Seq(("b", 100L, 5.0), ("b", 101L, 1.0)))
+      .toDF("g", "id", "w")
+    val out = Analytics.weightedSamplePerGroup(df, Seq("g"), "id", "w",
+      nPerGroup = 4, salt = "s")
+    val byG = out.collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // group a capped at 4 of its 10; group b smaller than the quota
+    // survives whole
+    assert(byG("a").size == 4 && byG("a").subsetOf((0L to 9L).toSet))
+    assert(byG("b") == Set(100L, 101L))
+    val rerun = Analytics.weightedSamplePerGroup(df, Seq("g"), "id", "w",
+        nPerGroup = 4, salt = "s")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSet
+    assert(rerun == out.collect().map(r => r.getString(0) -> r.getLong(1)).toSet)
+  }
+
   test("zscore/robustScale treat NaN and ±Inf like null (round-4 advice)") {
     import spark.implicits._
     // a NaN is non-null: without the finite() guard it would COUNT into n
