@@ -59,12 +59,16 @@ object Bench {
     // repetitions of one query sit inside the same stall window — full
     // passes spread each query's repetitions minutes apart so the min
     // picks a clean run. Pass count is env-tunable because warm + 3
-    // measured sweeps over the full 95-query suite no longer fits a
+    // measured sweeps over the full 100+-query suite no longer fits a
     // bounded harness budget: the default is ONE measured pass (warm +
     // measured ≈ 2 sweeps total); local tuning sessions can export
-    // SPARK_GRAFT_BENCH_PASSES=3 for the lower-variance min-of-3.
+    // SPARK_GRAFT_BENCH_PASSES=3 for the lower-variance min-of-3. A
+    // malformed value falls back to the default instead of crashing the
+    // bench before any query runs (the emit-per-pass resilience would be
+    // defeated by its own tuning knob).
     val nPasses = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
-      .map(_.trim.toInt).filter(_ >= 1).getOrElse(1)
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption).filter(_ >= 1)
+      .getOrElse(1)
     // A complete cumulative JSON line is emitted after EVERY pass (and a
     // per-query progress line to stderr after every query), so an
     // external timeout that kills the JVM mid-pass still leaves the

@@ -30,10 +30,14 @@ object Verify {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val marker = Paths.get(s"$outDir/FILTERED_RUN")
     only match {
+      // ONLY this run's names are recorded as fresh — accumulating prior
+      // filtered runs' names (the round-3 form) let a dump written
+      // BEFORE later code edits keep counting as fresh, and check.py
+      // would compare it and print PASS against outdated Spark output
+      // (round-4 review). To compare several queries together, list them
+      // all in one SPARK_GRAFT_ONLY invocation.
       case Some(names) =>
-        val prior = if (Files.exists(marker))
-          Files.readString(marker).split("\n").toSeq else Nil
-        Files.writeString(marker, (prior ++ names).distinct.sorted.mkString("\n"))
+        Files.writeString(marker, names.toSeq.sorted.mkString("\n"))
       case None => Files.deleteIfExists(marker)
     }
     SparkEntry.queries

@@ -507,15 +507,15 @@ object Analytics {
     val g = groupCols.map(col)
     // ONE percentile aggregate with an array of fractions: a single
     // sorted buffer per group instead of three independent full copies
-    // (each percentile(x, p) call buffers and sorts the whole group);
-    // percentile skips nulls, so the when() drops non-finite values from
-    // the buffer; backticked so names needing quoting work like in
-    // zscorePerGroup
-    val q = expr(s"percentile(CASE WHEN `$valueCol` IS NOT NULL " +
-      s"AND NOT isnan(CAST(`$valueCol` AS DOUBLE)) " +
-      s"AND abs(CAST(`$valueCol` AS DOUBLE)) != double('Infinity') " +
-      s"THEN `$valueCol` END, array(0.25D, 0.5D, 0.75D))")
-    val stats = df.groupBy(g: _*).agg(q.as("__q"))
+    // (each percentile(x, p) call buffers and sorts the whole group).
+    // percentile skips nulls, so pre-projecting the value through the
+    // SAME [[finite]] predicate the z-null rule uses drops non-finite
+    // values from the buffer — one definition of "usable measurement",
+    // not a second SQL-string spelling of it (round-4 review).
+    val q = expr("percentile(__fin, array(0.25D, 0.5D, 0.75D))")
+    val stats = df
+      .withColumn("__fin", when(finite(col(valueCol)), col(valueCol)))
+      .groupBy(g: _*).agg(q.as("__q"))
       .select(g :+ round(element_at(col("__q"), 2), 6).as("__med") :+
         (round(element_at(col("__q"), 3), 6)
           - round(element_at(col("__q"), 1), 6)).as("__iqr"): _*)

@@ -10,9 +10,9 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** DETERMINISTIC salt in [0, n): xxhash64 over every column of the row,
-    * so rows of a hot key spread uniformly across buckets while the
-    * assignment is a pure function of row CONTENT. The obvious
+  /** DETERMINISTIC salt in [0, n): xxhash64 over the row's hashable
+    * columns, so rows of a hot key spread uniformly across buckets while
+    * the assignment is a pure function of row CONTENT. The obvious
     * alternative — spark_partition_id()+monotonically_increasing_id() —
     * marks the stage INDETERMINATE: on a fetch failure Spark must roll
     * back and recompute the WHOLE stage (every task, not just the lost
@@ -20,9 +20,27 @@ object Skew {
     * redo. Content hashing keeps retries idempotent. (Fully duplicate
     * rows share a bucket — harmless for aggregation/join semantics, and
     * a duplicate-dominated hot key is a dedup problem, not a salt one.)
+    *
+    * Map-typed columns are EXCLUDED from the hash: xxhash64 rejects
+    * MapType at analysis time (map element order is undefined, so its
+    * hash would be too). Every other column participates — hashing the
+    * widest deterministic column set keeps near-duplicate rows (same
+    * key, low-cardinality values) spreading across buckets.
     */
-  private def contentSalt(df: DataFrame, saltBuckets: Int): Column =
-    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(saltBuckets.toLong))
+  private def contentSalt(df: DataFrame, saltBuckets: Int): Column = {
+    import org.apache.spark.sql.types._
+    def hasMap(dt: DataType): Boolean = dt match {
+      case _: MapType => true
+      case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
+    val hashable = df.schema.fields.toIndexedSeq
+      .filterNot(f => hasMap(f.dataType)).map(f => col(f.name))
+    require(hashable.nonEmpty,
+      "contentSalt: every column is map-typed — no deterministic hash input")
+    pmod(xxhash64(hashable: _*), lit(saltBuckets.toLong))
+  }
 
   /** Two-stage (salted) aggregation: a hot group key no longer lands on
     * one reducer — stage 1 aggregates (key, salt) across `saltBuckets`

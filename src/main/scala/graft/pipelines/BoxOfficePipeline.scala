@@ -93,18 +93,9 @@ object BoxOfficePipeline {
     */
   def backfillDimRange(spark: SparkSession, root: String, tableName: String,
                        rangePred: org.apache.spark.sql.Column,
-                       fresh: DataFrame): Long = {
-    val path = s"$root/$tableName"
-    AtomicStore.recover(spark, path) // roll forward a swap a crash interrupted
-    val store = readOrEmpty(spark, path, fresh)
-    val merged = store.filter(!coalesce(rangePred, lit(false)))
-      .unionByName(fresh)
-    val out = merged.cache()
-    val n = out.count()
-    AtomicStore.overwrite(out, path)
-    out.unpersist()
-    n
-  }
+                       fresh: DataFrame): Long =
+    mergeAndSwap(spark, s"$root/$tableName", fresh,
+      store => store.filter(!coalesce(rangePred, lit(false))).unionByName(fresh))
 
   /** General dimension upsert against `{root}/{tableName}` — the same
     * crash-safe shape for every dimension the reference maintains
@@ -112,15 +103,24 @@ object BoxOfficePipeline {
     * sqlite_connector.py:76-114). Returns the post-merge row count.
     */
   def upsertDim(spark: SparkSession, root: String, tableName: String,
-                fresh: DataFrame, keys: Seq[String]): Long = {
-    val path = s"$root/$tableName"
+                fresh: DataFrame, keys: Seq[String]): Long =
+    mergeAndSwap(spark, s"$root/$tableName", fresh,
+      store => Upsert.upsert(store, fresh, keys, lit(0)))
+
+  /** The ONE crash-safe read-merge-swap choreography every whole-table
+    * dimension rewrite goes through ([[upsertDim]], [[backfillDimRange]]):
+    * roll forward any interrupted swap, read the live store (empty with
+    * `fresh`'s schema when absent), apply `merge`, then durable staging +
+    * rename swap — a crash anywhere leaves a complete copy on disk, never
+    * the delete-then-write hole of a live overwrite. Returns the
+    * post-swap row count.
+    */
+  private def mergeAndSwap(spark: SparkSession, path: String, fresh: DataFrame,
+                           merge: DataFrame => DataFrame): Long = {
     AtomicStore.recover(spark, path) // roll forward a swap a crash interrupted
     val store = readOrEmpty(spark, path, fresh)
-    val merged = Upsert.upsert(store, fresh, keys, lit(0))
-    val out = merged.cache()
+    val out = merge(store).cache()
     val n = out.count()
-    // durable staging + rename swap: a crash anywhere leaves a complete
-    // copy on disk (never the delete-then-write hole of a live overwrite)
     AtomicStore.overwrite(out, path)
     out.unpersist()
     n

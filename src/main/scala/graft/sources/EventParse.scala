@@ -48,8 +48,14 @@ object EventParse {
 
   // The Megabox feed's bracket convention differs from Lotte's: EITHER
   // delimiter pair — '<...>' or '[...]' (or mixed, per the reference's
-  // character classes) — and the lazy group may be empty.
-  private val MegaboxBracket = "[<\\[](.*?)[>\\]]"
+  // character classes) — and the lazy group may be empty. ONE pair of
+  // delimiter classes feeds both the title EXTRACT and the goods-name
+  // STRIP, so a future delimiter addition can't update one and silently
+  // leave the other behind.
+  private val MbOpen = "[<\\[]"
+  private val MbClose = "[>\\]]"
+  private val MegaboxBracket = s"$MbOpen(.*?)$MbClose"
+  private val MegaboxStrip = s"\\s*$MbOpen.*?$MbClose\\s*"
 
   /** Megabox movie-title extract (ref: movie_events_scraper.py:736-746):
     * the first `<...>`/`[...]` segment of the (already HTML-unescaped —
@@ -80,7 +86,7 @@ object EventParse {
   def megaboxGoodsName(movieTitle: Column, goodsName: Column,
                        eventTitle: Column): Column = {
     def strip(c: Column): Column =
-      trim(regexp_replace(c, "\\s*[<\\[].*?[>\\]]\\s*", ""))
+      trim(regexp_replace(c, MegaboxStrip, ""))
     val g = strip(goodsName)
     when(movieTitle.isNull, goodsName)
       .otherwise(when(length(g) > 0, g).otherwise(strip(eventTitle)))
