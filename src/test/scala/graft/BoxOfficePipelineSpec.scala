@@ -114,6 +114,14 @@ class BoxOfficePipelineSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getString(1)).toMap == byCd)
   }
 
+  test("backfillDimRange on a missing store creates it from fresh (S12 path)") {
+    val root = freshRoot()
+    val fresh = Seq(("m1", "a", "2024-01-10")).toDF("movie_cd", "movie_nm", "open_dt")
+    val pred = substring(col("open_dt"), 1, 4).between("2024", "2024")
+    assert(BoxOfficePipeline.backfillDimRange(spark, root, "movie", pred, fresh) == 1)
+    assert(spark.read.parquet(s"$root/movie").count() == 1)
+  }
+
   test("stock append + latest view + CSV dump + introspection") {
     val root = freshRoot()
     val obs1 = Seq(("e1", "CGV강남", "보유"), ("e1", "용산", "보유"))

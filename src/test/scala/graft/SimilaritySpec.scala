@@ -291,6 +291,19 @@ class SimilaritySpec extends SparkSpec {
       1L -> (1L, 2L),   // survivor of {1,3}
       5L -> (1L, 1L)))  // no semantic dup: survives with size 1
     graft.operators.OpCache.clear()
+    // dup-free corpus: the pair set is empty, connected components sees
+    // zero edges, and EVERY doc must survive with size 1 (regression
+    // guard for the empty-label-table path)
+    val ortho = Seq(
+      0L -> Array(1.0f, 0.0f, 0.0f, 0.0f),
+      1L -> Array(0.0f, 1.0f, 0.0f, 0.0f),
+      2L -> Array(0.9f, 0.0f, 0.4f, 0.0f))
+      .toDF("vec_id", "embedding")
+    val all = Similarity.semanticDedup(ortho, "vec_id", "embedding",
+        ortho.filter(col("vec_id") < 2), threshold = 0.999)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(all == Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
+    graft.operators.OpCache.clear()
   }
 
   test("lshBuckets fails loudly on embedding length mismatch (ADVICE r1)") {
