@@ -1071,6 +1071,14 @@ object SparkEntry {
           docs.filter(pmod(col("doc_id"), lit(2)) === 1), "text")
     }),
 
+    // per-language drift ranking: each language's KL against the whole
+    // corpus's token distribution (closed-form absent-term correction —
+    // no group×vocab cross product)
+    "q_text_divergence_group" -> ((s, dir) => {
+      TextAnalysis.perGroupDivergence(t(s, dir, "documents"), "lang", "text")
+        .orderBy(col("lang").asc_nulls_last)
+    }),
+
     // inverted index: per-term document frequency + sorted posting list
     "q_text_inverted_index" -> ((s, dir) => {
       TextAnalysis.invertedIndex(t(s, dir, "documents"), "doc_id", "text")
@@ -2713,6 +2721,29 @@ object SparkEntry {
                 round(ln(CAST(nb AS DOUBLE) + CAST(vocab AS DOUBLE))
                       - CAST(s2 AS DOUBLE) / (CAST(na AS DOUBLE) + CAST(vocab AS DOUBLE)), 6) AS cross_entropy_ab
          FROM s""",
+
+    // KL_g = (U_g − T)/A_g + ln(B/A_g): per-present-term u rows +
+    // one corpus scalar T — the same closed form as the Spark side
+    "q_text_divergence_group" ->
+      """WITH toks AS (SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+                       FROM documents),
+              gt AS (SELECT lang, term, COUNT(*) AS cgt FROM toks GROUP BY 1, 2),
+              ct AS (SELECT term, SUM(cgt) AS ct FROM gt GROUP BY term),
+              tot AS (SELECT COUNT(*) AS v, SUM(ct) AS n,
+                             SUM(CAST(ln(CAST(ct AS DOUBLE) + 1.0) AS DECIMAL(38,6))) AS t
+                      FROM ct),
+              pg AS (SELECT lang, SUM(cgt) AS n_tokens,
+                            SUM(CAST((CAST(cgt AS DOUBLE) + 1.0)
+                                  * ln((CAST(cgt AS DOUBLE) + 1.0)
+                                       / (CAST(ct AS DOUBLE) + 1.0))
+                                  + ln(CAST(ct AS DOUBLE) + 1.0) AS DECIMAL(38,6))) AS u
+                     FROM gt JOIN ct USING (term) GROUP BY lang)
+         SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+                round((CAST(u AS DOUBLE) - CAST(t AS DOUBLE))
+                        / (CAST(n_tokens AS DOUBLE) + CAST(v AS DOUBLE))
+                      + ln((CAST(n AS DOUBLE) + CAST(v AS DOUBLE))
+                           / (CAST(n_tokens AS DOUBLE) + CAST(v AS DOUBLE))), 6) AS kl_vs_corpus
+         FROM pg CROSS JOIN tot ORDER BY lang""",
 
     "q_decontaminate" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t

@@ -274,6 +274,50 @@ object TextAnalysis {
       round(log(bD) - col("__s2") / aD, 6).as("cross_entropy_ab"))
   }
 
+  /** Per-group token-distribution drift: KL(P_g‖Q) of EACH group's
+    * (language, domain, source, …) unigram distribution against the
+    * whole corpus's — the ranking a mixture pipeline watches to spot
+    * which slice is drifting. Same smoothing convention as
+    * [[tokenDivergence]]: add-one over the corpus vocabulary V, so
+    * P_g(t) = (c_gt+1)/(N_g+|V|) and Q(t) = (c_t+1)/(N+|V|).
+    *
+    * The naive sum runs over groups × vocabulary — a cross product the
+    * absent terms would force (c_gt = 0 still contributes). The
+    * closed-form correction avoids it: with T = Σ_t ln(c_t+1) (one
+    * corpus scalar) and per-PRESENT-term u = (c_gt+1)·ln((c_gt+1)/
+    * (c_t+1)) + ln(c_t+1), the absent terms' total collapses into −T,
+    * giving KL_g = (U_g − T)/A_g + ln(B/A_g) with A_g = N_g+|V|,
+    * B = N+|V|. So the plan touches only the (group, present-term) rows:
+    * one exploded-token aggregation, a term-keyed join against the
+    * vocab counts, one group-keyed reduce — never group×vocab.
+    * Decimal routing stays at count scale ([[tokenDivergence]]).
+    */
+  def perGroupDivergence(df: DataFrame, groupCol: String,
+                         textCol: String): DataFrame = {
+    val gt = OpCache.persist(Stage.spread(df)
+      .select(col(groupCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(groupCol), col("term")).agg(count(lit(1)).as("__cgt")))
+    val ct = OpCache.persist(gt.groupBy(col("term")).agg(sum(col("__cgt")).as("__ct")))
+    val totals = ct.agg(
+      count(lit(1)).as("__V"), sum(col("__ct")).as("__N"),
+      sum(graft.Tables.dec(log(col("__ct").cast("double") + lit(1.0))))
+        .cast("double").as("__T"))
+    val cgtD = col("__cgt").cast("double") + lit(1.0)
+    val ctD = col("__ct").cast("double") + lit(1.0)
+    val perG = gt.join(ct, "term")
+      .withColumn("__u",
+        graft.Tables.dec(cgtD * log(cgtD / ctD) + log(ctD)))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__cgt")).as("n_tokens"),
+           sum(col("__u")).cast("double").as("__U"))
+    val aD = col("n_tokens").cast("double") + col("__V").cast("double")
+    val bD = col("__N").cast("double") + col("__V").cast("double")
+    perG.crossJoin(broadcast(totals))
+      .select(col(groupCol), col("n_tokens"),
+        round((col("__U") - col("__T")) / aD + log(bD / aD), 6)
+          .as("kl_vs_corpus"))
+  }
+
   /** Inverted index: one row per term with its document frequency and
     * the sorted posting list (comma-joined doc ids — the portable render
     * of an array column). Shape: explode → distinct (term, doc) pairs →

@@ -223,4 +223,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(row.getAs[Double]("kl_ab") - kl) < 1e-4, s"kl ${row.getAs[Double]("kl_ab")} vs $kl")
     assert(math.abs(row.getAs[Double]("cross_entropy_ab") - ce) < 1e-4)
   }
+
+  test("perGroupDivergence matches the naive group-vs-corpus smoothed KL") {
+    import spark.implicits._
+    // corpus x:3 y:1 z:2 (V=3, N=6); group a = "x x y", group b = "x z z"
+    val df = Seq(("a", "x x y"), ("b", "x z z")).toDF("lang", "text")
+    val out = TextAnalysis.perGroupDivergence(df, "lang", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val corpus = Map("x" -> 3, "y" -> 1, "z" -> 2)
+    val V = 3; val B = 6.0 + V
+    def klOf(g: Map[String, Int]): Double = {
+      val A = g.values.sum + V.toDouble
+      corpus.keys.map { t =>
+        val p = (g.getOrElse(t, 0) + 1) / A
+        val q = (corpus(t) + 1) / B
+        p * math.log(p / q)
+      }.sum
+    }
+    assert(out("a")._1 == 3L && out("b")._1 == 3L)
+    assert(math.abs(out("a")._2 - klOf(Map("x" -> 2, "y" -> 1))) < 1e-4,
+      s"a: ${out("a")._2} vs ${klOf(Map("x" -> 2, "y" -> 1))}")
+    assert(math.abs(out("b")._2 - klOf(Map("x" -> 1, "z" -> 2))) < 1e-4)
+    graft.operators.OpCache.clear()
+  }
 }
