@@ -66,9 +66,17 @@ object Bench {
     // malformed value falls back to the default instead of crashing the
     // bench before any query runs (the emit-per-pass resilience would be
     // defeated by its own tuning knob).
-    val nPasses = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
-      .flatMap(v => scala.util.Try(v.trim.toInt).toOption).filter(_ >= 1)
-      .getOrElse(1)
+    val nPasses = sys.env.get("SPARK_GRAFT_BENCH_PASSES") match {
+      case None => 1
+      case Some(v) =>
+        scala.util.Try(v.trim.toInt).toOption.filter(_ >= 1).getOrElse {
+          // visible, not silent: a tuning session that thinks it asked
+          // for min-of-3 must not unknowingly record min-of-1 numbers
+          System.err.println(
+            s"[bench] SPARK_GRAFT_BENCH_PASSES='$v' is not a positive int — using 1")
+          1
+        }
+    }
     // A complete cumulative JSON line is emitted after EVERY pass (and a
     // per-query progress line to stderr after every query), so an
     // external timeout that kills the JVM mid-pass still leaves the

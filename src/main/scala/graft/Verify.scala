@@ -28,18 +28,16 @@ object Verify {
     // that tools/check.py surfaces as a warning; a full run clears it.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val marker = Paths.get(s"$outDir/FILTERED_RUN")
-    only match {
-      // ONLY this run's names are recorded as fresh — accumulating prior
-      // filtered runs' names (the round-3 form) let a dump written
-      // BEFORE later code edits keep counting as fresh, and check.py
-      // would compare it and print PASS against outdated Spark output
-      // (round-4 review). To compare several queries together, list them
-      // all in one SPARK_GRAFT_ONLY invocation.
-      case Some(names) =>
-        Files.writeString(marker, names.toSeq.sorted.mkString("\n"))
-      case None => Files.deleteIfExists(marker)
+    // a typo'd name would otherwise run ZERO queries yet mark itself
+    // fresh, and a scripted gate would go green with no coverage
+    // (round-4 review): fail loudly instead
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.mkString(", ")}")
     }
+    val marker = Paths.get(s"$outDir/FILTERED_RUN")
+    val succeeded = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -49,12 +47,28 @@ object Verify {
       // the stored-index query fail while its old dump kept passing)
       val dest = new java.io.File(s"$outDir/$name")
       if (dest.exists()) rmRec(dest)
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        succeeded += name
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       finally graft.operators.OpCache.clear() // release operator-internal persists
+    }
+    // The marker transitions AFTER the dumps, and records ONLY names
+    // whose dump succeeded THIS run: writing it up front (or
+    // accumulating prior runs' names — the round-3 form) let a JVM
+    // killed mid-run bless dumps it never rewrote, and check.py would
+    // PASS outdated Spark output (round-4 reviews). A kill mid-run now
+    // leaves the PREVIOUS marker state — conservative: stale-skip keeps
+    // applying. To compare several queries together, list them all in
+    // one SPARK_GRAFT_ONLY invocation.
+    only match {
+      case Some(_) =>
+        Files.writeString(marker, succeeded.sorted.mkString("\n"))
+      case None => Files.deleteIfExists(marker)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

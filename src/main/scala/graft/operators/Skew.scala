@@ -21,11 +21,13 @@ object Skew {
     * rows share a bucket — harmless for aggregation/join semantics, and
     * a duplicate-dominated hot key is a dedup problem, not a salt one.)
     *
-    * Map-typed columns are EXCLUDED from the hash: xxhash64 rejects
+    * Map-typed values are EXCLUDED from the hash: xxhash64 rejects
     * MapType at analysis time (map element order is undefined, so its
-    * hash would be too). Every other column participates — hashing the
-    * widest deterministic column set keeps near-duplicate rows (same
-    * key, low-cardinality values) spreading across buckets.
+    * hash would be too). Structs that CONTAIN a map still contribute
+    * their map-free subfields (recursed as `a.b` paths) — only the map
+    * itself, and arrays with maps inside (no per-element projection),
+    * drop out. The widest deterministic column set keeps near-duplicate
+    * rows (same key, low-cardinality values) spreading across buckets.
     */
   private def contentSalt(df: DataFrame, saltBuckets: Int): Column = {
     import org.apache.spark.sql.types._
@@ -35,10 +37,16 @@ object Skew {
       case a: ArrayType => hasMap(a.elementType)
       case _ => false
     }
+    def leaves(path: String, dt: DataType): Seq[Column] = dt match {
+      case s: StructType if hasMap(s) =>
+        s.fields.toIndexedSeq.flatMap(f => leaves(s"$path.`${f.name}`", f.dataType))
+      case t if hasMap(t) => Nil // map, or array with a map inside
+      case _ => Seq(col(path))
+    }
     val hashable = df.schema.fields.toIndexedSeq
-      .filterNot(f => hasMap(f.dataType)).map(f => col(f.name))
+      .flatMap(f => leaves(s"`${f.name}`", f.dataType))
     require(hashable.nonEmpty,
-      "contentSalt: every column is map-typed — no deterministic hash input")
+      "contentSalt: no map-free column content — no deterministic hash input")
     pmod(xxhash64(hashable: _*), lit(saltBuckets.toLong))
   }
 

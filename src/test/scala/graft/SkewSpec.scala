@@ -33,4 +33,23 @@ class SkewSpec extends SparkSpec {
       .select("k", "v", "name").orderBy("k", "v").collect()
     assert(salted.toSeq == plain.toSeq)
   }
+
+  test("map columns don't break the salt, and a map-carrying struct still spreads by its other fields") {
+    import org.apache.spark.sql.functions._
+    // xxhash64 rejects MapType at analysis time: the salt must skip the
+    // map itself but KEEP the struct's map-free sibling field — rows of
+    // the hot key differing only in meta.page must land in >1 bucket
+    val df = (1 to 200).map(i => (1L, i % 7, i.toDouble))
+      .toDF("k", "page", "v")
+      .withColumn("meta", struct(col("page"), map(lit("a"), col("v")).as("props")))
+      .drop("page")
+    val out = Skew.saltedGroupSum(df, "k", "v", saltBuckets = 8)
+      .collect().map(r => (r.getLong(0), r.getDecimal(1).doubleValue(), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, (1 to 200).map(_.toDouble).sum, 200L)))
+    // spread check: the stage-1 (key, salt) fan-out sees >1 distinct salt
+    val salts = df.select(
+        pmod(xxhash64(col("k"), col("v"), col("meta.`page`")), lit(8L)))
+      .distinct().count()
+    assert(salts > 1, "content salt collapsed to one bucket")
+  }
 }

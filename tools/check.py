@@ -98,4 +98,10 @@ if fresh is not None:
 compared = len(oracle) - len(stale)
 print(f"\n{compared - len(fails)}/{compared} compared queries pass"
       + (f" ({len(stale)} stale skipped)" if stale else ""))
+# comparing NOTHING is a failure, not a pass: a marker naming zero (or
+# only unknown) queries would otherwise let a scripted gate go green
+# with no coverage at all
+if compared == 0:
+    print("ERROR: zero queries compared — nothing was verified")
+    sys.exit(1)
 sys.exit(1 if fails else 0)
