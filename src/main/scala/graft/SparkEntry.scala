@@ -2482,7 +2482,7 @@ object SparkEntry {
                               / 4503599627370496.0)
                              / CAST(n_chars AS DOUBLE) AS esk
                     FROM documents
-                    WHERE n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0),
+                    WHERE isfinite(CAST(n_chars AS DOUBLE)) AND CAST(n_chars AS DOUBLE) > 0),
               top AS (SELECT doc_id, lang, n_chars FROM k
                       ORDER BY esk DESC, doc_id LIMIT 100)
          SELECT doc_id, lang, n_chars FROM top ORDER BY doc_id""",
@@ -2493,7 +2493,7 @@ object SparkEntry {
                               / 4503599627370496.0)
                              / CAST(n_chars AS DOUBLE) AS esk
                     FROM documents
-                    WHERE n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0),
+                    WHERE isfinite(CAST(n_chars AS DOUBLE)) AND CAST(n_chars AS DOUBLE) > 0),
               r AS (SELECT doc_id, lang, n_chars,
                            ROW_NUMBER() OVER (PARTITION BY lang
                              ORDER BY esk DESC, doc_id) AS rn

@@ -57,17 +57,22 @@ object Verify {
       }
       finally graft.operators.OpCache.clear() // release operator-internal persists
     }
-    // The marker transitions AFTER the dumps, and records ONLY names
-    // whose dump succeeded THIS run: writing it up front (or
-    // accumulating prior runs' names — the round-3 form) let a JVM
-    // killed mid-run bless dumps it never rewrote, and check.py would
-    // PASS outdated Spark output (round-4 reviews). A kill mid-run now
-    // leaves the PREVIOUS marker state — conservative: stale-skip keeps
-    // applying. To compare several queries together, list them all in
-    // one SPARK_GRAFT_ONLY invocation.
+    // The marker transitions AFTER the dumps, and records the REQUESTED
+    // set alongside the names whose dump succeeded THIS run: writing it
+    // up front (or accumulating prior runs' names — the round-3 form)
+    // let a JVM killed mid-run bless dumps it never rewrote, and
+    // check.py would PASS outdated Spark output (round-4 reviews), while
+    // recording only successes let a query that THREW during a filtered
+    // run be misread as merely stale and skipped instead of failed
+    // (round-4 advice). A kill mid-run still leaves the PREVIOUS marker
+    // state — conservative: stale-skip keeps applying. To compare
+    // several queries together, list them all in one SPARK_GRAFT_ONLY
+    // invocation. Names are bare identifiers, so plain quoting is JSON-safe.
     only match {
-      case Some(_) =>
-        Files.writeString(marker, succeeded.sorted.mkString("\n"))
+      case Some(names) =>
+        def arr(xs: Seq[String]) = xs.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+        Files.writeString(marker,
+          s"""{"requested": ${arr(names.toSeq)}, "succeeded": ${arr(succeeded.toSeq)}}""")
       case None => Files.deleteIfExists(marker)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -123,14 +123,17 @@ object Analytics {
     * Scale: one narrow map pass + `orderBy().limit(n)` →
     * TakeOrderedAndProject (per-partition n-heaps, driver merge — no
     * global sort, no window). u = (h52 + 0.5)/2⁵² keeps u strictly
-    * inside (0,1) so ln(u) is finite; rows with NULL or non-positive
-    * weight are excluded (they have inclusion probability 0 and ln(u)/w
-    * would flip sign). Ties (same key) break by id in both engines.
+    * inside (0,1) so ln(u) is finite; rows with NULL, NaN, ±Inf or
+    * non-positive weight are excluded — the shared [[finite]] discipline
+    * (Spark's `NaN > 0` is false but DuckDB sorts NaN above everything,
+    * so only an explicit finiteness filter keeps the two engines'
+    * samples identical; +Inf would likewise always win the draw). Ties
+    * (same key) break by id in both engines.
     */
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
                      n: Int, salt: String): DataFrame = {
     require(n >= 1, s"weightedSample: n must be >= 1, got $n")
-    df.filter(esWeight(weightCol).isNotNull && esWeight(weightCol) > 0)
+    df.filter(finite(col(weightCol)) && esWeight(weightCol) > 0)
       .withColumn("__esk", esKey(idCol, weightCol, salt))
       .orderBy(col("__esk").desc, col(idCol).asc)
       .limit(n)
@@ -168,7 +171,7 @@ object Analytics {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(col("__esk").desc, col(idCol).asc)
-    df.filter(esWeight(weightCol).isNotNull && esWeight(weightCol) > 0)
+    df.filter(finite(col(weightCol)) && esWeight(weightCol) > 0)
       .withColumn("__esk", esKey(idCol, weightCol, salt))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= nPerGroup)

@@ -61,16 +61,23 @@ object EventParse {
     * the first `<...>`/`[...]` segment of the (already HTML-unescaped —
     * F14 is a source-adapter concern) goods name, falling back to the
     * event title when the goods name carries none. The reference's
-    * post-normalization falsy check (`if not movie_title`) means a
-    * matched-but-blank segment also falls through — mirrored here by
-    * mapping a blank trimmed group to null before the coalesce. The
-    * result feeds [[graft.operators.FuzzyMatch.phasedBestMatch]], which
-    * is the reference's `_normalize_movie_title` catalog ladder (:56-127).
+    * falsy check (`if not movie_title`) runs AFTER
+    * `_normalize_movie_title`'s cleanup prefix (:56-61: strip bracket
+    * segments, then every char outside 한글/alnum/space, then collapse
+    * whitespace) — so a non-blank extract made of ONLY special
+    * characters (e.g. `<!!>`) also falls through to the event title.
+    * Mirrored here: the null test applies that cleanup to the trimmed
+    * segment, while the VALUE kept is the raw trimmed segment — the
+    * catalog ladder downstream
+    * ([[graft.operators.FuzzyMatch.phasedBestMatch]], the reference's
+    * `_normalize_movie_title` body :62-127) does its own normalization.
     */
   def megaboxMovieTitle(goodsName: Column, eventTitle: Column): Column = {
     def seg(c: Column): Column = {
       val m = trim(regexp_extract(c, MegaboxBracket, 1))
-      when(length(m) > 0, m)
+      val cleaned = trim(regexp_replace(
+        regexp_replace(m, MegaboxBracket, ""), "[^가-힣a-zA-Z0-9\\s]", ""))
+      when(length(cleaned) > 0, m)
     }
     coalesce(seg(goodsName), seg(eventTitle))
   }

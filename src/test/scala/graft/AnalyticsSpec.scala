@@ -290,7 +290,11 @@ class AnalyticsSpec extends SparkSpec {
     // any top-3 with near-certainty, and the md5 draw is FIXED, so this
     // assertion is deterministic, not flaky
     val df = (Seq((1L, Option(1e6))) ++ (2L to 10L).map(i => (i, Option(1.0))) ++
-      Seq((11L, Option(0.0)), (12L, Option(-5.0)), (13L, None: Option[Double])))
+      Seq((11L, Option(0.0)), (12L, Option(-5.0)), (13L, None: Option[Double]),
+        // non-finite weights ride the shared finite() discipline: DuckDB
+        // sorts NaN above everything and +Inf always wins ln(u)/w, so
+        // both engines must EXCLUDE them for the samples to agree
+        (14L, Option(Double.NaN)), (15L, Option(Double.PositiveInfinity))))
       .toDF("id", "w")
     val sampled = Analytics.weightedSample(df, "id", "w", n = 3, salt = "t")
     // orderBy().limit() must plan as the per-partition top-n heap, not a
@@ -298,7 +302,7 @@ class AnalyticsSpec extends SparkSpec {
     assert(sampled.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
     val s1 = sampled.select("id").as[Long].collect().toSet
     assert(s1.contains(1L) && s1.size == 3)
-    assert(Seq(11L, 12L, 13L).forall(!s1.contains(_)))
+    assert(Seq(11L, 12L, 13L, 14L, 15L).forall(!s1.contains(_)))
     // identical rerun → identical sample (pure function of id/salt/w)
     val s2 = Analytics.weightedSample(df, "id", "w", n = 3, salt = "t")
       .select("id").as[Long].collect().toSet

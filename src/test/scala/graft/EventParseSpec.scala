@@ -86,6 +86,18 @@ class EventParseSpec extends SparkSpec {
     assert(out.head == ("하얼빈", "굿즈", "", null))
   }
 
+  test("megabox: special-char-only bracket falls through like blank (post-normalize falsy parity)") {
+    // '<!!>' extracts '!!', which the reference's _normalize_movie_title
+    // cleanup reduces to '' (falsy) BEFORE the `if not movie_title`
+    // check — so it falls back to the event title; with no title match
+    // anywhere the goods name must pass through untouched
+    val out = parseMegabox(Seq(
+      ("<!!> 굿즈", "[하얼빈] 이벤트", ""),
+      ("<?!> 아트카드", "특별전", "")))
+    assert(out.head == ("하얼빈", "굿즈", "", null))
+    assert(out(1) == (null, "<?!> 아트카드", "", null))
+  }
+
   test("megabox: extra ~ segments drop like Python dates[1]; null period → null dates") {
     val out = parseMegabox(Seq(
       ("[A] 카드", "ev", "1 ~ 2 ~ 3"),

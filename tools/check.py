@@ -2,7 +2,10 @@
 """Local replica of the driver's correctness gate: run graft.Verify via sbt,
 then execute each oracle SQL in DuckDB over the same parquet tables and
 compare against the Spark-written result parquet (columns sorted by name,
-exact value compare). Usage: python3 tools/check.py [sfDir] [--skip-verify]
+exact value compare).
+Usage: python3 tools/check.py [sfDir] [--skip-verify] [--allow-stale]
+(--allow-stale: tolerate a filtered Verify's stale-skipped dumps — local
+iteration only; without it any stale skip fails the gate.)
 """
 import json, subprocess, sys, os
 
@@ -32,16 +35,34 @@ oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 # A FILTERED Verify rewrote only the listed dumps; every other dump on disk
 # is from an older code state. Comparing those would print PASS against
 # stale outputs — the exact false blessing the marker exists to prevent —
-# so they are flagged STALE and skipped, not compared.
+# so they are flagged STALE and skipped, not compared. The marker records
+# BOTH the requested and the succeeded set: a query that was requested but
+# produced no dump THREW during Verify — that is a FAIL, not a stale skip
+# (Verify deleted its old dump before the failed rewrite).
 marker = f"{OUT}/FILTERED_RUN"
-fresh = set(open(marker).read().split()) if os.path.exists(marker) else None
+fresh = requested = None
+if os.path.exists(marker):
+    txt = open(marker).read()
+    try:
+        m = json.loads(txt)
+        fresh, requested = set(m["succeeded"]), set(m["requested"])
+    except (json.JSONDecodeError, KeyError, TypeError):
+        # pre-round-5 plain-text marker: names are the succeeded set and
+        # nothing more is known about what was requested
+        fresh = set(txt.split())
+        requested = set(fresh)
 
 fails = []
 stale = []
 for name, sql in sorted(oracle.items()):
     if fresh is not None and name not in fresh:
-        stale.append(name)
-        print(f"STALE {name}: dump predates the last (filtered) Verify run — not compared")
+        if name in requested:
+            fails.append(name)
+            print(f"FAIL {name}: requested by the filtered Verify run but no dump was "
+                  f"written — the query threw (see the Verify stderr)")
+        else:
+            stale.append(name)
+            print(f"STALE {name}: dump predates the last (filtered) Verify run — not compared")
         continue
     path = f"{OUT}/{name}"
     if not os.path.isdir(path):
@@ -103,5 +124,12 @@ print(f"\n{compared - len(fails)}/{compared} compared queries pass"
 # with no coverage at all
 if compared == 0:
     print("ERROR: zero queries compared — nothing was verified")
+    sys.exit(1)
+# a PARTIALLY stale run is not a green run either: an automated caller
+# reading exit 0 would bless queries that were never compared. Local
+# iteration on a few queries opts in explicitly with --allow-stale.
+if stale and "--allow-stale" not in sys.argv:
+    print(f"ERROR: {len(stale)} stale dumps were skipped, not verified — "
+          f"rerun an unfiltered Verify (or pass --allow-stale for local iteration)")
     sys.exit(1)
 sys.exit(1 if fails else 0)
