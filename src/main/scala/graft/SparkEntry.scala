@@ -558,6 +558,16 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // hot-shingle df-cap: same Jaccard pair form, but shingles in more
+    // than maxShingleDf docs leave the universe before the self-join —
+    // the guard that keeps boilerplate from making the direct pair form
+    // quadratic; scores are exact over the capped universe
+    "q_dedup_jaccard_capped" -> ((s, dir) => {
+      Dedup.jaccardPairsFromText(t(s, dir, "documents"), "doc_id", "text",
+          k = 5, threshold = 0.2, maxShingleDf = Some(2L))
+        .orderBy("id_a", "id_b")
+    }),
+
     // asymmetric containment pairs: |A∩B| / min(|A|,|B|) over 5-gram
     // shingles — catches a short doc quoted inside a long one, which
     // Jaccard's union-denominator structurally misses
@@ -1797,6 +1807,27 @@ object SparkEntry {
                 CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) AS jaccard
          FROM p JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
          WHERE CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) >= 0.8
+         ORDER BY id_a, id_b""",
+
+    // capped universe: shingles with df > 2 are dropped BEFORE the pair
+    // join, and per-doc counts are recomputed over the survivors — the
+    // engine's maxShingleDf semantics, mirrored term for term
+    "q_dedup_jaccard_capped" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+                       FROM documents),
+              ser AS (SELECT unnest(generate_series(1, (SELECT COALESCE(MAX(len(t)), 1) FROM toks))) AS i),
+              sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS s
+                     FROM toks JOIN ser ON i <= len(t) - 4),
+              hot AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) > 2),
+              u AS (SELECT sh.doc_id, sh.s FROM sh ANTI JOIN hot USING (s)),
+              cnt AS (SELECT doc_id, COUNT(*) AS n FROM u GROUP BY doc_id),
+              p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+                    FROM u a JOIN u b ON a.s = b.s AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+         SELECT id_a, id_b, shared,
+                CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) AS jaccard
+         FROM p JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+         WHERE CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) >= 0.2
          ORDER BY id_a, id_b""",
 
     "q_dedup_containment" ->

@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions._
   * (band, band_signature) buckets, and only candidates pay the exact
   * Jaccard verification. The plain shingle-join variant is kept for
   * corpora where shingle collisions are rare (and as the verification
-  * step); its join key is the shingle itself, so a hot shingle would need
-  * the usual df-cap/salting treatment — noted inline.
+  * step); its join key is the shingle itself, so a hot shingle is
+  * bounded by the `maxShingleDf` frequency cap on
+  * [[jaccardPairsFromText]]/[[containmentPairs]].
   *
   * Portability: MinHash hash function i is the lexicographic MIN over a
   * 16-hex-char window of each shingle's doubled md5 digest — fully
@@ -71,8 +72,9 @@ object Dedup {
     *     jaccard denominator needs no extra join.
     */
   def jaccardPairsFromText(df: DataFrame, idCol: String, textCol: String,
-                           k: Int, threshold: Double): DataFrame =
-    sharedShingleCounts(df, idCol, textCol, k)
+                           k: Int, threshold: Double,
+                           maxShingleDf: Option[Long] = None): DataFrame =
+    sharedShingleCounts(df, idCol, textCol, k, maxShingleDf)
       .withColumn("jaccard",
         col("shared").cast("double")
           / (col("n_a") + col("n_b") - col("shared")).cast("double"))
@@ -82,20 +84,48 @@ object Dedup {
   /** Shared candidate core of [[jaccardPairsFromText]] and
     * [[containmentPairs]]: (id_a, id_b, n_a, n_b, shared) for every pair
     * of documents co-occurring on ≥1 shingle hash — the per-doc shingle
-    * counts ride the exploded rows so no score needs an extra join. One
-    * place to apply the hot-shingle df-cap when a corpus needs it.
+    * counts ride the exploded rows so no score needs an extra join.
+    *
+    * `maxShingleDf` is the hot-shingle frequency cap: shingles whose
+    * document frequency exceeds it are removed from the universe BEFORE
+    * the self-join — a single boilerplate shingle (license header,
+    * templated page) in 10⁶ docs would otherwise alone generate ~10¹²
+    * candidate pairs, the one way these direct pair forms go quadratic
+    * (the LSH/banding paths bound candidates by construction). Scores
+    * are then exact Jaccard/containment over the CAPPED shingle
+    * universe: the hot shingles leave numerator and denominators
+    * together, so surviving scores stay internally consistent — the
+    * standard stop-shingle treatment in near-dup practice. None (the
+    * default) keeps the exact uncapped semantics and plan.
     */
   private def sharedShingleCounts(df: DataFrame, idCol: String,
-                                  textCol: String, k: Int): DataFrame = {
+                                  textCol: String, k: Int,
+                                  maxShingleDf: Option[Long] = None): DataFrame = {
     val spark = df.sparkSession
     // persisted: the self-join would otherwise recompute the shingle
     // hashing for BOTH sides (alias mismatch defeats ReuseExchange)
-    val ex = OpCache.persist(Stage.spread(df)
+    val exploded = Stage.spread(df)
       .select(col(idCol),
         graft.functions.ShingleHash64(spark,
           TextAnalysis.tokens(col(textCol)), k).as("hs"))
       .filter(size(col("hs")) > 0)
-      .select(col(idCol), size(col("hs")).as("n"), explode(col("hs")).as("h")))
+      .select(col(idCol), size(col("hs")).as("n"), explode(col("hs")).as("h"))
+    val ex = maxShingleDf match {
+      case None => OpCache.persist(exploded)
+      case Some(cap) =>
+        require(cap >= 1, s"maxShingleDf must be >= 1, got $cap")
+        // ShingleHash64 emits per-doc DISTINCT hashes, so count(1) per
+        // hash IS document frequency. The hot set (df > cap) is tiny by
+        // construction — AQE turns the anti-join into a broadcast — and
+        // per-doc sizes are recomputed over the surviving universe so
+        // the score denominators match the capped numerator.
+        val raw = OpCache.persist(exploded.drop("n"))
+        val hot = raw.groupBy("h").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > cap).select("h")
+        OpCache.persist(raw.join(hot, Seq("h"), "left_anti")
+          .withColumn("n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col(idCol)))))
+    }
     val a = ex.select(col(idCol).as("id_a"), col("n").as("n_a"), col("h"))
     val b = ex.select(col(idCol).as("id_b"), col("n").as("n_b"), col("h"))
     a.join(b, Seq("h")).filter(col("id_a") < col("id_b"))
@@ -112,8 +142,9 @@ object Dedup {
     * self-join, counts riding the exploded rows — only the score differs.
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
-                       k: Int, threshold: Double): DataFrame =
-    sharedShingleCounts(df, idCol, textCol, k)
+                       k: Int, threshold: Double,
+                       maxShingleDf: Option[Long] = None): DataFrame =
+    sharedShingleCounts(df, idCol, textCol, k, maxShingleDf)
       .withColumn("containment",
         col("shared").cast("double") / least(col("n_a"), col("n_b")).cast("double"))
       .filter(col("containment") >= threshold)

@@ -51,6 +51,35 @@ class DedupSpec extends SparkSpec {
     assert(jac.count() == 0)
   }
 
+  test("maxShingleDf drops a planted hot shingle: pair count bounded, cold scores untouched") {
+    // 12 boilerplate docs share ONE hot 5-gram run (a license header) but
+    // are otherwise pairwise-disjoint — the quadratic blowup shape: the
+    // hot shingles alone produce all C(12,2)=66 pairs uncapped
+    val boiler = "licensed under the creative commons attribution license"
+    val docs = (1L to 12L).map(i =>
+      (i, s"$boiler unique${i}a unique${i}b unique${i}c unique${i}d unique${i}e")) ++
+      Seq((21L, near1), (22L, near2)) // a genuine near-dup pair, df=2 shingles
+    val df = docs.toDF("doc_id", "text")
+    val uncapped = Dedup.jaccardPairsFromText(df, "doc_id", "text", k = 5, threshold = 0.01)
+      .collect()
+    assert(uncapped.count(r => r.getLong(0) <= 12L) == 66)
+    // cap at df 5: the hot shingles (df=12) leave the universe; the 66
+    // boilerplate pairs vanish while the near-dup pair survives with its
+    // score EXACTLY as uncapped (its shingles' df=2 is under the cap and
+    // its docs carry no hot shingle, so n_a/n_b are unchanged)
+    val capped = Dedup.jaccardPairsFromText(df, "doc_id", "text", k = 5,
+      threshold = 0.01, maxShingleDf = Some(5L)).collect()
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((21L, 22L)))
+    val uncappedNearDup = uncapped.find(_.getLong(0) == 21L).get
+    assert(capped.head.getAs[Double]("jaccard") == uncappedNearDup.getAs[Double]("jaccard"))
+    // same cap on the containment form; a doc whose EVERY shingle is hot
+    // (pure boilerplate) simply drops out of the capped universe
+    val pure = df.union(Seq((30L, boiler)).toDF("doc_id", "text"))
+    val cont = Dedup.containmentPairs(pure, "doc_id", "text", k = 5,
+      threshold = 0.5, maxShingleDf = Some(5L)).collect()
+    assert(cont.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((21L, 22L)))
+  }
+
   test("minhashLshPairs recovers the same near-dup pair via banding") {
     val df = Seq((1L, near1), (2L, near2), (3L, other)).toDF("doc_id", "text")
     val pairs = Dedup.minhashLshPairs(df, "doc_id", "text",
