@@ -809,11 +809,14 @@ object SparkEntry {
 
     // SemDeDup semantic dedup (Abbas et al. 2023): 16 deterministic
     // cells, within-cell cosine ≥ 0.3 components, min-id survivor per
-    // component with its cluster size
+    // component with its cluster size. The generous maxCellSize keeps
+    // the oversized-cell guard in the exercised plan (it never trips on
+    // balanced cells — it exists to fail degenerate centroid sets loudly)
     "q_dedup_semantic" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.semanticDedup(emb, "vec_id", "embedding",
-          emb.filter(col("vec_id") < 16), threshold = 0.3)
+          emb.filter(col("vec_id") < 16), threshold = 0.3,
+          maxCellSize = Some(1000000L))
         .orderBy("vec_id")
     }),
 

@@ -214,13 +214,42 @@ object Similarity {
     * 50k cells over 5B docs). Like the paper — and unlike the LSH
     * near-dup path — a cross-CELL near-identical pair is deliberately
     * NOT collapsed; that trade is what bounds the pair space.
+    *
+    * `maxCellSize` ENFORCES that bound instead of assuming it: a
+    * degenerate centroid set (or a near-duplicate-dominated corpus) can
+    * funnel the whole corpus into one cell, turning the within-cell
+    * join quadratic with no visible symptom but a hung stage. With a
+    * cap, cell sizes are checked in-plan on the pair join's input and
+    * an oversized cell fails the job LOUDLY (the zorderKey discipline)
+    * naming the cell and its size — the fix is better/more centroids,
+    * never a silent partial dedup. None keeps the unguarded plan.
     */
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
-                    centroids: DataFrame, threshold: Double): DataFrame = {
+                    centroids: DataFrame, threshold: Double,
+                    maxCellSize: Option[Long] = None): DataFrame = {
     val fv = OpCache.persist(fixedVectors(Stage.spread(corpus), idCol, vecCol))
     val assigned = OpCache.persist(ivfAssignWith(fv, centroids, idCol))
-    val pairs0 = assigned.select(col(idCol).as("id_a"), col("centroid_id"))
-      .join(assigned.select(col(idCol).as("id_b"), col("centroid_id")), "centroid_id")
+    val guarded = maxCellSize match {
+      case None => assigned
+      case Some(cap) =>
+        require(cap >= 1, s"semanticDedup: maxCellSize must be >= 1, got $cap")
+        // one tiny aggregate (≤ nCells rows, broadcast back) over the
+        // already-persisted assignment; assert_true evaluates on every
+        // pair-join input row, so an oversized cell throws before the
+        // quadratic join runs. The filter on the always-null assert
+        // output is what keeps column pruning from dropping the check.
+        val sizes = assigned.groupBy("centroid_id").agg(count(lit(1)).as("__cs"))
+        assigned.join(broadcast(sizes), "centroid_id")
+          .withColumn("__guard", assert_true(col("__cs") <= cap,
+            format_string("semanticDedup: cell %s holds %s docs > maxCellSize=" +
+                cap + " — the within-cell pair join would be quadratic; " +
+                "use more (or better-spread) centroids, or raise the cap",
+              col("centroid_id"), col("__cs"))))
+          .filter(col("__guard").isNull)
+          .drop("__cs", "__guard")
+    }
+    val pairs0 = guarded.select(col(idCol).as("id_a"), col("centroid_id"))
+      .join(guarded.select(col(idCol).as("id_b"), col("centroid_id")), "centroid_id")
       .filter(col("id_a") < col("id_b"))
     val pairs = pairCosine(pairs0, fv)
       .filter(col("cos_sim") >= threshold)

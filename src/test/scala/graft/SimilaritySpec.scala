@@ -306,6 +306,37 @@ class SimilaritySpec extends SparkSpec {
     graft.operators.OpCache.clear()
   }
 
+  test("semanticDedup maxCellSize fails a degenerate centroid set loudly, passes balanced cells") {
+    import spark.implicits._
+    // all six docs point the same way → ONE centroid swallows the whole
+    // corpus: exactly the silent-quadratic shape the guard exists for
+    val clump = (0L to 5L).map(i => i -> Array(1.0f, i * 1e-4f, 0.0f, 0.0f))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.semanticDedup(clump, "vec_id", "embedding",
+        clump.filter(col("vec_id") < 1), threshold = 0.9,
+        maxCellSize = Some(4L)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("maxCellSize")),
+      s"expected the maxCellSize guard message, got: ${messages(e).mkString(" | ")}")
+    graft.operators.OpCache.clear()
+    // a cap the cells respect changes NOTHING: same survivors as the
+    // unguarded run on the two-cell fixture above
+    val vecs = Seq(
+      0L -> Array(1.0f, 0.0f, 0.0f, 0.0f),
+      1L -> Array(0.0f, 1.0f, 0.0f, 0.0f),
+      2L -> Array(1.0f, 0.0f, 0.0f, 0.0f),
+      3L -> Array(0.0f, 1.0f, 0.0f, 0.0f))
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(df, "vec_id", "embedding",
+        df.filter(col("vec_id") < 2), threshold = 0.8, maxCellSize = Some(2L))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(0L -> 2L, 1L -> 2L))
+    graft.operators.OpCache.clear()
+  }
+
   test("lshBuckets fails loudly on embedding length mismatch (ADVICE r1)") {
     val bad = Seq((1L, Array(0.1f, 0.2f, 0.3f))).toDF("vec_id", "embedding")
     val e = intercept[Exception] {
