@@ -232,59 +232,94 @@ object Dedup {
     * (canonical = MIN id) is well-defined even for chains a~b~c where
     * a≁c directly.
     *
-    * Min-label propagation: every node starts labeled with its own id;
-    * each round every node takes the min of its own and its neighbors'
-    * labels, until a fixpoint. Each round is one distributed
-    * join+aggregate keyed by node (no driver-side graph state — the
-    * driver only checks the converged flag), and the round count is the
-    * cluster DIAMETER, which for near-dup clusters is small. Returns
-    * (id, comp) for every node that appears in some pair.
+    * Alternating large-star/small-star contraction (Kiveris et al. 2014,
+    * "Connected Components in MapReduce and Beyond"): edges stay
+    * oriented (bigger, smaller); large-star rewires every
+    * larger-than-self neighbor of each node to the node's neighborhood
+    * minimum, small-star rewires the smaller neighbors. The alternation
+    * converges to a star forest whose roots are component minima in
+    * O(log² n) rounds REGARDLESS of component diameter — the property
+    * min-label propagation lacks: its round count is the diameter, and
+    * span dedup or quote chains produce long paths (a 10⁴-hop chain
+    * would mean 10⁴ rounds of propagation but ~13 star rounds). Each
+    * round is two groupBy+join passes over the edge set, keyed by node
+    * — no driver-side graph state; the driver only runs the converged
+    * check. Returns (id, comp) for every node that appears in some
+    * pair, comp = the component's minimum id.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25): DataFrame =
+    connectedComponentsWithRounds(pairs, aCol, bCol, maxIter)._1
+
+  /** [[connectedComponents]] exposing the converged round count — the
+    * spec pins the O(log²) behavior on a long path with it. */
+  private[graft] def connectedComponentsWithRounds(
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): (DataFrame, Int) = {
     // localCheckpoint, NOT persist: persist caches the DATA but the logical
-    // plan keeps growing — after k iterations the plan tree holds O(2^k)
+    // plan keeps growing — after k rounds the plan tree holds O(4^k)
     // copies of the upstream pair-generation pipeline, and Catalyst
     // (analysis, optimization, even Expression.toString in logs) walks all
     // of it on the driver every round. Checkpointing truncates the plan to
-    // a LogicalRDD so each iteration's plan is constant-size. Same pattern
+    // a LogicalRDD so each round's plan is constant-size. Same pattern
     // a 1000-executor run needs (there with reliable checkpoint dirs to
     // also bound failure-recovery lineage).
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    var e = pairs
+      .select(greatest(col(aCol), col(bCol)).as("a"),
+              least(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b"))
       .distinct()
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint(true)
-    def hop(l: DataFrame): DataFrame =
-      l.join(
-          edges.join(l.select(col("id").as("src"), col("comp")), "src")
-            .groupBy(col("dst").as("id")).agg(min(col("comp")).as("nbr")),
-          Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"),
-          (coalesce(col("nbr"), col("comp")) < col("comp")).as("__chg"))
+
+    // large-star: per node u, m = min(Γ(u) ∪ {u}); every neighbor v > u
+    // re-targets to m. Output stays (bigger, smaller): v > u ≥ m.
+    def largeStar(ed: DataFrame): DataFrame = {
+      val bi = ed.select(col("a").as("u"), col("b").as("v"))
+        .union(ed.select(col("b").as("u"), col("a").as("v")))
+      val mn = bi.groupBy("u").agg(min(col("v")).as("mv"))
+      bi.join(mn, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("a"), least(col("u"), col("mv")).as("b"))
+        .distinct()
+    }
+    // small-star: edges already orient (bigger u, smaller v); per u,
+    // m = min of its smaller neighbors — they re-target to m, and u
+    // keeps (u, m). Both outputs stay (bigger, smaller).
+    def smallStar(ed: DataFrame): DataFrame = {
+      val mn = ed.groupBy("a").agg(min(col("b")).as("m"))
+      ed.join(mn, "a")
+        .filter(col("b") =!= col("m"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .union(mn.select(col("a"), col("m").as("b")))
+        .distinct()
+    }
+    // Converged ⇔ the edge set is a star forest: no target is also a
+    // source (chains are gone) and every source has exactly one root.
+    // A star forest oriented (bigger, smaller) necessarily roots each
+    // star at its component MINIMUM — which is why the check certifies
+    // the answer, not just a fixpoint. Two O(|E|) probe jobs per round.
+    def isStarForest(ed: DataFrame): Boolean = {
+      val multiOut = ed.groupBy("a").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1)
+      val chained = ed.select(col("b")).distinct()
+        .join(ed.select(col("a").as("b")).distinct(), "b")
+      multiOut.isEmpty && chained.isEmpty
+    }
     var iter = 0
-    var done = labels.isEmpty
+    var done = isStarForest(e)
     while (!done && iter < maxIter) {
-      // two label hops per materialization: the uncheckpointed middle plan
-      // is only ~4× the base tree (safe), while checkpoint + convergence
-      // jobs — the per-round fixed cost that dominates when label tables
-      // are small relative to cluster overhead — run half as often.
-      // lazy checkpoint: the convergence count below is the action that
-      // materializes it — one job per round instead of checkpoint + count
-      val next = hop(hop(labels).drop("__chg")).localCheckpoint(false)
-      done = next.filter(col("__chg")).count() == 0
-      labels = next.drop("__chg")
+      e = smallStar(largeStar(e)).localCheckpoint(true)
+      done = isStarForest(e)
       iter += 1
     }
-    // fail loudly: unconverged labels would silently keep multiple docs
+    // fail loudly: unconverged edges would silently keep multiple docs
     // per cluster downstream, indistinguishable from a correct run
     if (!done) throw new IllegalStateException(
-      s"connectedComponents did not converge within $maxIter double-hop rounds " +
-        s"(cluster diameter > ${2 * maxIter}); raise maxIter")
-    labels
+      s"connectedComponents did not converge within $maxIter star rounds; " +
+        "raise maxIter")
+    val labels = e.select(col("a").as("id"), col("b").as("comp"))
+      .union(e.select(col("b").as("id"), col("b").as("comp")).distinct())
+    (labels, iter)
   }
 
   /** Distinct word k-gram shingles as ONE array column per document —

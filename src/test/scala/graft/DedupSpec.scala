@@ -107,6 +107,33 @@ class DedupSpec extends SparkSpec {
     graft.operators.OpCache.clear()
   }
 
+  test("connectedComponents converges in O(log^2) rounds on a 100-node path, not in diameter rounds") {
+    import spark.implicits._
+    // a 100-node path (diameter 99): label propagation would need ~50
+    // double-hop rounds; star contraction must stay logarithmic. The
+    // balanced comparison shape is a complete binary tree over the same
+    // 100 nodes (diameter ~12) — the verdict's bound: path rounds ≤ 2×
+    // balanced rounds.
+    val path = (0L until 99L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (pl, pathRounds) = graft.operators.Dedup
+      .connectedComponentsWithRounds(path, "id_a", "id_b")
+    val pathComp = pl.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pathComp.size == 100 && pathComp.values.forall(_ == 0L),
+      s"path must collapse to one min-id component, got ${pathComp.values.toSet}")
+    // balanced tree with ARBITRARY labels (heap indexing would hand the
+    // min-orientation a head start): a fixed modular bijection scrambles
+    // node ids while keeping the structure balanced
+    def p(i: Long): Long = (37L * i + 11L) % 100L
+    val tree = (1L until 100L).map(i => (p(i), p((i - 1) / 2))).toDF("id_a", "id_b")
+    val (tl, treeRounds) = graft.operators.Dedup
+      .connectedComponentsWithRounds(tree, "id_a", "id_b")
+    assert(tl.collect().map(_.getLong(1)).toSet.size == 1,
+      "scrambled tree must still collapse to one component")
+    assert(pathRounds <= 2 * treeRounds,
+      s"path took $pathRounds rounds vs balanced $treeRounds — diameter-bound, not log-bound")
+    graft.operators.OpCache.clear()
+  }
+
   test("incrementalNearDups finds fresh-vs-index and fresh-vs-fresh pairs, once each") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
