@@ -1031,6 +1031,70 @@ object SparkEntry {
         .orderBy("user_id", "session_id")
     }),
 
+    // ---- streaming batch-agreement gates (VERDICT r4 #4): each drains
+    // an AvailableNow run of a streaming component over the same parquet
+    // the batch dual reads, and the DuckDB oracle states the batch
+    // semantics — hash-level agreement, not just spec assertions ----
+
+    // streaming exact dedup vs batch distinct-content set: the emitted
+    // row set of dropDuplicates(content_hash) is one row per distinct
+    // content; WHICH duplicate survives is arrival-order-dependent, so
+    // the agreement surface is the deterministic hash set
+    "q_stream_dedup_firstseen" -> ((s, dir) => {
+      val batch = t(s, dir, "documents")
+      graft.streaming.StreamDrain.drain(s, s"$dir/documents.parquet",
+          batch.schema, "stream_dedup_firstseen", "append") { src =>
+        graft.streaming.StreamingDedup.firstSeen(src, "doc_id", "text")
+          .select("content_hash")
+      }.orderBy("content_hash")
+    }),
+
+    // streaming gap sessionization (session_window, complete mode) vs
+    // the batch gaps-and-islands dual: final session state must equal
+    // batch sessions exactly — start = first event, end = last event +
+    // gap, count and decimal-exact value total per session. value rides
+    // as DECIMAL(38,6) through the streaming sum so partial-aggregation
+    // order can't perturb the double (the sumd discipline), and
+    // timestamps compare as epoch micros in both engines.
+    "q_stream_sessionize" -> ((s, dir) => {
+      val batch = t(s, dir, "events")
+      graft.streaming.StreamDrain.drain(s, s"$dir/events.parquet",
+          batch.schema, "stream_sessionize", "complete") { src =>
+        val ev = src.select(col("user_id"),
+          timestamp_micros(expr("ts div 1000")).as("event_ts"),
+          dec(col("value")).as("value"))
+        graft.streaming.SessionWindows.sessionTotals(
+          ev, "event_ts", "user_id", gap = "4 hours")
+      }.select(col("user_id"),
+          unix_micros(col("session_start")).as("session_start_us"),
+          unix_micros(col("session_end")).as("session_end_us"),
+          col("n_events"),
+          col("total_value").cast("double").as("total_value"))
+        .orderBy("user_id", "session_start_us")
+    }),
+
+    // watermarked stream-stream interval join vs the batch range join:
+    // click→purchase attribution within 1 hour on the same user. The
+    // generous watermark keeps every row in state for the whole bounded
+    // drain (nothing evicts, nothing is late), so the inner-join output
+    // must equal the batch pair set exactly.
+    "q_stream_interval_join" -> ((s, dir) => {
+      val batch = t(s, dir, "events")
+      graft.streaming.StreamDrain.drain(s, s"$dir/events.parquet",
+          batch.schema, "stream_interval_join", "append") { src =>
+        def side(kind: String) = src.filter(col("event_type") === kind)
+          .select(col("user_id"),
+            timestamp_micros(expr("ts div 1000")).as("event_ts"),
+            col("event_id"))
+        graft.streaming.StreamStreamJoin.intervalJoin(
+          side("click"), side("purchase"), "user_id", "event_ts",
+          within = "1 hour", watermark = "3650 days")
+      }.select(col("user_id"),
+          unix_micros(col("event_ts")).as("ts_us"), col("event_id"),
+          unix_micros(col("event_ts_r")).as("ts_r_us"), col("event_id_r"))
+        .orderBy("user_id", "ts_us", "event_id", "ts_r_us", "event_id_r")
+    }),
+
     // dedup clustering: near-dup pairs → connected components → canonical
     // cluster id (min doc id) per document
     "q_dedup_clusters" -> ((s, dir) => {
@@ -1952,6 +2016,42 @@ object SparkEntry {
                 MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
                 CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
          FROM sid GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+
+    // streaming agreement oracles: each states the BATCH semantics the
+    // drained streaming run must reproduce exactly
+    "q_stream_dedup_firstseen" ->
+      """SELECT DISTINCT md5(text) AS content_hash FROM documents
+         ORDER BY content_hash""",
+
+    // session_window merges events whose gap is STRICTLY under 4h
+    // (windows [t, t+gap) that merely touch do not overlap), so the
+    // batch break condition is >= gap; end = last event + gap
+    "q_stream_sessionize" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+              l AS (SELECT *, LAG(ts_us) OVER (PARTITION BY user_id
+                      ORDER BY ts_us) AS prev FROM ev),
+              b AS (SELECT *, CASE WHEN prev IS NULL OR ts_us - prev >= 14400000000
+                                   THEN 1 ELSE 0 END AS brk FROM l),
+              sid AS (SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id
+                        ORDER BY ts_us
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                        AS session_id FROM b)
+         SELECT user_id, MIN(ts_us) AS session_start_us,
+                MAX(ts_us) + 14400000000 AS session_end_us,
+                COUNT(*) AS n_events,
+                CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+         FROM sid GROUP BY user_id, session_id
+         ORDER BY user_id, session_start_us""",
+
+    "q_stream_interval_join" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+                    FROM events)
+         SELECT l.user_id, l.us AS ts_us, l.event_id,
+                r.us AS ts_r_us, r.event_id AS event_id_r
+         FROM e l JOIN e r ON l.user_id = r.user_id
+           AND l.event_type = 'click' AND r.event_type = 'purchase'
+           AND r.us >= l.us AND r.us <= l.us + 3600000000
+         ORDER BY 1, 2, 3, 4, 5""",
 
     "q_dedup_minhash_lsh" ->
       s"""$MinhashBkCte,

@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+/** Drains a BOUNDED file-backed stream through a streaming operator and
+  * returns the sink contents as a batch DataFrame — the harness that
+  * promotes streaming components to the DuckDB-oracle evidence tier
+  * (round-4 verdict #4): the driver's correctness gate hash-compares a
+  * drained streaming run against the same SQL oracle as the batch dual,
+  * instead of trusting ScalaTest specs alone.
+  *
+  * `Trigger.AvailableNow` processes every file present then stops, so
+  * the call is deterministic for a static directory. `outputMode` picks
+  * the agreement surface: `append` compares the emitted-row set,
+  * `complete` compares the final state. No checkpoint location is set
+  * on purpose — each drain is a fresh end-to-end replay (a persisted
+  * checkpoint would make the second run a no-op and the gate would
+  * compare an empty sink). Production deployments run the same
+  * operators with `start()` plus a durable checkpoint dir; only the
+  * sink and trigger differ.
+  */
+object StreamDrain {
+  def drain(spark: SparkSession, path: String, schema: StructType,
+            name: String, outputMode: String)
+           (op: DataFrame => DataFrame): DataFrame = {
+    // the testdata tables are single parquet FILES; FileStreamSource
+    // accepts only directories or globs, so wrap the file name in a
+    // one-member {} glob — the source then lists exactly that file and
+    // infers the (directory) basePath from the glob's parent
+    val p = new org.apache.hadoop.fs.Path(path)
+    val globbed = s"${p.getParent}/{${p.getName}}"
+    val q = op(spark.readStream.schema(schema).parquet(globbed))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      // AvailableNow self-terminates; the bound turns a wedged stream
+      // into a loud failure instead of a silently hung gate
+      if (!q.awaitTermination(600000L))
+        throw new IllegalStateException(
+          s"stream drain '$name' did not terminate within 600s")
+    } finally if (q.isActive) q.stop()
+    spark.table(name)
+  }
+}
