@@ -31,18 +31,32 @@ object StreamDrain {
     // infers the (directory) basePath from the glob's parent
     val p = new org.apache.hadoop.fs.Path(path)
     val globbed = s"${p.getParent}/{${p.getName}}"
-    val q = op(spark.readStream.schema(schema).parquet(globbed))
-      .writeStream.format("memory").queryName(name)
-      .outputMode(outputMode)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // Stateful-operator partition count is pinned at query start from
+    // spark.sql.shuffle.partitions (streaming plans skip AQE), and every
+    // state store pays per-commit file I/O EVERY micro-batch regardless
+    // of row volume — a stream-stream join carries 4 stores per
+    // partition, so the session's batch-tuned fan-out of 32 costs 128
+    // commits per batch of fixed overhead against the bounded testdata.
+    // The drain pins a smaller fan-out for the harness run and restores
+    // the session conf after; a production deployment sizes this to key
+    // cardinality exactly like batch shuffle partitions.
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    spark.conf.set(key, "8")
     try {
-      // AvailableNow self-terminates; the bound turns a wedged stream
-      // into a loud failure instead of a silently hung gate
-      if (!q.awaitTermination(600000L))
-        throw new IllegalStateException(
-          s"stream drain '$name' did not terminate within 600s")
-    } finally if (q.isActive) q.stop()
+      val q = op(spark.readStream.schema(schema).parquet(globbed))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(outputMode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try {
+        // AvailableNow self-terminates; the bound turns a wedged stream
+        // into a loud failure instead of a silently hung gate
+        if (!q.awaitTermination(600000L))
+          throw new IllegalStateException(
+            s"stream drain '$name' did not terminate within 600s")
+      } finally if (q.isActive) q.stop()
+    } finally spark.conf.set(key, saved)
     spark.table(name)
   }
 }
