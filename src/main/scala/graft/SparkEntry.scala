@@ -1095,6 +1095,42 @@ object SparkEntry {
         .orderBy("user_id", "ts_us", "event_id", "ts_r_us", "event_id_r")
     }),
 
+    // watermarked tumbling-window totals (complete mode) vs the batch
+    // hour-bucket group-by: final window state must match exactly, with
+    // value decimal-routed so partial-agg order can't perturb the double
+    "q_stream_windowed_counts" -> ((s, dir) => {
+      val batch = t(s, dir, "events")
+      graft.streaming.StreamDrain.drain(s, s"$dir/events.parquet",
+          batch.schema, "stream_windowed_counts", "complete") { src =>
+        val ev = src.select(
+          timestamp_micros(expr("ts div 1000")).as("event_ts"),
+          col("event_type"), dec(col("value")).as("value"))
+        graft.streaming.WindowedEventCounts.windowedTotals(ev, "event_ts")
+      }.select(unix_micros(col("window_start")).as("window_start_us"),
+          col("event_type"), col("n_events"),
+          col("total_value").cast("double").as("total_value"))
+        .orderBy("window_start_us", "event_type")
+    }),
+
+    // streaming monotone funnel frontier vs the batch sequential funnel:
+    // the bounded drain is one micro-batch (single source file), where
+    // the stage-advancement emissions are EXACTLY the batch funnel's
+    // strictly-after stage times, unpivoted to (user, stage, ts) rows
+    "q_stream_funnel" -> ((s, dir) => {
+      val batch = t(s, dir, "events")
+      graft.streaming.StreamDrain.drain(s, s"$dir/events.parquet",
+          batch.schema, "stream_funnel", "update") { src =>
+        import s.implicits._
+        val ev = src.select(col("user_id"), col("event_type"),
+            expr("ts div 1000").as("ts"))
+          .as[graft.streaming.StreamingFunnel.FunnelEvent]
+        graft.streaming.StreamingFunnel.stageProgress(s, ev,
+          Seq("view", "click", "purchase")).toDF()
+      }.select(col("user_id"), col("stage").cast("long").as("stage"),
+          col("ts").as("ts_us"))
+        .orderBy("user_id", "stage")
+    }),
+
     // dedup clustering: near-dup pairs → connected components → canonical
     // cluster id (min doc id) per document
     "q_dedup_clusters" -> ((s, dir) => {
@@ -2052,6 +2088,31 @@ object SparkEntry {
            AND l.event_type = 'click' AND r.event_type = 'purchase'
            AND r.us >= l.us AND r.us <= l.us + 3600000000
          ORDER BY 1, 2, 3, 4, 5""",
+
+    // Spark's window(ts, '1 hour') starts are epoch-aligned hour floors —
+    // integer division of the micros timestamp in any engine
+    "q_stream_windowed_counts" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+                event_type, COUNT(*) AS n_events,
+                CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // sequential funnel, strictly-after stage times, unpivoted: stage i
+    // is the MIN event time of its type strictly after stage i-1's time
+    "q_stream_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+              s1 AS (SELECT user_id, MIN(us) AS t FROM e
+                     WHERE event_type = 'view' GROUP BY 1),
+              s2 AS (SELECT e.user_id, MIN(us) AS t FROM e
+                     JOIN s1 USING (user_id)
+                     WHERE event_type = 'click' AND us > s1.t GROUP BY 1),
+              s3 AS (SELECT e.user_id, MIN(us) AS t FROM e
+                     JOIN s2 USING (user_id)
+                     WHERE event_type = 'purchase' AND us > s2.t GROUP BY 1)
+         SELECT user_id, CAST(1 AS BIGINT) AS stage, t AS ts_us FROM s1
+         UNION ALL SELECT user_id, CAST(2 AS BIGINT), t FROM s2
+         UNION ALL SELECT user_id, CAST(3 AS BIGINT), t FROM s3
+         ORDER BY user_id, stage""",
 
     "q_dedup_minhash_lsh" ->
       s"""$MinhashBkCte,
