@@ -12,7 +12,7 @@ object PlanAudit {
     for (q <- Seq("q_decontaminate", "q_text_tfidf", "q_sample_stratified", "q_text_redact",
                   "q_sim_ivf_topk", "q_dedup_incremental_stored",
                   "q_profile_columns", "q_text_unigram_ce", "q_zscore_group",
-                  "q_dedup_containment", "q_zorder_key",
+                  "q_dedup_containment", "q_zorder_key", "q_dedup_jaccard_capped",
                   "q_dedup_semantic", "q_sample_weighted", "q_text_divergence")) {
       val df = SparkEntry.queries(q)(spark, dir)
       println(s"==== $q ====")

@@ -38,12 +38,24 @@ object Dedup {
       .distinct()
 
   /** Pairwise n-gram Jaccard over documents sharing ≥1 shingle; keeps
-    * pairs with similarity ≥ threshold. At scale, cap shingle document
-    * frequency first (a shingle appearing in 10⁶ docs generates 10¹²
-    * pairs) — here df is naturally tiny.
+    * pairs with similarity ≥ threshold. `maxShingleDf` is the same
+    * hot-shingle frequency cap as [[jaccardPairsFromText]]: shingles in
+    * more than that many documents leave the universe before the
+    * self-join (a shingle appearing in 10⁶ docs generates 10¹² pairs),
+    * and the Jaccard denominators count only surviving shingles.
     */
-  def jaccardPairs(shingles: DataFrame, idCol: String, threshold: Double): DataFrame = {
-    val cached = OpCache.persist(shingles) // read 3× below (counts + both join sides)
+  def jaccardPairs(shingles: DataFrame, idCol: String, threshold: Double,
+                   maxShingleDf: Option[Long] = None): DataFrame = {
+    val universe = maxShingleDf match {
+      case None => shingles
+      case Some(cap) =>
+        require(cap >= 1, s"maxShingleDf must be >= 1, got $cap")
+        val raw = OpCache.persist(shingles)
+        val hot = raw.groupBy(col("s")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > cap).select("s")
+        raw.join(hot, Seq("s"), "left_anti")
+    }
+    val cached = OpCache.persist(universe) // read 3× below (counts + both join sides)
     val counts = cached.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val a = cached.select(col(idCol).as("id_a"), col("s"))
     val b = cached.select(col(idCol).as("id_b"), col("s").as("s_b"))

@@ -78,6 +78,13 @@ class DedupSpec extends SparkSpec {
     val cont = Dedup.containmentPairs(pure, "doc_id", "text", k = 5,
       threshold = 0.5, maxShingleDf = Some(5L)).collect()
     assert(cont.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((21L, 22L)))
+    // the composable string-shingle form takes the same cap
+    val viaShingles = Dedup.jaccardPairs(
+        Dedup.wordShingles(df, "doc_id", "text", 5), "doc_id",
+        threshold = 0.01, maxShingleDf = Some(5L)).collect()
+    assert(viaShingles.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((21L, 22L)))
+    assert(viaShingles.head.getAs[Double]("jaccard")
+      == uncappedNearDup.getAs[Double]("jaccard"))
   }
 
   test("minhashLshPairs recovers the same near-dup pair via banding") {
