@@ -89,6 +89,11 @@ object Bench {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       val total = results.map(_._2).filter(_ >= 0).sum
+      // headline FIRST, on its own short line: the driver's artifact can
+      // truncate the (long) cumulative per-query line to a tail with no
+      // total (round-5 verdict #6) — a separate {total_s, n_queries}
+      // line survives any truncation of its big sibling
+      println(s"""{"total_s":$total,"n_queries":${results.count(_._2 >= 0)},"sf":"$sfDir"}""")
       println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
       System.out.flush()
     }

@@ -257,7 +257,12 @@ object Dedup {
     * round is two groupBy+join passes over the edge set, keyed by node
     * — no driver-side graph state; the driver only runs the converged
     * check. Returns (id, comp) for every node that appears in some
-    * pair, comp = the component's minimum id.
+    * pair, comp = the component's minimum id — including nodes whose
+    * ONLY appearance is a self-pair (a, a): the contraction drops
+    * self-loops from the edge set (they carry no connectivity), so such
+    * nodes are unioned back as singleton components afterwards rather
+    * than silently vanishing (round-5 advice; current callers emit
+    * id_a < id_b pairs, but the contract should not depend on that).
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25): DataFrame =
@@ -276,6 +281,14 @@ object Dedup {
     // a LogicalRDD so each round's plan is constant-size. Same pattern
     // a 1000-executor run needs (there with reliable checkpoint dirs to
     // also bound failure-recovery lineage).
+    // self-loops contribute no connectivity and would break the
+    // (bigger, smaller) orientation invariant, so they leave the edge
+    // set here — but their nodes must still be labeled (see scaladoc):
+    // remember the ids and union the ones no real edge covers back in.
+    val selfIds = pairs
+      .filter(col(aCol) === col(bCol))
+      .select(col(aCol).as("id"))
+      .distinct()
     var e = pairs
       .select(greatest(col(aCol), col(bCol)).as("a"),
               least(col(aCol), col(bCol)).as("b"))
@@ -329,9 +342,15 @@ object Dedup {
     if (!done) throw new IllegalStateException(
       s"connectedComponents did not converge within $maxIter star rounds; " +
         "raise maxIter")
-    val labels = e.select(col("a").as("id"), col("b").as("comp"))
+    val edgeLabels = e.select(col("a").as("id"), col("b").as("comp"))
       .union(e.select(col("b").as("id"), col("b").as("comp")).distinct())
-    (labels, iter)
+    // nodes seen only as (a, a): singleton components, labeled by
+    // themselves; an anti join keeps ids the edge labels already cover
+    // out (the real component label wins over the degenerate self one)
+    val selfOnly = selfIds
+      .join(edgeLabels.select("id"), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("comp"))
+    (edgeLabels.union(selfOnly), iter)
   }
 
   /** Distinct word k-gram shingles as ONE array column per document —

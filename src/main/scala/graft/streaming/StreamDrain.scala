@@ -14,16 +14,29 @@ import org.apache.spark.sql.types.StructType
   * `Trigger.AvailableNow` processes every file present then stops, so
   * the call is deterministic for a static directory. `outputMode` picks
   * the agreement surface: `append` compares the emitted-row set,
-  * `complete` compares the final state. No checkpoint location is set
-  * on purpose — each drain is a fresh end-to-end replay (a persisted
-  * checkpoint would make the second run a no-op and the gate would
-  * compare an empty sink). Production deployments run the same
-  * operators with `start()` plus a durable checkpoint dir; only the
-  * sink and trigger differ.
+  * `complete` compares the final state, `update` compares the per-batch
+  * emissions — which only equal a batch dual when the whole drain is ONE
+  * data-carrying micro-batch (a later batch would re-emit superseded
+  * rows into the accumulating memory sink), so update-mode drains ASSERT
+  * single-batch-ness after termination instead of assuming it (round-5
+  * advice). No checkpoint location is set on purpose — each drain is a
+  * fresh end-to-end replay (a persisted checkpoint would make the second
+  * run a no-op and the gate would compare an empty sink). Production
+  * deployments run the same operators with `start()` plus a durable
+  * checkpoint dir; only the sink and trigger differ.
+  *
+  * NOT thread-safe: the drain temporarily rewrites session confs
+  * (shuffle fan-out, plus any `extraConfs` such as the state-store
+  * provider) and restores them in a finally — a query planned
+  * CONCURRENTLY on the same session would observe the temporary values.
+  * The Verify/Bench drivers are single-threaded, which is the supported
+  * shape; a concurrent caller must pass a dedicated session
+  * (`spark.newSession()`) and read the sink table from it.
   */
 object StreamDrain {
   def drain(spark: SparkSession, path: String, schema: StructType,
-            name: String, outputMode: String)
+            name: String, outputMode: String,
+            extraConfs: Map[String, String] = Map.empty)
            (op: DataFrame => DataFrame): DataFrame = {
     // the testdata tables are single parquet FILES; FileStreamSource
     // accepts only directories or globs, so wrap the file name in a
@@ -40,9 +53,9 @@ object StreamDrain {
     // The drain pins a smaller fan-out for the harness run and restores
     // the session conf after; a production deployment sizes this to key
     // cardinality exactly like batch shuffle partitions.
-    val key = "spark.sql.shuffle.partitions"
-    val saved = spark.conf.get(key)
-    spark.conf.set(key, "8")
+    val confs = Map("spark.sql.shuffle.partitions" -> "8") ++ extraConfs
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
       val q = op(spark.readStream.schema(schema).parquet(globbed))
         .writeStream.format("memory").queryName(name)
@@ -55,8 +68,24 @@ object StreamDrain {
         if (!q.awaitTermination(600000L))
           throw new IllegalStateException(
             s"stream drain '$name' did not terminate within 600s")
+        // update-mode agreement rests on the single-data-batch premise
+        // (see scaladoc) — verify it against the actual run instead of
+        // trusting the single-file source layout forever. No-data
+        // batches (watermark flushes) are fine; a SECOND batch carrying
+        // rows is not.
+        if (outputMode == "update") {
+          val dataBatches = q.recentProgress.count(_.numInputRows > 0L)
+          if (dataBatches > 1)
+            throw new IllegalStateException(
+              s"stream drain '$name' ran $dataBatches data micro-batches; " +
+                "update-mode agreement with a batch oracle requires exactly " +
+                "one (a multi-file source would emit superseded rows)")
+        }
       } finally if (q.isActive) q.stop()
-    } finally spark.conf.set(key, saved)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
     spark.table(name)
   }
 }

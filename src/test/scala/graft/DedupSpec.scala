@@ -114,6 +114,20 @@ class DedupSpec extends SparkSpec {
     graft.operators.OpCache.clear()
   }
 
+  test("connectedComponents labels self-pair-only nodes as singletons, once") {
+    import spark.implicits._
+    // 5 appears ONLY as (5,5): must come back as (5,5), not vanish
+    // (round-5 advice); 2 has a self-pair AND a real edge: the component
+    // label must win and the node must appear exactly once
+    val pairs = Seq((5L, 5L), (1L, 2L), (2L, 2L)).toDF("id_a", "id_b")
+    val rows = graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.length == rows.map(_._1).distinct.length, s"duplicate ids in $rows")
+    val comp = rows.toMap
+    assert(comp == Map(5L -> 5L, 1L -> 1L, 2L -> 1L), s"got $comp")
+    graft.operators.OpCache.clear()
+  }
+
   test("connectedComponents converges in O(log^2) rounds on a 100-node path, not in diameter rounds") {
     import spark.implicits._
     // a 100-node path (diameter 99): label propagation would need ~50

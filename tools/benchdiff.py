@@ -15,14 +15,19 @@ def load(path):
 
 
 def parse(txt):
-    # the text may hold one JSON line among log noise, possibly behind an
-    # sbt "[info] " prefix — parse from the first brace on a queries line
+    # the text may hold SEVERAL JSON lines among log noise (Bench emits a
+    # cumulative line after every pass; the last is the final min-over-
+    # passes result), possibly behind an sbt "[info] " prefix — keep the
+    # LAST parseable queries line
+    best = None
     for line in txt.splitlines():
         if '"queries"' in line and "{" in line:
             try:
-                return json.loads(line[line.index("{"):])
+                best = json.loads(line[line.index("{"):])
             except json.JSONDecodeError:
                 pass
+    if best is not None:
+        return best
     # fallback: the driver wraps (and may truncate) the JSON line inside a
     # "tail" field — scrape whatever (query, seconds) pairs survive
     pairs = re.findall(r'\\?"(q[\w]*)\\?":(-?[0-9.]+)', txt)

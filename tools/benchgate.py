@@ -34,13 +34,22 @@ def run_bench(sf, passes):
                SPARK_GRAFT_SF_DIR=sf,
                SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS", "32"),
                SPARK_GRAFT_BENCH_PASSES=str(passes))
-    r = subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
-                       cwd=REPO, env=env, capture_output=True, text=True,
-                       timeout=3600)
+    # loud-failure convention: a hung or garbled bench surfaces as the
+    # gate's own message, not a raw traceback (round-5 advice)
+    try:
+        r = subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
+                           cwd=REPO, env=env, capture_output=True, text=True,
+                           timeout=3600)
+    except subprocess.TimeoutExpired:
+        sys.exit("bench run failed: timed out after 3600s")
     if r.returncode != 0:
         sys.stderr.write(r.stdout[-2000:] + r.stderr[-2000:])
         sys.exit("bench run failed")
-    return benchdiff.parse(r.stdout)
+    try:
+        return benchdiff.parse(r.stdout)
+    except (json.JSONDecodeError, ValueError, KeyError) as e:
+        sys.stderr.write(r.stdout[-2000:])
+        sys.exit(f"bench run failed: could not parse bench output ({e})")
 
 
 def main():
