@@ -58,6 +58,32 @@ object SparkEntry {
     if (!dedupIndexDir.contains(dir)) buildDedupIndex(s, dir)
   }
 
+  /** Typed events projection for the ST4 streaming drains. */
+  case class EventLatest(user_id: Long, event_type: String, event_id: Long,
+                         ts_us: Long, value: Double)
+
+  /** ST4 drain shared by the default- and RocksDB-provider gates:
+    * project events to the typed row, keep the (ts_us, event_id)-max row
+    * per (user_id, event_type) in state — the same ordering as the batch
+    * flagship `q_w1_latest_per_key`. The bounded drain is one data
+    * micro-batch (StreamDrain asserts it), so the update-mode emissions
+    * ARE the final per-key winners.
+    */
+  private def drainLatestPerKey(s: SparkSession, dir: String, sink: String,
+                                confs: Map[String, String]): DataFrame = {
+    val batch = t(s, dir, "events")
+    graft.streaming.StreamDrain.drain(s, s"$dir/events.parquet",
+        batch.schema, sink, "update", confs) { src =>
+      import s.implicits._
+      val ev = src.select(col("user_id"), col("event_type"), col("event_id"),
+          expr("ts div 1000").as("ts_us"), col("value"))
+        .as[EventLatest]
+      graft.streaming.LatestPerKeyStream.latestByVersion(ev)(
+        e => (e.user_id, e.event_type), e => (e.ts_us, e.event_id)).toDF()
+    }.select("user_id", "event_type", "event_id", "ts_us", "value")
+      .orderBy("user_id", "event_type")
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * W1 latest-per-key — the reference's one true window function
     * (dashboard.py:104-119).
@@ -1131,6 +1157,23 @@ object SparkEntry {
         .orderBy("user_id", "stage")
     }),
 
+    // ST4 at the oracle tier — the reference's one genuinely stateful
+    // semantic (dashboard.py:104-119 "current stock"): the drained
+    // flatMapGroupsWithState winners must equal the batch flagship
+    // exactly (same oracle SQL as q_w1_latest_per_key)
+    "q_stream_latest_per_key" -> ((s, dir) =>
+      drainLatestPerKey(s, dir, "stream_latest_per_key", Map.empty)),
+
+    // the SAME drain on the RocksDB state-store provider — the provider
+    // a 100 TB deployment needs (per-key state spills to executor-local
+    // disk + spill-to-DFS snapshots instead of living on heap; see
+    // SCALE.md "Streaming state-store provider"): agreement here pins
+    // provider-independence of the stateful semantics
+    "q_stream_latest_rocksdb" -> ((s, dir) =>
+      drainLatestPerKey(s, dir, "stream_latest_rocksdb",
+        Map("spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))),
+
     // dedup clustering: near-dup pairs → connected components → canonical
     // cluster id (min doc id) per document
     "q_dedup_clusters" -> ((s, dir) => {
@@ -2113,6 +2156,24 @@ object SparkEntry {
          UNION ALL SELECT user_id, CAST(2 AS BIGINT), t FROM s2
          UNION ALL SELECT user_id, CAST(3 AS BIGINT), t FROM s3
          ORDER BY user_id, stage""",
+
+    // ST4 drains state the batch flagship's semantics verbatim — both
+    // providers must reproduce q_w1_latest_per_key exactly
+    "q_stream_latest_per_key" ->
+      """SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value
+         FROM (SELECT user_id, event_type, event_id, ts, value,
+                      ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                         ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+               FROM events) t
+         WHERE rn = 1 ORDER BY user_id, event_type""",
+
+    "q_stream_latest_rocksdb" ->
+      """SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value
+         FROM (SELECT user_id, event_type, event_id, ts, value,
+                      ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                         ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+               FROM events) t
+         WHERE rn = 1 ORDER BY user_id, event_type""",
 
     "q_dedup_minhash_lsh" ->
       s"""$MinhashBkCte,

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** ST2/ST4 — the reference's stock-polling loop as a real stream (ref:
@@ -24,18 +24,30 @@ object LatestPerKeyStream {
   case class StockObs(event_id: String, theater_name: String,
                       scraped_at: Long, status: String, quantity: Double)
 
-  def latestPerKey(spark: SparkSession, obs: Dataset[StockObs]): Dataset[StockObs] = {
-    import spark.implicits._
-    obs.groupByKey(o => (o.event_id, o.theater_name))
-      .flatMapGroupsWithState[StockObs, StockObs](
+  /** Generic typed latest-by-version: keep the max-`ver` row per `key`
+    * in state, emit an update whenever the key's winner changes — the
+    * streaming dual of `Analytics.latestPerKey` for ANY row type whose
+    * version is a totally ordered value (use a tuple for tie-broken
+    * orderings, mirroring the batch dual's multi-column sort). State is
+    * exactly one row per live key regardless of history length.
+    */
+  def latestByVersion[V, K, O](ds: Dataset[V])(key: V => K, ver: V => O)
+      (implicit ke: Encoder[K], ve: Encoder[V], ord: Ordering[O]): Dataset[V] =
+    ds.groupByKey(key)
+      .flatMapGroupsWithState[V, V](
           OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        case (_, batch, state: GroupState[StockObs]) =>
+        case (_, batch, state: GroupState[V]) =>
           val candidates = state.getOption.iterator ++ batch
-          val winner = candidates.maxBy(o => (o.scraped_at, o.status))
+          val winner = candidates.maxBy(ver)
           val isNew = state.getOption.forall(cur =>
-            (winner.scraped_at, winner.status) != (cur.scraped_at, cur.status))
+            ord.compare(ver(winner), ver(cur)) != 0)
           state.update(winner)
           if (isNew) Iterator.single(winner) else Iterator.empty
       }
+
+  def latestPerKey(spark: SparkSession, obs: Dataset[StockObs]): Dataset[StockObs] = {
+    import spark.implicits._
+    latestByVersion(obs)(o => (o.event_id, o.theater_name),
+                         o => (o.scraped_at, o.status))
   }
 }
