@@ -1174,6 +1174,91 @@ object SparkEntry {
         Map("spark.sql.streaming.stateStore.providerClass" ->
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))),
 
+    // U1 from a STREAM: the foreachBatch upsert drains the q_u1_upsert
+    // fresh slice into an AtomicStore-swapped parquet table seeded with
+    // the base rows; the FINAL STORE must equal the batch upsert exactly
+    // (same oracle shape as q_u1_upsert) — exercising the
+    // recover→readOrEmpty→merge→atomic-swap path end to end, not just
+    // its spec. Scratch lives under a fixed per-sf /tmp root rebuilt
+    // from zero each invocation (fresh replay, bounded garbage).
+    "q_stream_upsert" -> ((s, dir) => {
+      val base = t(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000"))
+        .select("event_id", "ts_us", "user_id", "event_type", "value", "props")
+      val fresh = base.filter(col("event_id") % 10 < 3)
+        .withColumn("value", col("value") + 1000)
+        .withColumn("props", lit("{\"upd\": true}"))
+      val root = new org.apache.hadoop.fs.Path(
+        s"/tmp/graft_stream_upsert_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(root, true)
+      val feed = s"$root/feed"; val store = s"$root/store"
+      fresh.coalesce(1).write.parquet(feed)
+      graft.pipelines.AtomicStore.overwrite(base, store)
+      val q = graft.streaming.StreamingUpsert.start(s,
+        s.readStream.schema(fresh.schema).parquet(feed), store,
+        Seq("event_id"), "ts_us", s"$root/ckpt")
+      try {
+        if (!q.awaitTermination(600000L))
+          throw new IllegalStateException(
+            "stream upsert drain did not terminate within 600s")
+      } finally if (q.isActive) q.stop()
+      s.read.parquet(store).orderBy("event_id")
+    }),
+
+    // streaming LSH near-dup candidates vs the batch band-bucket join:
+    // the drained per-band stateful emissions, de-banded and distinct'd,
+    // must equal the batch candidate pair set exactly. maxBucket sits
+    // far above any bucket at these scales so the cap (its spec's job)
+    // never truncates the agreement surface — cap/TTL off IS the
+    // bounded-drain configuration, matching the batch dual.
+    "q_stream_neardup" -> ((s, dir) => {
+      val batch = t(s, dir, "documents")
+      graft.streaming.StreamDrain.drain(s, s"$dir/documents.parquet",
+          batch.schema, "stream_neardup", "append") { src =>
+        graft.streaming.StreamingNearDup.candidatePairs(s,
+          graft.streaming.StreamingNearDup.banded(src, "doc_id", "text",
+            k = 5, numHashes = 16, numBands = 4),
+          maxBucket = 1 << 20).toDF()
+      }.filter(!col("truncated"))
+        .select("id_a", "id_b").distinct()
+        .orderBy("id_a", "id_b")
+    }),
+
+    // watermark-DELAYED outer emission — the subtlest streaming
+    // semantic in the repo (StreamStreamJoin.intervalJoinLeftOuter): an
+    // unmatched click emits its null-purchase row only once the
+    // watermark passes the end of its match window. Each side's
+    // watermark node sees only ITS filtered substream, so the global
+    // watermark (multipleWatermarkPolicy=min) lands at
+    // min(max click ts, max purchase ts) — NOT the table max — and the
+    // drain's trailing no-data batch flushes every left row whose match
+    // window closed before that. Both engines restrict to windows
+    // closing ≥1h clear of that boundary so eviction-edge strictness
+    // can't flip a row.
+    "q_stream_interval_join_outer" -> ((s, dir) => {
+      val batch = t(s, dir, "events")
+      val horizon = batch
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy("event_type").agg(max(expr("ts div 1000")).as("m"))
+        .agg(min(col("m"))).head.getLong(0) -
+        7200000000L // 2h = the 1h match window + 1h boundary margin
+      graft.streaming.StreamDrain.drain(s, s"$dir/events.parquet",
+          batch.schema, "stream_interval_join_outer", "append") { src =>
+        def side(kind: String) = src.filter(col("event_type") === kind)
+          .select(col("user_id"),
+            timestamp_micros(expr("ts div 1000")).as("event_ts"),
+            col("event_id"))
+        graft.streaming.StreamStreamJoin.intervalJoinLeftOuter(
+          side("click"), side("purchase"), "user_id", "event_ts",
+          within = "1 hour", watermark = "0 seconds")
+      }.filter(unix_micros(col("event_ts")) <= lit(horizon))
+        .select(col("user_id"),
+          unix_micros(col("event_ts")).as("ts_us"), col("event_id"),
+          unix_micros(col("event_ts_r")).as("ts_r_us"), col("event_id_r"))
+        .orderBy("user_id", "ts_us", "event_id", "ts_r_us", "event_id_r")
+    }),
+
     // dedup clustering: near-dup pairs → connected components → canonical
     // cluster id (min doc id) per document
     "q_dedup_clusters" -> ((s, dir) => {
@@ -2174,6 +2259,48 @@ object SparkEntry {
                                          ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
                FROM events) t
          WHERE rn = 1 ORDER BY user_id, event_type""",
+
+    // the streamed upsert's final store must equal the batch
+    // last-write-wins merge — the q_u1_upsert semantics verbatim
+    "q_stream_upsert" ->
+      """WITH base AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props FROM events),
+              fresh AS (SELECT event_id, ts_us, user_id, event_type, value + 1000 AS value,
+                               '{"upd": true}' AS props
+                        FROM base WHERE event_id % 10 < 3),
+              u AS (SELECT *, 1 AS pri FROM fresh UNION ALL SELECT *, 0 AS pri FROM base),
+              r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
+                                                 ORDER BY pri DESC, ts_us DESC) AS rn FROM u)
+         SELECT event_id, ts_us, user_id, event_type, value, props
+         FROM r WHERE rn = 1 ORDER BY event_id""",
+
+    // streaming LSH candidates = the batch band-bucket equi-join's
+    // distinct pair set (min, max orientation)
+    "q_stream_neardup" ->
+      s"""$MinhashBkCte
+         SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+         FROM bk a JOIN bk c ON a.b = c.b AND a.key = c.key
+                            AND a.doc_id < c.doc_id
+         ORDER BY id_a, id_b""",
+
+    // batch left-outer range join over the same boundary-clear left set:
+    // matched clicks carry every in-window purchase, unmatched clicks
+    // carry nulls — exactly what the watermark-flushed drain must emit
+    "q_stream_interval_join_outer" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+                    FROM events),
+              l AS (SELECT user_id, us, event_id FROM e
+                    WHERE event_type = 'click'
+                      AND us <= LEAST(
+                            (SELECT MAX(us) FROM e WHERE event_type = 'click'),
+                            (SELECT MAX(us) FROM e WHERE event_type = 'purchase'))
+                          - 7200000000),
+              r AS (SELECT user_id, us, event_id FROM e
+                    WHERE event_type = 'purchase')
+         SELECT l.user_id, l.us AS ts_us, l.event_id,
+                r.us AS ts_r_us, r.event_id AS event_id_r
+         FROM l LEFT JOIN r ON l.user_id = r.user_id
+           AND r.us >= l.us AND r.us <= l.us + 3600000000
+         ORDER BY l.user_id, ts_us, l.event_id, ts_r_us, event_id_r""",
 
     "q_dedup_minhash_lsh" ->
       s"""$MinhashBkCte,
