@@ -3,16 +3,27 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Multimodal-column plumbing: image/audio/video payloads travel as opaque
-  * `BINARY` columns with typed metadata alongside. The Spark-side shape is
-  * real and tested — typed `Dataset` over the binary column, per-partition
-  * batch iteration (the Scala analog of a pandas-UDF batch), deterministic
-  * output schema — while the codec call itself is a clearly-marked STUB
-  * (no image/audio libraries in this environment).
+  * `BINARY` columns with typed metadata alongside — typed `Dataset` over
+  * the binary column, per-partition batch iteration (the Scala analog of
+  * a pandas-UDF batch), deterministic output schema.
+  *
+  * Codec status (round-6): the IMAGE paths are REAL — the JDK bundles
+  * ImageIO readers/writers for PNG/JPEG/GIF/BMP, so [[decodeImageMeta]]
+  * (header-only dimension probe) and [[resizeImages]] (decode → bilinear
+  * scale → PNG re-encode) run actual codecs, no external libraries. The
+  * AUDIO metadata path is likewise real via the JDK's `javax.sound`
+  * WAV/AIFF parsers ([[decodeAudioMeta]]). Only paths with no JDK codec
+  * remain clearly-marked STUBs: video frame decode ([[sampleFrames]]'s
+  * frame count) and the generic byte-subsample [[resize]]; compressed-
+  * audio decode stays out too (JDK has no MP3/AAC codec).
   *
   * Scale: `mapPartitions` keeps decode batched and executor-local; binary
   * payloads never shuffle (features are extracted before any wide op), and
   * a real deployment would cap `spark.sql.files.maxPartitionBytes` so one
-  * partition of blobs fits executor memory.
+  * partition of blobs fits executor memory. Metadata probes must stay
+  * header-only ([[decodeImageMeta]] never decodes pixels) — at 100 TB the
+  * difference between reading a 33-byte header and inflating a frame
+  * buffer per row IS the job's cost.
   */
 object Multimodal {
 
@@ -21,9 +32,10 @@ object Multimodal {
                            content_hash: String, width: Int, height: Int,
                            frames: Int)
 
-  /** STUB decode — stands in for an image/audio codec (???-grade).
-    * Deterministic fake dimensions derived from the payload so tests and
-    * oracles are reproducible; a real build swaps only this function.
+  /** STUB decode — stands in for codecs the JDK does NOT carry (video
+    * containers, compressed audio). Deterministic fake dimensions derived
+    * from the payload so tests and oracles are reproducible; for image
+    * payloads use the REAL [[decodeImageMeta]]/[[resizeImages]] instead.
     */
   def decodeStub(bytes: Array[Byte]): (Int, Int, Int) = {
     val n = bytes.length
@@ -48,13 +60,146 @@ object Multimodal {
     }.toDF()
   }
 
+  case class ImageMeta(doc_id: Long, width: Int, height: Int, format: String)
+
+  /** REAL image metadata decode via the JDK's bundled ImageIO codecs:
+    * per payload, the matching reader's header probe gives
+    * (width, height, format). Header-ONLY on purpose — `getWidth/getHeight`
+    * on the reader parse the image header without inflating pixel data,
+    * which is the scan posture a 100 TB metadata pass needs. Payloads no
+    * installed reader recognizes come back as (-1, -1, "unknown") rather
+    * than throwing: one corrupt blob must not kill a corpus-wide pass
+    * (route the unknowns to quarantine downstream).
+    */
+  def decodeImageMeta(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { batch =>
+      batch.map { r =>
+        // memory-cached stream: ImageIO's default file-cache would write
+        // a temp file per payload — pure executor-heap probing instead
+        val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(r.blob))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(in)
+          if (readers.hasNext) {
+            val rd = readers.next()
+            try {
+              rd.setInput(in)
+              ImageMeta(r.doc_id, rd.getWidth(0), rd.getHeight(0),
+                        rd.getFormatName.toLowerCase)
+            } finally rd.dispose()
+          } else ImageMeta(r.doc_id, -1, -1, "unknown")
+        } finally in.close()
+      }
+    }.toDF()
+  }
+
+  case class AudioMeta(doc_id: Long, sample_rate: Int, channels: Int,
+                       n_frames: Long)
+
+  /** REAL audio metadata decode via the JDK's `javax.sound` file parsers
+    * (WAV/AIFF/AU ship with the JVM): sample rate, channel count and
+    * frame length from the container header — again header-only, no PCM
+    * materialization. Compressed formats (MP3/AAC) have no JDK codec and
+    * would throw `UnsupportedAudioFileException`; that boundary is the
+    * remaining declared stub territory.
+    */
+  def decodeAudioMeta(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { batch =>
+      batch.map { r =>
+        val ff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(r.blob))
+        AudioMeta(r.doc_id, ff.getFormat.getSampleRate.toInt,
+                  ff.getFormat.getChannels, ff.getFrameLength.toLong)
+      }
+    }.toDF()
+  }
+
   case class ResizedMedia(doc_id: Long, media_type: String, width: Int,
                           height: Int, blob: Array[Byte])
 
-  /** Resize plumbing: batch-transforms payloads to a target box. The
-    * STUB "resampler" deterministically subsamples bytes proportionally
-    * to the area ratio — a real build swaps in an image scaler; schema,
-    * batching and partition behavior are what the engine owns.
+  /** REAL image resize: full ImageIO decode → bilinear `Graphics2D`
+    * scale → PNG re-encode, one output payload per input. This is the
+    * pixel-touching counterpart to [[decodeImageMeta]]'s header probe —
+    * the batch shape of a training-data thumbnail pass. Fails loudly on
+    * an undecodable payload (a resize pass, unlike a metadata sweep, has
+    * no meaningful output for garbage input — filter through
+    * [[decodeImageMeta]] first to quarantine unknowns).
+    */
+  def resizeImages(spark: SparkSession, media: DataFrame,
+                   targetW: Int, targetH: Int): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { batch =>
+      batch.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.blob))
+        require(img != null, s"doc ${r.doc_id}: payload is not a decodable image")
+        val out = new java.awt.image.BufferedImage(
+          targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, targetW, targetH, null)
+        } finally g.dispose()
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", baos)
+        ResizedMedia(r.doc_id, r.media_type, targetW, targetH, baos.toByteArray)
+      }
+    }.toDF()
+  }
+
+  /** Deterministic PNG fixture: a (16 + id % 32) × (16 + 7·id % 32) image
+    * whose pixels hash off (id, x, y), encoded through the real ImageIO
+    * PNG writer. This substitutes for on-disk image files (the testdata
+    * carries none) — the ENCODE side of the real-codec round trip the
+    * decode oracles close. Executor-side, one per row, no shuffle.
+    */
+  def syntheticPng(docId: Long): Array[Byte] = {
+    val w = 16 + (docId % 32).toInt
+    val h = 16 + ((docId * 7) % 32).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (((docId * 2654435761L) + x * 31 + y * 131) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Deterministic 16-bit PCM WAV fixture: sample rate 8000 + 4000·(id%4),
+    * 1 + id%2 channels, 100 + id%50 frames, written through the real
+    * `javax.sound` WAVE writer — the encode side for [[decodeAudioMeta]].
+    */
+  def syntheticWav(docId: Long): Array[Byte] = {
+    val rate = 8000 + (docId % 4).toInt * 4000
+    val channels = 1 + (docId % 2).toInt
+    val nFrames = 100 + (docId % 50).toInt
+    val fmt = new javax.sound.sampled.AudioFormat(
+      rate.toFloat, 16, channels, true, false)
+    val pcm = new Array[Byte](nFrames * fmt.getFrameSize)
+    var i = 0
+    while (i < pcm.length) { pcm(i) = ((docId * 31 + i * 7) & 0xff).toByte; i += 1 }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** Generic resize plumbing for payloads WITHOUT a JDK codec: the STUB
+    * "resampler" deterministically subsamples bytes proportionally to the
+    * area ratio. For actual images use [[resizeImages]] — a real decode/
+    * scale/re-encode through ImageIO.
     */
   def resize(spark: SparkSession, media: DataFrame,
              targetW: Int, targetH: Int): DataFrame = {
