@@ -70,11 +70,16 @@ object StreamingNearDup {
     val sh = array_distinct(transform(
       sequence(lit(1), greatest(size(toks) - (k - 1), lit(0))),
       i => concat_ws(" ", slice(toks, i, lit(k)))))
-    val hh = transform(sh, s => concat(md5(s), md5(s)))
+    // STAGE the hashed-shingle array as a real column before fanning out
+    // to the 16 signature mins (the batch minhashIndex discipline): as a
+    // plain Column val, `hh` would be INLINED into every sig expression
+    // and the md5-over-all-shingles pass would evaluate numHashes times
+    // per row — measured 16× the map-side cost at sf0.1 (round-6 bench).
     val sigs = (0 until numHashes).map(i =>
-      array_min(transform(hh, h => substring(h, 1 + 2 * i, 16))).as(s"sig_$i"))
+      array_min(transform(col("__hh"), h => substring(h, 1 + 2 * i, 16))).as(s"sig_$i"))
     val withSig = docs
       .filter(size(toks) >= k)
+      .withColumn("__hh", transform(sh, s => concat(md5(s), md5(s))))
       .select(col(idCol).as("doc_id") +: carryCols.map(col) ++: sigs: _*)
     val bands = (0 until numBands).map { b =>
       val sigCols = (b * rows until (b + 1) * rows).map(i => col(s"sig_$i"))
