@@ -769,6 +769,20 @@ object SparkEntry {
       Multimodal.decodeImageMeta(s, media).orderBy("doc_id")
     }),
 
+    // audio chunking at the oracle tier: the windows' offset arithmetic
+    // (stride = chunk - overlap, tail chunks with no new samples
+    // dropped, last chunk truncated to the remaining samples) is pure
+    // integer math on the payload length — both engines state it over
+    // the documents text bytes standing in as 16-bit PCM
+    "q_multimodal_chunks" -> ((s, dir) => {
+      val media = t(s, dir, "documents").select(
+        col("doc_id"), lit("audio").as("media_type"),
+        col("text").cast("binary").as("blob"))
+      Multimodal.chunkAudio(s, media, chunkSamples = 256, overlap = 64)
+        .select("doc_id", "chunk_idx", "start_sample", "n_samples")
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // REAL audio container round trip: deterministic 16-bit PCM WAVs
     // through the JDK's javax.sound writer, header-parsed back to
     // (sample_rate, channels, n_frames) against the synthesis arithmetic
@@ -2623,6 +2637,20 @@ object SparkEntry {
                 CAST(16 + (doc_id * 7) % 32 AS INTEGER) AS height,
                 'png' AS format
          FROM documents ORDER BY doc_id""",
+
+    "q_multimodal_chunks" ->
+      """WITH d AS (SELECT doc_id, octet_length(encode(text)) // 2 AS total
+                    FROM documents),
+              s AS (SELECT doc_id, total,
+                           unnest(generate_series(0, total - 1, 192)) AS start_sample
+                    FROM d WHERE total > 0),
+              f AS (SELECT doc_id, start_sample, total,
+                           ROW_NUMBER() OVER (PARTITION BY doc_id
+                                              ORDER BY start_sample) - 1 AS chunk_idx
+                    FROM s WHERE start_sample = 0 OR start_sample + 64 < total)
+         SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx, start_sample,
+                CAST(LEAST(256, total - start_sample) AS INTEGER) AS n_samples
+         FROM f ORDER BY doc_id, chunk_idx""",
 
     "q_multimodal_audio" ->
       """SELECT doc_id,

@@ -36,7 +36,8 @@ import org.apache.spark.sql.types.StructType
 object StreamDrain {
   def drain(spark: SparkSession, path: String, schema: StructType,
             name: String, outputMode: String,
-            extraConfs: Map[String, String] = Map.empty)
+            extraConfs: Map[String, String] = Map.empty,
+            sourceOptions: Map[String, String] = Map.empty)
            (op: DataFrame => DataFrame): DataFrame = {
     // the testdata tables are single parquet FILES; FileStreamSource
     // accepts only directories or globs, so wrap the file name in a
@@ -57,7 +58,8 @@ object StreamDrain {
     val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
-      val q = op(spark.readStream.schema(schema).parquet(globbed))
+      val q = op(spark.readStream.schema(schema).options(sourceOptions)
+          .parquet(globbed))
         .writeStream.format("memory").queryName(name)
         .outputMode(outputMode)
         .trigger(Trigger.AvailableNow())

@@ -70,4 +70,33 @@ class StreamingSpec extends SparkSpec {
       assert(!all.exists(o => o.theater_name == "용산" && o.scraped_at == 50L))
     } finally q.stop()
   }
+
+  test("StreamDrain rejects a multi-data-batch update-mode drain (round-5 advice)") {
+    // update-mode agreement with a batch oracle rests on ONE data
+    // micro-batch; a multi-file source throttled to one file per trigger
+    // must trip the assertion instead of silently comparing superseded
+    // emissions. The same drain in append mode is fine.
+    val dir = java.nio.file.Files.createTempDirectory("graft_drain_spec")
+    val data = Seq((1L, "a", 101L, 10L, 1.0), (2L, "b", 102L, 20L, 2.0),
+        (1L, "a", 103L, 30L, 3.0))
+      .toDF("user_id", "event_type", "event_id", "ts_us", "value")
+    data.repartition(2).write.parquet(s"$dir/events")
+    val op: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      src => {
+        val ev = src.as[SparkEntry.EventLatest]
+        LatestPerKeyStream.latestByVersion(ev)(
+          e => (e.user_id, e.event_type), e => (e.ts_us, e.event_id)).toDF()
+      }
+    val e = intercept[IllegalStateException] {
+      graft.streaming.StreamDrain.drain(spark, s"$dir/events/*.parquet",
+        data.schema, "drain_multi_batch", "update",
+        sourceOptions = Map("maxFilesPerTrigger" -> "1"))(op)
+    }
+    assert(e.getMessage.contains("data micro-batches"), e.getMessage)
+    // append mode tolerates the same multi-batch layout
+    val ok = graft.streaming.StreamDrain.drain(spark, s"$dir/events/*.parquet",
+      data.schema, "drain_multi_batch_append", "append",
+      sourceOptions = Map("maxFilesPerTrigger" -> "1"))(identity)
+    assert(ok.count() == 3)
+  }
 }
