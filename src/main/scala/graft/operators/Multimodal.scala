@@ -47,17 +47,37 @@ object Multimodal {
       .digest(bytes).map("%02x".format(_)).mkString
 
   /** Decode/feature-extract over a media DataFrame with columns
-    * (doc_id LONG, media_type STRING, blob BINARY).
+    * (doc_id LONG, media_type STRING, blob BINARY). Payloads a real JDK
+    * ImageIO reader recognizes (magic-byte match) get REAL dimensions
+    * via the header probe; everything else (video, audio, opaque bytes)
+    * falls back to [[decodeStub]] — the honest split: real codec where
+    * one exists, declared stub where none does.
     */
   def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { batch =>
       batch.map { r =>
-        val (w, h, f) = decodeStub(r.blob)
+        val (w, h, f) = probeImage(r.blob).getOrElse(decodeStub(r.blob))
         MediaFeatures(r.doc_id, r.media_type, r.blob.length, md5Hex(r.blob),
                       w, h, f)
       }
     }.toDF()
+  }
+
+  /** Header-only (width, height, 1) via a matching ImageIO reader; None
+    * when no installed codec recognizes the payload.
+    */
+  private def probeImage(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (readers.hasNext) {
+        val rd = readers.next()
+        try { rd.setInput(in); Some((rd.getWidth(0), rd.getHeight(0), 1)) }
+        finally rd.dispose()
+      } else None
+    } finally in.close()
   }
 
   case class ImageMeta(doc_id: Long, width: Int, height: Int, format: String)

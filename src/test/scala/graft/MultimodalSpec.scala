@@ -59,6 +59,11 @@ class MultimodalSpec extends SparkSpec {
     val junk = Seq(Multimodal.MediaRecord(9L, "image", Array[Byte](1, 2, 3))).toDS().toDF()
     val u = Multimodal.decodeImageMeta(spark, junk).collect().head
     assert(u.getAs[Int]("width") == -1 && u.getAs[String]("format") == "unknown")
+    // extractFeatures routes recognized payloads through the REAL probe
+    // (actual PNG dims), unrecognized ones through the declared stub
+    val feat = Multimodal.extractFeatures(spark, media).orderBy("doc_id").collect()
+    assert(feat.head.getAs[Int]("width") == 16 + 3 % 32
+      && feat.head.getAs[Int]("height") == 16 + 21 % 32)
   }
 
   test("real javax.sound codec: synthetic WAV header parses back the synthesis arithmetic") {
