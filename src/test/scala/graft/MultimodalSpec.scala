@@ -64,6 +64,17 @@ class MultimodalSpec extends SparkSpec {
     val feat = Multimodal.extractFeatures(spark, media).orderBy("doc_id").collect()
     assert(feat.head.getAs[Int]("width") == 16 + 3 % 32
       && feat.head.getAs[Int]("height") == 16 + 21 % 32)
+    // JPEG breadth: the lossy writer+reader pair is a different codec
+    // than PNG — re-encode one payload as JPEG and probe it back
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.syntheticPng(3L)))
+    val jbaos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", jbaos))
+    val jpeg = Seq(Multimodal.MediaRecord(30L, "image", jbaos.toByteArray)).toDS().toDF()
+    val jm = Multimodal.decodeImageMeta(spark, jpeg).collect().head
+    assert(jm.getAs[String]("format") == "jpeg"
+      && jm.getAs[Int]("width") == 16 + 3 % 32
+      && jm.getAs[Int]("height") == 16 + 21 % 32)
   }
 
   test("real javax.sound codec: synthetic WAV header parses back the synthesis arithmetic") {
