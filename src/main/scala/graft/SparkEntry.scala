@@ -22,8 +22,10 @@ import graft.operators._
   *     bit-identical in both engines;
   *   - averages are exact-decimal-sum → double → one IEEE division;
   *   - every query ends in a total ORDER BY (unique tiebreaker);
-  *   - `events.ts` (parquet TIMESTAMP(NANOS)) is a Long of epoch-nanos on
-  *     the Spark side (see [[Tables]]) and `epoch_ns(ts)` in oracles.
+  *   - `events.ts` is a Long of epoch-nanos on the Spark side regardless
+  *     of the file's physical type (nanos Long or micros timestamp — see
+  *     [[Tables.normalizeEventTs]]) and `epoch_us(ts)` in oracles, which
+  *     DuckDB computes identically for both physical types.
   */
 object SparkEntry {
 
@@ -69,11 +71,24 @@ object SparkEntry {
     * micro-batch (StreamDrain asserts it), so the update-mode emissions
     * ARE the final per-key winners.
     */
+  /** Bounded drain over the events table. The stream source must declare
+    * the file's PHYSICAL schema (a micros-typed regeneration reads `ts`
+    * as a timestamp, a nanos one as a Long — round-6 verdict #1), so the
+    * schema comes from [[Tables.loadRaw]] and the Long-nanos `ts`
+    * contract every operator assumes is re-established on the streaming
+    * frame via [[Tables.normalizeEventTs]] before `op` sees it.
+    */
+  private def drainEvents(s: SparkSession, dir: String, sink: String,
+                          mode: String, confs: Map[String, String] = Map.empty)
+                         (op: DataFrame => DataFrame): DataFrame =
+    graft.streaming.StreamDrain.drain(s, s"$dir/events.parquet",
+        Tables.loadRaw(s, dir, "events").schema, sink, mode, confs) { src =>
+      op(Tables.normalizeEventTs(src))
+    }
+
   private def drainLatestPerKey(s: SparkSession, dir: String, sink: String,
                                 confs: Map[String, String]): DataFrame = {
-    val batch = t(s, dir, "events")
-    graft.streaming.StreamDrain.drain(s, s"$dir/events.parquet",
-        batch.schema, sink, "update", confs) { src =>
+    drainEvents(s, dir, sink, "update", confs) { src =>
       import s.implicits._
       val ev = src.select(col("user_id"), col("event_type"), col("event_id"),
           expr("ts div 1000").as("ts_us"), col("value"))
@@ -794,6 +809,23 @@ object SparkEntry {
       Multimodal.decodeAudioMeta(s, media).orderBy("doc_id")
     }),
 
+    // corrupt-blob quarantine at the oracle tier (round-6 verdict #6):
+    // even doc_ids carry a REAL synthetic PNG, odd ones carry raw text
+    // bytes no ImageIO reader recognizes — the probe must land the PNGs
+    // on the synthesis arithmetic AND route every non-image to
+    // (-1, -1, 'unknown') instead of throwing, per row, in one pass
+    "q_multimodal_unknown" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          graft.operators.Multimodal.MediaRecord(id, "image",
+            if (id % 2 == 0) graft.operators.Multimodal.syntheticPng(id)
+            else text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }).toDF()
+      Multimodal.decodeImageMeta(s, media).orderBy("doc_id")
+    }),
+
     // F2 — nested-array ↔ JSON-string boundary (kobisdata_extractor.py:93-113
     // encode; ai_agent.py:137-139 decode; P15 '[]' convention)
     "q_f2_json_roundtrip" -> ((s, dir) => {
@@ -1122,9 +1154,7 @@ object SparkEntry {
     // order can't perturb the double (the sumd discipline), and
     // timestamps compare as epoch micros in both engines.
     "q_stream_sessionize" -> ((s, dir) => {
-      val batch = t(s, dir, "events")
-      graft.streaming.StreamDrain.drain(s, s"$dir/events.parquet",
-          batch.schema, "stream_sessionize", "complete") { src =>
+      drainEvents(s, dir, "stream_sessionize", "complete") { src =>
         val ev = src.select(col("user_id"),
           timestamp_micros(expr("ts div 1000")).as("event_ts"),
           dec(col("value")).as("value"))
@@ -1144,9 +1174,7 @@ object SparkEntry {
     // drain (nothing evicts, nothing is late), so the inner-join output
     // must equal the batch pair set exactly.
     "q_stream_interval_join" -> ((s, dir) => {
-      val batch = t(s, dir, "events")
-      graft.streaming.StreamDrain.drain(s, s"$dir/events.parquet",
-          batch.schema, "stream_interval_join", "append") { src =>
+      drainEvents(s, dir, "stream_interval_join", "append") { src =>
         def side(kind: String) = src.filter(col("event_type") === kind)
           .select(col("user_id"),
             timestamp_micros(expr("ts div 1000")).as("event_ts"),
@@ -1164,9 +1192,7 @@ object SparkEntry {
     // hour-bucket group-by: final window state must match exactly, with
     // value decimal-routed so partial-agg order can't perturb the double
     "q_stream_windowed_counts" -> ((s, dir) => {
-      val batch = t(s, dir, "events")
-      graft.streaming.StreamDrain.drain(s, s"$dir/events.parquet",
-          batch.schema, "stream_windowed_counts", "complete") { src =>
+      drainEvents(s, dir, "stream_windowed_counts", "complete") { src =>
         val ev = src.select(
           timestamp_micros(expr("ts div 1000")).as("event_ts"),
           col("event_type"), dec(col("value")).as("value"))
@@ -1182,9 +1208,7 @@ object SparkEntry {
     // the stage-advancement emissions are EXACTLY the batch funnel's
     // strictly-after stage times, unpivoted to (user, stage, ts) rows
     "q_stream_funnel" -> ((s, dir) => {
-      val batch = t(s, dir, "events")
-      graft.streaming.StreamDrain.drain(s, s"$dir/events.parquet",
-          batch.schema, "stream_funnel", "update") { src =>
+      drainEvents(s, dir, "stream_funnel", "update") { src =>
         import s.implicits._
         val ev = src.select(col("user_id"), col("event_type"),
             expr("ts div 1000").as("ts"))
@@ -1282,8 +1306,7 @@ object SparkEntry {
         .groupBy("event_type").agg(max(expr("ts div 1000")).as("m"))
         .agg(min(col("m"))).head.getLong(0) -
         7200000000L // 2h = the 1h match window + 1h boundary margin
-      graft.streaming.StreamDrain.drain(s, s"$dir/events.parquet",
-          batch.schema, "stream_interval_join_outer", "append") { src =>
+      drainEvents(s, dir, "stream_interval_join_outer", "append") { src =>
         def side(kind: String) = src.filter(col("event_type") === kind)
           .select(col("user_id"),
             timestamp_micros(expr("ts div 1000")).as("event_ts"),
@@ -2657,6 +2680,16 @@ object SparkEntry {
                 CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) AS sample_rate,
                 CAST(1 + doc_id % 2 AS INTEGER) AS channels,
                 CAST(100 + doc_id % 50 AS BIGINT) AS n_frames
+         FROM documents ORDER BY doc_id""",
+
+    // even ids: the PNG synthesis arithmetic; odd ids: the quarantine row
+    "q_multimodal_unknown" ->
+      """SELECT doc_id,
+                CAST(CASE WHEN doc_id % 2 = 0 THEN 16 + doc_id % 32
+                          ELSE -1 END AS INTEGER) AS width,
+                CAST(CASE WHEN doc_id % 2 = 0 THEN 16 + (doc_id * 7) % 32
+                          ELSE -1 END AS INTEGER) AS height,
+                CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'unknown' END AS format
          FROM documents ORDER BY doc_id""",
 
     "q_f2_json_roundtrip" ->

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated testdata tables (see /root/repo/TESTDATA.md).
   *
@@ -11,24 +12,59 @@ import org.apache.spark.sql.Column
   *     prunes columns into the scan, so downstream operators never have to
   *     hand-optimize I/O. On a real cluster these paths would be
   *     partitioned/bucketed table locations; nothing else changes.
-  *   - `events.ts` is parquet TIMESTAMP(NANOS). Spark's timestamp type is
-  *     microsecond-precision, so a naive read either fails or loses the
-  *     sub-microsecond component. We read it losslessly as a Long
-  *     (nanoseconds since epoch) via `spark.sql.legacy.parquet.nanosAsLong`;
-  *     windows/sorts operate on the integer directly (cheaper than timestamp
-  *     comparisons anyway) and [[tsDate]] derives day granularity exactly.
+  *   - `events.ts` has shipped as BOTH parquet TIMESTAMP(NANOS) and
+  *     TIMESTAMP(MICROS) across testdata regenerations, so [[load]] is
+  *     schema-adaptive (round-6 verdict #1): nanos files are read
+  *     losslessly as a Long via `spark.sql.legacy.parquet.nanosAsLong`;
+  *     micros files arrive as a Spark timestamp and [[normalizeEventTs]]
+  *     converts them to the SAME epoch-nanos Long contract
+  *     (`unix_micros * 1000` — exact, micros data has no sub-microsecond
+  *     component). Every operator downstream sees one type: Long nanos.
+  *     Windows/sorts operate on the integer directly (cheaper than
+  *     timestamp comparisons anyway) and [[tsDate]] derives day
+  *     granularity exactly. Stream readers must pass the file's PHYSICAL
+  *     schema to `readStream.schema(...)` — use [[loadRaw]] for that and
+  *     re-apply [[normalizeEventTs]] on the streaming frame.
   */
 object Tables {
   val all: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    normalizeEventTs(loadRaw(spark, sfDir, name))
+
+  /** Raw scan with the file's physical schema. Streaming sources need this:
+    * `readStream.schema(...)` must match the parquet footer, so a stream
+    * over a micros-typed file declares a timestamp column and normalizes
+    * AFTER the source (see [[normalizeEventTs]]).
+    */
+  def loadRaw(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // runtime conf, read at scan-schema conversion time; harmless for the
     // tables that have no nanos columns
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
+
+  /** Schema-adaptive `ts` contract: whatever the parquet writer produced,
+    * downstream operators see epoch-NANOS as a Long.
+    *   - Long already (nanos file + `nanosAsLong`): pass through.
+    *   - TIMESTAMP / TIMESTAMP_NTZ (micros file): `unix_micros * 1000` —
+    *     exact within Long range (micros ~1.7e15 → nanos ~1.7e18 < 2^63)
+    *     and lossless because micros data has no sub-microsecond part.
+    *     The NTZ→LTZ cast is identity under the UTC session timezone every
+    *     graft entry point pins, which also matches the DuckDB oracles'
+    *     naive-timestamp `epoch_us(ts)`.
+    * The projection sits directly on the scan, so column pruning still
+    * reaches the parquet reader; no events query filters on raw `ts`, so
+    * no pushdown is lost.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampType) | Some(TimestampNTZType) =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case _ => df
+    }
 
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))

@@ -15,6 +15,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Testdata-schema smoke (round-6 verdict #2): the round-6 regeneration
+    // silently flipped events.ts from TIMESTAMP(NANOS)/Long to
+    // timestamp[us] and 19 queries vanished from the correctness artifact
+    // instead of failing loudly. Print the physical schemas up front so
+    // the artifact trail always records what the engine actually read.
+    Tables.all.foreach { n =>
+      System.err.println(
+        s"[verify] schema $n: ${Tables.loadRaw(spark, sfDir, n).schema.simpleString}")
+    }
     def rmRec(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rmRec)
       f.delete(); ()
@@ -38,6 +47,7 @@ object Verify {
     }
     val marker = Paths.get(s"$outDir/FILTERED_RUN")
     val succeeded = scala.collection.mutable.ArrayBuffer.empty[String]
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -54,6 +64,7 @@ object Verify {
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors += name -> s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}"
       }
       finally graft.operators.OpCache.clear() // release operator-internal persists
     }
@@ -90,6 +101,19 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Explicit failure ledger (round-6 verdict #2): a thrown query must
+    // leave a machine-readable `err` record in the artifact directory —
+    // absence from the correctness JSON must never read as "all green".
+    // Written on every run (empty object when clean) so a stale ledger
+    // from a prior broken run can't outlive the fix.
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (errors.nonEmpty) {
+      System.err.println(
+        s"[verify] ${errors.size} queries THREW (see $outDir/errors.json): " +
+          errors.keys.mkString(", "))
+    }
     spark.stop()
   }
 }

@@ -25,13 +25,13 @@ import org.apache.spark.sql.types.StructType
   * deployments run the same operators with `start()` plus a durable
   * checkpoint dir; only the sink and trigger differ.
   *
-  * NOT thread-safe: the drain temporarily rewrites session confs
-  * (shuffle fan-out, plus any `extraConfs` such as the state-store
-  * provider) and restores them in a finally — a query planned
-  * CONCURRENTLY on the same session would observe the temporary values.
-  * The Verify/Bench drivers are single-threaded, which is the supported
-  * shape; a concurrent caller must pass a dedicated session
-  * (`spark.newSession()`) and read the sink table from it.
+  * Conf isolation (round-6 verdict #7): the drain runs on a DEDICATED
+  * `spark.newSession()` — same SparkContext, isolated SQLConf and temp
+  * views — so the pinned shuffle fan-out and any `extraConfs` (e.g. the
+  * state-store provider) never leak into queries planned concurrently on
+  * the caller's session. The memory-sink table registers in the private
+  * session and the returned DataFrame is bound to it, which also means
+  * repeated drains under the same sink name can never collide.
   */
 object StreamDrain {
   def drain(spark: SparkSession, path: String, schema: StructType,
@@ -55,39 +55,40 @@ object StreamDrain {
     // the session conf after; a production deployment sizes this to key
     // cardinality exactly like batch shuffle partitions.
     val confs = Map("spark.sql.shuffle.partitions" -> "8") ++ extraConfs
-    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    // a fresh SessionState initializes from builder-time SparkConf, NOT
+    // the caller's runtime `conf.set` overrides — re-pin the one runtime
+    // conf the oracle agreement depends on (UTC timestamp arithmetic)
+    // before applying the drain-local overrides
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.session.timeZone",
+      spark.conf.get("spark.sql.session.timeZone"))
+    confs.foreach { case (k, v) => ss.conf.set(k, v) }
+    val q = op(ss.readStream.schema(schema).options(sourceOptions)
+        .parquet(globbed))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
     try {
-      val q = op(spark.readStream.schema(schema).options(sourceOptions)
-          .parquet(globbed))
-        .writeStream.format("memory").queryName(name)
-        .outputMode(outputMode)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      try {
-        // AvailableNow self-terminates; the bound turns a wedged stream
-        // into a loud failure instead of a silently hung gate
-        if (!q.awaitTermination(600000L))
+      // AvailableNow self-terminates; the bound turns a wedged stream
+      // into a loud failure instead of a silently hung gate
+      if (!q.awaitTermination(600000L))
+        throw new IllegalStateException(
+          s"stream drain '$name' did not terminate within 600s")
+      // update-mode agreement rests on the single-data-batch premise
+      // (see scaladoc) — verify it against the actual run instead of
+      // trusting the single-file source layout forever. No-data
+      // batches (watermark flushes) are fine; a SECOND batch carrying
+      // rows is not.
+      if (outputMode == "update") {
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0L)
+        if (dataBatches > 1)
           throw new IllegalStateException(
-            s"stream drain '$name' did not terminate within 600s")
-        // update-mode agreement rests on the single-data-batch premise
-        // (see scaladoc) — verify it against the actual run instead of
-        // trusting the single-file source layout forever. No-data
-        // batches (watermark flushes) are fine; a SECOND batch carrying
-        // rows is not.
-        if (outputMode == "update") {
-          val dataBatches = q.recentProgress.count(_.numInputRows > 0L)
-          if (dataBatches > 1)
-            throw new IllegalStateException(
-              s"stream drain '$name' ran $dataBatches data micro-batches; " +
-                "update-mode agreement with a batch oracle requires exactly " +
-                "one (a multi-file source would emit superseded rows)")
-        }
-      } finally if (q.isActive) q.stop()
-    } finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-    spark.table(name)
+            s"stream drain '$name' ran $dataBatches data micro-batches; " +
+              "update-mode agreement with a batch oracle requires exactly " +
+              "one (a multi-file source would emit superseded rows)")
+      }
+    } finally if (q.isActive) q.stop()
+    ss.table(name)
   }
 }
