@@ -120,18 +120,27 @@ object Multimodal {
   /** REAL audio metadata decode via the JDK's `javax.sound` file parsers
     * (WAV/AIFF/AU ship with the JVM): sample rate, channel count and
     * frame length from the container header — again header-only, no PCM
-    * materialization. Compressed formats (MP3/AAC) have no JDK codec and
-    * would throw `UnsupportedAudioFileException`; that boundary is the
-    * remaining declared stub territory.
+    * materialization. Compressed formats (MP3/AAC) have no JDK codec;
+    * those payloads (and corrupt blobs) quarantine as (-1, -1, -1)
+    * rather than throwing — same posture as [[decodeImageMeta]]: one
+    * unrecognized blob must not kill a corpus-wide pass. Decoding the
+    * compressed formats themselves stays declared-stub territory (no
+    * codec library in this container); the ROUTING is real and tested.
     */
   def decodeAudioMeta(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { batch =>
       batch.map { r =>
-        val ff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
-          new java.io.ByteArrayInputStream(r.blob))
-        AudioMeta(r.doc_id, ff.getFormat.getSampleRate.toInt,
-                  ff.getFormat.getChannels, ff.getFrameLength.toLong)
+        try {
+          val ff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+            new java.io.ByteArrayInputStream(r.blob))
+          AudioMeta(r.doc_id, ff.getFormat.getSampleRate.toInt,
+                    ff.getFormat.getChannels, ff.getFrameLength.toLong)
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException |
+               _: java.io.IOException =>
+            AudioMeta(r.doc_id, -1, -1, -1L)
+        }
       }
     }.toDF()
   }

@@ -88,6 +88,19 @@ class MultimodalSpec extends SparkSpec {
       Seq((8000 + 1 * 4000, 2, 105L), (8000 + 2 * 4000, 1, 106L)))
   }
 
+  test("audio decode quarantines non-audio payloads as (-1,-1,-1) instead of throwing") {
+    import spark.implicits._
+    val media = Seq(
+        Multimodal.MediaRecord(1L, "audio", Multimodal.syntheticWav(1L)),
+        Multimodal.MediaRecord(2L, "audio", "definitely not a WAV".getBytes("UTF-8")),
+        Multimodal.MediaRecord(3L, "audio", Array.empty[Byte]))
+      .toDS().toDF()
+    val meta = Multimodal.decodeAudioMeta(spark, media).orderBy("doc_id").collect()
+    assert(meta.map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("sample_rate"),
+      r.getAs[Int]("channels"), r.getAs[Long]("n_frames"))).toSeq ==
+      Seq((1L, 12000, 2, 101L), (2L, -1, -1, -1L), (3L, -1, -1, -1L)))
+  }
+
   test("audio chunking windows samples with overlap and exact offsets") {
     import spark.implicits._
     // 20 bytes = 10 PCM samples; chunk=4, overlap=1 → stride 3:
