@@ -433,6 +433,162 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Store LIFECYCLE at the oracle tier (S10/S13/ST1/ST5 + F3/F5/P7
+    // composed, previously spec-only): bootstrap ingest → byte-identical
+    // re-run (must be a no-op: dates fall out of the watermark spine) →
+    // watermark-advance ingest → range backfill rewriting only the
+    // partitions days 3-5 touch with doubled sales (the reference's
+    // delete-then-insert, backfill_boxoffice.py:27-47). The oracle
+    // restates the surviving store contents from the source table alone,
+    // so duplicate rows from a non-idempotent re-ingest or a backfill
+    // that failed to replace (or over-deleted) partitions all break the
+    // hash. Scratch store under /tmp, rebuilt from zero each run.
+    "q_pipeline_store_lifecycle" -> ((s, dir) => {
+      val root = s"/tmp/graft_store_lifecycle_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      // daily KOBIS-shaped raw batch derived from orders: every 7th
+      // open_dt is garbage so the F3 coerce→null → P7 drop path runs
+      def raw(lo: String, hi: String) = t(s, dir, "orders")
+        .filter(to_date(col("o_orderdate")).between(lit(lo), lit(hi)))
+        .select(
+          to_date(col("o_orderdate")).as("target_dt"),
+          col("o_orderkey").as("movie_cd"),
+          when(col("o_orderkey") % 7 === 0, lit("not-a-date"))
+            .otherwise(date_format(
+              date_sub(to_date(col("o_orderdate")),
+                       (col("o_orderkey") % 60).cast("int")), "yyyy-MM-dd"))
+            .as("open_dt"),
+          col("o_totalprice").as("sales"))
+      val p = graft.pipelines.BoxOfficePipeline
+      p.ingestDaily(s, root, raw("1995-01-01", "1995-01-07"), "1995-01-07")
+      // ST5: the identical call again — watermark makes it a no-op
+      p.ingestDaily(s, root, raw("1995-01-01", "1995-01-07"), "1995-01-07")
+      // ST1 gap-advance: spine resumes at watermark+1, raw overlap ignored
+      p.ingestDaily(s, root, raw("1995-01-01", "1995-01-10"), "1995-01-10")
+      // S13: re-fetch days 3-5 upstream (sales doubled), rewrite exactly
+      // those partitions via dynamic partition overwrite
+      val repl = raw("1995-01-03", "1995-01-05")
+        .withColumn("open_dt", try_to_date(col("open_dt")))
+        .filter(col("open_dt").isNotNull)
+        .withColumn("elapsed_dt", datediff(col("target_dt"), col("open_dt")))
+        .withColumn("sales", col("sales") * 2)
+      p.backfillRange(s, root, repl)
+      s.read.parquet(s"$root/boxoffice")
+        .select(col("movie_cd"),
+          date_format(col("target_dt"), "yyyy-MM-dd").as("target_dt"),
+          date_format(col("open_dt"), "yyyy-MM-dd").as("open_dt"),
+          col("elapsed_dt").cast("int").as("elapsed_dt"), col("sales"))
+        .orderBy("movie_cd")
+    }),
+
+    // S14 CSV dump at the oracle tier: the debug dump must survive a
+    // full write→read round trip value-exact — free-text columns with
+    // spaces/punctuation and shortest-round-trip doubles included —
+    // against the source table read straight from parquet by the oracle
+    "q_pipeline_csv_roundtrip" -> ((s, dir) => {
+      val root = s"/tmp/graft_csv_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val src = t(s, dir, "part")
+      graft.pipelines.BoxOfficePipeline.dumpCsv(src, s"$root/part_csv")
+      s.read.option("header", "true").schema(src.schema)
+        .csv(s"$root/part_csv")
+        .orderBy("p_partkey")
+    }),
+
+    // S1 daily-box-office source adapter at the oracle tier (previously
+    // spec-only): a deterministic KOBIS JSON fixture (written fresh to
+    // /tmp each run) through the full adapter chain — nested drill →
+    // explode → snake_case → target_dt stamp → open_dt coerce→null→drop
+    // (row 2) → numeric coercions with fill-zero ("abc"/"" → 0) →
+    // elapsed_dt. The oracle states the exact expected rows, so any
+    // drift in drill path, rename rule, coercion or date arithmetic
+    // breaks the hash.
+    "q_source_kobis_daily" -> ((s, dir) => {
+      val fixture =
+        """{"boxOfficeResult": {"boxofficeType": "일별 박스오피스",
+          |  "showRange": "20240115~20240115",
+          |  "dailyBoxOfficeList": [
+          |   {"rnum":"1","rank":"1","rankInten":"0","rankOldAndNew":"OLD",
+          |    "movieCd":"20240001","movieNm":"Alpha","openDt":"2024-01-01",
+          |    "salesAmt":"1000000","salesShare":"45.5","salesInten":"-5000",
+          |    "salesChange":"-0.5","salesAcc":"9000000","audiCnt":"1200",
+          |    "audiInten":"-50","audiChange":"abc","audiAcc":"150000",
+          |    "scrnCnt":"800","showCnt":"3200"},
+          |   {"rnum":"2","rank":"2","rankInten":"1","rankOldAndNew":"NEW",
+          |    "movieCd":"20240002","movieNm":"Beta","openDt":"not-a-date",
+          |    "salesAmt":"1","salesShare":"1","salesInten":"1","salesChange":"1",
+          |    "salesAcc":"1","audiCnt":"1","audiInten":"1","audiChange":"1",
+          |    "audiAcc":"1","scrnCnt":"1","showCnt":"1"},
+          |   {"rnum":"3","rank":"3","rankInten":"-1","rankOldAndNew":"OLD",
+          |    "movieCd":"20240003","movieNm":"Gamma","openDt":"2023-12-25",
+          |    "salesAmt":"","salesShare":"oops","salesInten":"10",
+          |    "salesChange":"1.5","salesAcc":"500000","audiCnt":"900",
+          |    "audiInten":"20","audiChange":"-30","audiAcc":"90000",
+          |    "scrnCnt":"700","showCnt":"2800"}]}}""".stripMargin
+      val p = java.nio.file.Paths.get("/tmp/graft_kobis_fixture/daily_20240115.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, fixture)
+      graft.sources.KobisSource.dailyBoxOffice(s, p.toString,
+          java.time.LocalDate.parse("2024-01-15"))
+        .select(col("rnum"), col("rank"), col("movie_cd"), col("movie_nm"),
+          date_format(col("open_dt"), "yyyy-MM-dd").as("open_dt"),
+          date_format(col("target_dt"), "yyyy-MM-dd").as("target_dt"),
+          col("sales_amt"), col("sales_share"), col("audi_cnt"),
+          col("audi_change"), col("scrn_cnt"), col("show_cnt"),
+          col("elapsed_dt"))
+        .orderBy("rnum")
+    }),
+
+    // S2/S9 movie-list source adapter at the oracle tier: two page
+    // fixtures in ONE multi-path scan (the collapsed pagination loop),
+    // falsy-dropping directors/companys array extraction → compact JSON,
+    // the P6 predicate trio with pandas null parity (null genre and null
+    // English title PASS; blank English title and zero directors DROP),
+    // and the yyyyMMdd → yyyy-MM-dd reformat with ""→null coercion.
+    "q_source_movie_list" -> ((s, dir) => {
+      def page(items: String) =
+        s"""{"movieListResult": {"totCnt": "5", "movieList": [$items]}}"""
+      val p1 = page(
+        """{"movieCd":"M1","movieNm":"큰 위젯","movieNmEn":"Big Widget",
+          | "prdtYear":"2023","openDt":"20230105","typeNm":"장편",
+          | "prdtStatNm":"개봉","nationAlt":"한국","genreAlt":"드라마",
+          | "repNationNm":"한국","repGenreNm":"드라마",
+          | "directors":[{"peopleNm":"Kim"},{"peopleNm":""}],
+          | "companys":[{"companyCd":"C1","companyNm":"Acme"},
+          |             {"companyCd":"","companyNm":"Ghost"}]},
+          |{"movieCd":"M2","movieNm":"성인작","movieNmEn":"Adult",
+          | "prdtYear":"2023","openDt":"20230201","typeNm":"장편",
+          | "prdtStatNm":"개봉","nationAlt":"한국","genreAlt":"성인물(에로)",
+          | "repNationNm":"한국","repGenreNm":"성인물(에로)",
+          | "directors":[{"peopleNm":"Park"}],"companys":[]},
+          |{"movieCd":"M3","movieNm":"무감독","movieNmEn":"NoDirector",
+          | "prdtYear":"2022","openDt":"20220301","typeNm":"장편",
+          | "prdtStatNm":"개봉","nationAlt":"한국","genreAlt":"드라마",
+          | "repNationNm":"한국","repGenreNm":"드라마",
+          | "directors":[],"companys":[]}""".stripMargin)
+      val p2 = page(
+        """{"movieCd":"M4","movieNm":"무영문","movieNmEn":null,
+          | "prdtYear":"2024","openDt":"","typeNm":"장편",
+          | "prdtStatNm":"개봉예정","nationAlt":"한국","genreAlt":"액션",
+          | "repNationNm":"한국","repGenreNm":"액션",
+          | "directors":[{"peopleNm":"Lee"}],"companys":[]},
+          |{"movieCd":"M5","movieNm":"공백영문","movieNmEn":"  ",
+          | "prdtYear":"2024","openDt":"20240401","typeNm":"장편",
+          | "prdtStatNm":"개봉예정","nationAlt":"한국","genreAlt":"액션",
+          | "repNationNm":"한국","repGenreNm":"액션",
+          | "directors":[{"peopleNm":"Choi"}],"companys":[]}""".stripMargin)
+      val root = java.nio.file.Paths.get("/tmp/graft_kobis_fixture")
+      java.nio.file.Files.createDirectories(root)
+      java.nio.file.Files.writeString(root.resolve("movies_p1.json"), p1)
+      java.nio.file.Files.writeString(root.resolve("movies_p2.json"), p2)
+      graft.sources.KobisSource.movieList(s,
+          Seq(s"$root/movies_p1.json", s"$root/movies_p2.json"))
+        .select("movie_cd", "movie_nm", "movie_nm_en", "prdt_year",
+          "open_dt", "rep_genre_nm", "directors", "companys")
+        .orderBy("movie_cd")
+    }),
+
     // J6 phased — the reference's full candidate ladder
     // (movie_events_scraper.py:64-125): recent ∪ opening-soon first, full
     // catalog second, raw containment third, normalized-self fallback.
@@ -1917,6 +2073,58 @@ object SparkEntry {
                 CASE WHEN hit1 THEN COALESCE(ev1, own_url) ELSE COALESCE(ev2, own_url) END AS event_url,
                 CASE WHEN hit1 THEN COALESCE(own_img, img1) ELSE COALESCE(own_img, img2) END AS image_url
          FROM j ORDER BY event_id""",
+
+    // the surviving store: bootstrap + advance ingests of 1995-01-01..10
+    // (invalid open_dt rows dropped), days 3-5 replaced with doubled sales
+    "q_pipeline_store_lifecycle" ->
+      """WITH raw AS (SELECT CAST(o_orderdate AS DATE) AS target_dt,
+                             o_orderkey AS movie_cd,
+                             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                                  ELSE CAST(o_orderdate AS DATE)
+                                       - CAST(o_orderkey % 60 AS INTEGER) END AS open_dt,
+                             o_totalprice AS sales
+                      FROM orders
+                      WHERE CAST(o_orderdate AS DATE)
+                            BETWEEN DATE '1995-01-01' AND DATE '1995-01-10')
+         SELECT movie_cd,
+                strftime(target_dt, '%Y-%m-%d') AS target_dt,
+                strftime(open_dt, '%Y-%m-%d') AS open_dt,
+                CAST(target_dt - open_dt AS INTEGER) AS elapsed_dt,
+                sales * (CASE WHEN target_dt BETWEEN DATE '1995-01-03'
+                                                 AND DATE '1995-01-05'
+                              THEN 2 ELSE 1 END) AS sales
+         FROM raw WHERE open_dt IS NOT NULL ORDER BY movie_cd""",
+
+    "q_pipeline_csv_roundtrip" ->
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+         FROM part ORDER BY p_partkey""",
+
+    // the exact rows the S1 adapter must land on: row 2 dropped by the
+    // open_dt coercion, "abc"/""/"oops" numerics coerced to zero
+    "q_source_kobis_daily" ->
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), CAST(1 AS BIGINT), '20240001', 'Alpha',
+            '2024-01-01', '2024-01-15', CAST(1000000 AS BIGINT),
+            CAST(45.5 AS DOUBLE), CAST(1200 AS BIGINT), CAST(0 AS BIGINT),
+            CAST(800 AS BIGINT), CAST(3200 AS BIGINT), CAST(14 AS INTEGER)),
+           (3, 3, '20240003', 'Gamma', '2023-12-25', '2024-01-15',
+            0, 0.0, 900, -30, 700, 2800, 21))
+         AS t(rnum, rank, movie_cd, movie_nm, open_dt, target_dt, sales_amt,
+              sales_share, audi_cnt, audi_change, scrn_cnt, show_cnt,
+              elapsed_dt)
+         ORDER BY rnum""",
+
+    // S2: M2 dropped (adult genre), M3 dropped (no directors), M5 dropped
+    // (blank English title); M4's null title/date survive as NULLs
+    "q_source_movie_list" ->
+      """SELECT * FROM (VALUES
+           ('M1', '큰 위젯', 'Big Widget', '2023', '2023-01-05', '드라마',
+            '["Kim"]', '[{"company_cd":"C1","company_nm":"Acme"}]'),
+           ('M4', '무영문', CAST(NULL AS VARCHAR), '2024',
+            CAST(NULL AS VARCHAR), '액션', '["Lee"]', '[]'))
+         AS t(movie_cd, movie_nm, movie_nm_en, prdt_year, open_dt,
+              rep_genre_nm, directors, companys)
+         ORDER BY movie_cd""",
 
     "q_j6_fuzzy_title_phased" ->
       """WITH q(title) AS (VALUES ('widget <collector event>'),
