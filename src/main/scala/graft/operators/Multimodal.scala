@@ -185,6 +185,19 @@ object Multimodal {
     * carries none) — the ENCODE side of the real-codec round trip the
     * decode oracles close. Executor-side, one per row, no shuffle.
     */
+  /** Fixture-cache variant for the oracle/bench harness: the probe
+    * outputs (width, height, format) are functions of `docId % 32` only,
+    * so the 32 representative PNGs are encoded once per JVM and reused —
+    * the measured cost is then the ENGINE's per-row decode probe, not
+    * 5000 redundant ImageIO encodes of the same dimension cycle. Specs
+    * that need per-doc-unique pixel content keep calling [[syntheticPng]].
+    */
+  def syntheticPngFixture(docId: Long): Array[Byte] =
+    pngCache.computeIfAbsent(((docId % 32) + 32) % 32, r => syntheticPng(r))
+
+  private val pngCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Array[Byte]]()
+
   def syntheticPng(docId: Long): Array[Byte] = {
     val w = 16 + (docId % 32).toInt
     val h = 16 + ((docId * 7) % 32).toInt
