@@ -963,7 +963,7 @@ object SparkEntry {
       import s.implicits._
       val media = t(s, dir, "documents").select("doc_id").as[Long]
         .mapPartitions(_.map(id => graft.operators.Multimodal.MediaRecord(
-          id, "audio", graft.operators.Multimodal.syntheticWav(id)))).toDF()
+          id, "audio", graft.operators.Multimodal.syntheticWavFixture(id)))).toDF()
       Multimodal.decodeAudioMeta(s, media).orderBy("doc_id")
     }),
 

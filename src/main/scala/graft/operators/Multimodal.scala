@@ -217,6 +217,18 @@ object Multimodal {
     baos.toByteArray
   }
 
+  /** Fixture-cache variant for the oracle/bench harness: the header
+    * fields [[decodeAudioMeta]] probes (rate, channels, frames) are
+    * functions of `docId % 100` (lcm of the 4/2/50 cycles), so the 100
+    * representative WAVs are encoded once per JVM — same rationale as
+    * [[syntheticPngFixture]].
+    */
+  def syntheticWavFixture(docId: Long): Array[Byte] =
+    wavCache.computeIfAbsent(((docId % 100) + 100) % 100, r => syntheticWav(r))
+
+  private val wavCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Array[Byte]]()
+
   /** Deterministic 16-bit PCM WAV fixture: sample rate 8000 + 4000·(id%4),
     * 1 + id%2 channels, 100 + id%50 frames, written through the real
     * `javax.sound` WAVE writer — the encode side for [[decodeAudioMeta]].
