@@ -1587,6 +1587,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the SAME corpus-gate column program over a documents STREAM
+    // (append mode, stateless, no watermark): proves the claim that the
+    // text-analysis operators compose into readStream plans unchanged
+    // (Stage scaladoc) at the oracle tier — identical SQL text as the
+    // batch gate, so the drained rows must equal batch row-for-row
+    "q_stream_corpus_gate" -> ((s, dir) => {
+      val batch = t(s, dir, "documents")
+      graft.streaming.StreamDrain.drain(s, s"$dir/documents.parquet",
+          batch.schema, "stream_corpus_gate", "append") { src =>
+        TextAnalysis.corpusGate(src, "doc_id", "text",
+            minTokens = 40, maxRepetition = 0.1, minQuality = 0.55,
+            allowedLangs = Seq("en", "es", "fr", "de"))
+          .select("doc_id", "n_tokens", "rep_ratio", "quality_score",
+                  "detected", "kept", "drop_reason")
+      }.orderBy("doc_id")
+    }),
+
     // sharded token-budget packing — the 100 TB form: cumsum windows run
     // PER SHARD (here: language), so no single reducer sees the corpus
     "q_text_packing_sharded" -> ((s, dir) => {
@@ -1780,6 +1797,63 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
+  /** Shared by the batch gate and its streaming dual: one SQL text, one
+    * agreement surface — the streaming drain must land on the batch rows
+    * exactly (stateless column program, append mode, no watermark).
+    */
+  private val CorpusGateOracle: String =
+    """WITH t AS (SELECT doc_id, text,
+                         list_filter(string_split(text, ' '), x -> x <> '') AS tk
+                  FROM documents),
+            q AS (SELECT doc_id, CAST(len(tk) AS INTEGER) AS n_tokens,
+                         CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                           / CAST(len(tk) AS DOUBLE) AS avg_token_len,
+                         CAST(len(list_filter(tk, x -> x IN ('the','a','is','and','of','to','in'))) AS DOUBLE)
+                           / CAST(len(tk) AS DOUBLE) AS stop_ratio
+                  FROM t),
+            qs AS (SELECT doc_id, n_tokens,
+                          greatest(0.0, least(1.0,
+                            stop_ratio * 0.3
+                            + least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.4
+                            + least(1.0, avg_token_len / 8.0) * 0.3)) AS quality_score
+                   FROM q),
+            ser AS (SELECT unnest(generate_series(1, (SELECT COALESCE(MAX(len(tk)), 1) FROM t))) AS i),
+            bgr AS (SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS b
+                    FROM t CROSS JOIN ser WHERE i <= len(tk) - 1),
+            rp0 AS (SELECT doc_id, COUNT(*) AS nb, COUNT(DISTINCT b) AS nub
+                    FROM bgr GROUP BY doc_id),
+            rp AS (SELECT t.doc_id,
+                          COALESCE(round(CAST(rp0.nb - rp0.nub AS DOUBLE)
+                                         / CAST(rp0.nb AS DOUBLE), 6), 0.0) AS rep_ratio
+                   FROM t LEFT JOIN rp0 ON t.doc_id = rp0.doc_id),
+            lh AS (SELECT doc_id,
+                          CAST(len(list_filter(tk, x -> x IN ('the','a','is','and','of'))) AS INTEGER) AS en_hits,
+                          CAST(len(list_filter(tk, x -> x IN ('el','la','de','que','y'))) AS INTEGER) AS es_hits,
+                          CAST(len(list_filter(tk, x -> x IN ('le','les','des','et','une'))) AS INTEGER) AS fr_hits,
+                          CAST(len(list_filter(tk, x -> x IN ('der','die','und','das','ist'))) AS INTEGER) AS de_hits
+                   FROM t),
+            ld AS (SELECT doc_id,
+                          CASE WHEN en_hits >= es_hits AND en_hits >= fr_hits
+                                AND en_hits >= de_hits AND en_hits > 0 THEN 'en'
+                               WHEN es_hits >= fr_hits AND es_hits >= de_hits
+                                AND es_hits > 0 THEN 'es'
+                               WHEN fr_hits >= de_hits AND fr_hits > 0 THEN 'fr'
+                               WHEN de_hits > 0 THEN 'de'
+                               ELSE 'und' END AS detected
+                   FROM lh),
+            j AS (SELECT qs.doc_id, qs.n_tokens, rp.rep_ratio, qs.quality_score, ld.detected
+                  FROM qs JOIN rp ON qs.doc_id = rp.doc_id
+                          JOIN ld ON qs.doc_id = ld.doc_id),
+            g AS (SELECT *, CASE WHEN n_tokens < 40 THEN 'too_short'
+                                 WHEN rep_ratio > 0.1 THEN 'too_repetitive'
+                                 WHEN quality_score < 0.55 THEN 'low_quality'
+                                 WHEN detected NOT IN ('en','es','fr','de') THEN 'lang'
+                            END AS drop_reason
+                  FROM j)
+       SELECT doc_id, n_tokens, rep_ratio, quality_score, detected,
+              (drop_reason IS NULL) AS kept, drop_reason
+       FROM g ORDER BY doc_id"""
+
   def oracleSql: Map[String, String] = Map(
 
     "q_w1_latest_per_key" ->
@@ -3479,58 +3553,10 @@ object SparkEntry {
          SELECT doc_id, n_tokens, CAST((cum - n_tokens) // 2000 AS BIGINT) AS bin_id
          FROM c ORDER BY doc_id""",
 
-    "q_text_corpus_gate" ->
-      """WITH t AS (SELECT doc_id, text,
-                           list_filter(string_split(text, ' '), x -> x <> '') AS tk
-                    FROM documents),
-              q AS (SELECT doc_id, CAST(len(tk) AS INTEGER) AS n_tokens,
-                           CAST(length(replace(text, ' ', '')) AS DOUBLE)
-                             / CAST(len(tk) AS DOUBLE) AS avg_token_len,
-                           CAST(len(list_filter(tk, x -> x IN ('the','a','is','and','of','to','in'))) AS DOUBLE)
-                             / CAST(len(tk) AS DOUBLE) AS stop_ratio
-                    FROM t),
-              qs AS (SELECT doc_id, n_tokens,
-                            greatest(0.0, least(1.0,
-                              stop_ratio * 0.3
-                              + least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.4
-                              + least(1.0, avg_token_len / 8.0) * 0.3)) AS quality_score
-                     FROM q),
-              ser AS (SELECT unnest(generate_series(1, (SELECT COALESCE(MAX(len(tk)), 1) FROM t))) AS i),
-              bgr AS (SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS b
-                      FROM t CROSS JOIN ser WHERE i <= len(tk) - 1),
-              rp0 AS (SELECT doc_id, COUNT(*) AS nb, COUNT(DISTINCT b) AS nub
-                      FROM bgr GROUP BY doc_id),
-              rp AS (SELECT t.doc_id,
-                            COALESCE(round(CAST(rp0.nb - rp0.nub AS DOUBLE)
-                                           / CAST(rp0.nb AS DOUBLE), 6), 0.0) AS rep_ratio
-                     FROM t LEFT JOIN rp0 ON t.doc_id = rp0.doc_id),
-              lh AS (SELECT doc_id,
-                            CAST(len(list_filter(tk, x -> x IN ('the','a','is','and','of'))) AS INTEGER) AS en_hits,
-                            CAST(len(list_filter(tk, x -> x IN ('el','la','de','que','y'))) AS INTEGER) AS es_hits,
-                            CAST(len(list_filter(tk, x -> x IN ('le','les','des','et','une'))) AS INTEGER) AS fr_hits,
-                            CAST(len(list_filter(tk, x -> x IN ('der','die','und','das','ist'))) AS INTEGER) AS de_hits
-                     FROM t),
-              ld AS (SELECT doc_id,
-                            CASE WHEN en_hits >= es_hits AND en_hits >= fr_hits
-                                  AND en_hits >= de_hits AND en_hits > 0 THEN 'en'
-                                 WHEN es_hits >= fr_hits AND es_hits >= de_hits
-                                  AND es_hits > 0 THEN 'es'
-                                 WHEN fr_hits >= de_hits AND fr_hits > 0 THEN 'fr'
-                                 WHEN de_hits > 0 THEN 'de'
-                                 ELSE 'und' END AS detected
-                     FROM lh),
-              j AS (SELECT qs.doc_id, qs.n_tokens, rp.rep_ratio, qs.quality_score, ld.detected
-                    FROM qs JOIN rp ON qs.doc_id = rp.doc_id
-                            JOIN ld ON qs.doc_id = ld.doc_id),
-              g AS (SELECT *, CASE WHEN n_tokens < 40 THEN 'too_short'
-                                   WHEN rep_ratio > 0.1 THEN 'too_repetitive'
-                                   WHEN quality_score < 0.55 THEN 'low_quality'
-                                   WHEN detected NOT IN ('en','es','fr','de') THEN 'lang'
-                              END AS drop_reason
-                    FROM j)
-         SELECT doc_id, n_tokens, rep_ratio, quality_score, detected,
-                (drop_reason IS NULL) AS kept, drop_reason
-         FROM g ORDER BY doc_id""",
+    "q_text_corpus_gate" -> CorpusGateOracle,
+
+    // identical agreement surface: the drained stream must equal batch
+    "q_stream_corpus_gate" -> CorpusGateOracle,
 
     "q_text_packing_sharded" ->
       """WITH t AS (SELECT doc_id, lang,
