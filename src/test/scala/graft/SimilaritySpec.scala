@@ -20,6 +20,25 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_.getDouble(2)).toSeq == Seq(1.0, 0.0, -1.0))
   }
 
+  test("embedding physical-type drift: array<double> input scores identically to array<float>") {
+    // the round-6 lesson (events.ts flipped physical type between testdata
+    // regenerations) generalized to the embeddings table: the fixed-point
+    // hop casts elements to double FIRST, so a regeneration shipping
+    // list<double> instead of list<float> must be a no-op for every
+    // similarity path, not a throw or a score drift
+    val f = Seq((0L, Array(0.25f, 0.5f)), (1L, Array(0.5f, 0.25f)),
+                (2L, Array(0.25f, 0.5f))).toDF("vec_id", "embedding")
+    val d = Seq((0L, Array(0.25d, 0.5d)), (1L, Array(0.5d, 0.25d)),
+                (2L, Array(0.25d, 0.5d))).toDF("vec_id", "embedding")
+    def run(vs: org.apache.spark.sql.DataFrame) =
+      Similarity.bruteForceTopK(vs.filter(col("vec_id") === 0), vs,
+          "vec_id", "embedding", 2)
+        .select("cand_id", "cos_sim").orderBy("cand_id")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(run(f) == run(d))
+    assert(run(d).head == ((1L, 0.8)))   // exact: (0.25,0.5)·(0.5,0.25)/(norms)
+  }
+
   test("IVF assigns to the nearest centroid and searches only that cell") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)),    // centroid A (also a query)
