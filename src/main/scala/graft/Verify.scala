@@ -21,8 +21,11 @@ object Verify {
     // instead of failing loudly. Print the physical schemas up front so
     // the artifact trail always records what the engine actually read.
     Tables.all.foreach { n =>
-      System.err.println(
-        s"[verify] schema $n: ${Tables.loadRaw(spark, sfDir, n).schema.simpleString}")
+      // per-table try: a missing/corrupt table must be a visible line in
+      // the smoke, never a crash that takes the whole run's coverage out
+      val line = try Tables.loadRaw(spark, sfDir, n).schema.simpleString
+                 catch { case e: Throwable => s"UNREADABLE (${e.getMessage})" }
+      System.err.println(s"[verify] schema $n: $line")
     }
     def rmRec(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rmRec)
