@@ -1,0 +1,68 @@
+package graft
+
+/** Pins the physical-plan shapes the 100 TB posture depends on, so a
+  * plan regression (a broadcast hint lost, a top-k falling back to a
+  * global sort, an LSH join degenerating to all-pairs) fails the unit
+  * suite immediately instead of surfacing as bench drift rounds later.
+  *
+  * Asserts operator PRESENCE/ABSENCE only — never exchange counts or
+  * orderings, which legitimately move with AQE and scale. Queries are
+  * planned against /root/testdata/sf0.001 (planning only; nothing
+  * executes) and the spec degrades to `assume`-skipped when the
+  * driver-generated testdata is absent.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(q: String): String = {
+    assume(new java.io.File(dir).exists(), s"$dir not present")
+    val df = SparkEntry.queries(q)(spark, dir)
+    try df.queryExecution.executedPlan.toString
+    finally graft.operators.OpCache.clear()
+  }
+
+  test("q_j1_dim_rollup: dim join is broadcast, never cartesian") {
+    val p = planOf("q_j1_dim_rollup")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_a3_topk_customers: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = planOf("q_a3_topk_customers")
+    assert(p.contains("TakeOrderedAndProject"), s"no TakeOrderedAndProject in:\n$p")
+  }
+
+  test("q_dedup_minhash_lsh: candidate generation is a band equi-join, never all-pairs") {
+    val p = planOf("q_dedup_minhash_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join shape in:\n$p")
+  }
+
+  test("q_sim_ann_lsh: bucketed ANN search never plans a cartesian product") {
+    val p = planOf("q_sim_ann_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join shape in:\n$p")
+  }
+
+  test("q_decontaminate: the probe side is broadcast, the corpus never shuffles into it") {
+    val p = planOf("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_p_scan_filter_sort: filters reach the parquet scan") {
+    val p = planOf("q_p_scan_filter_sort")
+    // the predicate set includes plain-column comparisons, so the scan
+    // must carry a non-empty PushedFilters list
+    assert(p.contains("PushedFilters: ["), s"no pushed filters in:\n$p")
+    assert(!p.contains("PushedFilters: []"), s"empty pushed-filter list in:\n$p")
+  }
+
+  test("q1_pricing_summary: aggregation is partial->final (map-side combine present)") {
+    val p = planOf("q1_pricing_summary")
+    // two HashAggregate nodes per agg (partial + final) is Spark's
+    // map-side-combine shape; a single-node plan would ship raw rows
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial aggregation in:\n$p")
+  }
+}
