@@ -1462,7 +1462,7 @@ object SparkEntry {
       val horizon = batch
         .filter(col("event_type").isin("click", "purchase"))
         .groupBy("event_type").agg(max(expr("ts div 1000")).as("m"))
-        .agg(min(col("m"))).head.getLong(0) -
+        .agg(min(col("m"))).head().getLong(0) -
         7200000000L // 2h = the 1h match window + 1h boundary margin
       drainEvents(s, dir, "stream_interval_join_outer", "append") { src =>
         def side(kind: String) = src.filter(col("event_type") === kind)

@@ -42,7 +42,7 @@ object FuzzyMatch {
 
   /** Collapse duplicate query rows to (distinct row, multiplicity). */
   private def collapsed(queries: DataFrame): DataFrame =
-    queries.groupBy(queries.columns.map(col): _*)
+    queries.groupBy(queries.columns.map(col).toIndexedSeq: _*)
       .agg(count(lit(1)).cast("int").as("__dup"))
 
   /** Re-expand multiplicity collapsed by [[collapsed]] and drop helpers. */
@@ -77,7 +77,7 @@ object FuzzyMatch {
       "left")
     // partitioned by the (distinct) query row itself: same keys as the
     // groupBy in collapsed(), so the exchange is reused, not repeated
-    val w = Window.partitionBy(queries.columns.map(col): _*).orderBy(
+    val w = Window.partitionBy(queries.columns.map(col).toIndexedSeq: _*).orderBy(
       abs(length(col("__cc")) - length(col("__qc"))).asc,
       length(col(candCol)).asc,
       col(candCol).asc)
@@ -137,7 +137,7 @@ object FuzzyMatch {
     val joined = q.join(broadcast(cands), cond, "left")
     val score = when(col("__phase") <= 2, length(col("__cc")) - length(col("__qc")))
       .otherwise(length(col("__cand")))
-    val w = Window.partitionBy(queries.columns.map(col): _*).orderBy(
+    val w = Window.partitionBy(queries.columns.map(col).toIndexedSeq: _*).orderBy(
       col("__phase").asc_nulls_last, score.asc, length(col("__cand")).asc,
       col("__cand").asc)
     val best = joined.withColumn("__rn", row_number().over(w))

@@ -87,7 +87,7 @@ object StreamingUpsert {
         if (touched.nonEmpty) {
           val base = graft.pipelines.BoxOfficePipeline
             .readOrEmpty(spark, storePath, b)
-            .filter(col(partCol).isin(touched: _*))
+            .filter(col(partCol).isin(touched.toIndexedSeq: _*))
           val merged = Upsert.upsert(base, b, keys, col(versionCol))
           val staging = storePath + ".batchstage"
           merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging)
