@@ -107,7 +107,10 @@ object SparkEntry {
     queries("q_w1_latest_per_key")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    baseQueries ++ sqlFuzzQueries
+
+  private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // W1 — latest row per (user_id, event_type) by ts (dashboard.py:104-119).
     // Ordering/output use microsecond granularity (ts div 1000) because the
@@ -1660,6 +1663,18 @@ object SparkEntry {
         .orderBy("user_id", "version")
     })
   )
+
+  /** §2.11 differential fuzz family (round-7 verdict #1): every generated
+    * case is ONE SQL text run verbatim by spark.sql here and by DuckDB as
+    * its oracle — see [[SqlFuzz]] and tools/sqlfuzz.py for the grammar and
+    * the dialect-portability rules it enforces.
+    */
+  private def sqlFuzzQueries: Map[String, (SparkSession, String) => DataFrame] =
+    SqlFuzz.cases.map { case (name, sql) =>
+      name -> ((s: SparkSession, dir: String) => {
+        Tables.registerAll(s, dir); s.sql(sql)
+      })
+    }.toMap
 
   /** One SQL text, executed verbatim by BOTH engines (§2.11: the engine
     * requirement behind the AI agent is "run arbitrary SELECTs").
@@ -3691,5 +3706,5 @@ object SparkEntry {
          FROM ev
          WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
          ORDER BY user_id, version"""
-  )
+  ) ++ SqlFuzz.cases.toMap // §2.11 fuzz family: oracle = the same SQL text
 }

@@ -60,11 +60,13 @@ object BoxOfficePipeline {
     * date range then re-inserts; the idiomatic Spark replacement rewrites
     * exactly the partitions present in the replacement batch.
     */
-  def backfillRange(spark: SparkSession, root: String, replacement: DataFrame): Unit = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+  def backfillRange(spark: SparkSession, root: String, replacement: DataFrame): Unit =
+    // per-WRITE option, not a session conf: mutating the shared session's
+    // partitionOverwriteMode would silently change the semantics of every
+    // later partitioned overwrite in the same process (round-7 advice)
     replacement.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("target_dt").parquet(s"$root/boxoffice")
-  }
 
   /** Movie-dimension maintenance (kobis_pipeline.py:62-84): the reference
     * anti-joins to insert only new movie_cds (J2) — expressed here as the

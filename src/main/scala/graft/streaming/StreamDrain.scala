@@ -62,6 +62,17 @@ object StreamDrain {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.session.timeZone",
       spark.conf.get("spark.sql.session.timeZone"))
+    // the schema-adaptive events contract (Tables.normalizeEventTs) reads
+    // TIMESTAMP(NANOS)-typed parquet as Long via this legacy conf, which
+    // Tables.loadRaw sets at RUNTIME on the caller's session — a fresh
+    // SessionState would default it false. Empirically (TablesSchemaSpec)
+    // the drain's explicit `.schema(...)` bypasses footer-schema
+    // INFERENCE, which is where a nanos file throws, so today's drains
+    // work either way — the conf is propagated so any future path that
+    // does infer (globs without schema, schema evolution checks) sees the
+    // caller's contract rather than a silently different default.
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong",
+      spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false"))
     confs.foreach { case (k, v) => ss.conf.set(k, v) }
     val q = op(ss.readStream.schema(schema).options(sourceOptions)
         .parquet(globbed))

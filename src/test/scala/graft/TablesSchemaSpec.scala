@@ -83,6 +83,72 @@ class TablesSchemaSpec extends SparkSpec {
     assert(vals.head == rows.sortBy(_._1).map(_._2 * 1000L))
   }
 
+  /** A file whose footer carries a real TIMESTAMP(NANOS) annotation — the
+    * pre-round-6 testdata layout. Spark cannot WRITE this type, so the
+    * fixture goes through parquet-mr's example writer directly; reading it
+    * requires `spark.sql.legacy.parquet.nanosAsLong=true` or the
+    * footer-schema conversion throws `Illegal Parquet type: INT64
+    * (TIMESTAMP(NANOS,...))` — exactly the conf a fresh
+    * `spark.newSession()` would lose (round-7 advice #1).
+    */
+  private def writeNanosAnnotatedFixture(): String = {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ts_nanos_annot").toString
+    val schema = Types.buildMessage()
+      .required(INT64).named("event_id")
+      .required(INT64)
+        .as(LogicalTypeAnnotation.timestampType(false, TimeUnit.NANOS)).named("ts")
+      .required(INT64).named("user_id")
+      .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("event_type")
+      .required(DOUBLE).named("value")
+      .named("spark_schema")
+    val writer = ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(s"$dir/events.parquet/part-0.parquet"))
+      .withType(schema).build()
+    val gf = new SimpleGroupFactory(schema)
+    try rows.foreach { case (id, us, uid, et, v) =>
+      writer.write(gf.newGroup()
+        .append("event_id", id).append("ts", us * 1000L).append("user_id", uid)
+        .append("event_type", et).append("value", v))
+    } finally writer.close()
+    dir
+  }
+
+  test("batch q_w1 chain over a TIMESTAMP(NANOS)-annotated events fixture") {
+    val dir = writeNanosAnnotatedFixture()
+    // premise: the annotation is really in the footer — schema INFERENCE
+    // without the legacy conf must reject it (this is the only point where
+    // Spark converts the footer schema; explicit-schema reads bypass it)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    val thrown = intercept[Exception] {
+      spark.read.parquet(s"$dir/events.parquet").schema
+    }
+    assert(thrown.getMessage.contains("TIMESTAMP(NANOS"), thrown.getMessage)
+    assert(latestViaW1Chain(dir) == expected) // loadRaw re-sets the conf
+  }
+
+  test("streaming drain inherits nanosAsLong for TIMESTAMP(NANOS) sources") {
+    val dir = writeNanosAnnotatedFixture()
+    val raw = Tables.loadRaw(spark, dir, "events") // sets the conf caller-side
+    assert(raw.schema("ts").dataType == LongType) // premise: nanos read as Long
+    val out = streaming.StreamDrain.drain(spark, s"$dir/events.parquet",
+        raw.schema, "ts_nanos_drain_spec", "update") { src =>
+      val ev = Tables.normalizeEventTs(src) // Long passthrough
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          expr("ts div 1000").as("ts_us"), col("value"))
+        .as[SparkEntry.EventLatest]
+      streaming.LatestPerKeyStream.latestByVersion(ev)(
+        e => (e.user_id, e.event_type), e => (e.ts_us, e.event_id)).toDF()
+    }
+    val got = out.select("user_id", "event_type", "event_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expected)
+  }
+
   test("streaming drain re-establishes the Long-nanos contract on a micros source") {
     val dir = writeFixture("micros_ntz")
     val raw = Tables.loadRaw(spark, dir, "events")

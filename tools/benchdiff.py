@@ -37,14 +37,36 @@ def parse(txt):
     return json.loads(txt)
 
 
-def compare(old, new, pct, min_abs=0.15):
+def host_factor(old, new):
+    """Median per-query ratio new/old over shared queries — the uniform
+    host-speed drift between the two runs (round-7 verdict #3: the r7
+    baseline refresh moved the suite total 75→90 s with ZERO plan
+    changes, so absolute per-query gates are noise-bound). The median is
+    robust to a handful of genuine structural regressions (they sit in
+    the tail, not the middle), while a uniformly hot host moves every
+    ratio and therefore the median itself. Falls back to 1.0 when fewer
+    than 5 shared queries exist (too few for a meaningful median)."""
+    oq, nq = old.get("queries", {}), new.get("queries", {})
+    ratios = sorted(nq[q] / oq[q] for q in set(oq) & set(nq)
+                    if oq[q] > 0 and nq[q] > 0)
+    if len(ratios) < 5:
+        return 1.0
+    mid = len(ratios) // 2
+    return ratios[mid] if len(ratios) % 2 else (ratios[mid - 1] + ratios[mid]) / 2
+
+
+def compare(old, new, pct, min_abs=0.15, normalize=1.0):
     """(all-rows, regressions) over shared queries; a regression is a
-    delta beyond pct% AND min_abs seconds (sub-150ms jitter ignored)."""
+    delta beyond pct% AND min_abs seconds (sub-150ms jitter ignored).
+    `normalize` divides every new-run time first (see host_factor), so
+    the thresholds gate each query's move RELATIVE to the suite — a
+    uniformly hot host shifts nothing, a single structural 1.5× still
+    trips. Reported rows carry the normalized new time."""
     oq, nq = old.get("queries", {}), new.get("queries", {})
     shared = sorted(set(oq) & set(nq))
     rows, worse = [], []
     for q in shared:
-        a, b = oq[q], nq[q]
+        a, b = oq[q], nq[q] / normalize
         if a <= 0 or b <= 0:
             continue
         d = 100.0 * (b - a) / a

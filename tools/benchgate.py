@@ -9,9 +9,11 @@ Usage:
   python3 tools/benchgate.py --baseline tools/bench_local_r04.json --pct 50
   python3 tools/benchgate.py --sf /root/testdata/sf0.1 --passes 2
 
-Default threshold is 50% (>1.5x) AND >0.15s absolute: machine
-contention moves this host's timings by tens of percent (see the
-workflow notes), so the gate flags structural regressions, not jitter.
+Default threshold is 50% (>1.5x) AND >0.15s absolute, applied AFTER
+host normalization (round-7 verdict #3): new-run times are divided by
+the median per-query new/old ratio (benchdiff.host_factor), so a
+uniformly hot or cool host shifts nothing while a single structural
+1.5x regression still trips. --no-normalize restores raw gating.
 Queries missing from the baseline are reported as added, never failed.
 """
 import glob, json, os, subprocess, sys
@@ -55,7 +57,7 @@ def run_bench(sf, passes):
 def main():
     baseline = None
     sf = "/root/testdata/sf0.1"
-    pct, passes, json_path = 50.0, 2, None
+    pct, passes, json_path, normalize = 50.0, 2, None, True
     it = iter(sys.argv[1:])
     for a in it:
         if a == "--baseline":
@@ -68,6 +70,8 @@ def main():
             passes = int(next(it))
         elif a == "--json":
             json_path = next(it)
+        elif a == "--no-normalize":
+            normalize = False
         else:
             sys.exit(f"unknown arg {a}")
 
@@ -75,11 +79,13 @@ def main():
     old = benchdiff.load(baseline)
     new = benchdiff.load(json_path) if json_path else run_bench(sf, passes)
 
-    rows, worse = benchdiff.compare(old, new, pct)
+    h = benchdiff.host_factor(old, new) if normalize else 1.0
+    rows, worse = benchdiff.compare(old, new, pct, normalize=h)
     oq, nq = old.get("queries", {}), new.get("queries", {})
     shared = sorted(set(oq) & set(nq))
     print(f"gate vs {os.path.relpath(baseline, REPO)}: {len(shared)} shared queries, "
-          f"old {sum(oq[q] for q in shared):.1f}s → new {sum(nq[q] for q in shared):.1f}s")
+          f"old {sum(oq[q] for q in shared):.1f}s → new {sum(nq[q] for q in shared):.1f}s"
+          f" (host factor {h:.2f}: gating normalized times)")
     added = sorted(set(nq) - set(oq))
     if added:
         print(f"added (not gated): {added}")
@@ -90,11 +96,12 @@ def main():
         print(f"FAIL: baseline queries missing from this run: {missing}")
         sys.exit(1)
     if worse:
-        print(f"FAIL: {len(worse)} queries regressed beyond {pct:.0f}% (+0.15s):")
+        print(f"FAIL: {len(worse)} queries regressed beyond {pct:.0f}% (+0.15s), "
+              f"host-normalized (/{h:.2f}):")
         for d, q, a, b in worse:
-            print(f"  {d:+7.1f}%  {q:32s} {a:6.2f}s → {b:6.2f}s")
+            print(f"  {d:+7.1f}%  {q:32s} {a:6.2f}s → {b:6.2f}s(norm)")
         sys.exit(1)
-    print(f"PASS: no query regressed beyond {pct:.0f}% (+0.15s)")
+    print(f"PASS: no query regressed beyond {pct:.0f}% (+0.15s), host-normalized (/{h:.2f})")
 
 
 if __name__ == "__main__":

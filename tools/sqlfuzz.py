@@ -1,0 +1,419 @@
+#!/usr/bin/env python3
+"""Differential SQL fuzzer for the text-to-SQL surface (round-7 verdict #1).
+
+The reference's engine contract is "execute ARBITRARY LLM-generated
+SELECTs" (ai_agent.py:118-124); four hand-picked queries are weak
+evidence for an open-ended contract. This tool generates a seeded,
+grammar-constrained family of SELECT statements from the prompt's own
+idiom set (ai_agent.py:42-105: date functions, LIKE + %,
+REPLACE(x,' ','') fuzzy match, JSON-string LIKE, null/'[]' exclusion)
+plus the relational shapes the agent emits (GROUP BY, window row_number,
+EXISTS, top-k, joins, unions), renders each as ONE SQL text that parses
+and evaluates identically in Spark SQL and DuckDB, sanity-runs it
+against DuckDB on sf0.01, and emits src/main/scala/graft/SqlFuzz.scala —
+whose cases SparkEntry merges into queries/oracleSql so the driver's
+correctness gate hash-compares every one.
+
+Dialect-portability rules the grammar enforces (each is a REAL
+divergence between the engines, pinned here by construction):
+  - ORDER BY keys always carry explicit NULLS FIRST / NULLS LAST:
+    Spark defaults ASC→NULLS FIRST, DuckDB defaults ASC→NULLS LAST.
+  - Aggregates over DOUBLE columns go through
+    CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE): decimal sums are
+    order-independent (Spark partial aggregation vs DuckDB fold), and
+    the output is DOUBLE because the harness hashes decimal columns
+    differently per engine (round-1 lesson).
+  - SUM over integer columns is CAST(... AS BIGINT): DuckDB widens to
+    HUGEINT, which pandas renders as float64 and large values would
+    lose exactness.
+  - Timestamp columns compare via CAST(col AS DATE) against DATE
+    literals (the repo-wide convention); `events.ts` never appears —
+    Spark-side it is the epoch-nanos Long contract, DuckDB-side a
+    timestamp, so the same text cannot mean the same thing.
+  - AVG is avoided in favor of exact-sum / count division with an
+    explicit DOUBLE cast (one IEEE division in both engines).
+  - Every query ends with a TOTAL order (all output columns) so LIMIT
+    and hashing are deterministic up to multiset equality.
+  - round() is excluded: Spark rounds HALF_UP, DuckDB HALF_EVEN.
+  - No SELECT * (schema drift) and no GROUP BY aliases (Spark allows,
+    DuckDB allows, but resolution corner cases differ) — group keys are
+    repeated expressions.
+
+Usage:
+  python3 tools/sqlfuzz.py            # regenerate SqlFuzz.scala (seed 42, n=50)
+  python3 tools/sqlfuzz.py --check    # only run the DuckDB sanity pass
+"""
+import os, random, sys
+
+SEED = 42
+N = 50
+SF = "/root/testdata/sf0.01"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(REPO, "src/main/scala/graft/SqlFuzz.scala")
+
+# (table, columns usable in the portable grammar)
+#   kind: i=integer-ish, d=double, s=string, t=timestamp(cast to DATE)
+COLS = {
+    "region":   [("r_regionkey", "i"), ("r_name", "s")],
+    "nation":   [("n_nationkey", "i"), ("n_name", "s"), ("n_regionkey", "i")],
+    "customer": [("c_custkey", "i"), ("c_name", "s"), ("c_nationkey", "i"),
+                 ("c_acctbal", "d"), ("c_mktsegment", "s")],
+    "supplier": [("s_suppkey", "i"), ("s_name", "s"), ("s_nationkey", "i"),
+                 ("s_acctbal", "d")],
+    "part":     [("p_partkey", "i"), ("p_name", "s"), ("p_brand", "s"),
+                 ("p_type", "s"), ("p_size", "i"), ("p_retailprice", "d")],
+    "orders":   [("o_orderkey", "i"), ("o_custkey", "i"), ("o_orderstatus", "s"),
+                 ("o_totalprice", "d"), ("o_orderdate", "t"),
+                 ("o_orderpriority", "s")],
+    "lineitem": [("l_orderkey", "i"), ("l_partkey", "i"), ("l_suppkey", "i"),
+                 ("l_linenumber", "i"), ("l_quantity", "d"),
+                 ("l_extendedprice", "d"), ("l_discount", "d"),
+                 ("l_returnflag", "s"), ("l_linestatus", "s"),
+                 ("l_shipdate", "t")],
+    # events.ts is EXCLUDED (Long-nanos contract, see module doc);
+    # props is the JSON-string LIKE surface
+    "events":   [("event_id", "i"), ("user_id", "i"), ("event_type", "s"),
+                 ("value", "d"), ("props", "s")],
+    "documents": [("doc_id", "i"), ("text", "s"), ("lang", "s"),
+                  ("source", "s"), ("n_chars", "i")],
+}
+
+# value vocabulary mined from the sf0.01 data (kept literal so the fuzz
+# family is self-contained and reproducible)
+VOCAB = {
+    "c_mktsegment": ["BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE"],
+    "o_orderstatus": ["P", "O", "F"],
+    "o_orderpriority": ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+    "l_returnflag": ["R", "A", "N"],
+    "l_linestatus": ["O", "F"],
+    "event_type": ["click", "signup", "error", "view", "purchase"],
+    "lang": ["en", "de", "fr", "es"],
+    "p_brand": ["Brand#%d" % i for i in range(1, 25)],
+    "p_type": ["ECONOMY", "SMALL", "STANDARD", "LARGE", "PROMO"],
+    "like_words": ["widget", "ring", "bolt", "gear", "red", "blue", "small"],
+    "name_prefix": ["Customer#00000", "Supplier#"],
+    "json_digits": ["1", "2", "3", "4", "5", "6", "7", "8", "9"],
+    "dates": ["1995-06-01", "1996-01-01", "1996-07-01", "1997-01-01",
+              "1997-06-15", "1998-01-01", "1999-01-01", "2000-01-01"],
+}
+
+# FK edges the join templates draw from: (left, right, on-left, on-right)
+JOINS = [
+    ("orders", "customer", "o_custkey", "c_custkey"),
+    ("lineitem", "orders", "l_orderkey", "o_orderkey"),
+    ("lineitem", "part", "l_partkey", "p_partkey"),
+    ("lineitem", "supplier", "l_suppkey", "s_suppkey"),
+    ("customer", "nation", "c_nationkey", "n_nationkey"),
+    ("supplier", "nation", "s_nationkey", "n_nationkey"),
+    ("nation", "region", "n_regionkey", "r_regionkey"),
+]
+
+
+def cols_of(t, kind=None):
+    return [c for c, k in COLS[t] if kind is None or k == kind]
+
+
+def ref(c, t):
+    """Column reference with the DATE-cast convention for timestamps."""
+    k = dict(COLS[t])[c]
+    return f"CAST({c} AS DATE)" if k == "t" else c
+
+
+def sum_of(c, t):
+    k = dict(COLS[t])[c]
+    if k == "d":
+        return f"CAST(SUM(CAST({c} AS DECIMAL(38,6))) AS DOUBLE)"
+    return f"CAST(SUM({c}) AS BIGINT)"
+
+
+class Gen:
+    def __init__(self, rng):
+        self.r = rng
+
+    def predicate(self, t, alias=""):
+        """One portable predicate over table t's columns (prompt idioms)."""
+        p = alias + "." if alias else ""
+        choice = self.r.randrange(7)
+        scols = cols_of(t, "s")
+        icols = cols_of(t, "i")
+        dcols = cols_of(t, "d")
+        tcols = cols_of(t, "t")
+        if choice == 0 and scols:       # vocab equality / IN list
+            c = self.r.choice(scols)
+            vocab = VOCAB.get(c)
+            if vocab:
+                vals = self.r.sample(vocab, min(len(vocab), self.r.choice([1, 2, 3])))
+                if len(vals) == 1:
+                    return f"{p}{c} = '{vals[0]}'"
+                quoted = ", ".join(f"'{v}'" for v in sorted(vals))
+                return f"{p}{c} IN ({quoted})"
+            return f"LENGTH({p}{c}) > {self.r.randrange(5, 12)}"
+        if choice == 1 and scols:       # LIKE idiom
+            c = self.r.choice(scols)
+            if c == "props":            # JSON-string LIKE (ai_agent.py:95-96)
+                return f"{p}props LIKE '%\"k\": {self.r.choice(VOCAB['json_digits'])}%'"
+            w = self.r.choice(VOCAB["like_words"])
+            neg = "NOT " if self.r.random() < 0.25 else ""
+            return f"{p}{c} {neg}LIKE '%{w}%'"
+        if choice == 2 and scols:       # REPLACE fuzzy match (ai_agent.py:97)
+            c = self.r.choice(scols)
+            w = "".join(self.r.choice(VOCAB["like_words"]) for _ in range(1))
+            return f"REPLACE({p}{c}, ' ', '') LIKE '%{w}%'"
+        if choice == 3 and icols:       # integer range
+            c = self.r.choice(icols)
+            lo = self.r.randrange(0, 40)
+            return self.r.choice([
+                f"{p}{c} > {lo}",
+                f"{p}{c} BETWEEN {lo} AND {lo + self.r.randrange(10, 5000)}",
+                f"{p}{c} % {self.r.randrange(2, 7)} = {self.r.randrange(0, 2)}"])
+        if choice == 4 and dcols:       # double threshold (literal compare is exact)
+            c = self.r.choice(dcols)
+            return f"{p}{c} {self.r.choice(['<', '>', '<='])} {self.r.randrange(1, 9000)}"
+        if choice == 5 and tcols:       # date window (prompt: date(target_dt) idiom)
+            c = self.r.choice(tcols)
+            d1, d2 = sorted(self.r.sample(VOCAB["dates"], 2))
+            return self.r.choice([
+                f"CAST({p}{c} AS DATE) >= DATE '{d1}'",
+                f"CAST({p}{c} AS DATE) BETWEEN DATE '{d1}' AND DATE '{d2}'",
+                f"YEAR(CAST({p}{c} AS DATE)) = {self.r.choice(['1996', '1997', '1998'])}"])
+        if scols:                       # null/'[]' exclusion idiom (ai_agent.py:96)
+            c = self.r.choice(scols)
+            return f"{p}{c} IS NOT NULL AND {p}{c} <> '[]'"
+        return "1 = 1"
+
+    def preds(self, t, alias="", n=None):
+        n = n if n is not None else self.r.choice([1, 1, 2, 2, 3])
+        return " AND ".join(self.predicate(t, alias) for _ in range(n))
+
+    # --- templates ------------------------------------------------------
+
+    def t_scan(self):
+        """Filter + project + sort + top-k on one table."""
+        t = self.r.choice(list(COLS))
+        cs = self.r.sample(cols_of(t), min(len(COLS[t]), self.r.choice([2, 3, 4])))
+        sel = ", ".join(f"{ref(c, t)} AS {c}" for c in cs)
+        order = ", ".join(f"{c} NULLS FIRST" for c in cs)
+        lim = self.r.choice([100, 200, 500])
+        return (f"SELECT {sel} FROM {t} WHERE {self.preds(t)} "
+                f"ORDER BY {order} LIMIT {lim}")
+
+    def t_group(self):
+        """GROUP BY + aggregates (+ optional HAVING) + total order."""
+        t = self.r.choice(["orders", "lineitem", "customer", "part", "events",
+                           "documents", "supplier"])
+        keys = self.r.sample(cols_of(t, "s") + cols_of(t, "t"),
+                             self.r.choice([1, 1, 2]))
+        keyexprs = [ref(c, t) for c in keys]
+        aggs = [f"COUNT(*) AS cnt"]
+        num = self.r.choice(cols_of(t, "d") + cols_of(t, "i"))
+        aggs.append(f"{sum_of(num, t)} AS total_{num}")
+        scol = self.r.choice(cols_of(t, "i") + cols_of(t, "d"))
+        aggs.append(f"MIN({scol}) AS min_{scol}")
+        having = f" HAVING COUNT(*) > {self.r.randrange(1, 5)}" \
+            if self.r.random() < 0.4 else ""
+        sel = ", ".join([f"{e} AS {k}" for e, k in zip(keyexprs, keys)] + aggs)
+        order = ", ".join([f"{k} NULLS FIRST" for k in keys])
+        return (f"SELECT {sel} FROM {t} WHERE {self.preds(t)} "
+                f"GROUP BY {', '.join(keyexprs)}{having} ORDER BY {order}")
+
+    def t_join(self):
+        """FK join + filter + group-by rollup."""
+        l, rt, lk, rk = self.r.choice(JOINS)
+        jt = self.r.choice(["JOIN", "LEFT JOIN"])
+        key = self.r.choice(cols_of(rt, "s"))
+        num = self.r.choice(cols_of(l, "d") + cols_of(l, "i"))
+        # qualify the aggregated column with the left alias; group keys
+        # from the RIGHT side of a LEFT JOIN can be NULL — kept on purpose
+        # (null grouping + the pinned NULLS FIRST ordering get exercised)
+        inner = sum_of(num, l).replace(f"CAST({num} ", f"CAST(l.{num} ") \
+                              .replace(f"SUM({num})", f"SUM(l.{num})")
+        sel = f"r.{key} AS {key}, COUNT(*) AS cnt, {inner} AS total_{num}"
+        where = self.preds(l, "l")
+        return (f"SELECT {sel} FROM {l} l {jt} {rt} r ON l.{lk} = r.{rk} "
+                f"WHERE {where} GROUP BY r.{key} ORDER BY {key} NULLS FIRST")
+
+    def t_window(self):
+        """ROW_NUMBER latest/top-per-key in a subquery (prompt's W1 shape)."""
+        t, part, ordc, uniq = self.r.choice([
+            ("orders", "o_orderstatus", "o_totalprice", "o_orderkey"),
+            ("orders", "o_orderpriority", "o_orderdate", "o_orderkey"),
+            ("lineitem", "l_returnflag", "l_extendedprice", "l_orderkey"),
+            ("customer", "c_mktsegment", "c_acctbal", "c_custkey"),
+            ("part", "p_brand", "p_retailprice", "p_partkey"),
+            ("events", "event_type", "value", "event_id"),
+        ])
+        k = self.r.choice([1, 2, 3])
+        ordexpr = ref(ordc, t)
+        cs = [part, ordc, uniq]
+        sel = ", ".join(f"{ref(c, t)} AS {c}" for c in cs)
+        return (f"SELECT {part}, {ordc}, {uniq}, rn FROM ("
+                f"SELECT {sel}, ROW_NUMBER() OVER (PARTITION BY {part} "
+                f"ORDER BY {ordexpr} DESC NULLS LAST, {uniq} NULLS FIRST) AS rn "
+                f"FROM {t} WHERE {self.preds(t)}) t WHERE rn <= {k} "
+                f"ORDER BY {part} NULLS FIRST, rn NULLS FIRST")
+
+    def t_exists(self):
+        """(NOT) EXISTS correlated subquery (agent's anti/semi idiom)."""
+        neg = self.r.choice(["", "NOT "])
+        l, rt, lk, rk = self.r.choice([
+            ("orders", "lineitem", "o_orderkey", "l_orderkey"),
+            ("customer", "orders", "c_custkey", "o_custkey"),
+            ("part", "lineitem", "p_partkey", "l_partkey"),
+            ("supplier", "lineitem", "s_suppkey", "l_suppkey"),
+        ])
+        cs = self.r.sample(cols_of(l), min(len(COLS[l]), 3))
+        sel = ", ".join(f"{ref(c, l)} AS {c}" for c in cs)
+        order = ", ".join(f"{c} NULLS FIRST" for c in cs)
+        sub = self.preds(rt, "i", n=1)
+        return (f"SELECT {sel} FROM {l} o WHERE {self.preds(l, 'o', n=1)} "
+                f"AND {neg}EXISTS (SELECT 1 FROM {rt} i "
+                f"WHERE i.{rk} = o.{lk} AND {sub}) "
+                f"ORDER BY {order} LIMIT 200")
+
+    def t_case(self):
+        """CASE WHEN bucketing + rollup (the F15 status-bucket idiom)."""
+        t, c = self.r.choice([("lineitem", "l_quantity"), ("orders", "o_totalprice"),
+                              ("customer", "c_acctbal"), ("part", "p_size"),
+                              ("documents", "n_chars")])
+        hi = self.r.randrange(20, 60)
+        mid = hi // 2
+        bucket = (f"CASE WHEN {c} > {hi} THEN 'high' WHEN {c} > {mid} "
+                  f"THEN 'mid' WHEN {c} > 0 THEN 'low' ELSE 'none' END")
+        return (f"SELECT {bucket} AS bucket, COUNT(*) AS cnt, "
+                f"{sum_of(c, t)} AS total FROM {t} WHERE {self.preds(t)} "
+                f"GROUP BY {bucket} ORDER BY bucket NULLS FIRST")
+
+    def t_union(self):
+        """UNION ALL of two projections + distinct count on top (T1 idiom)."""
+        (t1, c1), (t2, c2) = self.r.sample(
+            [("customer", "c_name"), ("supplier", "s_name"), ("part", "p_name"),
+             ("nation", "n_name"), ("region", "r_name")], 2)
+        op = self.r.choice(["UNION", "UNION ALL"])
+        return (f"SELECT nm, COUNT(*) AS cnt FROM ("
+                f"SELECT {c1} AS nm FROM {t1} WHERE {self.preds(t1, n=1)} "
+                f"{op} SELECT {c2} AS nm FROM {t2} WHERE {self.preds(t2, n=1)}) u "
+                f"GROUP BY nm ORDER BY nm NULLS FIRST, cnt NULLS FIRST LIMIT 300")
+
+    def t_scalar_sub(self):
+        """Compare against an uncorrelated scalar subquery (agent idiom:
+        'above average')."""
+        t, c, uniq = self.r.choice([
+            ("orders", "o_totalprice", "o_orderkey"),
+            ("customer", "c_acctbal", "c_custkey"),
+            ("part", "p_retailprice", "p_partkey"),
+            ("supplier", "s_acctbal", "s_suppkey"),
+        ])
+        # exact average: decimal sum / count, one IEEE division in both engines
+        avg = (f"(SELECT CAST(SUM(CAST({c} AS DECIMAL(38,6))) AS DOUBLE) "
+               f"/ CAST(COUNT(*) AS DOUBLE) FROM {t})")
+        return (f"SELECT {uniq}, {c} FROM {t} WHERE {c} > {avg} "
+                f"AND {self.preds(t, n=1)} "
+                f"ORDER BY {uniq} NULLS FIRST, {c} NULLS FIRST LIMIT 300")
+
+    def t_strfun(self):
+        """String-function stack: SUBSTR/UPPER/LOWER/LENGTH/CONCAT group key."""
+        t, c = self.r.choice([("customer", "c_name"), ("part", "p_name"),
+                              ("supplier", "s_name"), ("documents", "lang"),
+                              ("orders", "o_orderpriority")])
+        keyexpr = self.r.choice([
+            f"UPPER(SUBSTR({c}, 1, {self.r.randrange(2, 5)}))",
+            f"LOWER(SUBSTR({c}, 1, {self.r.randrange(2, 5)}))",
+            f"LENGTH({c})",
+            f"CONCAT(SUBSTR({c}, 1, 2), '-', CAST(LENGTH({c}) AS STRING))",
+        ])
+        # CAST(x AS STRING): Spark accepts STRING, DuckDB aliases it too
+        return (f"SELECT {keyexpr} AS k, COUNT(*) AS cnt FROM {t} "
+                f"WHERE {self.preds(t, n=1)} "
+                f"GROUP BY {keyexpr} ORDER BY k NULLS FIRST")
+
+    def t_datefun(self):
+        """Date-function rollup (prompt: date(target_dt) family)."""
+        t, c = self.r.choice([("orders", "o_orderdate"), ("lineitem", "l_shipdate")])
+        kind = self.r.choice(["year", "month", "ym"])
+        if kind == "year":
+            key = f"YEAR(CAST({c} AS DATE))"
+        elif kind == "month":
+            key = f"MONTH(CAST({c} AS DATE))"
+        else:
+            key = (f"CONCAT(CAST(YEAR(CAST({c} AS DATE)) AS STRING), '-', "
+                   f"CAST(MONTH(CAST({c} AS DATE)) AS STRING))")
+        num = self.r.choice(cols_of(t, "d"))
+        return (f"SELECT {key} AS k, COUNT(*) AS cnt, {sum_of(num, t)} AS total "
+                f"FROM {t} WHERE {self.preds(t)} "
+                f"GROUP BY {key} ORDER BY k NULLS FIRST")
+
+
+def generate():
+    rng = random.Random(SEED)
+    g = Gen(rng)
+    templates = [g.t_scan, g.t_group, g.t_join, g.t_window, g.t_exists,
+                 g.t_case, g.t_union, g.t_scalar_sub, g.t_strfun, g.t_datefun]
+    out = []
+    tries = 0
+    import duckdb
+    con = duckdb.connect()
+    for t in COLS:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    while len(out) < N and tries < N * 20:
+        tmpl = templates[tries % len(templates)]
+        tries += 1
+        sql = tmpl()
+        try:
+            df = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"  skip (oracle error): {e}\n    {sql}", file=sys.stderr)
+            continue
+        # accept only queries with signal: nonzero rows, bounded size
+        if len(df) == 0 or len(df) > 2000:
+            continue
+        # no decimal outputs (harness hashes decimals differently per engine)
+        if any("decimal" in str(dt).lower() or "object" == str(dt) and
+               df[c].map(lambda v: type(v).__name__).eq("Decimal").any()
+               for c, dt in df.dtypes.items()):
+            print(f"  skip (decimal output): {sql}", file=sys.stderr)
+            continue
+        out.append((sql, len(df)))
+    con.close()
+    if len(out) < N:
+        sys.exit(f"only {len(out)} viable queries after {tries} tries")
+    return out
+
+
+def emit(cases):
+    lines = [
+        "package graft",
+        "",
+        "/** GENERATED by tools/sqlfuzz.py (seed %d) — regenerate, do not edit." % SEED,
+        "  *",
+        "  * Differential fuzz family for the §2.11 text-to-SQL surface",
+        "  * (ai_agent.py:118-124 executes arbitrary LLM-generated SELECTs; the",
+        "  * prompt grammar at :42-105 fixes the idiom set). Each case is ONE",
+        "  * SQL text evaluated verbatim by BOTH engines: Spark executes it in",
+        "  * SparkEntry.queries via spark.sql over the registered views, and",
+        "  * the driver runs the identical string in DuckDB as the oracle —",
+        "  * any divergence in parsing, null ordering, collation, LIKE",
+        "  * semantics, or aggregation shows up as a hash mismatch. The",
+        "  * dialect-portability rules (explicit NULLS ordering, decimal-exact",
+        "  * double sums, CAST-to-DATE convention, no events.ts) are documented",
+        "  * in tools/sqlfuzz.py.",
+        "  */",
+        "object SqlFuzz {",
+        "  val cases: Seq[(String, String)] = Seq(",
+    ]
+    for i, (sql, nrows) in enumerate(cases):
+        name = f"q_sql_fuzz_{i:02d}"
+        lines.append(f'    // {nrows} rows @ sf0.01')
+        lines.append(f'    "{name}" -> """{sql}""",')
+    lines.append("  )")
+    lines.append("}")
+    with open(OUT, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {OUT} with {len(cases)} cases")
+
+
+if __name__ == "__main__":
+    cases = generate()
+    for i, (sql, n) in enumerate(cases):
+        print(f"q_sql_fuzz_{i:02d} [{n:4d} rows] {sql[:100]}")
+    if "--check" not in sys.argv:
+        emit(cases)
