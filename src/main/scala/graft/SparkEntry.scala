@@ -169,7 +169,7 @@ object SparkEntry {
       val cust = t(s, dir, "customer")
       val nat = t(s, dir, "nation")
       Analytics.distinctAndSortedList(
-          cust.join(broadcast(nat), col("c_nationkey") === col("n_nationkey")),
+          cust.join(Hints.bcast(nat), col("c_nationkey") === col("n_nationkey")),
           groupCol = "n_name", countCol = "c_custkey", listCol = "c_name")
         .withColumnRenamed("cnt_distinct", "n_customers")
         .withColumnRenamed("sorted_list", "customer_list")
@@ -181,8 +181,8 @@ object SparkEntry {
       val c = t(s, dir, "customer")
       val n = t(s, dir, "nation")
       val r = t(s, dir, "region")
-      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      c.join(Hints.bcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(Hints.bcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")
         .agg(count(lit(1)).as("n_customers"),
              sumd(col("c_acctbal")).as("total_acctbal"),
@@ -638,10 +638,10 @@ object SparkEntry {
       val reg = t(s, dir, "region").filter(col("r_name") === "ASIA")
       cust.join(ord, col("c_custkey") === col("o_custkey"))
         .join(li, col("o_orderkey") === col("l_orderkey"))
-        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey")
+        .join(Hints.bcast(supp), col("l_suppkey") === col("s_suppkey")
                             && col("c_nationkey") === col("s_nationkey"))
-        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
-        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .join(Hints.bcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(Hints.bcast(reg), col("n_regionkey") === col("r_regionkey"))
         .groupBy("n_name")
         .agg(sumd(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
@@ -1009,7 +1009,7 @@ object SparkEntry {
         """SELECT * FROM VALUES ('red widget', 'crimson widget'),
            ('blue bolt', 'cobalt bolt') AS t(raw, canonical)""")
       t(s, dir, "part")
-        .join(broadcast(aliases), col("p_name") === col("raw"), "left")
+        .join(Hints.bcast(aliases), col("p_name") === col("raw"), "left")
         .withColumn("norm_name", coalesce(col("canonical"), col("p_name")))
         .groupBy("norm_name")
         .agg(count(lit(1)).as("n"),
@@ -1449,6 +1449,58 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ST6 at the oracle tier for the near-dup path itself (round-7
+    // verdict #7): candidatePairsExpiring's EVENT-TIME eviction, driven
+    // through a 3-micro-batch drain. Docs get a synthetic event time
+    // (doc_id minutes) and arrive as doc_id terciles via
+    // maxFilesPerTrigger=1 over three mod-time-ordered files. The
+    // OBSERVABLE eviction contract under Spark's timeout mechanics
+    // (timeouts fire only for buckets with NO data in the batch): a
+    // batch1→batch3 candidate pair is suppressed iff its bucket has no
+    // batch-2 member AND the bucket's last batch-1 arrival lies more
+    // than ttl before batch 1's watermark (max event time, 0s delay) —
+    // every other pair is identical to the non-TTL dual. The +30 s ttl
+    // offset keeps every bucket a half-minute clear of the eviction
+    // boundary, so >-vs-≥ timeout strictness can't flip a row (same
+    // margin discipline as the interval-join oracle). At sf0.01 this
+    // suppresses 6 of 25 pairs and keeps surviving idle buckets — both
+    // behaviors exercised, and the oracle re-derives the suppressed set
+    // relationally in doc_id units.
+    "q_stream_neardup_ttl" -> ((s, dir) => {
+      val batch = t(s, dir, "documents")
+        .withColumn("ts", timestamp_micros(col("doc_id") * lit(60000000L)))
+      val mx = batch.agg(max("doc_id")).head().getLong(0) // O(1) scalar
+      val d1 = mx / 3
+      val d2 = (2 * mx) / 3
+      val ttlSecs = (d1 * 4 / 10) * 60 + 30
+      val tmp = java.nio.file.Files.createTempDirectory("graft_neardup_ttl_").toString
+      val streamDir = new java.io.File(s"$tmp/docs"); streamDir.mkdirs()
+      def emitFile(df: DataFrame, name: String, modMs: Long): Unit = {
+        val stage = s"$tmp/stage_$name"
+        df.coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(streamDir, s"$name.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        dest.setLastModified(modMs); ()
+      }
+      emitFile(batch.filter(col("doc_id") <= d1), "b1", 1000000L)
+      emitFile(batch.filter(col("doc_id") > d1 && col("doc_id") <= d2), "b2", 2000000L)
+      emitFile(batch.filter(col("doc_id") > d2), "b3", 3000000L)
+      graft.streaming.StreamDrain.drain(s, streamDir.toString,
+          batch.schema, "stream_neardup_ttl", "append",
+          sourceOptions = Map("maxFilesPerTrigger" -> "1")) { src =>
+        graft.streaming.StreamingNearDup.candidatePairsExpiring(s,
+          graft.streaming.StreamingNearDup.banded(src, "doc_id", "text",
+            k = 5, numHashes = 16, numBands = 4, carryCols = Seq("ts"))
+            .withWatermark("ts", "0 seconds"),
+          ttl = java.time.Duration.ofSeconds(ttlSecs),
+          maxBucket = 1 << 20).toDF()
+      }.filter(!col("truncated"))
+        .select("id_a", "id_b").distinct()
+        .orderBy("id_a", "id_b")
+    }),
+
     // watermark-DELAYED outer emission — the subtlest streaming
     // semantic in the repo (StreamStreamJoin.intervalJoinLeftOuter): an
     // unmatched click emits its null-purchase row only once the
@@ -1661,6 +1713,19 @@ object SparkEntry {
         .select(col("user_id"), col("version"), col("valid_from"),
                 col("valid_to"), col("is_current"))
         .orderBy("user_id", "version")
+    }),
+
+    // S15 — schema introspection as a relation (ai_agent.py:26-38;
+    // round-7 verdict #2 promotes the last spec-only §2 id to the oracle
+    // tier). Spark side describes the ENGINE-facing schemas (Tables.load:
+    // events.ts is the epoch-nanos Long contract whatever the physical
+    // layout); the oracle maps DuckDB's information_schema type names to
+    // the same dialect-neutral categories, with events.ts pinned 'long'
+    // explicitly — asserting the engine contract, not the footer type.
+    "q_s15_describe_store" -> ((s, dir) => {
+      pipelines.BoxOfficePipeline
+        .describeTables(s, Tables.all.map(n => n -> Tables.load(s, dir, n)))
+        .orderBy("tbl", "ord")
     })
   )
 
@@ -2641,6 +2706,37 @@ object SparkEntry {
          SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
          FROM bk a JOIN bk c ON a.b = c.b AND a.key = c.key
                             AND a.doc_id < c.doc_id
+         ORDER BY id_a, id_b""",
+
+    // the non-TTL pair set MINUS batch1→batch3 pairs whose bucket went
+    // idle past the ttl (no batch-2 member, last batch-1 arrival more
+    // than ttl_sec before batch 1's max event time) — the query-side
+    // comment derives why this is exactly the eviction-visible set.
+    // Constants mirror the Spark side in doc_id units: terciles of
+    // MAX(doc_id), ts = doc_id minutes, ttl = (d1*4/10)*60+30 seconds.
+    "q_stream_neardup_ttl" ->
+      s"""$MinhashBkCte,
+              lim AS (SELECT MAX(doc_id) // 3 AS d1,
+                             (2 * MAX(doc_id)) // 3 AS d2,
+                             ((MAX(doc_id) // 3) * 4 // 10) * 60 + 30 AS ttl_sec
+                      FROM documents),
+              mem AS (SELECT doc_id, b, key,
+                             CASE WHEN doc_id <= (SELECT d1 FROM lim) THEN 1
+                                  WHEN doc_id <= (SELECT d2 FROM lim) THEN 2
+                                  ELSE 3 END AS bat
+                      FROM bk),
+              bu AS (SELECT b, key,
+                            MAX(CASE WHEN bat = 1 THEN doc_id END) AS m1,
+                            SUM(CASE WHEN bat = 2 THEN 1 ELSE 0 END) AS n2
+                     FROM mem GROUP BY b, key),
+              w1 AS (SELECT MAX(doc_id) AS w FROM mem WHERE bat = 1)
+         SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+         FROM mem a JOIN mem c ON a.b = c.b AND a.key = c.key
+                              AND a.doc_id < c.doc_id
+         JOIN bu ON bu.b = a.b AND bu.key = a.key
+         WHERE NOT (a.bat = 1 AND c.bat = 3 AND bu.n2 = 0
+                    AND bu.m1 * 60 + (SELECT ttl_sec FROM lim)
+                        < (SELECT w FROM w1) * 60)
          ORDER BY id_a, id_b""",
 
     // batch left-outer range join over the same boundary-clear left set:
@@ -3705,6 +3801,27 @@ object SparkEntry {
                 LEAD(ts_us) OVER w IS NULL AS is_current
          FROM ev
          WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
-         ORDER BY user_id, version"""
+         ORDER BY user_id, version""",
+
+    "q_s15_describe_store" ->
+      """SELECT table_name AS tbl, column_name AS col,
+                CAST(ordinal_position AS BIGINT) AS ord,
+                CASE WHEN table_name = 'events' AND column_name = 'ts'
+                       THEN 'long' -- engine contract: epoch-nanos Long
+                     WHEN data_type = 'BIGINT'    THEN 'long'
+                     WHEN data_type = 'INTEGER'   THEN 'int'
+                     WHEN data_type = 'DOUBLE'    THEN 'double'
+                     WHEN data_type = 'FLOAT'     THEN 'float'
+                     WHEN data_type = 'VARCHAR'   THEN 'string'
+                     WHEN data_type = 'DATE'      THEN 'date'
+                     WHEN data_type IN ('TIMESTAMP', 'TIMESTAMP_NS')
+                       THEN 'timestamp'
+                     WHEN data_type = 'FLOAT[]'   THEN 'array<float>'
+                     ELSE lower(data_type) END AS dtype
+         FROM information_schema.columns
+         WHERE table_name IN ('region','nation','customer','supplier','part',
+                              'orders','lineitem','events','documents',
+                              'embeddings')
+         ORDER BY tbl, ord"""
   ) ++ SqlFuzz.cases.toMap // §2.11 fuzz family: oracle = the same SQL text
 }

@@ -315,7 +315,7 @@ object Analytics {
       .filter(finite(col("__x"))))
     val bounds = v.agg(min(col("__x")).as("__lo"), max(col("__x")).as("__hi"))
     val w = (col("__hi") - col("__lo")) / nBins
-    v.crossJoin(broadcast(bounds))
+    v.crossJoin(Hints.bcast(bounds))
       .withColumn("bin",
         when(col("__hi") === col("__lo"), lit(0))
           .otherwise(least(lit(nBins - 1),
@@ -485,7 +485,7 @@ object Analytics {
   private def joinGroupStats(df: DataFrame, stats: DataFrame,
                              groupCols: Seq[String]): DataFrame = {
     val l = df.alias("__zl")
-    val r = broadcast(stats.alias("__zr"))
+    val r = Hints.bcast(stats.alias("__zr"))
     val rGroupCols = groupCols.map(c => col(s"__zr.$c"))
     l.join(r, groupCols.map(c => col(s"__zl.$c") <=> col(s"__zr.$c")).reduce(_ && _))
       .drop(rGroupCols.head, rGroupCols.tail: _*)
@@ -636,13 +636,13 @@ object Analytics {
     val wexpr = if (alpha == 0.5) sqrt(nD) else pow(nD, lit(alpha))
     val wts = OpCache.persist(in.groupBy(groupCol).agg(count(lit(1)).as("__n"))
       .select(col(groupCol), round(wexpr, 6).cast("decimal(18,6)").as("__w")))
-    val quotas = wts.crossJoin(broadcast(wts.agg(sum(col("__w")).as("__ws"))))
+    val quotas = wts.crossJoin(Hints.bcast(wts.agg(sum(col("__w")).as("__ws"))))
       .select(col(groupCol),
         floor(lit(total.toDouble) * col("__w").cast("double")
           / col("__ws").cast("double") + lit(1e-9)).cast("long").as("__q"))
     val w = Window.partitionBy(col(groupCol))
       .orderBy(md5(col(keyCol).cast("string")).asc, col(keyCol).asc)
-    in.join(broadcast(quotas), groupCol)
+    in.join(Hints.bcast(quotas), groupCol)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= col("__q"))
       .drop("__rn", "__q")

@@ -646,7 +646,7 @@ object Dedup {
     def hashes(df: DataFrame) =
       df.select(col(idCol),
         graft.functions.ShingleHash64(spark, TextAnalysis.tokens(col(textCol)), k).as("hs"))
-    val probeHashes = broadcast(
+    val probeHashes = Hints.bcast(
       hashes(probe).select(explode(col("hs")).as("h")).distinct())
     hashes(Stage.spread(corpus))
       .select(col(idCol), explode(col("hs")).as("h"))

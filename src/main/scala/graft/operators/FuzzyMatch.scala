@@ -72,7 +72,7 @@ object FuzzyMatch {
     // containment via the native codegen'd expression — already-stripped
     // inputs pass through its separator strip unchanged, and the score
     // below needs the stripped lengths anyway
-    val joined = q.join(broadcast(cand),
+    val joined = q.join(Hints.bcast(cand),
       graft.functions.ContainsIgnoringSeparators(spark, col("__qc"), col("__cc")),
       "left")
     // partitioned by the (distinct) query row itself: same keys as the
@@ -134,7 +134,7 @@ object FuzzyMatch {
         graft.functions.ContainsIgnoringSeparators(spark, col("__cc"), col("__qc"))) ||
       (col("__phase") === 3 && length(col("__qn")) > 0 &&
         col("__cand").contains(col("__qn")))
-    val joined = q.join(broadcast(cands), cond, "left")
+    val joined = q.join(Hints.bcast(cands), cond, "left")
     val score = when(col("__phase") <= 2, length(col("__cc")) - length(col("__qc")))
       .otherwise(length(col("__cand")))
     val w = Window.partitionBy(queries.columns.map(col).toIndexedSeq: _*).orderBy(

@@ -18,7 +18,7 @@ object Joins {
     * BroadcastHashJoin even if stats are missing at 100 TB.
     */
   def broadcastLeft(fact: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
-    fact.join(broadcast(dim), keys, "left")
+    fact.join(Hints.bcast(dim), keys, "left")
 
   /** J2/J3 — anti join: rows of `left` whose key is absent from `right`
     * (ref: kobis_pipeline.py:77-81 insert-only-new; movie_events_scraper.py:79
@@ -64,8 +64,8 @@ object Joins {
     val f = fallback.dropDuplicates(fallbackKeys)
       .select((fallbackKeys ++ enrichCols).map(col): _*)
       .toDF(fallbackKeys ++ enrichCols.map(_ + "__f"): _*)
-    val joined = fact.join(broadcast(p), primaryKeys, "left")
-      .join(broadcast(f), fallbackKeys, "left")
+    val joined = fact.join(Hints.bcast(p), primaryKeys, "left")
+      .join(Hints.bcast(f), fallbackKeys, "left")
     enrichCols.foldLeft(joined) { (d, c) =>
       d.withColumn(c, coalesce(col(c + "__p"), col(c + "__f")))
         .drop(c + "__p", c + "__f")

@@ -239,7 +239,7 @@ object Similarity {
         // quadratic join runs. The filter on the always-null assert
         // output is what keeps column pruning from dropping the check.
         val sizes = assigned.groupBy("centroid_id").agg(count(lit(1)).as("__cs"))
-        assigned.join(broadcast(sizes), "centroid_id")
+        assigned.join(Hints.bcast(sizes), "centroid_id")
           .withColumn("__guard", assert_true(col("__cs") <= cap,
             format_string("semanticDedup: cell %s holds %s docs > maxCellSize=" +
                 cap + " — the within-cell pair join would be quadratic; " +
@@ -345,7 +345,7 @@ object Similarity {
         / (col("__nrm") * c.getField("cn")), 6).as("s"),
       c.getField("cid").as("cid")))
     val best = argBest(scored, "double", cidType, _ > _)
-    fv.crossJoin(broadcast(centArr))
+    fv.crossJoin(Hints.bcast(centArr))
       .select(col("__vid").as(idCol), best.getField("cid").as("centroid_id"))
   }
 
@@ -384,7 +384,7 @@ object Similarity {
     val best = argBest(scored, "double", cidType, _ > _)
     Stage.spread(vectors)
       .select(col(idCol), transform(col(vecCol), _.cast("double")).as("__v"))
-      .crossJoin(broadcast(centArr))
+      .crossJoin(Hints.bcast(centArr))
       .select(col(idCol), best.getField("cid").as("centroid_id"),
         best.getField("s").as("sim"))
   }
@@ -610,7 +610,7 @@ object Similarity {
                           cents: DataFrame, m: Int, sd: Int): DataFrame =
     corpus
       .select(col(idCol).as("cand_id"), pqDvec(col(vecCol)).as("__cv"))
-      .crossJoin(broadcast(cents))
+      .crossJoin(Hints.bcast(cents))
       .select(col("cand_id"),
         transform(sequence(lit(0), lit(m - 1)), s =>
           argBest(
@@ -653,7 +653,7 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_dot").desc, col("cand_id").asc)
     q.join(encoded, col("query_id") =!= col("cand_id"))
-      .crossJoin(broadcast(cents))
+      .crossJoin(Hints.bcast(cents))
       .withColumn("approx_dot", round(pqAdcDotDet(m, sd).cast("double"), 6))
       .select("query_id", "cand_id", "approx_dot")
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -688,7 +688,7 @@ object Similarity {
         Seq("centroid_id"))
       .filter(col("query_id") =!= col("cand_id"))
       .join(encoded, "cand_id")
-      .crossJoin(broadcast(cents))
+      .crossJoin(Hints.bcast(cents))
       .withColumn("approx_dot", round(pqAdcDotDet(m, sd).cast("double"), 6))
       .select("query_id", "centroid_id", "cand_id", "approx_dot")
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

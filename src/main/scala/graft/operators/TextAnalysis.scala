@@ -182,12 +182,12 @@ object TextAnalysis {
     val nRow = termFreq.agg(countDistinct(col(idCol)).as("__N"))
     val docFreq = termFreq.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(nRow))
+      .crossJoin(Hints.bcast(nRow))
       .withColumn("idf", log((col("__N") + 1.0) / (col("df") + lit(1.0))))
       .drop("__N")
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("__score").desc, col("term").asc)
-    termFreq.join(broadcast(docFreq), "term")
+    termFreq.join(Hints.bcast(docFreq), "term")
       .withColumn("__score", round(col("tf") * col("idf"), 6))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
@@ -219,10 +219,10 @@ object TextAnalysis {
     val tot = termFreq.agg(sum(col("tf")).as("__T"))
     val lm = termFreq.groupBy(col("term"))
       .agg(sum(col("tf")).as("__ctf"))
-      .crossJoin(broadcast(tot))
+      .crossJoin(Hints.bcast(tot))
       .withColumn("__lp", log(col("__ctf").cast("double") / col("__T").cast("double")))
       .select("term", "__lp")
-    termFreq.join(broadcast(lm), "term")
+    termFreq.join(Hints.bcast(lm), "term")
       .groupBy(col(idCol))
       .agg(sum(col("tf")).as("n_tokens"),
         round(-sum(graft.Tables.dec(col("tf") * col("__lp"))).cast("double")
@@ -312,7 +312,7 @@ object TextAnalysis {
            sum(col("__u")).cast("double").as("__U"))
     val aD = col("n_tokens").cast("double") + col("__V").cast("double")
     val bD = col("__N").cast("double") + col("__V").cast("double")
-    perG.crossJoin(broadcast(totals))
+    perG.crossJoin(Hints.bcast(totals))
       .select(col(groupCol), col("n_tokens"),
         round((col("__U") - col("__T")) / aD + log(bD / aD), 6)
           .as("kl_vs_corpus"))

@@ -98,6 +98,23 @@ class FuzzyMatchSpec extends SparkSpec {
     assert(out.filter(col("title") === "어벤져스").count() == 2)
   }
 
+  test("tie-break DELTA vs reference pinned (SURVEY §7.5): policy disagreement fixture") {
+    // The reference keeps candidate-LIST order on score ties:
+    // found_matches.sort(key=lambda x: x[1]) is a STABLE sort on the
+    // similarity score alone, and [0][0] takes the first minimal in
+    // candidate order (movie_events_scraper.py:88-101). A distributed
+    // batch has no candidate order, so our policy is orderBy(score,
+    // length, name). This fixture makes the two policies DISAGREE — both
+    // candidates contain the query with the same length diff 2 — and
+    // asserts our documented deterministic choice: the reference,
+    // iterating ["zz 엔드게임", "aa 엔드게임"] in that order, would
+    // return "zz 엔드게임"; we return the lexicographically smaller
+    // "aa 엔드게임". Documented divergence, now pinned rather than latent.
+    val m = phased(Seq("엔드게임"),
+      recent = Seq("zz 엔드게임", "aa 엔드게임"), catalog = Seq("하얼빈"))
+    assert(m("엔드게임") == "aa 엔드게임")
+  }
+
   test("phased matching direction is reference-exact: query contained in candidate") {
     // query LONGER than every candidate and containing one of them — the
     // single-phase bestMatch direction would match; the reference's

@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Empirical scaling exponents for the heaviest query families
+(round-7 verdict #4): run the named queries at sf0.001/0.01/0.1 and fit
+time ~ rows^alpha between consecutive scale factors (rows grow 10x per
+step, so alpha = log10(t_next/t_prev)). SCALE.md argues the 100x posture
+from plan shapes; this measures it. Near-linear (alpha <= ~1.1) is the
+expected steady state once per-run fixed overhead stops dominating;
+alpha well below 1 at the small end means the query is overhead-bound
+there (state-store commits, session setup), which is itself evidence
+that the data-dependent term is small.
+
+Usage:
+  python3 tools/scaling.py                # 3 passes per sf, prints table
+  python3 tools/scaling.py --passes 1     # quicker, noisier
+Writes tools/scaling_rN.json next to the bench baselines.
+"""
+import json, math, os, subprocess, sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+import benchdiff
+
+QUERIES = ["q_stream_neardup", "q_dedup_semantic", "q_dedup_clusters",
+           "q_pipeline_corpus_prep", "q_text_tfidf"]
+SFS = ["0.001", "0.01", "0.1"]
+
+
+def run_sf(sf, passes):
+    env = dict(os.environ,
+               SPARK_GRAFT_SF_DIR=f"/root/testdata/sf{sf}",
+               SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS", "32"),
+               SPARK_GRAFT_BENCH_PASSES=str(passes),
+               SPARK_GRAFT_ONLY=",".join(QUERIES))
+    r = subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
+                       cwd=REPO, env=env, capture_output=True, text=True,
+                       timeout=3600)
+    if r.returncode != 0:
+        sys.stderr.write(r.stdout[-2000:] + r.stderr[-2000:])
+        sys.exit(f"bench at sf{sf} failed")
+    return benchdiff.parse(r.stdout)["queries"]
+
+
+def main():
+    passes = 3
+    it = iter(sys.argv[1:])
+    for a in it:
+        if a == "--passes":
+            passes = int(next(it))
+        else:
+            sys.exit(f"unknown arg {a}")
+    results = {}
+    for sf in SFS:
+        print(f"running sf{sf} ({passes} passes over {len(QUERIES)} queries)...",
+              flush=True)
+        results[sf] = run_sf(sf, passes)
+
+    out = {"queries": QUERIES, "passes": passes, "times": results}
+    hdr = (f"{'query':32s} " + " ".join(f"sf{sf:>6s}" for sf in SFS)
+           + "  a(0.001->0.01) a(0.01->0.1)")
+    print("\n" + hdr)
+    print("-" * len(hdr))
+    alphas = {}
+    for q in QUERIES:
+        ts = [results[sf].get(q, -1.0) for sf in SFS]
+        row = f"{q:32s} " + " ".join(f"{t:8.2f}" for t in ts)
+        al = []
+        for i in range(1, len(SFS)):
+            if ts[i - 1] > 0 and ts[i] > 0:
+                al.append(math.log10(ts[i] / ts[i - 1]))
+            else:
+                al.append(float("nan"))
+        alphas[q] = al
+        print(row + "  " + " ".join(f"{a:14.2f}" for a in al))
+    out["alphas"] = alphas
+    path = os.path.join(REPO, "tools", "scaling_r08.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"\nwrote {path}")
+
+
+if __name__ == "__main__":
+    main()
