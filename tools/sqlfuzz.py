@@ -47,6 +47,8 @@ import os, random, sys
 
 SEED = 42
 N = 50
+SEED_B = 4242  # block B (cases 50+): extended grammar, frozen separately
+N_B = 30
 SF = "/root/testdata/sf0.01"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(REPO, "src/main/scala/graft/SqlFuzz.scala")
@@ -326,6 +328,156 @@ class Gen:
                 f"WHERE {self.preds(t, n=1)} "
                 f"GROUP BY {keyexpr} ORDER BY k NULLS FIRST")
 
+    # --- block-B templates (cases 50+; block A stays byte-stable) -------
+
+    def t_having_sum(self):
+        """HAVING on the decimal-exact SUM, not just COUNT."""
+        t, num = self.r.choice([("lineitem", "l_quantity"), ("orders", "o_totalprice"),
+                                ("customer", "c_acctbal"), ("events", "value")])
+        key = self.r.choice(cols_of(t, "s"))
+        thresh = self.r.randrange(50, 5000)
+        return (f"SELECT {key} AS k, {sum_of(num, t)} AS total FROM {t} "
+                f"WHERE {self.preds(t, n=1)} GROUP BY {key} "
+                f"HAVING SUM(CAST({num} AS DECIMAL(38,6))) > {thresh} "
+                f"ORDER BY k NULLS FIRST")
+
+    def t_in_subquery(self):
+        """(NOT) IN uncorrelated subquery — the agent's J3 idiom. The
+        subquery selects a key column that is non-null by schema, so
+        NOT IN's null-poisoning semantics (identical in both engines,
+        but a correctness trap) cannot zero the result."""
+        neg = self.r.choice(["", "NOT "])
+        l, rt, lk, rk = self.r.choice([
+            ("customer", "orders", "c_custkey", "o_custkey"),
+            ("part", "lineitem", "p_partkey", "l_partkey"),
+            ("supplier", "lineitem", "s_suppkey", "l_suppkey"),
+            ("nation", "customer", "n_nationkey", "c_nationkey"),
+        ])
+        cs = self.r.sample(cols_of(l), min(len(COLS[l]), 3))
+        sel = ", ".join(f"{ref(c, l)} AS {c}" for c in cs)
+        order = ", ".join(f"{c} NULLS FIRST" for c in cs)
+        return (f"SELECT {sel} FROM {l} WHERE {self.preds(l, n=1)} "
+                f"AND {lk} {neg}IN (SELECT {rk} FROM {rt} "
+                f"WHERE {self.preds(rt, n=1)}) "
+                f"ORDER BY {order} LIMIT 200")
+
+    def t_join3(self):
+        """Three-table FK chain + rollup. The group key comes from the
+        far table and the aggregate from the fact side; `owner` names
+        which alias carries the second join key."""
+        chain = self.r.choice([
+            # (t1, t2, k12l, k12r, t3, owner, k13l, k13r, groupkey-on-c, num-on-a)
+            ("lineitem", "orders", "l_orderkey", "o_orderkey",
+             "customer", "b", "o_custkey", "c_custkey", "c_mktsegment", "l_quantity"),
+            ("lineitem", "part", "l_partkey", "p_partkey",
+             "supplier", "a", "l_suppkey", "s_suppkey", "p_brand", "l_extendedprice"),
+            ("customer", "nation", "c_nationkey", "n_nationkey",
+             "region", "b", "n_regionkey", "r_regionkey", "r_name", "c_acctbal"),
+        ])
+        (t1, t2, k12l, k12r, t3, owner, k13l, k13r, gkey, num) = chain
+        galias = "b" if gkey in cols_of(t2) else "c"
+        inner = sum_of(num, t1).replace(f"CAST({num} ", f"CAST(a.{num} ") \
+                               .replace(f"SUM({num})", f"SUM(a.{num})")
+        return (f"SELECT {galias}.{gkey} AS {gkey}, COUNT(*) AS cnt, {inner} AS total "
+                f"FROM {t1} a JOIN {t2} b ON a.{k12l} = b.{k12r} "
+                f"JOIN {t3} c ON {owner}.{k13l} = c.{k13r} "
+                f"WHERE {self.preds(t1, 'a', n=1)} "
+                f"GROUP BY {galias}.{gkey} ORDER BY {gkey} NULLS FIRST")
+
+    def t_like_wild(self):
+        """LIKE with the '_' single-char wildcard (both engines: exactly
+        one character)."""
+        t, c, pat = self.r.choice([
+            ("orders", "o_orderpriority", "_-LOW"),
+            ("orders", "o_orderpriority", "%-_IGH"),
+            ("part", "p_brand", "Brand#_"),
+            ("part", "p_brand", "Brand#1_"),
+            ("customer", "c_mktsegment", "_UILDING"),
+            ("documents", "lang", "_e"),
+        ])
+        cs = self.r.sample(cols_of(t), min(len(COLS[t]), 3))
+        sel = ", ".join(f"{ref(cc, t)} AS {cc}" for cc in cs)
+        order = ", ".join(f"{cc} NULLS FIRST" for cc in cs)
+        return (f"SELECT {sel} FROM {t} WHERE {c} LIKE '{pat}' "
+                f"AND {self.preds(t, n=1)} ORDER BY {order} LIMIT 200")
+
+    def t_nullif_key(self):
+        """COALESCE(NULLIF(...)) group key — null-injection + recovery."""
+        t, c, victim = self.r.choice([
+            ("orders", "o_orderstatus", "O"),
+            ("lineitem", "l_returnflag", "N"),
+            ("customer", "c_mktsegment", "BUILDING"),
+            ("events", "event_type", "view"),
+        ])
+        key = f"COALESCE(NULLIF({c}, '{victim}'), 'norm_{victim}')"
+        return (f"SELECT {key} AS k, COUNT(*) AS cnt FROM {t} "
+                f"WHERE {self.preds(t, n=1)} GROUP BY {key} "
+                f"ORDER BY k NULLS FIRST")
+
+    def t_multi_distinct(self):
+        """Two COUNT(DISTINCT) in one aggregate (Spark plans Expand)."""
+        t, a, b2 = self.r.choice([
+            ("lineitem", "l_returnflag", "l_linestatus"),
+            ("orders", "o_orderstatus", "o_orderpriority"),
+            ("events", "event_type", "user_id"),
+            ("documents", "lang", "source"),
+        ])
+        key = self.r.choice([c for c in cols_of(t, "s") if c not in (a, b2)]
+                            or cols_of(t, "i"))
+        return (f"SELECT {key} AS k, COUNT(DISTINCT {a}) AS d1, "
+                f"COUNT(DISTINCT {b2}) AS d2, COUNT(*) AS cnt FROM {t} "
+                f"WHERE {self.preds(t, n=1)} GROUP BY {key} "
+                f"ORDER BY k NULLS FIRST")
+
+    def t_rank_window(self):
+        """RANK/DENSE_RANK over a non-unique order — tie groups share a
+        rank in both engines; outer order stays total via the unique id."""
+        fn = self.r.choice(["RANK()", "DENSE_RANK()"])
+        t, part, ordc, uniq = self.r.choice([
+            ("orders", "o_orderstatus", "o_orderpriority", "o_orderkey"),
+            ("lineitem", "l_returnflag", "l_linestatus", "l_orderkey"),
+            ("customer", "c_mktsegment", "c_nationkey", "c_custkey"),
+        ])
+        k = self.r.choice([1, 2])
+        return (f"SELECT {part}, {ordc}, {uniq}, rnk FROM ("
+                f"SELECT {part}, {ordc}, {uniq}, {fn} OVER (PARTITION BY {part} "
+                f"ORDER BY {ordc} NULLS FIRST) AS rnk "
+                f"FROM {t} WHERE {self.preds(t, n=1)}) t WHERE rnk <= {k} "
+                f"ORDER BY {part} NULLS FIRST, {ordc} NULLS FIRST, "
+                f"{uniq} NULLS FIRST LIMIT 300")
+
+    def t_lag_window(self):
+        """LAG over a unique order — deltas between consecutive rows."""
+        t, part, ordc, num = self.r.choice([
+            ("orders", "o_orderstatus", "o_orderkey", "o_totalprice"),
+            ("events", "event_type", "event_id", "value"),
+            ("lineitem", "l_returnflag", "l_orderkey", "l_quantity"),
+        ])
+        return (f"SELECT {part}, {ordc}, delta FROM ("
+                f"SELECT {part}, {ordc}, CAST(CAST({num} AS DECIMAL(38,6)) - "
+                f"LAG(CAST({num} AS DECIMAL(38,6)), 1) OVER (PARTITION BY {part} "
+                f"ORDER BY {ordc} NULLS FIRST) AS DOUBLE) AS delta "
+                f"FROM {t} WHERE {self.preds(t, n=1)}) t "
+                f"ORDER BY {part} NULLS FIRST, {ordc} NULLS FIRST LIMIT 300")
+
+    def t_cond_agg(self):
+        """SUM(CASE WHEN ...) conditional aggregation (pivot-style)."""
+        t, flag, vals, num = self.r.choice([
+            ("lineitem", "l_returnflag", ["R", "A"], "l_quantity"),
+            ("orders", "o_orderstatus", ["P", "O"], "o_totalprice"),
+            ("events", "event_type", ["click", "purchase"], "value"),
+        ])
+        v1, v2 = self.r.sample(vals, 2) if len(vals) > 1 else (vals[0], vals[0])
+        key = self.r.choice([c for c in cols_of(t, "s") if c != flag])
+        def branch(v):
+            return (f"CAST(SUM(CASE WHEN {flag} = '{v}' "
+                    f"THEN CAST({num} AS DECIMAL(38,6)) ELSE CAST(0 AS DECIMAL(38,6)) "
+                    f"END) AS DOUBLE)")
+        return (f"SELECT {key} AS k, {branch(v1)} AS sum_{v1.lower()}, "
+                f"{branch(v2)} AS sum_other, COUNT(*) AS cnt FROM {t} "
+                f"WHERE {self.preds(t, n=1)} GROUP BY {key} "
+                f"ORDER BY k NULLS FIRST")
+
     def t_datefun(self):
         """Date-function rollup (prompt: date(target_dt) family)."""
         t, c = self.r.choice([("orders", "o_orderdate"), ("lineitem", "l_shipdate")])
@@ -343,18 +495,12 @@ class Gen:
                 f"GROUP BY {key} ORDER BY k NULLS FIRST")
 
 
-def generate():
-    rng = random.Random(SEED)
-    g = Gen(rng)
-    templates = [g.t_scan, g.t_group, g.t_join, g.t_window, g.t_exists,
-                 g.t_case, g.t_union, g.t_scalar_sub, g.t_strfun, g.t_datefun]
+def accept_loop(con, templates, want):
+    """Round-robin templates until `want` queries pass the DuckDB sanity
+    screen (runs, nonzero bounded rows, no decimal outputs)."""
     out = []
     tries = 0
-    import duckdb
-    con = duckdb.connect()
-    for t in COLS:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
-    while len(out) < N and tries < N * 20:
+    while len(out) < want and tries < want * 20:
         tmpl = templates[tries % len(templates)]
         tries += 1
         sql = tmpl()
@@ -373,9 +519,33 @@ def generate():
             print(f"  skip (decimal output): {sql}", file=sys.stderr)
             continue
         out.append((sql, len(df)))
-    con.close()
-    if len(out) < N:
+    if len(out) < want:
         sys.exit(f"only {len(out)} viable queries after {tries} tries")
+    return out
+
+
+def generate():
+    import duckdb
+    con = duckdb.connect()
+    for t in COLS:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    # block A (cases 00-49): seed and template list are FROZEN — cases
+    # must stay byte-identical across regenerations so their oracle
+    # history remains comparable
+    g = Gen(random.Random(SEED))
+    templates = [g.t_scan, g.t_group, g.t_join, g.t_window, g.t_exists,
+                 g.t_case, g.t_union, g.t_scalar_sub, g.t_strfun, g.t_datefun]
+    out = accept_loop(con, templates, N)
+    # block B (cases 50+): the round-8 widening — IN/NOT-IN subqueries,
+    # HAVING on exact sums, 3-table chains, '_' wildcards, NULLIF keys,
+    # multi-distinct aggregates, RANK/DENSE_RANK/LAG windows, pivot-style
+    # conditional aggregation. Fresh RNG so block A's stream is untouched.
+    gB = Gen(random.Random(SEED_B))
+    templatesB = [gB.t_having_sum, gB.t_in_subquery, gB.t_join3, gB.t_like_wild,
+                  gB.t_nullif_key, gB.t_multi_distinct, gB.t_rank_window,
+                  gB.t_lag_window, gB.t_cond_agg, gB.t_scalar_sub]
+    out += accept_loop(con, templatesB, N_B)
+    con.close()
     return out
 
 
