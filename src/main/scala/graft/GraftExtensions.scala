@@ -57,5 +57,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(ContainsIgnoringSeparators.FnName,
         "contains_ignoring_separators(haystack, needle) - containment after stripping ' ', ':', '_'"),
       (exprs: Seq[Expression]) => ContainsIgnoringSeparators(exprs(0), exprs(1))))
+    // Spark's internal runtime-filter sketch pair, surfaced for in-plan
+    // membership prefilters (see graft.functions.BloomSketch scaladoc)
+    ext.injectFunction((
+      FunctionIdentifier(BloomSketch.AggFnName),
+      info(BloomSketch.AggFnName,
+        "bloom_filter_agg(long_value[, est_items[, num_bits]]) - binary Bloom-filter sketch of a group of longs"),
+      BloomSketch.aggFromExprs _))
+    ext.injectFunction((
+      FunctionIdentifier(BloomSketch.ProbeFnName),
+      info(BloomSketch.ProbeFnName,
+        "might_contain(bloom, long_value) - Bloom-filter membership probe (no false negatives)"),
+      BloomSketch.probeFromExprs _))
   }
 }

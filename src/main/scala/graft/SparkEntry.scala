@@ -1221,6 +1221,41 @@ object SparkEntry {
         .orderBy("column_name")
     }),
 
+    // declarative data-quality admission control (the engine-side form
+    // of the reference's per-source coerce/drop guards): ALL row rules
+    // in one scan, uniqueness/referential rules as single aggregates —
+    // a mix of passing and violated rules so both outcomes are oracled
+    "q_quality_expectations" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val lineitem = t(s, dir, "lineitem")
+      Expectations.report(orders, Seq(
+          Expectations.notNull("o_orderdate"),
+          Expectations.inRange("o_totalprice", 0d, 400000d),
+          Expectations.inSet("o_orderstatus", Seq("O", "F")),
+          Expectations.matches("o_orderpriority", "^[1-5]-"),
+          Expectations.Unique("unique_o_orderkey", Seq("o_orderkey")),
+          Expectations.RefIntegrity("orders_custkey_in_customer",
+            "o_custkey", t(s, dir, "customer"), "c_custkey")))
+        .unionByName(Expectations.report(lineitem, Seq(
+          Expectations.Unique("unique_l_order_line",
+            Seq("l_orderkey", "l_linenumber")),
+          Expectations.Unique("unique_l_orderkey", Seq("l_orderkey")),
+          Expectations.RefIntegrity("lineitem_partkey_in_part",
+            "l_partkey", t(s, dir, "part"), "p_partkey"))))
+        .orderBy("rule")
+    }),
+
+    // quarantine-with-attribution dual: offending rows + every rule they
+    // failed, comma-joined — map-side filter+project only
+    "q_quality_quarantine" -> ((s, dir) => {
+      Expectations.quarantine(t(s, dir, "orders"), Seq(
+          Expectations.inRange("o_totalprice", 0d, 400000d),
+          Expectations.inSet("o_orderstatus", Seq("O", "F")),
+          Expectations.matches("o_orderpriority", "^[1-3]-")),
+          keepCols = Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    }),
+
     // exact equi-width histogram of a fact column (distribution profile
     // for banding decisions): broadcast bounds, map-side bucketing
     "q_histogram" -> ((s, dir) => {
@@ -1606,6 +1641,18 @@ object SparkEntry {
     "q_decontaminate" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       Dedup.contaminationReport(
+          docs.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(20)) === 0),
+          "doc_id", "text", k = 5)
+        .orderBy("doc_id")
+    }),
+
+    // the big-probe-set dual: Bloom-sketch prefilter in-plan (scalar
+    // subquery, no broadcast, no driver collect), exact confirm join —
+    // byte-identical output to q_decontaminate, same oracle SQL
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationReportBloom(
           docs.filter(pmod(col("doc_id"), lit(20)) =!= 0),
           docs.filter(pmod(col("doc_id"), lit(20)) === 0),
           "doc_id", "text", k = 5)
@@ -3507,6 +3554,55 @@ object SparkEntry {
                 CAST(MIN(l_shipdate) AS VARCHAR), CAST(MAX(l_shipdate) AS VARCHAR) FROM src
          ORDER BY column_name""",
 
+    // violation = predicate not TRUE (NULL predicate counts as violation)
+    "q_quality_expectations" ->
+      """SELECT * FROM (
+           SELECT 'not_null_o_orderdate' AS rule,
+                  (SELECT COUNT(*) FROM orders) AS n_checked,
+                  (SELECT COUNT(*) FROM orders WHERE o_orderdate IS NULL) AS n_violations
+           UNION ALL
+           SELECT 'in_range_o_totalprice', (SELECT COUNT(*) FROM orders),
+                  (SELECT COUNT(*) FROM orders
+                   WHERE o_totalprice IS NULL OR o_totalprice < 0 OR o_totalprice > 400000)
+           UNION ALL
+           SELECT 'in_set_o_orderstatus', (SELECT COUNT(*) FROM orders),
+                  (SELECT COUNT(*) FROM orders
+                   WHERE o_orderstatus IS NULL OR o_orderstatus NOT IN ('O', 'F'))
+           UNION ALL
+           SELECT 'matches_o_orderpriority', (SELECT COUNT(*) FROM orders),
+                  (SELECT COUNT(*) FROM orders
+                   WHERE o_orderpriority IS NULL OR NOT regexp_matches(o_orderpriority, '^[1-5]-'))
+           UNION ALL
+           SELECT 'unique_o_orderkey', (SELECT COUNT(*) FROM orders),
+                  (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+           UNION ALL
+           SELECT 'orders_custkey_in_customer', (SELECT COUNT(*) FROM orders),
+                  (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+                     (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+           UNION ALL
+           SELECT 'unique_l_order_line', (SELECT COUNT(*) FROM lineitem),
+                  (SELECT COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem)
+           UNION ALL
+           SELECT 'unique_l_orderkey', (SELECT COUNT(*) FROM lineitem),
+                  (SELECT COUNT(*) - COUNT(DISTINCT l_orderkey) FROM lineitem)
+           UNION ALL
+           SELECT 'lineitem_partkey_in_part', (SELECT COUNT(*) FROM lineitem),
+                  (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+                     (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+         ) ORDER BY rule""",
+
+    "q_quality_quarantine" ->
+      """SELECT o_orderkey, failed_rules FROM (
+           SELECT o_orderkey, concat_ws(',',
+             CASE WHEN o_totalprice IS NULL OR o_totalprice < 0 OR o_totalprice > 400000
+                  THEN 'in_range_o_totalprice' END,
+             CASE WHEN o_orderstatus IS NULL OR o_orderstatus NOT IN ('O', 'F')
+                  THEN 'in_set_o_orderstatus' END,
+             CASE WHEN o_orderpriority IS NULL OR NOT regexp_matches(o_orderpriority, '^[1-3]-')
+                  THEN 'matches_o_orderpriority' END) AS failed_rules
+           FROM orders)
+         WHERE failed_rules <> '' ORDER BY o_orderkey""",
+
     "q_text_redact" ->
       """WITH pii AS (SELECT doc_id,
                 text || ' mail u' || doc_id || '@ex.org see http://ex.org/' || doc_id
@@ -3625,6 +3721,20 @@ object SparkEntry {
          FROM pg CROSS JOIN tot ORDER BY lang""",
 
     "q_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+                       FROM documents),
+              ser AS (SELECT unnest(generate_series(1, (SELECT COALESCE(MAX(len(t)), 1) FROM toks))) AS i),
+              sh AS (SELECT DISTINCT doc_id,
+                            t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS s
+                     FROM toks CROSS JOIN ser WHERE len(t) >= 5 AND i <= len(t) - 4),
+              probe AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+              corpus AS (SELECT doc_id, s FROM sh WHERE doc_id % 20 <> 0)
+         SELECT c.doc_id, COUNT(DISTINCT c.s) AS n_shared
+         FROM corpus c JOIN probe p ON c.s = p.s
+         GROUP BY 1 ORDER BY doc_id""",
+
+    // Bloom prefilter + exact confirm ≡ the exact join: same oracle text
+    "q_decontaminate_bloom" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
                        FROM documents),
               ser AS (SELECT unnest(generate_series(1, (SELECT COALESCE(MAX(len(t)), 1) FROM toks))) AS i),

@@ -658,6 +658,57 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** [[contaminationReport]] with an in-plan Bloom-filter PREFILTER on
+    * the corpus side — the variant for when the probe shingle set has
+    * outgrown the broadcast budget (a full eval-suite + held-out-set
+    * sweep can reach 10⁸-10⁹ shingles; at 8 bytes a hash that is tens of
+    * GB exploded, but the Bloom SKETCH of it is capped at
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` ≈ 8 MB).
+    *
+    * Shape: `might_contain((SELECT bloom_filter_agg(h) FROM probe), h)`
+    * — the scalar subquery runs once, the fixed-size bitmap rides to
+    * every task, and corpus shingle rows are discarded in whole-stage
+    * codegen BEFORE the shuffle for the confirm join. The confirm join
+    * (plain shuffle hash/SMJ on the 8-byte hash — NO broadcast hint, the
+    * probe side is assumed big) then eliminates Bloom false positives,
+    * so the output is byte-identical to [[contaminationReport]]: the
+    * sketch only decides how much non-matching corpus volume survives to
+    * the shuffle, never the answer. Same oracle SQL as the broadcast
+    * variant, by construction.
+    *
+    * Reference anchor: same decontamination semantics as
+    * `contaminationReport` (SURVEY §2 LLM-pack); this is the scale-path
+    * dual, exercising [[graft.functions.BloomSketch]].
+    */
+  def contaminationReportBloom(corpus: DataFrame, probe: DataFrame,
+                               idCol: String, textCol: String, k: Int,
+                               expectedShingles: Long = 1L << 20): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.functions.BloomSketch.register(spark)
+    def hashes(df: DataFrame) =
+      df.select(col(idCol),
+        graft.functions.ShingleHash64(spark, TextAnalysis.tokens(col(textCol)), k).as("hs"))
+    // temp views because a scalar subquery is a SQL-only construct —
+    // fixed names are safe: Verify/Bench run queries sequentially per
+    // session, and the drain/streaming paths use dedicated sessions
+    hashes(probe).select(explode(col("hs")).as("h")).distinct()
+      .createOrReplaceTempView("graft_bloom_probe")
+    hashes(Stage.spread(corpus))
+      .select(col(idCol).as("doc_id"), explode(col("hs")).as("h"))
+      .createOrReplaceTempView("graft_bloom_corpus")
+    spark.sql(
+      s"""WITH pre AS (
+         |  SELECT doc_id, h FROM graft_bloom_corpus
+         |  WHERE might_contain(
+         |    (SELECT bloom_filter_agg(h, ${expectedShingles}L, ${8L * expectedShingles}L)
+         |     FROM graft_bloom_probe), h)
+         |)
+         |SELECT pre.doc_id AS `$idCol`, count(1) AS n_shared
+         |FROM pre JOIN graft_bloom_probe p ON pre.h = p.h
+         |GROUP BY pre.doc_id
+         |""".stripMargin)
+  }
+
   /** Token positions (1-based) covered by a duplicated k-gram — the core
     * of exact-substring (span-level) dedup à la Lee et al. 2022
     * ("Deduplicating Training Data Makes Language Models Better"): a
