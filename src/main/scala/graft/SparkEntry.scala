@@ -308,6 +308,26 @@ object SparkEntry {
         .orderBy("user_id", "ts_us", "event_id")
     }),
 
+    // W-breadth: the rest of the ranking/distribution/value window
+    // family (§2.11 SQL surface) in one oracle — ntile, percent_rank,
+    // cume_dist, first/last/nth value over a running frame. One shuffle
+    // on the partition key; unique ORDER BY keys pin tie semantics
+    "q_w3_window_suite" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .filter(pmod(col("o_custkey"), lit(10)) === 0)
+        .select(col("o_custkey"), col("o_orderkey"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"),
+          first(col("o_orderkey")).over(run).as("first_key"),
+          last(col("o_orderkey")).over(run).as("last_key"),
+          nth_value(col("o_orderkey"), 2).over(run).as("second_key"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // P1/P9/P10/O1 — pruned scan, range+IN filters, multi-key sort
     "q_p_scan_filter_sort" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -1399,6 +1419,24 @@ object SparkEntry {
         .orderBy("window_start_us", "event_type")
     }),
 
+    // stream-static dimension enrichment (streaming J1): the event
+    // stream joins the static customer dim per micro-batch — stateless,
+    // no watermark — then complete-mode totals per (segment, type);
+    // the drained final state must equal the batch join+agg oracle
+    "q_stream_static_enrich" -> ((s, dir) => {
+      drainEvents(s, dir, "stream_static_enrich", "complete") { src =>
+        // the dim must load on the DRAIN's dedicated session — a frame
+        // from the caller's session cannot join a stream of another
+        val dim = Tables.load(src.sparkSession, dir, "customer")
+        val ev = src.select(col("user_id"), col("event_type"),
+          dec(col("value")).as("value"))
+        graft.streaming.StreamStaticEnrich.enrichedTotals(
+          ev, dim, "user_id", "c_custkey", "c_mktsegment")
+      }.select(col("c_mktsegment"), col("event_type"), col("n_events"),
+          col("total_value").cast("double").as("total_value"))
+        .orderBy("c_mktsegment", "event_type")
+    }),
+
     // streaming monotone funnel frontier vs the batch sequential funnel:
     // the bounded drain is one micro-batch (single source file), where
     // the stage-advancement emissions are EXACTLY the batch funnel's
@@ -2118,6 +2156,20 @@ object SparkEntry {
          WHERE REPLACE(p_name, ' ', '') LIKE '%redwidget%'
          ORDER BY p_partkey""",
 
+    "q_w3_window_suite" ->
+      """SELECT o_custkey, o_orderkey,
+                CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+                round(percent_rank() OVER w, 6) AS pct_rank,
+                round(cume_dist() OVER w, 6) AS cume,
+                first_value(o_orderkey) OVER wrun AS first_key,
+                last_value(o_orderkey) OVER wrun AS last_key,
+                nth_value(o_orderkey, 2) OVER wrun AS second_key
+         FROM orders WHERE o_custkey % 10 = 0
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                wrun AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY o_custkey, o_orderkey""",
+
     "q_j4_enrich_fallback" ->
       """WITH f AS (SELECT l_partkey, l_returnflag, l_quantity FROM lineitem),
               p AS (SELECT p_partkey, p_retailprice * 0.9 AS eff FROM part WHERE p_size > 30),
@@ -2697,6 +2749,13 @@ object SparkEntry {
                 event_type, COUNT(*) AS n_events,
                 CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // stream-static join enrichment: final state = the batch join+agg
+    "q_stream_static_enrich" ->
+      """SELECT c_mktsegment, event_type, COUNT(*) AS n_events,
+                CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+         FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // sequential funnel, strictly-after stage times, unpivoted: stage i
     // is the MIN event time of its type strictly after stage i-1's time
