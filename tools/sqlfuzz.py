@@ -49,6 +49,8 @@ SEED = 42
 N = 50
 SEED_B = 4242  # block B (cases 50+): extended grammar, frozen separately
 N_B = 30
+SEED_C = 424242  # block C (cases 80+): round-8 second widening
+N_C = 25
 SF = "/root/testdata/sf0.01"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(REPO, "src/main/scala/graft/SqlFuzz.scala")
@@ -478,6 +480,127 @@ class Gen:
                 f"WHERE {self.preds(t, n=1)} GROUP BY {key} "
                 f"ORDER BY k NULLS FIRST")
 
+    # --- block-C templates (cases 80+; blocks A/B stay byte-stable) -----
+
+    def t_rollup(self):
+        """GROUP BY ROLLUP with GROUPING() markers — subtotal rows carry
+        NULL keys, so the pinned NULLS FIRST ordering and the grouping
+        ids together keep the output total-ordered in both engines."""
+        t, k1, k2, num = self.r.choice([
+            ("lineitem", "l_returnflag", "l_linestatus", "l_quantity"),
+            ("orders", "o_orderstatus", "o_orderpriority", "o_totalprice"),
+            ("customer", "c_mktsegment", "c_nationkey", "c_acctbal"),
+            ("documents", "lang", "source", "n_chars"),
+        ])
+        return (f"SELECT {k1} AS k1, {k2} AS k2, "
+                f"CAST(GROUPING({k1}) AS INTEGER) AS g1, "
+                f"CAST(GROUPING({k2}) AS INTEGER) AS g2, "
+                f"COUNT(*) AS cnt, {sum_of(num, t)} AS total "
+                f"FROM {t} WHERE {self.preds(t, n=1)} "
+                f"GROUP BY ROLLUP({k1}, {k2}) "
+                f"ORDER BY g1 NULLS FIRST, g2 NULLS FIRST, "
+                f"k1 NULLS FIRST, k2 NULLS FIRST")
+
+    def t_setop(self):
+        """INTERSECT / EXCEPT (both engines: DISTINCT semantics)."""
+        op = self.r.choice(["INTERSECT", "EXCEPT"])
+        l, rt, lk, rk = self.r.choice([
+            ("customer", "supplier", "c_nationkey", "s_nationkey"),
+            ("orders", "lineitem", "o_orderkey", "l_orderkey"),
+            ("part", "lineitem", "p_partkey", "l_partkey"),
+        ])
+        return (f"SELECT k FROM (SELECT {lk} AS k FROM {l} "
+                f"WHERE {self.preds(l, n=1)} "
+                f"{op} SELECT {rk} AS k FROM {rt} WHERE {self.preds(rt, n=1)}) u "
+                f"ORDER BY k NULLS FIRST LIMIT 500")
+
+    def t_full_outer_agg(self):
+        """FULL OUTER JOIN of two pre-aggregated sides + COALESCE'd key —
+        null keys appear on BOTH sides."""
+        spec = self.r.choice([
+            ("customer", "c_nationkey", "supplier", "s_nationkey"),
+            ("orders", "o_custkey", "customer", "c_custkey"),
+            ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ])
+        t1, k1, t2, k2 = spec
+        return (f"SELECT COALESCE(a.k, b.k) AS k, "
+                f"COALESCE(a.cnt, 0) AS cnt_left, COALESCE(b.cnt, 0) AS cnt_right "
+                f"FROM (SELECT {k1} AS k, COUNT(*) AS cnt FROM {t1} "
+                f"WHERE {self.preds(t1, n=1)} GROUP BY {k1}) a "
+                f"FULL OUTER JOIN (SELECT {k2} AS k, COUNT(*) AS cnt FROM {t2} "
+                f"WHERE {self.preds(t2, n=1)} GROUP BY {k2}) b ON a.k = b.k "
+                f"ORDER BY k NULLS FIRST LIMIT 500")
+
+    def t_self_join(self):
+        """Self-join pair counting (o1.key < o2.key de-dups the pairs)."""
+        t, grp, uniq = self.r.choice([
+            ("orders", "o_custkey", "o_orderkey"),
+            ("lineitem", "l_orderkey", "l_linenumber"),
+            ("events", "user_id", "event_id"),
+        ])
+        return (f"SELECT a.{grp} AS grp, COUNT(*) AS n_pairs "
+                f"FROM {t} a JOIN {t} b ON a.{grp} = b.{grp} "
+                f"AND a.{uniq} < b.{uniq} "
+                f"WHERE {self.preds(t, 'a', n=1)} "
+                f"GROUP BY a.{grp} HAVING COUNT(*) > {self.r.randrange(1, 4)} "
+                f"ORDER BY grp NULLS FIRST LIMIT 500")
+
+    def t_distinct_proj(self):
+        """SELECT DISTINCT multi-column projection."""
+        t = self.r.choice(["orders", "lineitem", "customer", "part", "events"])
+        cs = self.r.sample(cols_of(t, "s") + cols_of(t, "i"),
+                           self.r.choice([2, 2, 3]))
+        sel = ", ".join(f"{ref(c, t)} AS {c}" for c in cs)
+        order = ", ".join(f"{c} NULLS FIRST" for c in cs)
+        return (f"SELECT DISTINCT {sel} FROM {t} WHERE {self.preds(t, n=1)} "
+                f"ORDER BY {order} LIMIT 500")
+
+    def t_two_level_agg(self):
+        """Aggregate over a grouped subquery (integer sums stay exact
+        through both levels)."""
+        t, inner_key, num = self.r.choice([
+            ("lineitem", "l_orderkey", "l_linenumber"),
+            ("orders", "o_custkey", "o_orderkey"),
+            ("events", "user_id", "event_id"),
+            ("documents", "lang", "n_chars"),
+        ])
+        return (f"SELECT n_rows, COUNT(*) AS n_groups, "
+                f"CAST(SUM(total) AS BIGINT) AS grand_total FROM ("
+                f"SELECT {inner_key} AS k, COUNT(*) AS n_rows, "
+                f"CAST(SUM({num}) AS BIGINT) AS total FROM {t} "
+                f"WHERE {self.preds(t, n=1)} GROUP BY {inner_key}) g "
+                f"GROUP BY n_rows ORDER BY n_rows NULLS FIRST")
+
+    def t_orderby_case(self):
+        """ORDER BY a CASE expression (custom collation idiom), unique
+        trailing key keeps the order total."""
+        t, c, vals, uniq = self.r.choice([
+            ("orders", "o_orderstatus", ["P", "O", "F"], "o_orderkey"),
+            ("lineitem", "l_returnflag", ["R", "A", "N"], "l_orderkey"),
+            ("customer", "c_mktsegment", ["BUILDING", "MACHINERY"], "c_custkey"),
+        ])
+        v = self.r.choice(vals)
+        return (f"SELECT {c} AS c, {uniq} AS u FROM {t} "
+                f"WHERE {self.preds(t, n=1)} "
+                f"ORDER BY CASE WHEN {c} = '{v}' THEN 0 ELSE 1 END NULLS FIRST, "
+                f"c NULLS FIRST, u NULLS FIRST LIMIT 300")
+
+    def t_greatest_least(self):
+        """GREATEST/LEAST over non-null integer expressions as group key."""
+        t, a, b2 = self.r.choice([
+            ("lineitem", "l_linenumber", "l_suppkey"),
+            ("customer", "c_nationkey", "c_custkey"),
+            ("part", "p_size", "p_partkey"),
+        ])
+        m = self.r.randrange(3, 9)
+        key = self.r.choice([
+            f"GREATEST({a} % {m}, {b2} % {m})",
+            f"LEAST({a} % {m}, {b2} % {m})",
+        ])
+        return (f"SELECT {key} AS k, COUNT(*) AS cnt FROM {t} "
+                f"WHERE {self.preds(t, n=1)} GROUP BY {key} "
+                f"ORDER BY k NULLS FIRST")
+
     def t_datefun(self):
         """Date-function rollup (prompt: date(target_dt) family)."""
         t, c = self.r.choice([("orders", "o_orderdate"), ("lineitem", "l_shipdate")])
@@ -512,6 +635,16 @@ def accept_loop(con, templates, want):
         # accept only queries with signal: nonzero rows, bounded size
         if len(df) == 0 or len(df) > 2000:
             continue
+        # FOUND DIVERGENCE (round 8, block C): grouping sets over an
+        # EMPTY input — DuckDB/Postgres emit the global () grouping-set
+        # row (COUNT=0), Spark emits NO rows. A rollup whose WHERE
+        # matches nothing passes the rows>0 screen via that phantom row,
+        # then hash-mismatches. Excluded from the portable grammar and
+        # pinned Spark-side in SqlFuzzSpec ("empty-input grouping sets").
+        if "ROLLUP" in sql and "cnt" in df.columns and df["cnt"].sum() == 0:
+            print(f"  skip (empty-input grouping sets divergence): {sql}",
+                  file=sys.stderr)
+            continue
         # no decimal outputs (harness hashes decimals differently per engine)
         if any("decimal" in str(dt).lower() or "object" == str(dt) and
                df[c].map(lambda v: type(v).__name__).eq("Decimal").any()
@@ -545,6 +678,16 @@ def generate():
                   gB.t_nullif_key, gB.t_multi_distinct, gB.t_rank_window,
                   gB.t_lag_window, gB.t_cond_agg, gB.t_scalar_sub]
     out += accept_loop(con, templatesB, N_B)
+    # block C (cases 80+): the round-8 second widening — ROLLUP +
+    # GROUPING() subtotal rows, INTERSECT/EXCEPT, FULL OUTER JOIN of
+    # aggregated sides with COALESCE'd keys, self-join pair counting,
+    # DISTINCT projections, two-level aggregation, ORDER BY CASE, and
+    # GREATEST/LEAST group keys. Fresh RNG keeps A/B byte-stable.
+    gC = Gen(random.Random(SEED_C))
+    templatesC = [gC.t_rollup, gC.t_setop, gC.t_full_outer_agg, gC.t_self_join,
+                  gC.t_distinct_proj, gC.t_two_level_agg, gC.t_orderby_case,
+                  gC.t_greatest_least]
+    out += accept_loop(con, templatesC, N_C)
     con.close()
     return out
 
