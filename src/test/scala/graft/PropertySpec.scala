@@ -71,4 +71,38 @@ class PropertySpec extends SparkSpec {
       assert(out.sorted.sameElements(again.sorted), s"seed=$seed")
     }
   }
+
+  test("expectations: report counts are consistent with quarantine on random data") {
+    import graft.operators.Expectations
+    for (seed <- 1 to 6) {
+      val rnd = new Random(seed)
+      // random rows with injected nulls and out-of-range values
+      val rows = List.fill(40)((
+        if (rnd.nextInt(10) == 0) null else java.lang.Long.valueOf(rnd.nextInt(20).toLong),
+        if (rnd.nextInt(8) == 0) null else "OFX" (rnd.nextInt(3)).toString,
+        if (rnd.nextInt(6) == 0) null else java.lang.Double.valueOf(rnd.nextInt(100) - 20)))
+      val df = rows.toDF("id", "status", "amount")
+      val rules = Seq(
+        Expectations.notNull("id"),
+        Expectations.inSet("status", Seq("O", "F")),
+        Expectations.inRange("amount", 0, 60))
+      val rep = Expectations.report(df, rules).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val quar = Expectations.quarantine(df, rules, Seq("id")).collect()
+        .map(_.getString(1))
+      // every rule checked every row
+      assert(rep.values.forall(_._1 == rows.size.toLong), s"seed=$seed")
+      // per-rule violation counts agree between report and attribution
+      for (r <- rules) {
+        val attributed = quar.count(_.split(",").contains(r.name))
+        assert(rep(r.name)._2 == attributed.toLong,
+          s"seed=$seed rule=${r.name}: report=${rep(r.name)._2} quarantine=$attributed")
+      }
+      // quarantine holds exactly the rows failing >=1 rule
+      val expectedBad = rows.count { case (id, st, am) =>
+        id == null || st == null || !Seq("O", "F").contains(st) ||
+          am == null || am < 0 || am > 60 }
+      assert(quar.length == expectedBad, s"seed=$seed")
+    }
+  }
 }
