@@ -690,8 +690,11 @@ object Dedup {
         graft.functions.ShingleHash64(spark, TextAnalysis.tokens(col(textCol)), k).as("hs"))
     // temp views because a scalar subquery is a SQL-only construct —
     // fixed names are safe: Verify/Bench run queries sequentially per
-    // session, and the drain/streaming paths use dedicated sessions
-    hashes(probe).select(explode(col("hs")).as("h")).distinct()
+    // session, and the drain/streaming paths use dedicated sessions.
+    // The probe relation is referenced TWICE (bloom subquery + confirm
+    // join), so persist it once — at deployment scale that is the
+    // difference between one and two shuffles of the probe shingle set
+    OpCache.persist(hashes(probe).select(explode(col("hs")).as("h")).distinct())
       .createOrReplaceTempView("graft_bloom_probe")
     hashes(Stage.spread(corpus))
       .select(col(idCol).as("doc_id"), explode(col("hs")).as("h"))
