@@ -1174,6 +1174,26 @@ object SparkEntry {
       Analytics.kmvDistinctEstimate(t(s, dir, "lineitem"), "l_partkey", k = 64)
     }),
 
+    // incremental materialized-view maintenance: three ingestion batches
+    // folded into a mergeable per-key state (n/sum/min/max + KMV
+    // distinct sketch) — the finalized store must equal a one-shot
+    // aggregate over full history, INCLUDING the sketch estimate
+    // (KMV union is exactly mergeable), which is what the oracle proves
+    "q_incremental_agg" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("user_id"),
+          col("value"))
+      val states = (0 to 2).map { i =>
+        IncrementalAgg.aggregateBatch(
+          ev.filter(pmod(col("event_id"), lit(3)) === i),
+          Seq("event_type"), "value", "user_id", k = 32)
+      }
+      val store = states.reduce(
+        IncrementalAgg.merge(_, _, Seq("event_type"), k = 32))
+      IncrementalAgg.finalize(store, Seq("event_type"), k = 32)
+        .orderBy("event_type")
+    }),
+
     // T3/T4 — EXCEPT / INTERSECT (distinct set semantics)
     "q_t3_set_ops" -> ((s, dir) => {
       val cust = t(s, dir, "customer").select(col("c_mktsegment").as("seg"),
@@ -3431,6 +3451,31 @@ object SparkEntry {
          SELECT k, round(CAST(k - 1 AS DOUBLE) / vk, 6) AS est_distinct,
                 (SELECT COUNT(DISTINCT l_partkey) FROM lineitem) AS true_distinct
          FROM e""",
+
+    // one-shot aggregate over FULL history == the incrementally merged
+    // store (mergeable-state algebra; KMV union is exactly mergeable)
+    "q_incremental_agg" ->
+      """WITH base AS (SELECT event_type, COUNT(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total,
+                MIN(value) AS "min", MAX(value) AS "max",
+                round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                        / CAST(COUNT(*) AS DOUBLE), 6) AS avg
+              FROM events GROUP BY 1),
+         v AS (SELECT DISTINCT event_type,
+                 CAST(CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 13) AS BIGINT) AS DOUBLE)
+                   / 4503599627370496.0 AS v
+               FROM events),
+         r AS (SELECT event_type, v,
+                 row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn
+               FROM v),
+         sk AS (SELECT event_type, COUNT(*) AS sz, MAX(v) AS vk
+                FROM r WHERE rn <= 32 GROUP BY 1),
+         est AS (SELECT event_type,
+                   CASE WHEN sz < 32 THEN CAST(sz AS DOUBLE)
+                        ELSE round(31.0 / vk, 6) END AS est_distinct
+                 FROM sk)
+         SELECT b.event_type, n, total, "min", "max", avg, est_distinct
+         FROM base b JOIN est USING (event_type) ORDER BY b.event_type""",
 
     "q_t3_set_ops" ->
       """WITH cust AS (SELECT c_mktsegment AS seg, c_nationkey AS nk FROM customer),
