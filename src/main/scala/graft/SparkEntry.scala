@@ -1194,6 +1194,37 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // streaming deployment of the same store: three feed files drained
+    // one per micro-batch (maxFilesPerTrigger=1), each folded into the
+    // durable store via foreachBatch + AtomicStore — the drained store,
+    // finalized, must hash-equal the SAME one-shot full-history oracle
+    "q_stream_incremental_agg" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("user_id"),
+          col("value"))
+      val root = new org.apache.hadoop.fs.Path(
+        s"/tmp/graft_stream_incr_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(root, true)
+      val feed = s"$root/feed"; val store = s"$root/store"
+      (0 to 2).foreach { i =>
+        ev.filter(pmod(col("event_id"), lit(3)) === i)
+          .coalesce(1).write.mode("append").parquet(feed)
+      }
+      val q = graft.streaming.StreamingIncrementalAgg.start(s,
+        s.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1")
+          .parquet(feed),
+        store, Seq("event_type"), "value", "user_id", k = 32,
+        checkpoint = s"$root/ckpt")
+      try {
+        if (!q.awaitTermination(600000L))
+          throw new IllegalStateException(
+            "stream incremental-agg drain did not terminate within 600s")
+      } finally if (q.isActive) q.stop()
+      IncrementalAgg.finalize(s.read.parquet(store), Seq("event_type"), k = 32)
+        .orderBy("event_type")
+    }),
+
     // T3/T4 — EXCEPT / INTERSECT (distinct set semantics)
     "q_t3_set_ops" -> ((s, dir) => {
       val cust = t(s, dir, "customer").select(col("c_mktsegment").as("seg"),
@@ -1701,6 +1732,20 @@ object SparkEntry {
       Dedup.contaminationReport(
           docs.filter(pmod(col("doc_id"), lit(20)) =!= 0),
           docs.filter(pmod(col("doc_id"), lit(20)) === 0),
+          "doc_id", "text", k = 5)
+        .orderBy("doc_id")
+    }),
+
+    // composed split→leakage audit: the check a corpus owner runs after
+    // cutting train/test — which TRAIN docs share 5-gram shingles with
+    // the TEST split (withSplit's md5 split is reproduced by the oracle,
+    // so the whole composition is hash-verified end to end)
+    "q_split_leakage" -> ((s, dir) => {
+      val split = Analytics.withSplit(t(s, dir, "documents"), "doc_id",
+        valRate = 0.1, testRate = 0.1)
+      Dedup.contaminationReport(
+          split.filter(col("split") === "train"),
+          split.filter(col("split") === "test"),
           "doc_id", "text", k = 5)
         .orderBy("doc_id")
     }),
@@ -3477,6 +3522,30 @@ object SparkEntry {
          SELECT b.event_type, n, total, "min", "max", avg, est_distinct
          FROM base b JOIN est USING (event_type) ORDER BY b.event_type""",
 
+    // identical contract for the streaming deployment of the store
+    "q_stream_incremental_agg" ->
+      """WITH base AS (SELECT event_type, COUNT(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total,
+                MIN(value) AS "min", MAX(value) AS "max",
+                round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                        / CAST(COUNT(*) AS DOUBLE), 6) AS avg
+              FROM events GROUP BY 1),
+         v AS (SELECT DISTINCT event_type,
+                 CAST(CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 13) AS BIGINT) AS DOUBLE)
+                   / 4503599627370496.0 AS v
+               FROM events),
+         r AS (SELECT event_type, v,
+                 row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn
+               FROM v),
+         sk AS (SELECT event_type, COUNT(*) AS sz, MAX(v) AS vk
+                FROM r WHERE rn <= 32 GROUP BY 1),
+         est AS (SELECT event_type,
+                   CASE WHEN sz < 32 THEN CAST(sz AS DOUBLE)
+                        ELSE round(31.0 / vk, 6) END AS est_distinct
+                 FROM sk)
+         SELECT b.event_type, n, total, "min", "max", avg, est_distinct
+         FROM base b JOIN est USING (event_type) ORDER BY b.event_type""",
+
     "q_t3_set_ops" ->
       """WITH cust AS (SELECT c_mktsegment AS seg, c_nationkey AS nk FROM customer),
               big AS (SELECT * FROM cust WHERE nk < 10),
@@ -3833,6 +3902,30 @@ object SparkEntry {
                      FROM toks CROSS JOIN ser WHERE len(t) >= 5 AND i <= len(t) - 4),
               probe AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
               corpus AS (SELECT doc_id, s FROM sh WHERE doc_id % 20 <> 0)
+         SELECT c.doc_id, COUNT(DISTINCT c.s) AS n_shared
+         FROM corpus c JOIN probe p ON c.s = p.s
+         GROUP BY 1 ORDER BY doc_id""",
+
+    // split reproduced from the same md5 arithmetic, then the shingle
+    // leakage join — the full composition hash-verified
+    "q_split_leakage" ->
+      """WITH u AS (SELECT doc_id, text,
+                CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) AS DOUBLE)
+                  / 4503599627370496.0 AS u
+              FROM documents),
+         sp AS (SELECT doc_id, text,
+                  CASE WHEN u < 0.1 THEN 'test' WHEN u < 0.2 THEN 'val'
+                       ELSE 'train' END AS split
+                FROM u),
+         toks AS (SELECT doc_id, split,
+                    list_filter(string_split(text, ' '), x -> x <> '') AS t
+                  FROM sp),
+         ser AS (SELECT unnest(generate_series(1, (SELECT COALESCE(MAX(len(t)), 1) FROM toks))) AS i),
+         sh AS (SELECT DISTINCT doc_id, split,
+                  t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS s
+                FROM toks CROSS JOIN ser WHERE len(t) >= 5 AND i <= len(t) - 4),
+         probe AS (SELECT DISTINCT s FROM sh WHERE split = 'test'),
+         corpus AS (SELECT doc_id, s FROM sh WHERE split = 'train')
          SELECT c.doc_id, COUNT(DISTINCT c.s) AS n_shared
          FROM corpus c JOIN probe p ON c.s = p.s
          GROUP BY 1 ORDER BY doc_id""",

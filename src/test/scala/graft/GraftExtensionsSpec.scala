@@ -54,6 +54,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT lsh_bucket_bits(array(1000000000L, 1000000000L), 4, 2) AS b")
         .collect().head.getString(0)
       assert(lsh.length == 4 && lsh.forall(c => c == '0' || c == '1'))
+
+      // bloom sketch pair: inserted values always probe true (scalar
+      // subquery bloom argument — the in-plan prefilter shape)
+      spark.sql("SELECT CAST(id AS BIGINT) AS v FROM range(100)")
+        .createOrReplaceTempView("ext_bloom_in")
+      val bloomMisses = spark.sql(
+        """SELECT count(1) AS n FROM ext_bloom_in
+          |WHERE NOT might_contain(
+          |  (SELECT bloom_filter_agg(v, 1000L, 8000L) FROM ext_bloom_in), v)
+          |""".stripMargin).collect().head.getLong(0)
+      assert(bloomMisses == 0L)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
