@@ -65,4 +65,27 @@ class PlanShapeSpec extends SparkSpec {
     // map-side-combine shape; a single-node plan would ship raw rows
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial aggregation in:\n$p")
   }
+
+  test("expectations row rules: ALL rules evaluate over ONE scan of the table") {
+    // the report's row-rule block claims one pass regardless of rule
+    // count — so a pure-row-rule report over orders must plan exactly
+    // one parquet scan (a per-rule pass would show one scan per rule)
+    import org.apache.spark.sql.functions.col
+    val orders = Tables.load(spark, dir, "orders")
+    val rep = graft.operators.Expectations.report(orders, Seq(
+      graft.operators.Expectations.notNull("o_orderdate"),
+      graft.operators.Expectations.inRange("o_totalprice", 0, 400000),
+      graft.operators.Expectations.inSet("o_orderstatus", Seq("O", "F")),
+      graft.operators.Expectations.matches("o_orderpriority", "^[1-5]-"),
+      graft.operators.Expectations.RowRule("big_key", col("o_orderkey") >= 0)))
+    val p = rep.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 scan for 5 row rules, got $scans in:\n$p")
+  }
+
+  test("q_decontaminate_bloom: might_contain prefilter sits in the plan") {
+    val p = planOf("q_decontaminate_bloom")
+    assert(p.contains("might_contain"), s"bloom prefilter optimized away in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
