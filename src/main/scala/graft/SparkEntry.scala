@@ -1159,6 +1159,43 @@ object SparkEntry {
         .orderBy("month")
     }),
 
+    // A12b — unpivot/melt: the pivot's inverse (wide measure columns to
+    // long (id, metric, value) rows; single map-side Expand, no shuffle)
+    "q_unpivot_metrics" -> ((s, dir) => {
+      Analytics.meltLong(
+        t(s, dir, "lineitem")
+          .filter(col("l_orderkey") <= 1000)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity").cast("double").as("quantity"),
+            col("l_extendedprice").cast("double").as("extendedprice"),
+            col("l_discount").cast("double").as("discount")),
+        Seq("l_orderkey", "l_linenumber"),
+        Seq("quantity", "extendedprice", "discount"))
+        .orderBy("l_orderkey", "l_linenumber", "metric")
+    }),
+
+    // time-series regularization: per-customer daily totals gap-filled
+    // onto a dense date spine with LOCF + fill attribution
+    "q_timeseries_fill" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .filter(col("o_custkey") <= 40)
+        .withColumn("d", col("o_orderdate").cast("date"))
+        .filter(year(col("d")) === 1997)
+        .groupBy("o_custkey", "d")
+        .agg(sumd(col("o_totalprice")).as("v"))
+      Analytics.gapFillLocf(daily, Seq("o_custkey"), "d", "v")
+        .orderBy("o_custkey", "d")
+    }),
+
+    // PCA step 1 (the only data-sized pass): exact second-moment sums +
+    // covariance of the embedding column — the driver-side Jacobi eigen
+    // step consumes exactly these 2 080 scalars (spec-verified); this
+    // oracle proves the distributed pass bit-exactly
+    "q_sim_covariance" -> ((s, dir) => {
+      Similarity.covarianceSums(t(s, dir, "embeddings"), "embedding", dim = 64)
+        .orderBy("i", "j")
+    }),
+
     // A13 — exact percentiles (linear interpolation) per group
     "q_percentiles" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -3478,6 +3515,60 @@ object SparkEntry {
                 CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'
                   THEN CAST(o_totalprice AS DECIMAL(38,6)) END) AS DOUBLE) AS p5_low
          FROM orders GROUP BY month ORDER BY month""",
+
+    "q_unpivot_metrics" ->
+      """WITH src AS (SELECT l_orderkey, l_linenumber,
+                             CAST(l_quantity AS DOUBLE) AS quantity,
+                             CAST(l_extendedprice AS DOUBLE) AS extendedprice,
+                             CAST(l_discount AS DOUBLE) AS discount
+                      FROM lineitem WHERE l_orderkey <= 1000)
+         SELECT l_orderkey, l_linenumber, metric, value FROM (
+           SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+                  quantity AS value FROM src
+           UNION ALL SELECT l_orderkey, l_linenumber, 'extendedprice',
+                  extendedprice FROM src
+           UNION ALL SELECT l_orderkey, l_linenumber, 'discount',
+                  discount FROM src) u
+         ORDER BY l_orderkey, l_linenumber, metric""",
+
+    "q_timeseries_fill" ->
+      """WITH d AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+                           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS v
+                    FROM orders
+                    WHERE o_custkey <= 40
+                      AND YEAR(CAST(o_orderdate AS DATE)) = 1997
+                    GROUP BY 1, 2),
+              b AS (SELECT o_custkey, MIN(d) AS lo, MAX(d) AS hi FROM d GROUP BY 1),
+              spine AS (SELECT o_custkey,
+                               CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+                        FROM b),
+              j AS (SELECT s.o_custkey, s.d, dd.v
+                    FROM spine s LEFT JOIN d dd
+                      ON dd.o_custkey = s.o_custkey AND dd.d = s.d)
+         SELECT o_custkey, d,
+                last_value(v IGNORE NULLS) OVER (PARTITION BY o_custkey ORDER BY d
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v,
+                CASE WHEN v IS NULL THEN 1 ELSE 0 END AS is_gap
+         FROM j ORDER BY o_custkey, d""",
+
+    "q_sim_covariance" ->
+      """WITH ser AS (SELECT unnest(generate_series(1, 64)) AS i),
+              e AS (SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS x
+                    FROM embeddings CROSS JOIN ser WHERE i <= len(embedding)),
+              p AS (SELECT a.i AS i, b.i AS j, COUNT(*) AS n,
+                           SUM(CAST(a.x * b.x AS DECIMAL(38,18))) AS s_ij
+                    FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i
+                    GROUP BY 1, 2),
+              s1 AS (SELECT i, SUM(CAST(x AS DECIMAL(38,18))) AS s FROM e GROUP BY i)
+         SELECT CAST(p.i - 1 AS INTEGER) AS i, CAST(p.j - 1 AS INTEGER) AS j, p.n AS n,
+                CAST(CAST(si.s AS VARCHAR) AS DOUBLE) AS s_i,
+                CAST(CAST(sj.s AS VARCHAR) AS DOUBLE) AS s_j,
+                CAST(CAST(p.s_ij AS VARCHAR) AS DOUBLE) AS s_ij,
+                CAST(CAST(p.s_ij AS VARCHAR) AS DOUBLE) / p.n
+                  - (CAST(CAST(si.s AS VARCHAR) AS DOUBLE) / p.n)
+                    * (CAST(CAST(sj.s AS VARCHAR) AS DOUBLE) / p.n) AS cov
+         FROM p JOIN s1 si ON si.i = p.i JOIN s1 sj ON sj.i = p.j
+         ORDER BY i, j""",
 
     "q_percentiles" ->
       """SELECT o_orderpriority,

@@ -669,4 +669,53 @@ object Analytics {
       .when(qty > 10, "소진중")
       .when(qty > 0, "소량보유")
       .otherwise("소진")
+
+  /** Unpivot / melt — wide metric columns to long (id…, metric, value)
+    * rows, the inverse of the `q_pivot_priority` reshape and the form
+    * most profiling/plotting consumers want (one row per measurement).
+    *
+    * Spark's native `Dataset.unpivot` plans as a single `Expand` node:
+    * map-side only, zero shuffles, |valueCols|× the input rows streamed
+    * through whole-stage codegen — at 100 TB this is a pure scan shape
+    * (column pruning still reaches the source: only id + melted columns
+    * are read). Value columns are cast to a common type by the caller
+    * (Expand requires one output type); metric labels are the source
+    * column names.
+    */
+  def meltLong(df: DataFrame, idCols: Seq[String], valueCols: Seq[String],
+               varName: String = "metric", valueName: String = "value"): DataFrame =
+    df.unpivot(idCols.map(col).toArray, valueCols.map(col).toArray,
+      varName, valueName)
+
+  /** Time-series gap filling with LOCF (last observation carried
+    * forward) — regularize an irregular per-key daily series onto a
+    * dense date spine and carry the last seen value across the gaps,
+    * flagging filled rows. The resample step every training-data
+    * freshness join needs before window features make sense.
+    *
+    * Input must be unique per (keys, dateCol) — aggregate first (the
+    * oracle query does). Execution: per-key bounds are one partial agg;
+    * the spine is `sequence(lo, hi)` exploded FROM the bounds rows (one
+    * row per key-day, generated not joined); original rows attach by an
+    * equi-join on (keys, date); LOCF is one `last(value, ignoreNulls)`
+    * running window per key. Two key-hash exchanges total (join +
+    * window — AQE coalesces the same partitioning), nothing driver-side,
+    * and the spine size is data-bounded (Σ per-key day spans). A key
+    * whose span is pathological (one row in 1990, one in 2030) inflates
+    * only its own spine — at 100 TB cap spans upstream if the data can
+    * contain such keys.
+    */
+  def gapFillLocf(df: DataFrame, keys: Seq[String], dateCol: String,
+                  valueCol: String): DataFrame = {
+    val k = keys.map(col)
+    val bounds = df.groupBy(k: _*)
+      .agg(min(col(dateCol)).as("__lo"), max(col(dateCol)).as("__hi"))
+    val spine = bounds.select(
+      k :+ explode(sequence(col("__lo"), col("__hi"))).as(dateCol): _*)
+    val w = Window.partitionBy(k: _*).orderBy(col(dateCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(df, keys :+ dateCol, "left")
+      .withColumn("is_gap", when(col(valueCol).isNull, lit(1)).otherwise(lit(0)))
+      .withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
+  }
 }

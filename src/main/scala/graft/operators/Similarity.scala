@@ -737,4 +737,178 @@ object Similarity {
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= nProbe)
       .select(col("id_a").as(idCol), col("id_b").as("centroid_id"))
   }
+
+  // ------------------------------------------------------------------
+  // PCA — dimensionality reduction for the embedding column. The 100 TB
+  // lever: project 64-dim vectors to k≪64 before IVF/LSH candidate
+  // generation (scan bandwidth and dot cost drop k/64×); the exact
+  // verify step stays in the original space.
+  // ------------------------------------------------------------------
+
+  /** Distributed second-moment sums of the embedding column — the ONLY
+    * data-sized pass PCA needs, and it is oracle-exact: components hop
+    * through decimal(18,9) (the [[fixedVectors]] portability convention),
+    * per-pair products are exact decimal(38,18), and sums are decimal —
+    * order-independent under Spark partial aggregation vs any other fold.
+    *
+    * Output: one row per upper-triangle (i ≤ j) dimension pair —
+    * (i, j, n, s_i, s_j, s_ij, cov) where s are the exact sums cast to
+    * double and cov = s_ij/n − (s_i/n)(s_j/n), spelled identically in the
+    * DuckDB oracle so the IEEE arithmetic matches bit-for-bit.
+    *
+    * FOUND DIVERGENCE (round 8): DuckDB's DECIMAL(38,18)→DOUBLE cast
+    * double-rounds (int128→double, then ÷10¹⁸ — two roundings), while
+    * Spark's decimal→double is correctly rounded; ~25% of cells differed
+    * by 1 ULP. The oracle pins DuckDB through a VARCHAR hop
+    * (decimal→exact digits→one correctly-rounded parse), which equals
+    * Spark's direct cast. Lower-scale decimals (the repo-wide
+    * DECIMAL(38,6) `sumd` convention) don't hit this because the scaled
+    * integer stays inside the 53-bit mantissa.
+    *
+    * Execution shape: one generate (posexplode²) of d(d+1)/2 products
+    * per row feeding a partial-aggregated hash agg — the shuffle carries
+    * ≤ d(d+1)/2 rows PER MAP PARTITION regardless of data volume (4 160
+    * at d=64·32 partitions ≈ 130 K rows total at any scale); the N·d²/2
+    * multiplies are the covariance lower bound, done inside codegen. The
+    * d-row mean sums attach by broadcast join. Rows whose vector is not
+    * exactly `dim` long are excluded from ALL sums (n counts survivors),
+    * keeping every (i,j) cell over the same sample.
+    */
+  def covarianceSums(vectors: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    val vd = Stage.spread(vectors.filter(size(col(vecCol)) === dim))
+      .select(transform(col(vecCol), x => x.cast("double").cast(elemDec)).as("__v"))
+    val pairSums = vd
+      .select(posexplode(col("__v")).as(Seq("i", "xi")), col("__v"))
+      .select(col("i"), col("xi"), posexplode(col("__v")).as(Seq("j", "xj")))
+      .filter(col("j") >= col("i"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"),
+           sum((col("xi") * col("xj")).cast("decimal(38,18)")).as("__sij"))
+    val dimSums = vd.select(posexplode(col("__v")).as(Seq("i", "xi")))
+      .groupBy("i").agg(sum(col("xi").cast("decimal(38,18)")).as("__si"))
+    pairSums
+      .join(Hints.bcast(dimSums.select(col("i"), col("__si"))), Seq("i"))
+      .join(Hints.bcast(dimSums.select(col("i").as("j"), col("__si").as("__sj"))),
+            Seq("j"))
+      .select(col("i"), col("j"), col("n"),
+        col("__si").cast("double").as("s_i"),
+        col("__sj").cast("double").as("s_j"),
+        col("__sij").cast("double").as("s_ij"),
+        (col("__sij").cast("double") / col("n")
+          - (col("__si").cast("double") / col("n"))
+            * (col("__sj").cast("double") / col("n"))).as("cov"))
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric d×d matrix —
+    * driver-side by design: the covariance is d(d+1)/2 scalars (2 080
+    * doubles at d=64) REGARDLESS of corpus size, the same
+    * tiny-model-table posture as the IVF centroid and PQ codebook
+    * collects. Deterministic (fixed sweep order, no randomness).
+    * Returns (eigenvalues, eigenvectors-as-rows) sorted by descending
+    * eigenvalue, eigenvector sign fixed so the largest-|·| component is
+    * positive.
+    */
+  private[graft] def jacobiEigen(a0: Array[Array[Double]],
+                                 sweeps: Int = 64,
+                                 tol: Double = 1e-14)
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((r, c) => if (r == c) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < sweeps && off > tol) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          off += apq * apq
+          if (math.abs(apq) > tol) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) match {
+              case 0.0 => 1.0
+              case s   => s / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => -a(i)(i))
+    val evals = order.map(i => a(i)(i)).toArray
+    val evecs = order.map { i =>
+      val row = Array.tabulate(d)(r => v(r)(i))
+      val m = row.maxBy(math.abs)
+      if (m < 0) row.map(-_) else row
+    }.toArray
+    (evals, evecs)
+  }
+
+  /** Fit PCA on the embedding column: distributed covariance (one pass,
+    * [[covarianceSums]]) + driver-side Jacobi on the d×d result. Returns
+    * (components k×d as rows, explained-variance fractions). The means
+    * for centering at projection time are derivable from the same sums;
+    * [[pcaProject]] takes them explicitly.
+    */
+  def pcaFit(vectors: DataFrame, vecCol: String, dim: Int, k: Int)
+      : (Array[Array[Double]], Array[Double], Array[Double]) = {
+    require(k >= 1 && k <= dim, s"k must be in [1, $dim]")
+    val rows = covarianceSums(vectors, vecCol, dim)
+      .select("i", "j", "n", "s_i", "cov").collect()
+    val cov = Array.ofDim[Double](dim, dim)
+    val mean = Array.ofDim[Double](dim)
+    rows.foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1)
+      val c = r.getDouble(4)
+      cov(i)(j) = c; cov(j)(i) = c
+      if (i == j) mean(i) = r.getDouble(3) / r.getLong(2)
+    }
+    val (evals, evecs) = jacobiEigen(cov)
+    val trace = evals.map(math.max(_, 0.0)).sum
+    val explained = evals.take(k).map(e => if (trace > 0) math.max(e, 0.0) / trace else 0.0)
+    (evecs.take(k), mean, explained)
+  }
+
+  /** Project the embedding column onto fitted components — map-side only
+    * (components and means are literal arrays in the plan, ~k·d doubles):
+    * y_c = Σ_i (x_i − μ_i)·w_ci via codegen'd `zip_with`+`aggregate`, no
+    * shuffle, no UDF. Output keeps `idCol` and adds `pcaCol` as
+    * array<double> length k — feed it to [[lshTopK]]/[[ivfTopK]] as the
+    * reduced-dimension ANN input.
+    */
+  def pcaProject(vectors: DataFrame, idCol: String, vecCol: String,
+                 components: Array[Array[Double]], means: Array[Double],
+                 pcaCol: String = "pca"): DataFrame = {
+    val meanLit = array(means.toIndexedSeq.map(lit(_)): _*)
+    val centered = zip_with(transform(col(vecCol), _.cast("double")), meanLit,
+      (x, m) => x - m)
+    val projected = components.toIndexedSeq.map { w =>
+      val wLit = array(w.toIndexedSeq.map(lit(_)): _*)
+      aggregate(zip_with(centered, wLit, (x, c) => x * c), lit(0.0), _ + _)
+    }
+    vectors.select(col(idCol), array(projected: _*).as(pcaCol))
+  }
 }

@@ -21,6 +21,40 @@ class AnalyticsSpec extends SparkSpec {
     assert(got(-38.0) == "소진")
   }
 
+  test("meltLong is the pivot inverse: wide metrics to long rows, no shuffle") {
+    val wide = Seq((1, 10.0, 0.5), (2, 20.0, 0.25)).toDF("id", "qty", "disc")
+    val long = Analytics.meltLong(wide, Seq("id"), Seq("qty", "disc"))
+    val got = long.orderBy("id", "metric")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1, "disc", 0.5), (1, "qty", 10.0),
+                      (2, "disc", 0.25), (2, "qty", 20.0)))
+    // pure Expand: the physical plan has no exchange
+    val plan = long.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"melt must not shuffle:\n$plan")
+    // pivot(melt) round-trips to the original wide frame
+    val back = long.groupBy("id").pivot("metric", Seq("qty", "disc")).agg(first(col("value")))
+      .orderBy("id").collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(back == Seq((1, 10.0, 0.5), (2, 20.0, 0.25)))
+  }
+
+  test("gapFillLocf densifies the spine, carries last value, flags gaps") {
+    val df = Seq(
+      ("a", "2024-01-01", 1.0),
+      ("a", "2024-01-04", 4.0),
+      ("b", "2024-01-02", 2.0)).toDF("k", "ds", "v")
+      .withColumn("d", to_date(col("ds"))).drop("ds")
+    val out = Analytics.gapFillLocf(df, Seq("k"), "d", "v")
+      .orderBy("k", "d")
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getDouble(2), r.getInt(3))).toSeq
+    assert(out == Seq(
+      ("a", "2024-01-01", 1.0, 0),
+      ("a", "2024-01-02", 1.0, 1), // gap: carried forward
+      ("a", "2024-01-03", 1.0, 1),
+      ("a", "2024-01-04", 4.0, 0), // real observation replaces the carry
+      ("b", "2024-01-02", 2.0, 0))) // single-day key: spine is one row
+  }
+
   test("latestPerKey keeps exactly the newest row per key, deterministic on ties") {
     val df = Seq(
       ("e1", "t1", 100L, "old"),

@@ -39,6 +39,82 @@ class SimilaritySpec extends SparkSpec {
     assert(run(d).head == ((1L, 0.8)))   // exact: (0.25,0.5)·(0.5,0.25)/(norms)
   }
 
+  test("jacobiEigen solves a known symmetric system exactly") {
+    // [[2,1],[1,2]] → eigenvalues (3, 1), eigenvectors (1,1)/√2 and (1,-1)/√2
+    val (evals, evecs) = Similarity.jacobiEigen(
+      Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(math.abs(evals(0) - 3.0) < 1e-12 && math.abs(evals(1) - 1.0) < 1e-12)
+    val s = 1.0 / math.sqrt(2.0)
+    assert(evecs(0).zip(Array(s, s)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    // sign convention: largest-|component| positive
+    assert(math.abs(math.abs(evecs(1)(0)) - s) < 1e-12)
+    assert(evecs(1).maxBy(math.abs) > 0)
+  }
+
+  test("covarianceSums matches a locally computed covariance") {
+    val data = Seq(
+      Array(1.0f, 2.0f, 0.0f), Array(2.0f, 4.0f, 1.0f),
+      Array(3.0f, 6.0f, 0.0f), Array(4.0f, 8.0f, 1.0f))
+    val df = data.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val got = Similarity.covarianceSums(df, "embedding", dim = 3)
+      .orderBy("i", "j").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(6))).toMap
+    val n = data.length
+    def mean(c: Int) = data.map(_(c).toDouble).sum / n
+    def cov(a: Int, b: Int) =
+      data.map(v => v(a).toDouble * v(b).toDouble).sum / n - mean(a) * mean(b)
+    for (i <- 0 until 3; j <- i until 3)
+      assert(math.abs(got((i, j)) - cov(i, j)) < 1e-9, s"cov($i,$j)")
+    // a ragged row (wrong dim) must be excluded from every cell's sample
+    val ragged = df.union(Seq((99L, Array(5.0f))).toDF("vec_id", "embedding"))
+    val got2 = Similarity.covarianceSums(ragged, "embedding", dim = 3)
+      .select("n").distinct().collect().map(_.getLong(0)).toSeq
+    assert(got2 == Seq(n.toLong))
+  }
+
+  test("pcaFit finds the dominant direction; components orthonormal, variance ordered") {
+    // anisotropic cloud: spread 10× along (1,1,0)/√2, noise elsewhere —
+    // deterministic fixture (no RNG: fixed lattice offsets)
+    val dir = Array(1.0, 1.0, 0.0).map(_ / math.sqrt(2.0))
+    val pts = for (i <- -5 to 5; j <- Seq(-0.3, 0.3)) yield {
+      val t = i.toDouble
+      Array((t * dir(0) + j * 0.1).toFloat, (t * dir(1) - j * 0.1).toFloat,
+            (j * 0.5).toFloat)
+    }
+    val df = pts.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+      .toDF("vec_id", "embedding")
+    val (comps, _, explained) = Similarity.pcaFit(df, "embedding", dim = 3, k = 3)
+    // first component aligns with the planted direction
+    val cosAlign = math.abs(comps(0).zip(dir).map { case (a, b) => a * b }.sum)
+    assert(cosAlign > 0.999, s"alignment $cosAlign")
+    // orthonormal rows
+    for (a <- 0 until 3; b <- a until 3) {
+      val dot = comps(a).zip(comps(b)).map { case (x, y) => x * y }.sum
+      val want = if (a == b) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-9, s"orthonormality ($a,$b): $dot")
+    }
+    // explained-variance fractions are descending and sum to ~1 at full rank
+    assert(explained.sliding(2).forall(p => p(0) >= p(1) - 1e-12))
+    assert(math.abs(explained.sum - 1.0) < 1e-9)
+  }
+
+  test("pcaProject at full rank is a rotation: pairwise distances preserved") {
+    val pts = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(4.0f, 0.0f, -1.0f)),
+      (2L, Array(-2.0f, 1.0f, 0.5f)), (3L, Array(0.0f, -3.0f, 2.0f)))
+    val df = pts.toDF("vec_id", "embedding")
+    val (comps, means, _) = Similarity.pcaFit(df, "embedding", dim = 3, k = 3)
+    val proj = Similarity.pcaProject(df, "vec_id", "embedding", comps, means)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val orig = pts.map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    for (a <- pts.map(_._1); b <- pts.map(_._1) if a < b)
+      assert(math.abs(d2(proj(a), proj(b)) - d2(orig(a), orig(b))) < 1e-6,
+        s"distance ($a,$b) not preserved")
+  }
+
   test("IVF assigns to the nearest centroid and searches only that cell") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)),    // centroid A (also a query)
