@@ -51,6 +51,8 @@ SEED_B = 4242  # block B (cases 50+): extended grammar, frozen separately
 N_B = 30
 SEED_C = 424242  # block C (cases 80+): round-8 second widening
 N_C = 25
+SEED_D = 42424242  # block D (cases 105+): round-8 third widening
+N_D = 20
 SF = "/root/testdata/sf0.01"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(REPO, "src/main/scala/graft/SqlFuzz.scala")
@@ -618,6 +620,148 @@ class Gen:
                 f"GROUP BY {key} ORDER BY k NULLS FIRST")
 
 
+    # --- block-D templates (cases 105+; blocks A/B/C stay byte-stable) --
+
+    def t_ntile(self):
+        """NTILE quartiles over a total order, re-aggregated — bucket
+        boundary arithmetic (first n_rows % n buckets get the extra row)
+        must agree between engines."""
+        t, c, uniq = self.r.choice([
+            ("orders", "o_totalprice", "o_orderkey"),
+            ("customer", "c_acctbal", "c_custkey"),
+            ("part", "p_retailprice", "p_partkey"),
+        ])
+        n = self.r.choice([3, 4, 5])
+        return (f"SELECT q, COUNT(*) AS cnt, "
+                f"CAST(SUM(CAST({c} AS DECIMAL(38,6))) AS DOUBLE) AS total "
+                f"FROM (SELECT {c}, NTILE({n}) OVER (ORDER BY {c} NULLS FIRST, "
+                f"{uniq} NULLS FIRST) AS q FROM {t} WHERE {self.preds(t, n=1)}) b "
+                f"GROUP BY q ORDER BY q NULLS FIRST")
+
+    def t_first_last(self):
+        """FIRST_VALUE/LAST_VALUE with an explicit full frame, collapsed
+        by DISTINCT — per-group extremes via window rather than agg."""
+        t, part, c, uniq = self.r.choice([
+            ("orders", "o_orderstatus", "o_totalprice", "o_orderkey"),
+            ("lineitem", "l_returnflag", "l_extendedprice", "l_orderkey"),
+            ("customer", "c_mktsegment", "c_acctbal", "c_custkey"),
+        ])
+        frame = ("ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING")
+        order = f"ORDER BY {c} NULLS FIRST, {uniq} NULLS FIRST"
+        return (f"SELECT DISTINCT {part} AS k, "
+                f"FIRST_VALUE({uniq}) OVER (PARTITION BY {part} {order} {frame}) AS lo_id, "
+                f"LAST_VALUE({uniq}) OVER (PARTITION BY {part} {order} {frame}) AS hi_id "
+                f"FROM {t} WHERE {self.preds(t, n=1)} "
+                f"ORDER BY k NULLS FIRST, lo_id NULLS FIRST, hi_id NULLS FIRST")
+
+    def t_running_sum(self):
+        """Running integer SUM over an explicit ROWS frame (exact at any
+        prefix) + ROW_NUMBER for a total order."""
+        t, part, num, uniq = self.r.choice([
+            ("lineitem", "l_returnflag", "l_linenumber", "l_orderkey"),
+            ("orders", "o_orderstatus", "o_custkey", "o_orderkey"),
+            ("events", "event_type", "user_id", "event_id"),
+        ])
+        return (f"SELECT part, u, CAST(run AS BIGINT) AS run FROM ("
+                f"SELECT {part} AS part, {uniq} AS u, "
+                f"SUM({num}) OVER (PARTITION BY {part} ORDER BY {uniq} NULLS FIRST "
+                f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run "
+                f"FROM {t} WHERE {self.preds(t, n=1)}) s "
+                f"ORDER BY part NULLS FIRST, u NULLS FIRST LIMIT 300")
+
+    def t_percent_rank(self):
+        """PERCENT_RANK/CUME_DIST — rank-count ratios, one IEEE division
+        of exact integers in both engines."""
+        t, part, c, uniq = self.r.choice([
+            ("orders", "o_orderstatus", "o_totalprice", "o_orderkey"),
+            ("customer", "c_mktsegment", "c_acctbal", "c_custkey"),
+            ("supplier", None, "s_acctbal", "s_suppkey"),
+        ])
+        over = (f"PARTITION BY {part} " if part else "") + \
+               f"ORDER BY {c} NULLS FIRST, {uniq} NULLS FIRST"
+        fn = self.r.choice(["PERCENT_RANK", "CUME_DIST"])
+        inner_sel = (f"{part} AS part, " if part else "") + \
+            f"{uniq} AS u, {fn}() OVER ({over}) AS pr"
+        outer_sel = ("part, " if part else "") + "u, pr"
+        porder = "part NULLS FIRST, " if part else ""
+        return (f"SELECT {outer_sel} FROM (SELECT {inner_sel} "
+                f"FROM {t} WHERE {self.preds(t, n=1)}) s WHERE pr <= 0.5 "
+                f"ORDER BY {porder}u NULLS FIRST LIMIT 300")
+
+    def t_limit_offset(self):
+        """ORDER BY … LIMIT n OFFSET m pagination (the reference's S9
+        paginated-scan idiom expressed in SQL)."""
+        t = self.r.choice(["orders", "lineitem", "customer", "part"])
+        cs = self.r.sample(cols_of(t), 3)
+        sel = ", ".join(f"{ref(c, t)} AS {c}" for c in cs)
+        order = ", ".join(f"{c} NULLS FIRST" for c in cs)
+        off = self.r.choice([10, 50, 100])
+        return (f"SELECT {sel} FROM {t} WHERE {self.preds(t, n=1)} "
+                f"ORDER BY {order} LIMIT 200 OFFSET {off}")
+
+    def t_is_distinct(self):
+        """IS (NOT) DISTINCT FROM over NULLIF-nulled keys — null-safe
+        equality semantics."""
+        t, a, av, b2, bv = self.r.choice([
+            ("lineitem", "l_returnflag", "N", "l_linestatus", "F"),
+            ("orders", "o_orderstatus", "O", "o_orderpriority", "5-LOW"),
+        ])
+        neg = self.r.choice(["", "NOT "])
+        return (f"SELECT {a} AS a, {b2} AS b, COUNT(*) AS cnt FROM {t} "
+                f"WHERE NULLIF({a}, '{av}') IS {neg}DISTINCT FROM "
+                f"NULLIF({b2}, '{bv}') AND {self.preds(t, n=1)} "
+                f"GROUP BY {a}, {b2} "
+                f"ORDER BY a NULLS FIRST, b NULLS FIRST")
+
+    def t_pad_trim(self):
+        """LPAD/RPAD/RTRIM/REVERSE group keys — pad-and-truncate string
+        semantics."""
+        t, c, i = self.r.choice([
+            ("customer", "c_name", "c_nationkey"),
+            ("supplier", "s_name", "s_nationkey"),
+            ("part", "p_brand", "p_size"),
+        ])
+        keyexpr = self.r.choice([
+            f"LPAD(CAST({i} AS STRING), 4, '0')",
+            f"RPAD(SUBSTR({c}, 1, 3), 5, '_')",
+            f"REVERSE(SUBSTR({c}, 1, {self.r.randrange(2, 4)}))",
+            f"RTRIM(SUBSTR({c}, 1, {self.r.randrange(3, 6)}))",
+        ])
+        return (f"SELECT {keyexpr} AS k, COUNT(*) AS cnt FROM {t} "
+                f"WHERE {self.preds(t, n=1)} GROUP BY {keyexpr} "
+                f"ORDER BY k NULLS FIRST")
+
+    def t_corr_scalar_select(self):
+        """Correlated scalar COUNT subquery in the SELECT list (0 for
+        childless parents — the COUNT-in-scalar-subquery corner)."""
+        l, rt, lk, rk = self.r.choice([
+            ("customer", "orders", "c_custkey", "o_custkey"),
+            ("orders", "lineitem", "o_orderkey", "l_orderkey"),
+            ("supplier", "lineitem", "s_suppkey", "l_suppkey"),
+        ])
+        sub = self.preds(rt, "i", n=1)
+        return (f"SELECT o.{lk} AS id, "
+                f"(SELECT COUNT(*) FROM {rt} i WHERE i.{rk} = o.{lk} "
+                f"AND {sub}) AS n_children "
+                f"FROM {l} o WHERE {self.preds(l, 'o', n=1)} "
+                f"ORDER BY id NULLS FIRST LIMIT 300")
+
+    def t_cte_chain(self):
+        """Two-level CTE chain: filter → aggregate → re-filter/join back."""
+        t, key, num = self.r.choice([
+            ("orders", "o_custkey", "o_orderkey"),
+            ("lineitem", "l_orderkey", "l_linenumber"),
+            ("events", "user_id", "event_id"),
+        ])
+        thr = self.r.randrange(2, 5)
+        return (f"WITH base AS (SELECT {key} AS k, {num} AS u FROM {t} "
+                f"WHERE {self.preds(t, n=1)}), "
+                f"agg AS (SELECT k, COUNT(*) AS n_rows, "
+                f"CAST(SUM(u) AS BIGINT) AS total FROM base GROUP BY k) "
+                f"SELECT k, n_rows, total FROM agg WHERE n_rows >= {thr} "
+                f"ORDER BY k NULLS FIRST LIMIT 500")
+
+
 def accept_loop(con, templates, want):
     """Round-robin templates until `want` queries pass the DuckDB sanity
     screen (runs, nonzero bounded rows, no decimal outputs)."""
@@ -688,6 +832,18 @@ def generate():
                   gC.t_distinct_proj, gC.t_two_level_agg, gC.t_orderby_case,
                   gC.t_greatest_least]
     out += accept_loop(con, templatesC, N_C)
+    # block D (cases 105+): the round-8 third widening — NTILE bucket
+    # arithmetic, FIRST_VALUE/LAST_VALUE full frames, running SUM frames,
+    # PERCENT_RANK/CUME_DIST ratios, LIMIT-OFFSET pagination, null-safe
+    # IS DISTINCT FROM over NULLIF'd keys, LPAD/RPAD/REVERSE/RTRIM
+    # string semantics, correlated scalar COUNT subqueries in the SELECT
+    # list (0-for-childless corner), and two-level CTE chains. Fresh RNG
+    # keeps A/B/C byte-stable.
+    gD = Gen(random.Random(SEED_D))
+    templatesD = [gD.t_ntile, gD.t_first_last, gD.t_running_sum,
+                  gD.t_percent_rank, gD.t_limit_offset, gD.t_is_distinct,
+                  gD.t_pad_trim, gD.t_corr_scalar_select, gD.t_cte_chain]
+    out += accept_loop(con, templatesD, N_D)
     con.close()
     return out
 
