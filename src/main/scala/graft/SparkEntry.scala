@@ -1542,6 +1542,51 @@ object SparkEntry {
         .orderBy("user_id", "stage")
     }),
 
+    // streaming dual of q_timeseries_fill: per-key LOCF gap filling as
+    // observations arrive, drained over THREE date-ordered micro-batches
+    // (append emissions are final, so cross-batch state carry is part of
+    // the oracle-verified surface) — same oracle SQL text as the batch
+    "q_stream_timeseries_fill" -> ((s, dir) => {
+      import s.implicits._
+      val daily = t(s, dir, "orders")
+        .filter(col("o_custkey") <= 40)
+        .withColumn("d", col("o_orderdate").cast("date"))
+        .filter(year(col("d")) === 1997)
+        .groupBy("o_custkey", "d")
+        .agg(sumd(col("o_totalprice")).as("v"))
+        .select(col("o_custkey").as("key"),
+          datediff(col("d"), to_date(lit("1970-01-01"))).as("day"),
+          col("v"))
+      val bounds = daily.agg(min("day"), max("day")).head() // O(1) scalars
+      val (lo, hi) = (bounds.getInt(0), bounds.getInt(1))
+      val c1 = lo + (hi - lo) / 3
+      val c2 = lo + 2 * (hi - lo) / 3
+      val tmp = java.nio.file.Files.createTempDirectory("graft_gapfill_").toString
+      val streamDir = new java.io.File(s"$tmp/obs"); streamDir.mkdirs()
+      def emitFile(df: DataFrame, name: String, modMs: Long): Unit = {
+        val stage = s"$tmp/stage_$name"
+        df.coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(streamDir, s"$name.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        dest.setLastModified(modMs); ()
+      }
+      emitFile(daily.filter(col("day") <= c1), "b1", 1000000L)
+      emitFile(daily.filter(col("day") > c1 && col("day") <= c2), "b2", 2000000L)
+      emitFile(daily.filter(col("day") > c2), "b3", 3000000L)
+      graft.streaming.StreamDrain.drain(s, streamDir.toString,
+          daily.schema, "stream_timeseries_fill", "append",
+          sourceOptions = Map("maxFilesPerTrigger" -> "1")) { src =>
+        graft.streaming.StreamingGapFill.filled(s,
+          src.as[graft.streaming.StreamingGapFill.Obs]).toDF()
+      }
+        .select(col("key").as("o_custkey"),
+          date_add(to_date(lit("1970-01-01")), col("day")).as("d"),
+          col("v"), col("is_gap"))
+        .orderBy("o_custkey", "d")
+    }),
+
     // ST4 at the oracle tier — the reference's one genuinely stateful
     // semantic (dashboard.py:104-119 "current stock"): the drained
     // flatMapGroupsWithState winners must equal the batch flagship
@@ -1947,6 +1992,29 @@ object SparkEntry {
          AND NOT EXISTS (SELECT 1 FROM orders o2
                          WHERE o2.o_custkey = c.c_custkey AND o2.o_orderpriority = '5-LOW')
        ORDER BY c_custkey"""
+
+  /** Shared by `q_timeseries_fill` (batch) and `q_stream_timeseries_fill`
+    * (drained streaming dual) — one oracle text, two execution models.
+    */
+  private val TimeseriesFillOracle =
+    """WITH d AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+                         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS v
+                  FROM orders
+                  WHERE o_custkey <= 40
+                    AND YEAR(CAST(o_orderdate AS DATE)) = 1997
+                  GROUP BY 1, 2),
+            b AS (SELECT o_custkey, MIN(d) AS lo, MAX(d) AS hi FROM d GROUP BY 1),
+            spine AS (SELECT o_custkey,
+                             CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+                      FROM b),
+            j AS (SELECT s.o_custkey, s.d, dd.v
+                  FROM spine s LEFT JOIN d dd
+                    ON dd.o_custkey = s.o_custkey AND dd.d = s.d)
+       SELECT o_custkey, d,
+              last_value(v IGNORE NULLS) OVER (PARTITION BY o_custkey ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v,
+              CASE WHEN v IS NULL THEN 1 ELSE 0 END AS is_gap
+       FROM j ORDER BY o_custkey, d"""
 
   private val CubeSql =
     """SELECT COALESCE(r_name, 'ALL') AS region_name,
@@ -3531,25 +3599,9 @@ object SparkEntry {
                   discount FROM src) u
          ORDER BY l_orderkey, l_linenumber, metric""",
 
-    "q_timeseries_fill" ->
-      """WITH d AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
-                           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS v
-                    FROM orders
-                    WHERE o_custkey <= 40
-                      AND YEAR(CAST(o_orderdate AS DATE)) = 1997
-                    GROUP BY 1, 2),
-              b AS (SELECT o_custkey, MIN(d) AS lo, MAX(d) AS hi FROM d GROUP BY 1),
-              spine AS (SELECT o_custkey,
-                               CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
-                        FROM b),
-              j AS (SELECT s.o_custkey, s.d, dd.v
-                    FROM spine s LEFT JOIN d dd
-                      ON dd.o_custkey = s.o_custkey AND dd.d = s.d)
-         SELECT o_custkey, d,
-                last_value(v IGNORE NULLS) OVER (PARTITION BY o_custkey ORDER BY d
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v,
-                CASE WHEN v IS NULL THEN 1 ELSE 0 END AS is_gap
-         FROM j ORDER BY o_custkey, d""",
+    "q_timeseries_fill" -> TimeseriesFillOracle,
+
+    "q_stream_timeseries_fill" -> TimeseriesFillOracle,
 
     "q_sim_covariance" ->
       """WITH ser AS (SELECT unnest(generate_series(1, 64)) AS i),
