@@ -869,22 +869,33 @@ object Similarity {
 
   /** Fit PCA on the embedding column: distributed covariance (one pass,
     * [[covarianceSums]]) + driver-side Jacobi on the d×d result. Returns
-    * (components k×d as rows, explained-variance fractions). The means
-    * for centering at projection time are derivable from the same sums;
+    * (components k×d as rows, means, explained-variance fractions). The
+    * means for centering at projection time come from the same sums;
     * [[pcaProject]] takes them explicitly.
+    *
+    * `center = false` switches to UNCENTERED PCA — eigenvectors of the
+    * raw second-moment matrix E[xxᵀ] (means reported as zeros). That is
+    * the right variant for COSINE similarity reduction: centering moves
+    * the origin, which changes every angle, so a centered projection can
+    * reshuffle cosine top-k even at high captured variance; an
+    * uncentered projection is a pure linear map whose k components carry
+    * nearly all the energy, so dots — and therefore cosines — survive
+    * (the recall spec measures exactly this). Use centered for
+    * variance/statistics work, uncentered for angular ANN.
     */
-  def pcaFit(vectors: DataFrame, vecCol: String, dim: Int, k: Int)
+  def pcaFit(vectors: DataFrame, vecCol: String, dim: Int, k: Int,
+             center: Boolean = true)
       : (Array[Array[Double]], Array[Double], Array[Double]) = {
     require(k >= 1 && k <= dim, s"k must be in [1, $dim]")
     val rows = covarianceSums(vectors, vecCol, dim)
-      .select("i", "j", "n", "s_i", "cov").collect()
+      .select("i", "j", "n", "s_i", "cov", "s_ij").collect()
     val cov = Array.ofDim[Double](dim, dim)
     val mean = Array.ofDim[Double](dim)
     rows.foreach { r =>
       val i = r.getInt(0); val j = r.getInt(1)
-      val c = r.getDouble(4)
+      val c = if (center) r.getDouble(4) else r.getDouble(5) / r.getLong(2)
       cov(i)(j) = c; cov(j)(i) = c
-      if (i == j) mean(i) = r.getDouble(3) / r.getLong(2)
+      if (center && i == j) mean(i) = r.getDouble(3) / r.getLong(2)
     }
     val (evals, evecs) = jacobiEigen(cov)
     val trace = evals.map(math.max(_, 0.0)).sum

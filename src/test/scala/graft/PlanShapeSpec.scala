@@ -88,4 +88,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("might_contain"), s"bloom prefilter optimized away in:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q_sim_covariance: product sums partial-aggregate before the exchange") {
+    // the d(d+1)/2-rows-per-partition shuffle bound rests on map-side
+    // combine running below the generate: partial + final HashAggregate
+    // pairs must be present and the dim-sum joins must be broadcast
+    val p = planOf("q_sim_covariance")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"no partial aggregation under the explode in:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dim-sum join not broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_timeseries_fill: spine generation is in-plan, not a driver loop") {
+    // the spine must come from a Generate over sequence() (data-bounded,
+    // executor-side); a Range/LocalTableScan spine would mean the driver
+    // enumerated dates
+    val p = planOf("q_timeseries_fill")
+    assert(p.contains("Generate"), s"no in-plan spine Generate in:\n$p")
+    assert(p.contains("Window"), s"no LOCF window in:\n$p")
+  }
 }

@@ -321,6 +321,51 @@ class SimilaritySpec extends SparkSpec {
     graft.operators.OpCache.clear()
   }
 
+  test("PCA-reduced ANN: top-k recall survives 8->4 dimensionality reduction") {
+    // the 100 TB lever claim — project before candidate generation, keep
+    // recall — measured end to end: 3 clusters on axes e0/e2/e4, the
+    // within-cluster ORDERING signal on a shared axis e6 (so it lies in
+    // the captured subspace), genuine noise on e7 (dropped by the
+    // reduction). Exact top-k in REDUCED space vs ORIGINAL space.
+    // (First cut of this fixture put the ordering signal on per-cluster
+    // odd dims — orthogonal to every top component, so the reduction
+    // erased it and recall collapsed to 0: reduction only preserves
+    // rankings whose signal the kept subspace actually spans.)
+    val dim = 8
+    val vecs = (0L until 60L).map { i =>
+      val c = (i % 3).toInt
+      val v = Array.fill(dim)(0.0f)
+      v(c * 2) = 1.0f
+      v(6) = 0.01f * ((i * 7 % 13) + 1) // shared ordering signal: captured
+      v(7) = 0.002f * (i % 5)           // noise: dropped by the reduction
+      (i, v)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 6)
+    def topSets(r: Array[org.apache.spark.sql.Row]) =
+      r.groupBy(_.getLong(0)).view
+        .mapValues(_.map(x => x.getLong(x.fieldIndex("cand_id"))).toSet).toMap
+    val exact = topSets(Similarity.bruteForceTopK(queries, df,
+      "vec_id", "embedding", k = 3).collect())
+    // UNCENTERED fit: cosine is an angle from the ORIGIN, so the
+    // projection must be a pure linear map (a centered projection
+    // shifts the origin and reshuffles angular top-k)
+    val (comps, means, explained) =
+      Similarity.pcaFit(df, "embedding", dim, k = 4, center = false)
+    // cluster axes + the shared signal axis carry nearly all energy
+    assert(explained.sum > 0.95, s"4 components explain only ${explained.sum}")
+    val projected = Similarity.pcaProject(df, "vec_id", "embedding", comps, means)
+      .withColumn("pca", transform(col("pca"), _.cast("float")))
+    val reduced = topSets(Similarity.bruteForceTopK(
+      projected.filter(col("vec_id") < 6), projected, "vec_id", "pca", k = 3)
+      .collect())
+    val hits = exact.map { case (q, s) =>
+      reduced.getOrElse(q, Set.empty).intersect(s).size }.sum
+    val recall = hits.toDouble / exact.values.map(_.size).sum
+    assert(recall >= 0.8, s"PCA-space recall@3 dropped to $recall")
+    graft.operators.OpCache.clear()
+  }
+
   test("trained IVF-PQ recall floor on a codebook-representable clustered corpus (round-4 verdict)") {
     // pins the TRAINED composition end-to-end — k-means codebook init →
     // Lloyd's → in-row encode → cell-bounded ADC ranking — not just its
