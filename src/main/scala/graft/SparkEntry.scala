@@ -373,6 +373,18 @@ object SparkEntry {
         .orderBy("title")
     }),
 
+    // J6d — edit-distance rung of the fuzzy ladder: containment can't
+    // catch typos; min-Levenshtein pick with a damage bound, garbage
+    // probes fall back to themselves
+    "q_j6_fuzzy_levenshtein" -> ((s, dir) => {
+      import s.implicits._
+      val probes = Seq("GERMANY", "FRANC", "UNTED STATES", "ROMANIA X",
+        "QQQQQQQQQQ").toDF("probe")
+      FuzzyMatch.bestMatchByEditDistance(probes, "probe",
+          t(s, dir, "nation"), "n_name", maxDistance = 6)
+        .orderBy("probe")
+    }),
+
     // F12 — the Lotte feed's field-parse rule ladder as columns
     // (movie_events_scraper.py:581-593): angle-bracket title extract +
     // the three-rule goods-name derivation
@@ -1369,6 +1381,13 @@ object SparkEntry {
     "q_histogram" -> ((s, dir) => {
       Analytics.histogram(t(s, dir, "lineitem"), "l_extendedprice", nBins = 16)
         .orderBy("bin")
+    }),
+
+    // equi-DEPTH histogram — quantile bin edges (skew-proof binning;
+    // the CBO's equi-height column-histogram statistic)
+    "q_histogram_equidepth" -> ((s, dir) => {
+      Analytics.equiDepthHistogram(t(s, dir, "orders"), "o_totalprice", nBins = 4)
+        .orderBy("bucket")
     }),
 
     // per-group z-score normalization (feature preprocessing): group
@@ -3811,6 +3830,35 @@ object SparkEntry {
                      ELSE 0.0 END AS robust_z
          FROM sub o JOIN st ON o.o_orderpriority IS NOT DISTINCT FROM st.o_orderpriority
          ORDER BY o_orderkey""",
+
+    "q_j6_fuzzy_levenshtein" ->
+      """WITH probes(probe) AS (VALUES ('GERMANY'), ('FRANC'), ('UNTED STATES'),
+                                       ('ROMANIA X'), ('QQQQQQQQQQ')),
+              scored AS (SELECT probe, n_name, levenshtein(probe, n_name) AS d
+                         FROM probes CROSS JOIN nation WHERE LENGTH(n_name) > 0),
+              best AS (SELECT probe, n_name, d,
+                              ROW_NUMBER() OVER (PARTITION BY probe
+                                ORDER BY d, LENGTH(n_name), n_name) AS rn
+                       FROM scored)
+         SELECT probe,
+                CASE WHEN d <= 6 THEN n_name ELSE probe END AS matched,
+                CASE WHEN d <= 6 THEN CAST(d AS INTEGER) END AS distance
+         FROM best WHERE rn = 1 ORDER BY probe""",
+
+    "q_histogram_equidepth" ->
+      """WITH v AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+                    WHERE o_totalprice IS NOT NULL
+                      AND isfinite(CAST(o_totalprice AS DOUBLE))),
+              b AS (SELECT round(quantile_cont(v, 0.25), 6) AS b1,
+                           round(quantile_cont(v, 0.50), 6) AS b2,
+                           round(quantile_cont(v, 0.75), 6) AS b3 FROM v),
+              x AS (SELECT v,
+                           (CASE WHEN v > b1 THEN 1 ELSE 0 END
+                          + CASE WHEN v > b2 THEN 1 ELSE 0 END
+                          + CASE WHEN v > b3 THEN 1 ELSE 0 END) AS bucket
+                    FROM v, b)
+         SELECT bucket, COUNT(*) AS n, MIN(v) AS lo, MAX(v) AS hi
+         FROM x GROUP BY bucket ORDER BY bucket""",
 
     "q_histogram" ->
       """WITH src AS (SELECT CAST(l_extendedprice AS DOUBLE) AS l_extendedprice

@@ -327,6 +327,38 @@ object Analytics {
         (col("__lo") + (col("bin") + 1) * w).as("bin_hi"))
   }
 
+  /** Equi-DEPTH histogram — [[histogram]]'s quantile dual: bin edges at
+    * the i/nBins exact interpolated percentiles (rounded to 6 dp, the
+    * `q_percentiles` engine-portability convention), so bins hold ~equal
+    * row counts however skewed the distribution — the binning a skewed
+    * value column (docs lengths, prices) actually needs, and the same
+    * statistic a CBO's equi-height column histogram keeps.
+    *
+    * Shape: one tiny percentile agg (exact percentile sorts within the
+    * agg — the documented swap at the 100 TB tier is
+    * `approx_percentile`, same call shape) broadcast-crossed back, then
+    * bucket = #edges strictly below v via a literal-array `filter` —
+    * map-side — and one group-sized agg. A value equal to an edge falls
+    * in the LOWER bin in both engines. Non-finite values are excluded
+    * like null (the [[finite]] convention).
+    */
+  def equiDepthHistogram(df: DataFrame, valueCol: String, nBins: Int): DataFrame = {
+    require(nBins >= 2, s"equiDepthHistogram: nBins must be >= 2, got $nBins")
+    val ps = (1 until nBins).map(i => i.toDouble / nBins)
+    val v = df.select(col(valueCol).cast("double").as("__x"))
+      .filter(finite(col("__x")))
+    val bounds = v.agg(
+      transform(
+        expr(s"percentile(__x, array(${ps.mkString(", ")}))"),
+        b => round(b, 6)).as("__edges"))
+    v.crossJoin(Hints.bcast(bounds))
+      .withColumn("bucket",
+        size(filter(col("__edges"), b => col("__x") > b)))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+           min(col("__x")).as("lo"), max(col("__x")).as("hi"))
+  }
+
   /** Exact Pearson correlation matrix over numeric columns — the
     * feature-selection profile: one row per column pair with the
     * pairwise-complete sample size and r. ONE partial-aggregable pass

@@ -87,6 +87,43 @@ object FuzzyMatch {
     expanded(best, "__qc", "__cc", "__rn", candCol)
   }
 
+  /** Edit-distance rung of the J6 ladder — the containment matchers
+    * can't catch TYPOS (a misspelled title contains nothing from the
+    * catalog), so this picks, per query row, the candidate with minimum
+    * Levenshtein distance to the normalized query. `maxDistance` bounds
+    * acceptable damage: a best candidate further than that falls back
+    * to the query itself (the phase-4 convention).
+    *
+    * Shape mirrors [[bestMatch]]: distinct queries × broadcast distinct
+    * candidates scored by the codegen'd built-in `levenshtein` (no
+    * UDF), one row_number window partitioned by the query row (exchange
+    * reused from the collapse groupBy). The scoring join is inherently
+    * |queries|·|candidates| — correct for a catalog-sized dimension;
+    * a fact-×-fact edit-distance join needs LSH-style blocking first
+    * (the `Dedup` machinery), same caveat as the containment ladder.
+    * Deterministic ties: smaller distance, then shorter, then
+    * lexicographically smaller candidate.
+    */
+  def bestMatchByEditDistance(queries: DataFrame, qCol: String,
+                              candidates: DataFrame, candCol: String,
+                              maxDistance: Int = Int.MaxValue): DataFrame = {
+    val q = collapsed(queries)
+      .withColumn("__qn", normalizeTitle(col(qCol)))
+    val cand = candidates.select(col(candCol)).distinct()
+      .filter(length(col(candCol)) > 0)
+    val scored = q.crossJoin(Hints.bcast(cand))
+      .withColumn("__d", levenshtein(col("__qn"), col(candCol)))
+    val w = Window.partitionBy(queries.columns.map(col).toIndexedSeq: _*).orderBy(
+      col("__d").asc, length(col(candCol)).asc, col(candCol).asc)
+    val best = scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .withColumn("matched",
+        when(col("__d") <= maxDistance, col(candCol)).otherwise(col(qCol)))
+      .withColumn("distance",
+        when(col("__d") <= maxDistance, col("__d")).otherwise(lit(null)))
+    expanded(best, "__qn", "__d", "__rn", candCol)
+  }
+
   /** Reference-exact phased matcher (movie_events_scraper.py:64-125):
     *
     *   phase 1 — candidates = recent box-office ∪ opening-soon names

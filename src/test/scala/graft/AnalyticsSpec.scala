@@ -55,6 +55,24 @@ class AnalyticsSpec extends SparkSpec {
       ("b", "2024-01-02", 2.0, 0))) // single-day key: spine is one row
   }
 
+  test("equiDepthHistogram: equal-count quantile bins on skewed data; edge ties go low") {
+    // squares are heavily right-skewed: equi-WIDTH would pile most rows
+    // into bin 0; equi-depth must still split 25/25/25/25
+    val sq = (1 to 100).map(i => (i * i).toDouble).toDF("v")
+    val out = Analytics.equiDepthHistogram(sq, "v", 4).orderBy("bucket").collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3))
+    assert(out.map(_.getLong(1)).toSeq == Seq(25L, 25L, 25L, 25L))
+    // bins tile the range: each bucket's max below the next bucket's min
+    val (los, his) = (out.map(_.getDouble(2)), out.map(_.getDouble(3)))
+    assert(his.init.zip(los.tail).forall { case (h, l) => h < l })
+    // a value exactly equal to a quantile edge lands in the LOWER bin:
+    // 8 copies of 4 distinct values → edges fall ON values
+    val ties = Seq(1.0, 1.0, 2.0, 2.0, 3.0, 3.0, 4.0, 4.0).toDF("v")
+    val t = Analytics.equiDepthHistogram(ties, "v", 2).orderBy("bucket").collect()
+    // median edge = 2.5; v=2.0 is NOT > 2.5 → lower bin
+    assert(t.map(r => (r.getInt(0), r.getLong(1))).toSeq == Seq((0, 4L), (1, 4L)))
+  }
+
   test("latestPerKey keeps exactly the newest row per key, deterministic on ties") {
     val df = Seq(
       ("e1", "t1", 100L, "old"),

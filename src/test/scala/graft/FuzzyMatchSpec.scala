@@ -33,6 +33,21 @@ class FuzzyMatchSpec extends SparkSpec {
     assert(out.head == "완전히 새로운 영화")
   }
 
+  test("bestMatchByEditDistance: typo match, damage bound, multiplicity") {
+    val probes = Seq("kitten", "kitten", "zzzzzz").toDF("probe")
+    val cands = Seq("sitting", "mitten", "kit").toDF("name")
+    val out = FuzzyMatch.bestMatchByEditDistance(probes, "probe", cands, "name",
+        maxDistance = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2)))
+      .sortBy(_._1).toSeq
+    // kitten→mitten d=1 (sitting d=3, kit d=3); duplicates keep their
+    // own rows; zzzzzz's best exceeds the bound → falls back, null dist
+    assert(out == Seq(("kitten", "mitten", 1), ("kitten", "mitten", 1),
+                      ("zzzzzz", "zzzzzz", -1)))
+  }
+
   test("tie-break is deterministic: shorter then lexicographic candidate") {
     val queries = Seq("abcd").toDF("title")
     val movies = Seq("ab", "cd", "bc").toDF("movie_nm")  // equal length diff
