@@ -1208,6 +1208,19 @@ object SparkEntry {
         .orderBy("i", "j")
     }),
 
+    // incremental PCA maintenance: three batch partials folded by exact
+    // decimal addition must hash-equal the one-shot covariance pass —
+    // SAME oracle SQL as q_sim_covariance (the mergeability proof)
+    "q_sim_covariance_incremental" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val parts = (0 to 2).map { b =>
+        Similarity.covariancePartials(
+          emb.filter(pmod(col("vec_id"), lit(3)) === b), "embedding", dim = 64)
+      }
+      Similarity.finalizeCovariance(parts.reduce(Similarity.mergeCovariance))
+        .orderBy("i", "j")
+    }),
+
     // A13 — exact percentiles (linear interpolation) per group
     "q_percentiles" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -2011,6 +2024,31 @@ object SparkEntry {
          AND NOT EXISTS (SELECT 1 FROM orders o2
                          WHERE o2.o_custkey = c.c_custkey AND o2.o_orderpriority = '5-LOW')
        ORDER BY c_custkey"""
+
+  /** Shared by `q_sim_covariance` (one-shot pass) and
+    * `q_sim_covariance_incremental` (three merged batch partials) — the
+    * mergeability claim IS that both hash-equal this one text. The
+    * VARCHAR hop pins DuckDB's DECIMAL(38,18)→DOUBLE double-rounding
+    * divergence (see `Similarity.covarianceSums` scaladoc).
+    */
+  private val CovarianceOracle =
+    """WITH ser AS (SELECT unnest(generate_series(1, 64)) AS i),
+            e AS (SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS x
+                  FROM embeddings CROSS JOIN ser WHERE i <= len(embedding)),
+            p AS (SELECT a.i AS i, b.i AS j, COUNT(*) AS n,
+                         SUM(CAST(a.x * b.x AS DECIMAL(38,18))) AS s_ij
+                  FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i
+                  GROUP BY 1, 2),
+            s1 AS (SELECT i, SUM(CAST(x AS DECIMAL(38,18))) AS s FROM e GROUP BY i)
+       SELECT CAST(p.i - 1 AS INTEGER) AS i, CAST(p.j - 1 AS INTEGER) AS j, p.n AS n,
+              CAST(CAST(si.s AS VARCHAR) AS DOUBLE) AS s_i,
+              CAST(CAST(sj.s AS VARCHAR) AS DOUBLE) AS s_j,
+              CAST(CAST(p.s_ij AS VARCHAR) AS DOUBLE) AS s_ij,
+              CAST(CAST(p.s_ij AS VARCHAR) AS DOUBLE) / p.n
+                - (CAST(CAST(si.s AS VARCHAR) AS DOUBLE) / p.n)
+                  * (CAST(CAST(sj.s AS VARCHAR) AS DOUBLE) / p.n) AS cov
+       FROM p JOIN s1 si ON si.i = p.i JOIN s1 sj ON sj.i = p.j
+       ORDER BY i, j"""
 
   /** Shared by `q_timeseries_fill` (batch) and `q_stream_timeseries_fill`
     * (drained streaming dual) — one oracle text, two execution models.
@@ -3622,24 +3660,9 @@ object SparkEntry {
 
     "q_stream_timeseries_fill" -> TimeseriesFillOracle,
 
-    "q_sim_covariance" ->
-      """WITH ser AS (SELECT unnest(generate_series(1, 64)) AS i),
-              e AS (SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS x
-                    FROM embeddings CROSS JOIN ser WHERE i <= len(embedding)),
-              p AS (SELECT a.i AS i, b.i AS j, COUNT(*) AS n,
-                           SUM(CAST(a.x * b.x AS DECIMAL(38,18))) AS s_ij
-                    FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i
-                    GROUP BY 1, 2),
-              s1 AS (SELECT i, SUM(CAST(x AS DECIMAL(38,18))) AS s FROM e GROUP BY i)
-         SELECT CAST(p.i - 1 AS INTEGER) AS i, CAST(p.j - 1 AS INTEGER) AS j, p.n AS n,
-                CAST(CAST(si.s AS VARCHAR) AS DOUBLE) AS s_i,
-                CAST(CAST(sj.s AS VARCHAR) AS DOUBLE) AS s_j,
-                CAST(CAST(p.s_ij AS VARCHAR) AS DOUBLE) AS s_ij,
-                CAST(CAST(p.s_ij AS VARCHAR) AS DOUBLE) / p.n
-                  - (CAST(CAST(si.s AS VARCHAR) AS DOUBLE) / p.n)
-                    * (CAST(CAST(sj.s AS VARCHAR) AS DOUBLE) / p.n) AS cov
-         FROM p JOIN s1 si ON si.i = p.i JOIN s1 sj ON sj.i = p.j
-         ORDER BY i, j""",
+    "q_sim_covariance" -> CovarianceOracle,
+
+    "q_sim_covariance_incremental" -> CovarianceOracle,
 
     "q_percentiles" ->
       """SELECT o_orderpriority,

@@ -774,7 +774,24 @@ object Similarity {
     * exactly `dim` long are excluded from ALL sums (n counts survivors),
     * keeping every (i,j) cell over the same sample.
     */
-  def covarianceSums(vectors: DataFrame, vecCol: String, dim: Int): DataFrame = {
+  def covarianceSums(vectors: DataFrame, vecCol: String, dim: Int): DataFrame =
+    finalizeCovariance(covariancePartials(vectors, vecCol, dim))
+
+  /** MERGEABLE second-moment state for one ingestion batch — the
+    * [[graft.operators.IncrementalAgg]] pattern applied to PCA: one row
+    * per upper-triangle (i, j) carrying the batch's exact decimal sums
+    * (n, s_i, s_j, s_ij). [[mergeCovariance]] folds batches by plain
+    * decimal addition (commutative + associative + exact, so merge
+    * order, replay, and batch boundaries cannot change the result), and
+    * [[finalizeCovariance]] derives the exported doubles — which is why
+    * an incrementally maintained covariance hash-equals the one-shot
+    * full-history pass INCLUDING the double-valued cov (same exact
+    * decimals in, same IEEE ops). A 100 TB deployment refreshes its PCA
+    * model per ingestion batch (batch partials + one d²-row store
+    * merge) and re-runs only the driver-side Jacobi — never a history
+    * rescan.
+    */
+  def covariancePartials(vectors: DataFrame, vecCol: String, dim: Int): DataFrame = {
     val vd = Stage.spread(vectors.filter(size(col(vecCol)) === dim))
       .select(transform(col(vecCol), x => x.cast("double").cast(elemDec)).as("__v"))
     val pairSums = vd
@@ -790,14 +807,32 @@ object Similarity {
       .join(Hints.bcast(dimSums.select(col("i"), col("__si"))), Seq("i"))
       .join(Hints.bcast(dimSums.select(col("i").as("j"), col("__si").as("__sj"))),
             Seq("j"))
-      .select(col("i"), col("j"), col("n"),
-        col("__si").cast("double").as("s_i"),
-        col("__sj").cast("double").as("s_j"),
-        col("__sij").cast("double").as("s_ij"),
-        (col("__sij").cast("double") / col("n")
-          - (col("__si").cast("double") / col("n"))
-            * (col("__sj").cast("double") / col("n"))).as("cov"))
+      .select(col("i"), col("j"), col("n"), col("__si"), col("__sj"), col("__sij"))
   }
+
+  /** Fold two batch partials: element-wise exact decimal sums per
+    * (i, j) cell. Shuffles only state rows — d(d+1)/2 per side,
+    * independent of the fact volume behind them.
+    */
+  def mergeCovariance(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy("i", "j")
+      .agg(sum(col("n")).as("n"),
+           sum(col("__si")).as("__si"),
+           sum(col("__sj")).as("__sj"),
+           sum(col("__sij")).as("__sij"))
+
+  /** Export the partials as the [[covarianceSums]] surface (doubles +
+    * the cov derivation) — map-side only.
+    */
+  def finalizeCovariance(partials: DataFrame): DataFrame =
+    partials.select(col("i"), col("j"), col("n"),
+      col("__si").cast("double").as("s_i"),
+      col("__sj").cast("double").as("s_j"),
+      col("__sij").cast("double").as("s_ij"),
+      (col("__sij").cast("double") / col("n")
+        - (col("__si").cast("double") / col("n"))
+          * (col("__sj").cast("double") / col("n"))).as("cov"))
 
   /** Cyclic Jacobi eigendecomposition of a symmetric d×d matrix —
     * driver-side by design: the covariance is d(d+1)/2 scalars (2 080

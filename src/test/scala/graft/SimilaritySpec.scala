@@ -73,6 +73,26 @@ class SimilaritySpec extends SparkSpec {
     assert(got2 == Seq(n.toLong))
   }
 
+  test("covariance partials merge exactly: batches == one-shot, any merge order") {
+    val df = (0L until 30L).map { i =>
+      (i, Array.tabulate(4)(d => ((i * 7 + d * 3) % 13).toFloat / 13f))
+    }.toDF("vec_id", "embedding")
+    def rowsOf(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("i", "j").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSeq
+    val oneShot = rowsOf(Similarity.covarianceSums(df, "embedding", dim = 4))
+    val parts = (0 to 2).map { b =>
+      Similarity.covariancePartials(
+        df.filter(pmod(col("vec_id"), lit(3)) === b), "embedding", dim = 4)
+    }
+    // scrambled merge order: commutativity + associativity of the exact
+    // decimal sums means the folded state is bit-identical either way
+    val merged = rowsOf(Similarity.finalizeCovariance(
+      Seq(parts(2), parts(0), parts(1)).reduce(Similarity.mergeCovariance)))
+    assert(merged == oneShot)
+  }
+
   test("pcaFit finds the dominant direction; components orthonormal, variance ordered") {
     // anisotropic cloud: spread 10× along (1,1,0)/√2, noise elsewhere —
     // deterministic fixture (no RNG: fixed lattice offsets)
