@@ -977,6 +977,25 @@ object SparkEntry {
       Multimodal.decodeImageMeta(s, media).orderBy("doc_id")
     }),
 
+    // perceptual aHash over REAL decoded pixels: decode→8×8 average
+    // pool→threshold, oracle restates the (lossless) fixture's pixel
+    // formula as closed-form arithmetic — content decode verified, not
+    // just headers. Corpus = base fixtures + XOR-perturbed variants
+    // (doc_id + 10000), which seed genuine near-dup pairs below
+    "q_multimodal_ahash" -> ((s, dir) => {
+      Multimodal.imageAHashBands(s, ahashCorpus(s, dir)).orderBy("doc_id")
+    }),
+
+    // image near-dup at the oracle tier: banded candidates (pairs share
+    // an exact 16-bit band — the SimHash chunk shape, never all-pairs)
+    // verified by bit_count Hamming ≤ τ; perturbed copies land near
+    // their base, different bases stay far
+    "q_multimodal_image_neardup" -> ((s, dir) => {
+      Multimodal.imageNearDupPairs(s,
+          Multimodal.imageAHashBands(s, ahashCorpus(s, dir)), tau = 8)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // audio chunking at the oracle tier: the windows' offset arithmetic
     // (stride = chunk - overlap, tail chunks with no new samples
     // dropped, last chunk truncated to the remaining samples) is pure
@@ -2072,6 +2091,64 @@ object SparkEntry {
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v,
               CASE WHEN v IS NULL THEN 1 ELSE 0 END AS is_gap
        FROM j ORDER BY o_custkey, d"""
+
+  /** Shared corpus for the aHash queries: every document's base PNG
+    * fixture plus an XOR-perturbed variant (doc_id + 10000) for
+    * doc_id < 64 — the perturbed copies are the planted near-dups.
+    */
+  private def ahashCorpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = t(s, dir, "documents").select("doc_id").as[Long]
+      .mapPartitions(_.map(id => Multimodal.MediaRecord(id, "image",
+        Multimodal.syntheticPngFixture(id))))
+    val pert = t(s, dir, "documents").select("doc_id").as[Long]
+      .filter((id: Long) => id < 64)
+      .mapPartitions(_.map(id => Multimodal.MediaRecord(id + 10000, "image",
+        Multimodal.syntheticPngPerturbedFixture(id))))
+    base.union(pert).toDF()
+  }
+
+  /** The aHash bit derivation restated as closed-form SQL over the
+    * fixture pixel formula (syntheticPng: rgb = (r·2654435761 + x·31 +
+    * y·131) & 0xffffff at residue r = doc_id % 32, w = 16+r,
+    * h = 16+(7r)%32; perturbed = rgb XOR 0x0f0f0f) — shared CTE chain
+    * for both aHash oracles.
+    */
+  private val AHashBandsCte =
+    """WITH ids AS (SELECT doc_id, doc_id % 32 AS r, 0 AS pert FROM documents
+                    UNION ALL
+                    SELECT doc_id + 10000, doc_id % 32, 1 FROM documents
+                    WHERE doc_id < 64),
+            dims AS (SELECT doc_id, r, pert, 16 + r AS w,
+                            16 + (r * 7) % 32 AS h FROM ids),
+            px AS (SELECT doc_id, w, h, xs.i AS x, ys.i AS y,
+                          xor((r * 2654435761 + xs.i * 31 + ys.i * 131) & 16777215,
+                              CASE WHEN pert = 1 THEN 986895 ELSE 0 END) AS rgb
+                   FROM dims
+                   CROSS JOIN (SELECT unnest(generate_series(0, 47)) AS i) xs
+                   CROSS JOIN (SELECT unnest(generate_series(0, 47)) AS i) ys
+                   WHERE xs.i < w AND ys.i < h),
+            inten AS (SELECT doc_id, x, y,
+                             ((rgb >> 16) & 255) + ((rgb >> 8) & 255) + (rgb & 255) AS it,
+                             (y * 8 // h) * 8 + (x * 8 // w) AS c
+                      FROM px),
+            cells AS (SELECT doc_id, c, SUM(it) AS cs, COUNT(*) AS cn
+                      FROM inten GROUP BY 1, 2),
+            tot AS (SELECT doc_id, SUM(it) AS gs, COUNT(*) AS gn
+                    FROM inten GROUP BY 1),
+            bits AS (SELECT cells.doc_id AS doc_id, c,
+                            CASE WHEN cs * gn > gs * cn THEN 1 ELSE 0 END AS bit
+                     FROM cells JOIN tot ON cells.doc_id = tot.doc_id),
+            bands AS (SELECT doc_id,
+                             CAST(COALESCE(SUM(CASE WHEN c // 16 = 0
+                               THEN bit << (c % 16) ELSE 0 END), 0) AS INTEGER) AS b0,
+                             CAST(COALESCE(SUM(CASE WHEN c // 16 = 1
+                               THEN bit << (c % 16) ELSE 0 END), 0) AS INTEGER) AS b1,
+                             CAST(COALESCE(SUM(CASE WHEN c // 16 = 2
+                               THEN bit << (c % 16) ELSE 0 END), 0) AS INTEGER) AS b2,
+                             CAST(COALESCE(SUM(CASE WHEN c // 16 = 3
+                               THEN bit << (c % 16) ELSE 0 END), 0) AS INTEGER) AS b3
+                      FROM bits GROUP BY doc_id)"""
 
   private val CubeSql =
     """SELECT COALESCE(r_name, 'ALL') AS region_name,
@@ -3388,6 +3465,24 @@ object SparkEntry {
                 CAST(16 + (doc_id * 7) % 32 AS INTEGER) AS height,
                 'png' AS format
          FROM documents ORDER BY doc_id""",
+
+    "q_multimodal_ahash" ->
+      s"""$AHashBandsCte
+         SELECT doc_id, b0, b1, b2, b3 FROM bands ORDER BY doc_id""",
+
+    "q_multimodal_image_neardup" ->
+      s"""$AHashBandsCte,
+              pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                               CAST(bit_count(xor(a.b0, b.b0))
+                                  + bit_count(xor(a.b1, b.b1))
+                                  + bit_count(xor(a.b2, b.b2))
+                                  + bit_count(xor(a.b3, b.b3)) AS INTEGER) AS dist
+                        FROM bands a JOIN bands b
+                          ON a.doc_id < b.doc_id
+                         AND (a.b0 = b.b0 OR a.b1 = b.b1 OR
+                              a.b2 = b.b2 OR a.b3 = b.b3))
+         SELECT doc_a, doc_b, dist FROM pairs WHERE dist <= 8
+         ORDER BY doc_a, doc_b""",
 
     "q_multimodal_chunks" ->
       """WITH d AS (SELECT doc_id, octet_length(encode(text)) // 2 AS total

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video payloads travel as opaque
   * `BINARY` columns with typed metadata alongside — typed `Dataset` over
@@ -192,6 +193,126 @@ object Multimodal {
     * 5000 redundant ImageIO encodes of the same dimension cycle. Specs
     * that need per-doc-unique pixel content keep calling [[syntheticPng]].
     */
+  case class ImageHash(doc_id: Long, b0: Int, b1: Int, b2: Int, b3: Int)
+
+  /** Perceptual average-hash (aHash) over REAL decoded pixels — the
+    * image near-dup signature: decode via ImageIO, per-pixel intensity
+    * r+g+b, average-pool onto an 8×8 grid (pixel (x,y) → cell
+    * (x·8/w, y·8/h), integer division), bit = cell mean > global mean.
+    * The threshold compares EXACT integer cross-products
+    * (cellSum·totalCount > totalSum·cellCount — no float division), so
+    * the 64 bits are a pure function of the pixel values and the DuckDB
+    * oracle can restate them as closed-form arithmetic over the fixture
+    * formula: the decode path itself gets hash-verified, not just
+    * headers. Lossless-codec caveat: bit-exact oracle agreement needs a
+    * lossless format (PNG); JPEG decode is platform-stable but not
+    * formula-predictable — hashes still work for dedup, just not for
+    * closed-form oracles.
+    *
+    * The hash ships as FOUR 16-bit band ints (bit idx = cy·8+cx; band k
+    * holds bits [16k, 16k+16), bit b of the band = 1 << b): bands ARE
+    * the LSH blocking key for [[imageNearDupPairs]] (two images within
+    * Hamming 3 of each other share ≥ 1 exact band by pigeonhole), and
+    * 16-bit ints never meet integer-overflow or sign-bit trouble in
+    * either engine. Unrecognized payloads quarantine as (-1,-1,-1,-1),
+    * the house convention. Map-side only; one decode per payload.
+    */
+  def imageAHashBands(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { batch =>
+      batch.map { r =>
+        val img = try javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.blob))
+        catch { case _: Exception => null }
+        if (img == null) ImageHash(r.doc_id, -1, -1, -1, -1)
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val cellSum = new Array[Long](64)
+          val cellCnt = new Array[Long](64)
+          var total = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val i = ((rgb >> 16) & 255) + ((rgb >> 8) & 255) + (rgb & 255)
+              val c = (y * 8 / h) * 8 + (x * 8 / w)
+              cellSum(c) += i; cellCnt(c) += 1; total += i
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          val bands = new Array[Int](4)
+          var c = 0
+          while (c < 64) {
+            if (cellSum(c) * n > total * cellCnt(c))
+              bands(c / 16) |= 1 << (c % 16)
+            c += 1
+          }
+          ImageHash(r.doc_id, bands(0), bands(1), bands(2), bands(3))
+        }
+      }
+    }.toDF()
+  }
+
+  /** Image near-dup pairs by banded aHash: candidates = pairs sharing
+    * at least one exact 16-bit band (4 equi-joins, the SimHash chunk-
+    * banding shape — never all-pairs), verified by full Hamming distance
+    * ≤ `tau` via codegen'd `bit_count(xor)`. Pigeonhole guarantee: any
+    * pair within Hamming 3 shares a band; τ > 3 trades recall for the
+    * same bounded candidate space. Quarantined hashes (-1 bands) are
+    * excluded — they'd otherwise all collide on every band.
+    */
+  def imageNearDupPairs(spark: SparkSession, hashes: DataFrame,
+                        tau: Int): DataFrame = {
+    val hs = hashes.filter(col("b0") >= 0)
+    val a = hs.select(col("doc_id").as("doc_a"),
+      col("b0").as("a0"), col("b1").as("a1"),
+      col("b2").as("a2"), col("b3").as("a3"))
+    val b = hs.select(col("doc_id").as("doc_b"),
+      col("b0").as("c0"), col("b1").as("c1"),
+      col("b2").as("c2"), col("b3").as("c3"))
+    val cands = (0 to 3).map { k =>
+      a.join(b, col("doc_a") < col("doc_b") &&
+        col(s"a$k") === col(s"c$k"))
+    }.reduce(_.unionByName(_)).dropDuplicates("doc_a", "doc_b")
+    val dist = (0 to 3).map(k =>
+      bit_count(col(s"a$k").bitwiseXOR(col(s"c$k")))).reduce(_ + _)
+    cands.withColumn("dist", dist.cast("int"))
+      .filter(col("dist") <= tau)
+      .select("doc_a", "doc_b", "dist")
+  }
+
+  /** Base-image fixture + a deterministically PERTURBED variant
+    * (per-pixel RGB XOR 0x0f0f0f — channel-local, so the oracle can
+    * restate it) for near-dup evidence: a perturbed copy lands within a
+    * few Hamming bits of its base, a different base is ~32 bits away.
+    */
+  def syntheticPngPerturbedFixture(docId: Long): Array[Byte] =
+    pngPerturbedCache.computeIfAbsent(((docId % 32) + 32) % 32,
+      r => syntheticPngPerturbed(r))
+
+  private val pngPerturbedCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Array[Byte]]()
+
+  def syntheticPngPerturbed(docId: Long): Array[Byte] = {
+    val base = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(syntheticPng(docId)))
+    var y = 0
+    while (y < base.getHeight) {
+      var x = 0
+      while (x < base.getWidth) {
+        base.setRGB(x, y, (base.getRGB(x, y) ^ 0x0f0f0f) & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(base, "png", baos)
+    baos.toByteArray
+  }
+
   def syntheticPngFixture(docId: Long): Array[Byte] =
     pngCache.computeIfAbsent(((docId % 32) + 32) % 32, r => syntheticPng(r))
 

@@ -101,6 +101,30 @@ class MultimodalSpec extends SparkSpec {
       Seq((1L, 12000, 2, 101L), (2L, -1, -1, -1L), (3L, -1, -1, -1L)))
   }
 
+  test("aHash: perturbed copy lands near its base, different bases far, garbage quarantines") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image", Multimodal.syntheticPng(5)),
+      Multimodal.MediaRecord(2L, "image", Multimodal.syntheticPngPerturbed(5)),
+      Multimodal.MediaRecord(3L, "image", Multimodal.syntheticPng(11)),
+      Multimodal.MediaRecord(4L, "image", "not an image".getBytes)).toDS().toDF()
+    val hashes = Multimodal.imageAHashBands(spark, media)
+    val rows = hashes.collect()
+      .map(r => r.getLong(0) -> Seq(r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+      .toMap
+    assert(rows(4L) == Seq(-1, -1, -1, -1)) // quarantined, never throws
+    def ham(a: Seq[Int], b: Seq[Int]) =
+      a.zip(b).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+    val nearDist = ham(rows(1L), rows(2L))
+    val farDist = ham(rows(1L), rows(3L))
+    assert(nearDist <= 8, s"perturbed copy drifted to Hamming $nearDist")
+    assert(farDist > 8, s"unrelated images within Hamming $farDist")
+    // the banded pair search surfaces exactly the near pair
+    val pairs = Multimodal.imageNearDupPairs(spark, hashes, tau = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(pairs == Seq((1L, 2L, nearDist)))
+  }
+
   test("audio chunking windows samples with overlap and exact offsets") {
     import spark.implicits._
     // 20 bytes = 10 PCM samples; chunk=4, overlap=1 → stride 3:
