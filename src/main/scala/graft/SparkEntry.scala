@@ -996,6 +996,22 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // the audio dual of the aHash pair: REAL javax.sound PCM parse →
+    // 64-window energy-envelope fingerprint, oracle = closed-form
+    // arithmetic over the WAV fixture's sample formula
+    "q_multimodal_audio_fp" -> ((s, dir) => {
+      Multimodal.audioFingerprintBands(s, audioFpCorpus(s, dir))
+        .orderBy("doc_id")
+    }),
+
+    // audio near-dup pairs through the SAME modality-agnostic banded
+    // search as images — bands in, Hamming-verified pairs out
+    "q_multimodal_audio_neardup" -> ((s, dir) => {
+      Multimodal.imageNearDupPairs(s,
+          Multimodal.audioFingerprintBands(s, audioFpCorpus(s, dir)), tau = 8)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // audio chunking at the oracle tier: the windows' offset arithmetic
     // (stride = chunk - overlap, tail chunks with no new samples
     // dropped, last chunk truncated to the remaining samples) is pure
@@ -2139,6 +2155,65 @@ object SparkEntry {
             bits AS (SELECT cells.doc_id AS doc_id, c,
                             CASE WHEN cs * gn > gs * cn THEN 1 ELSE 0 END AS bit
                      FROM cells JOIN tot ON cells.doc_id = tot.doc_id),
+            bands AS (SELECT doc_id,
+                             CAST(COALESCE(SUM(CASE WHEN c // 16 = 0
+                               THEN bit << (c % 16) ELSE 0 END), 0) AS INTEGER) AS b0,
+                             CAST(COALESCE(SUM(CASE WHEN c // 16 = 1
+                               THEN bit << (c % 16) ELSE 0 END), 0) AS INTEGER) AS b1,
+                             CAST(COALESCE(SUM(CASE WHEN c // 16 = 2
+                               THEN bit << (c % 16) ELSE 0 END), 0) AS INTEGER) AS b2,
+                             CAST(COALESCE(SUM(CASE WHEN c // 16 = 3
+                               THEN bit << (c % 16) ELSE 0 END), 0) AS INTEGER) AS b3
+                      FROM bits GROUP BY doc_id)"""
+
+  /** Shared corpus for the audio-fingerprint queries — base WAV fixtures
+    * plus PCM-XOR-perturbed variants (doc_id + 10000) for doc_id < 64.
+    */
+  private def audioFpCorpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = t(s, dir, "documents").select("doc_id").as[Long]
+      .mapPartitions(_.map(id => Multimodal.MediaRecord(id, "audio",
+        Multimodal.syntheticWavFixture(id))))
+    val pert = t(s, dir, "documents").select("doc_id").as[Long]
+      .filter((id: Long) => id < 64)
+      .mapPartitions(_.map(id => Multimodal.MediaRecord(id + 10000, "audio",
+        Multimodal.syntheticWavPerturbedFixture(id))))
+    base.union(pert).toDF()
+  }
+
+  /** The audio fingerprint restated over the WAV fixture's PCM formula
+    * (syntheticWav at residue r = doc_id % 100: byte i =
+    * (r·31 + i·7) & 0xff, n = (100 + r%50)·(1 + r%2) 16-bit LE signed
+    * samples; perturbed = byte XOR 0x08).
+    */
+  private val AudioFpBandsCte =
+    """WITH ids AS (SELECT doc_id, doc_id % 100 AS r, 0 AS pert FROM documents
+                    UNION ALL
+                    SELECT doc_id + 10000, doc_id % 100, 1 FROM documents
+                    WHERE doc_id < 64),
+            meta AS (SELECT doc_id, r, pert,
+                            (100 + r % 50) * (1 + r % 2) AS n FROM ids),
+            smp AS (SELECT doc_id, n, ks.k AS k,
+                           xor((r * 31 + (2 * ks.k) * 7) & 255,
+                               CASE WHEN pert = 1 THEN 8 ELSE 0 END) AS lo,
+                           xor((r * 31 + (2 * ks.k + 1) * 7) & 255,
+                               CASE WHEN pert = 1 THEN 8 ELSE 0 END) AS hi
+                    FROM meta
+                    CROSS JOIN (SELECT unnest(generate_series(0, 297)) AS k) ks
+                    WHERE ks.k < n),
+            it AS (SELECT doc_id, n, k,
+                          abs(lo + hi * 256
+                              - CASE WHEN lo + hi * 256 >= 32768
+                                     THEN 65536 ELSE 0 END) AS it,
+                          CAST(k * 64 // n AS INTEGER) AS c
+                   FROM smp),
+            wins AS (SELECT doc_id, c, SUM(it) AS cs, COUNT(*) AS cn
+                     FROM it GROUP BY 1, 2),
+            tot AS (SELECT doc_id, SUM(it) AS gs, COUNT(*) AS gn
+                    FROM it GROUP BY 1),
+            bits AS (SELECT wins.doc_id AS doc_id, c,
+                            CASE WHEN cs * gn > gs * cn THEN 1 ELSE 0 END AS bit
+                     FROM wins JOIN tot ON wins.doc_id = tot.doc_id),
             bands AS (SELECT doc_id,
                              CAST(COALESCE(SUM(CASE WHEN c // 16 = 0
                                THEN bit << (c % 16) ELSE 0 END), 0) AS INTEGER) AS b0,
@@ -3472,6 +3547,24 @@ object SparkEntry {
 
     "q_multimodal_image_neardup" ->
       s"""$AHashBandsCte,
+              pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                               CAST(bit_count(xor(a.b0, b.b0))
+                                  + bit_count(xor(a.b1, b.b1))
+                                  + bit_count(xor(a.b2, b.b2))
+                                  + bit_count(xor(a.b3, b.b3)) AS INTEGER) AS dist
+                        FROM bands a JOIN bands b
+                          ON a.doc_id < b.doc_id
+                         AND (a.b0 = b.b0 OR a.b1 = b.b1 OR
+                              a.b2 = b.b2 OR a.b3 = b.b3))
+         SELECT doc_a, doc_b, dist FROM pairs WHERE dist <= 8
+         ORDER BY doc_a, doc_b""",
+
+    "q_multimodal_audio_fp" ->
+      s"""$AudioFpBandsCte
+         SELECT doc_id, b0, b1, b2, b3 FROM bands ORDER BY doc_id""",
+
+    "q_multimodal_audio_neardup" ->
+      s"""$AudioFpBandsCte,
               pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                                CAST(bit_count(xor(a.b0, b.b0))
                                   + bit_count(xor(a.b1, b.b1))

@@ -284,6 +284,91 @@ object Multimodal {
       .select("doc_a", "doc_b", "dist")
   }
 
+  /** Audio fingerprint — the aHash design over the 1-D PCM stream: a
+    * REAL `javax.sound` container parse yields the 16-bit little-endian
+    * signed samples; per-sample intensity |s|, average-pooled onto 64
+    * windows (sample k → window k·64/n, integer division), bit = window
+    * mean > global mean via exact cross-products. Channels are treated
+    * as one interleaved sample sequence (fingerprinting cares about the
+    * energy envelope, and it keeps the closed-form oracle restatable).
+    * Same four-16-bit-band output as [[imageAHashBands]] — so
+    * [[imageNearDupPairs]] serves audio unchanged (the pair search is
+    * modality-agnostic: bands in, Hamming-verified pairs out). Non-PCM /
+    * non-16-bit / big-endian / unrecognized payloads quarantine as
+    * (-1,-1,-1,-1).
+    */
+  def audioFingerprintBands(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { batch =>
+      batch.map { r =>
+        val parsed =
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(r.blob))
+            val fmt = ais.getFormat
+            if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+                fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+              None
+            else Some(ais.readAllBytes())
+          } catch { case _: Exception => None }
+        parsed match {
+          case Some(data) if data.length >= 2 =>
+            val n = data.length / 2
+            val winSum = new Array[Long](64)
+            val winCnt = new Array[Long](64)
+            var total = 0L
+            var k = 0
+            while (k < n) {
+              val s = ((data(2 * k + 1) << 8) | (data(2 * k) & 0xff)).toShort
+              val i = math.abs(s.toLong)
+              val w = (k.toLong * 64 / n).toInt
+              winSum(w) += i; winCnt(w) += 1; total += i
+              k += 1
+            }
+            val bands = new Array[Int](4)
+            var c = 0
+            while (c < 64) {
+              if (winCnt(c) > 0 && winSum(c) * n > total * winCnt(c))
+                bands(c / 16) |= 1 << (c % 16)
+              c += 1
+            }
+            ImageHash(r.doc_id, bands(0), bands(1), bands(2), bands(3))
+          case _ => ImageHash(r.doc_id, -1, -1, -1, -1)
+        }
+      }
+    }.toDF()
+  }
+
+  /** PCM-perturbed WAV fixture (every payload byte XOR 0x08 before the
+    * container encode — replicable in the oracle) — the planted audio
+    * near-dups, mirroring [[syntheticPngPerturbedFixture]].
+    */
+  def syntheticWavPerturbedFixture(docId: Long): Array[Byte] =
+    wavPerturbedCache.computeIfAbsent(((docId % 100) + 100) % 100,
+      r => syntheticWavPerturbed(r))
+
+  private val wavPerturbedCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Array[Byte]]()
+
+  def syntheticWavPerturbed(docId: Long): Array[Byte] = {
+    val rate = 8000 + (docId % 4).toInt * 4000
+    val channels = 1 + (docId % 2).toInt
+    val nFrames = 100 + (docId % 50).toInt
+    val fmt = new javax.sound.sampled.AudioFormat(
+      rate.toFloat, 16, channels, true, false)
+    val pcm = new Array[Byte](nFrames * fmt.getFrameSize)
+    var i = 0
+    while (i < pcm.length) {
+      pcm(i) = (((docId * 31 + i * 7) & 0xff) ^ 0x08).toByte; i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
   /** Base-image fixture + a deterministically PERTURBED variant
     * (per-pixel RGB XOR 0x0f0f0f — channel-local, so the oracle can
     * restate it) for near-dup evidence: a perturbed copy lands within a

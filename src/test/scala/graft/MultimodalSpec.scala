@@ -125,6 +125,30 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs == Seq((1L, 2L, nearDist)))
   }
 
+  test("audio fingerprint: perturbed PCM near its base, different audio far, quarantine") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "audio", Multimodal.syntheticWav(7)),
+      Multimodal.MediaRecord(2L, "audio", Multimodal.syntheticWavPerturbed(7)),
+      Multimodal.MediaRecord(3L, "audio", Multimodal.syntheticWav(23)),
+      Multimodal.MediaRecord(4L, "audio", "not audio at all".getBytes)).toDS().toDF()
+    val hashes = Multimodal.audioFingerprintBands(spark, media)
+    val rows = hashes.collect()
+      .map(r => r.getLong(0) -> Seq(r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+      .toMap
+    assert(rows(4L) == Seq(-1, -1, -1, -1))
+    def ham(a: Seq[Int], b: Seq[Int]) =
+      a.zip(b).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+    val nearDist = ham(rows(1L), rows(2L))
+    val farDist = ham(rows(1L), rows(3L))
+    assert(nearDist <= 8, s"perturbed PCM drifted to Hamming $nearDist")
+    assert(farDist > 8, s"unrelated audio within Hamming $farDist")
+    // the band pair search is modality-agnostic: same operator as images
+    val pairs = Multimodal.imageNearDupPairs(spark, hashes, tau = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(pairs == Seq((1L, 2L, nearDist)))
+  }
+
   test("audio chunking windows samples with overlap and exact offsets") {
     import spark.implicits._
     // 20 bytes = 10 PCM samples; chunk=4, overlap=1 → stride 3:
