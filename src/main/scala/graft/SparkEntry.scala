@@ -1243,6 +1243,14 @@ object SparkEntry {
         .orderBy("i", "j")
     }),
 
+    // chunk→doc / class-centroid pooling: per-label element-wise mean
+    // of the embedding column, decimal-exact in long format
+    "q_sim_meanpool" -> ((s, dir) => {
+      Similarity.meanPoolEmbeddings(t(s, dir, "embeddings"),
+          "label", "embedding", dim = 64)
+        .orderBy("label", "i")
+    }),
+
     // incremental PCA maintenance: three batch partials folded by exact
     // decimal addition must hash-equal the one-shot covariance pass —
     // SAME oracle SQL as q_sim_covariance (the mergeability proof)
@@ -3847,6 +3855,18 @@ object SparkEntry {
     "q_timeseries_fill" -> TimeseriesFillOracle,
 
     "q_stream_timeseries_fill" -> TimeseriesFillOracle,
+
+    "q_sim_meanpool" ->
+      """WITH ser AS (SELECT unnest(generate_series(1, 64)) AS i),
+              e AS (SELECT label, i,
+                           CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS x
+                    FROM embeddings CROSS JOIN ser WHERE i <= len(embedding)),
+              g AS (SELECT label, i, COUNT(*) AS n,
+                           SUM(CAST(x AS DECIMAL(38,18))) AS s
+                    FROM e GROUP BY 1, 2)
+         SELECT label, CAST(i - 1 AS INTEGER) AS i, n,
+                CAST(CAST(s AS VARCHAR) AS DOUBLE) / n AS mean
+         FROM g ORDER BY label, i""",
 
     "q_sim_covariance" -> CovarianceOracle,
 

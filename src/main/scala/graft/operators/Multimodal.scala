@@ -266,7 +266,11 @@ object Multimodal {
     */
   def imageNearDupPairs(spark: SparkSession, hashes: DataFrame,
                         tau: Int): DataFrame = {
-    val hs = hashes.filter(col("b0") >= 0)
+    // the hash frame is referenced EIGHT times (two sides × four band
+    // joins) — without a persist each reference re-runs the upstream
+    // DECODE pass over every payload (measured 8× the corpus decode
+    // cost at sf0.1). The hash table is ~16 bytes/item; pin it once.
+    val hs = OpCache.persist(hashes.filter(col("b0") >= 0))
     val a = hs.select(col("doc_id").as("doc_a"),
       col("b0").as("a0"), col("b1").as("a1"),
       col("b2").as("a2"), col("b3").as("a3"))

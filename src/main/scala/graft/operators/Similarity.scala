@@ -834,6 +834,30 @@ object Similarity {
         - (col("__si").cast("double") / col("n"))
           * (col("__sj").cast("double") / col("n"))).as("cov"))
 
+  /** Per-group embedding mean pooling — chunk→document pooling and
+    * label centroids (the "embed chunks, average into one vector" step
+    * every long-document pipeline runs, and the class-centroid table
+    * for centroid classification). Output is LONG format (group, i, n,
+    * mean): one partial-aggregated exploded pass, exact decimal sums,
+    * mean = correctly-rounded-double(sum)/n — the same IEEE derivation
+    * the oracle states, with the VARCHAR hop pinning DuckDB's wide-
+    * decimal cast (see [[covarianceSums]]). Shuffle carries ≤ d rows
+    * per group per map partition; rows not exactly `dim` long are
+    * excluded like null.
+    */
+  def meanPoolEmbeddings(vectors: DataFrame, groupCol: String,
+                         vecCol: String, dim: Int): DataFrame = {
+    vectors.filter(size(col(vecCol)) === dim)
+      .select(col(groupCol),
+        posexplode(transform(col(vecCol), x => x.cast("double").cast(elemDec)))
+          .as(Seq("i", "x")))
+      .groupBy(groupCol, "i")
+      .agg(count(lit(1)).as("n"),
+           sum(col("x").cast("decimal(38,18)")).as("__s"))
+      .select(col(groupCol), col("i"), col("n"),
+        (col("__s").cast("double") / col("n")).as("mean"))
+  }
+
   /** Cyclic Jacobi eigendecomposition of a symmetric d×d matrix —
     * driver-side by design: the covariance is d(d+1)/2 scalars (2 080
     * doubles at d=64) REGARDLESS of corpus size, the same

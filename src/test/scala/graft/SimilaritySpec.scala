@@ -73,6 +73,19 @@ class SimilaritySpec extends SparkSpec {
     assert(got2 == Seq(n.toLong))
   }
 
+  test("meanPoolEmbeddings: per-group element-wise means, ragged rows excluded") {
+    val df = Seq(
+      (0, Array(1.0f, 2.0f)), (0, Array(3.0f, 6.0f)),
+      (1, Array(10.0f, 0.0f)),
+      (1, Array(5.0f))) // ragged: excluded like null
+      .toDF("label", "embedding")
+    val got = Similarity.meanPoolEmbeddings(df, "label", "embedding", dim = 2)
+      .orderBy("label", "i").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq((0, 0, 2L, 2.0), (0, 1, 2L, 4.0),
+                      (1, 0, 1L, 10.0), (1, 1, 1L, 0.0)))
+  }
+
   test("covariance partials merge exactly: batches == one-shot, any merge order") {
     val df = (0L until 30L).map { i =>
       (i, Array.tabulate(4)(d => ((i * 7 + d * 3) % 13).toFloat / 13f))
