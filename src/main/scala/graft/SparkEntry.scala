@@ -1446,6 +1446,15 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // curriculum ordering: quantile difficulty buckets + deterministic
+    // md5 within-bucket shuffle — the reproducible training schedule
+    "q_curriculum_order" -> ((s, dir) => {
+      Analytics.curriculumOrder(t(s, dir, "documents"),
+          "doc_id", "n_chars", nBuckets = 4, salt = "cur8")
+        .select("doc_id", "bucket", "ord")
+        .orderBy("bucket", "ord")
+    }),
+
     // per-group z-score normalization (feature preprocessing): group
     // stats via one decimal-exact agg, broadcast back, map-side z
     "q_zscore_group" -> ((s, dir) => {
@@ -4075,6 +4084,24 @@ object SparkEntry {
                 CASE WHEN d <= 6 THEN n_name ELSE probe END AS matched,
                 CASE WHEN d <= 6 THEN CAST(d AS INTEGER) END AS distance
          FROM best WHERE rn = 1 ORDER BY probe""",
+
+    "q_curriculum_order" ->
+      """WITH v AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS s FROM documents
+                    WHERE n_chars IS NOT NULL
+                      AND isfinite(CAST(n_chars AS DOUBLE))),
+              b AS (SELECT round(quantile_cont(s, 0.25), 6) AS b1,
+                           round(quantile_cont(s, 0.50), 6) AS b2,
+                           round(quantile_cont(s, 0.75), 6) AS b3 FROM v),
+              x AS (SELECT doc_id,
+                           (CASE WHEN s > b1 THEN 1 ELSE 0 END
+                          + CASE WHEN s > b2 THEN 1 ELSE 0 END
+                          + CASE WHEN s > b3 THEN 1 ELSE 0 END) AS bucket
+                    FROM v, b)
+         SELECT doc_id, bucket,
+                CAST(ROW_NUMBER() OVER (PARTITION BY bucket
+                  ORDER BY md5(CAST(doc_id AS VARCHAR) || ':cur8'), doc_id)
+                  AS INTEGER) AS ord
+         FROM x ORDER BY bucket, ord""",
 
     "q_histogram_equidepth" ->
       """WITH v AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders

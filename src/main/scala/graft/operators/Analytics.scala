@@ -359,6 +359,39 @@ object Analytics {
            min(col("__x")).as("lo"), max(col("__x")).as("hi"))
   }
 
+  /** Curriculum ordering — a deterministic training-data schedule:
+    * equi-depth quantile buckets of a difficulty/quality score (read
+    * buckets in order: curriculum learning's easy→hard progression)
+    * with an md5-shuffled order WITHIN each bucket (so consecutive
+    * examples aren't score-sorted — the shuffle every dataloader
+    * needs, but reproducible: a pure function of (key, salt), stable
+    * under repartitioning, replay, and corpus growth, per the
+    * [[deterministicSample]] discipline; a new salt is a fresh
+    * epoch's shuffle).
+    *
+    * Shape: one tiny percentile agg broadcast back + one window
+    * partitioned BY BUCKET (parallel across buckets — never a global
+    * single-partition sort). Output adds (bucket, ord); consumers
+    * stream buckets ascending, each in ord order.
+    */
+  def curriculumOrder(df: DataFrame, keyCol: String, scoreCol: String,
+                      nBuckets: Int, salt: String): DataFrame = {
+    require(nBuckets >= 2, s"curriculumOrder: nBuckets must be >= 2, got $nBuckets")
+    val ps = (1 until nBuckets).map(i => i.toDouble / nBuckets)
+    val v = df.filter(finite(col(scoreCol)))
+    val edges = v.agg(
+      transform(
+        expr(s"percentile(CAST($scoreCol AS DOUBLE), array(${ps.mkString(", ")}))"),
+        b => round(b, 6)).as("__edges"))
+    val shuffleKey = md5(concat(col(keyCol).cast("string"), lit(":" + salt)))
+    v.crossJoin(Hints.bcast(edges))
+      .withColumn("bucket",
+        size(filter(col("__edges"), b => col(scoreCol).cast("double") > b)))
+      .withColumn("ord", row_number().over(
+        Window.partitionBy("bucket").orderBy(shuffleKey, col(keyCol))))
+      .drop("__edges")
+  }
+
   /** Exact Pearson correlation matrix over numeric columns — the
     * feature-selection profile: one row per column pair with the
     * pairwise-complete sample size and r. ONE partial-aggregable pass

@@ -73,6 +73,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(t.map(r => (r.getInt(0), r.getLong(1))).toSeq == Seq((0, 4L), (1, 4L)))
   }
 
+  test("curriculumOrder: quantile buckets ascend by score; within-bucket order is a salted shuffle") {
+    val df = (1 to 40).map(i => (i.toLong, (i * i).toDouble)).toDF("id", "score")
+    val out = Analytics.curriculumOrder(df, "id", "score", nBuckets = 4, salt = "s1")
+      .orderBy("bucket", "ord").collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getInt(3)))
+    // buckets partition by score quantile: ids 1-10 → bucket 0, … 31-40 → 3
+    val byBucket = out.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byBucket(0) == (1L to 10L).toSet && byBucket(3) == (31L to 40L).toSet)
+    // ord is 1..k within each bucket
+    assert(out.groupBy(_._2).values.forall(b => b.map(_._3).sorted.toSeq == (1 to b.size)))
+    // the within-bucket order is NOT score order (it's a shuffle)…
+    assert(byBucket(0).toSeq.sorted !=
+      out.filter(_._2 == 0).sortBy(_._3).map(_._1).toSeq)
+    // …but it IS reproducible, and a new salt is a different epoch
+    val again = Analytics.curriculumOrder(df, "id", "score", 4, "s1")
+      .orderBy("bucket", "ord").collect().map(r => (r.getLong(0), r.getInt(2), r.getInt(3)))
+    assert(out.toSeq == again.toSeq)
+    val epoch2 = Analytics.curriculumOrder(df, "id", "score", 4, "s2")
+      .orderBy("bucket", "ord").collect().map(r => (r.getLong(0), r.getInt(2), r.getInt(3)))
+    assert(out.toSeq != epoch2.toSeq)
+  }
+
   test("latestPerKey keeps exactly the newest row per key, deterministic on ties") {
     val df = Seq(
       ("e1", "t1", 100L, "old"),

@@ -21,7 +21,10 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 import benchdiff
 
 QUERIES = ["q_stream_neardup", "q_dedup_semantic", "q_dedup_clusters",
-           "q_pipeline_corpus_prep", "q_text_tfidf"]
+           "q_pipeline_corpus_prep", "q_text_tfidf",
+           # round-8 additions: the decode-bound banded pair search and
+           # the 3-batch covariance merge
+           "q_multimodal_audio_neardup", "q_sim_covariance_incremental"]
 SFS = ["0.001", "0.01", "0.1"]
 
 
