@@ -1243,6 +1243,16 @@ object SparkEntry {
         .orderBy("i", "j")
     }),
 
+    // training-free JL reduction: exact top-k cosine in 16-dim Hadamard-
+    // projected space — the projection, norms, dots, and ranking are ALL
+    // oracle-verified (unnormalized ±sums stay exact 9-place decimals)
+    "q_sim_ann_hadamard" -> ((s, dir) => {
+      val proj = Similarity.hadamardProject(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 16, dim = 64)
+      Similarity.bruteForceTopK(proj.filter(col("vec_id") < 5), proj,
+        "vec_id", "proj", k = 3)
+    }),
+
     // chunk→doc / class-centroid pooling: per-label element-wise mean
     // of the embedding column, decimal-exact in long format
     "q_sim_meanpool" -> ((s, dir) => {
@@ -3864,6 +3874,35 @@ object SparkEntry {
     "q_timeseries_fill" -> TimeseriesFillOracle,
 
     "q_stream_timeseries_fill" -> TimeseriesFillOracle,
+
+    "q_sim_ann_hadamard" ->
+      """WITH ser AS (SELECT unnest(generate_series(1, 64)) AS i),
+              e AS (SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS x
+                    FROM embeddings CROSS JOIN ser
+                    WHERE i <= len(embedding) AND len(embedding) = 64),
+              cs AS (SELECT unnest(generate_series(0, 15)) AS c),
+              proj AS (SELECT vec_id, c,
+                              CAST(SUM(CASE WHEN bit_count((e.i - 1) & (cs.c * 4)) % 2 = 0
+                                       THEN CAST(x AS DECIMAL(38,9))
+                                       ELSE -CAST(x AS DECIMAL(38,9)) END)
+                                   AS DECIMAL(18,9)) AS y
+                       FROM e CROSS JOIN cs GROUP BY 1, 2),
+              nrm AS (SELECT vec_id, sqrt(CAST(SUM(y * y) AS DOUBLE)) AS nrm
+                      FROM proj GROUP BY vec_id),
+              q AS (SELECT vec_id AS query_id, c, y FROM proj WHERE vec_id < 5),
+              dots AS (SELECT q.query_id, p.vec_id AS cand_id, SUM(q.y * p.y) AS dot
+                       FROM q JOIN proj p ON q.c = p.c AND q.query_id <> p.vec_id
+                       GROUP BY 1, 2),
+              sc AS (SELECT query_id, cand_id,
+                            round(CAST(dot AS DOUBLE) / (nq.nrm * nc.nrm), 6) AS cos_sim
+                     FROM dots
+                     JOIN nrm nq ON nq.vec_id = query_id
+                     JOIN nrm nc ON nc.vec_id = cand_id),
+              r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, cand_id) AS INTEGER) AS rank
+                    FROM sc)
+         SELECT query_id, cand_id, cos_sim, rank
+         FROM r WHERE rank <= 3 ORDER BY query_id, rank""",
 
     "q_sim_meanpool" ->
       """WITH ser AS (SELECT unnest(generate_series(1, 64)) AS i),

@@ -858,6 +858,58 @@ object Similarity {
         (col("__s").cast("double") / col("n")).as("mean"))
   }
 
+  /** Training-free dimensionality reduction by Hadamard projection —
+    * the deterministic Johnson-Lindenstrauss sketch: component c of the
+    * output is Σᵢ ±xᵢ with sign (−1)^popcount(i & c), the first k rows
+    * of the Sylvester Hadamard matrix H_d (d a power of two). Rows of
+    * H_d are orthogonal, so k components preserve angles in expectation
+    * like a random projection — but with NO fit step (contrast
+    * [[pcaFit]]'s covariance pass) and NO stored model: the "matrix" is
+    * a popcount in codegen. Normalization (1/√d) is deliberately
+    * omitted — cosine is scale-invariant, and the unnormalized sums
+    * stay EXACT 9-place decimals (sums of the decimal(18,9) hop), which
+    * is what makes the whole reduced-space ANN pipeline — projection,
+    * norms, dots, ranking — bit-for-bit oracle-verifiable with no new
+    * rounding convention. Map-side only, k·d adds per row, zero
+    * shuffle; the output `proj` column feeds [[bruteForceTopK]] /
+    * [[lshTopK]] / [[ivfTopK]] unchanged. Magnitude note: |Σ±xᵢ| ≤
+    * √d·‖x‖₂ (Cauchy-Schwarz) = 8 for unit vectors at d = 64 — safely
+    * inside [[graft.functions.DotFixedPoint]]'s 16.0 element guard,
+    * which throws loudly rather than overflowing if a caller feeds
+    * unnormalized large vectors.
+    */
+  def hadamardProject(vectors: DataFrame, idCol: String, vecCol: String,
+                      k: Int, dim: Int): DataFrame = {
+    require(dim > 0 && (dim & (dim - 1)) == 0, s"dim must be a power of two, got $dim")
+    require(k >= 1 && k <= dim && dim % k == 0,
+      s"k must divide dim (power-of-two k in [1, $dim]), got $k")
+    // STRIDE row selection (component c uses Hadamard row c·d/k), not
+    // the first k rows: consecutive Sylvester rows differ only in
+    // low-order sign bits, so the first-k subset cannot separate
+    // input axes whose index bits lie above log2(k) (e.g. e0 vs e4
+    // under k = 4 — measured as cross-cluster top-1 in the spec's
+    // first cut). The stride keeps sign structure at every bit level,
+    // the subsampled-Hadamard analog of random row sampling.
+    // ×10⁹ fixed-point longs (the fixedVectors convention): long sums
+    // are exact and bounded (≤ dim·16·10⁹ < 2⁵³), and sum/1e9 is the
+    // correctly-rounded double of the exact 9-place decimal — which
+    // round-trips losslessly through the downstream decimal(18,9) hop.
+    // (A decimal-typed aggregate() accumulator is NOT exact here:
+    // Spark widens DECIMAL(38,9)+DECIMAL(18,9) to DECIMAL(38,8),
+    // silently rounding the 9th place.)
+    val longs = transform(col(vecCol),
+      x => (x.cast("double").cast(elemDec) * lit(1000000000L)).cast("long"))
+    val comps = (0 until k).map { c =>
+      val row = c * (dim / k)
+      aggregate(
+        transform(longs, (x, i) =>
+          when(bit_count(i.bitwiseAND(lit(row))) % 2 === 0, x).otherwise(-x)),
+        lit(0L), _ + _).cast("double") / lit(1e9)
+    }
+    vectors.filter(size(col(vecCol)) === dim)
+      .select(col(idCol), array(comps: _*).as("proj"))
+  }
+
   /** Cyclic Jacobi eigendecomposition of a symmetric d×d matrix —
     * driver-side by design: the covariance is d(d+1)/2 scalars (2 080
     * doubles at d=64) REGARDLESS of corpus size, the same

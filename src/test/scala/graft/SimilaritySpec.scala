@@ -73,6 +73,36 @@ class SimilaritySpec extends SparkSpec {
     assert(got2 == Seq(n.toLong))
   }
 
+  test("hadamardProject: identical vectors project identically; top-1 survives 8->4 JL reduction") {
+    // 3 well-separated cluster axes in dim 8 (power of two), pairs of
+    // identical vectors — the training-free sketch must keep exact
+    // duplicates identical and same-cluster neighbors top-ranked
+    val dim = 8
+    val vecs = (0L until 24L).map { i =>
+      val c = (i % 3).toInt
+      val v = Array.fill(dim)(0.0f)
+      v(c * 2) = 1.0f
+      v(6) = 0.01f * ((i / 3 % 4) + 1) // duplicates share (cluster, i/3%4)
+      (i, v)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val proj = Similarity.hadamardProject(df, "vec_id", "embedding", k = 4, dim = dim)
+    val rows = proj.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // ids 0 and 12 are bit-identical inputs → identical projections
+    assert(rows(0L) == rows(12L))
+    // dimension guard: a ragged vector is excluded, non-power-of-two dim throws
+    assertThrows[IllegalArgumentException](
+      Similarity.hadamardProject(df, "vec_id", "embedding", k = 2, dim = 6))
+    // reduced-space exact top-1 finds a same-cluster member for every query
+    val top1 = Similarity.bruteForceTopK(
+        proj.filter(col("vec_id") < 3), proj, "vec_id", "proj", k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(top1.length == 3 &&
+      top1.forall { case (q, cand) => (cand % 3) == (q % 3) },
+      s"cross-cluster top-1 in ${top1.toSeq}")
+    graft.operators.OpCache.clear()
+  }
+
   test("meanPoolEmbeddings: per-group element-wise means, ragged rows excluded") {
     val df = Seq(
       (0, Array(1.0f, 2.0f)), (0, Array(3.0f, 6.0f)),
