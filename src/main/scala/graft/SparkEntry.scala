@@ -1253,6 +1253,20 @@ object SparkEntry {
         "vec_id", "proj", k = 3)
     }),
 
+    // ANN quality as a hash-checked query: recall@3 of the Hadamard-
+    // reduced search against the full-space exact top-k — both sides
+    // deterministic, so the DuckDB oracle reproduces the evaluation
+    "q_sim_recall_eval" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val exact = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 3)
+      val proj = Similarity.hadamardProject(emb, "vec_id", "embedding",
+        k = 16, dim = 64)
+      val approx = Similarity.bruteForceTopK(
+        proj.filter(col("vec_id") < 5), proj, "vec_id", "proj", 3)
+      Similarity.recallAtK(approx, exact).orderBy("query_id")
+    }),
+
     // chunk→doc / class-centroid pooling: per-label element-wise mean
     // of the embedding column, decimal-exact in long format
     "q_sim_meanpool" -> ((s, dir) => {
@@ -3874,6 +3888,55 @@ object SparkEntry {
     "q_timeseries_fill" -> TimeseriesFillOracle,
 
     "q_stream_timeseries_fill" -> TimeseriesFillOracle,
+
+    "q_sim_recall_eval" ->
+      """WITH ser AS (SELECT unnest(generate_series(1, 64)) AS i),
+              e AS (SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS x
+                    FROM embeddings CROSS JOIN ser
+                    WHERE i <= len(embedding) AND len(embedding) = 64),
+              nrmx AS (SELECT vec_id, sqrt(CAST(SUM(x * x) AS DOUBLE)) AS nrm
+                       FROM e GROUP BY vec_id),
+              qx AS (SELECT vec_id AS query_id, i, x FROM e WHERE vec_id < 5),
+              dotsx AS (SELECT qx.query_id, c.vec_id AS cand_id, SUM(qx.x * c.x) AS dot
+                        FROM qx JOIN e c ON qx.i = c.i AND qx.query_id <> c.vec_id
+                        GROUP BY 1, 2),
+              scx AS (SELECT query_id, cand_id,
+                             round(CAST(dot AS DOUBLE) / (nq.nrm * nc.nrm), 6) AS cos_sim
+                      FROM dotsx
+                      JOIN nrmx nq ON nq.vec_id = query_id
+                      JOIN nrmx nc ON nc.vec_id = cand_id),
+              rx AS (SELECT query_id, cand_id,
+                            ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, cand_id) AS rank
+                     FROM scx),
+              cs AS (SELECT unnest(generate_series(0, 15)) AS c),
+              proj AS (SELECT vec_id, c,
+                              CAST(SUM(CASE WHEN bit_count((e.i - 1) & (cs.c * 4)) % 2 = 0
+                                       THEN CAST(x AS DECIMAL(38,9))
+                                       ELSE -CAST(x AS DECIMAL(38,9)) END)
+                                   AS DECIMAL(18,9)) AS y
+                       FROM e CROSS JOIN cs GROUP BY 1, 2),
+              nrmh AS (SELECT vec_id, sqrt(CAST(SUM(y * y) AS DOUBLE)) AS nrm
+                       FROM proj GROUP BY vec_id),
+              qh AS (SELECT vec_id AS query_id, c, y FROM proj WHERE vec_id < 5),
+              dotsh AS (SELECT qh.query_id, p.vec_id AS cand_id, SUM(qh.y * p.y) AS dot
+                        FROM qh JOIN proj p ON qh.c = p.c AND qh.query_id <> p.vec_id
+                        GROUP BY 1, 2),
+              sch AS (SELECT query_id, cand_id,
+                             round(CAST(dot AS DOUBLE) / (nq.nrm * nc.nrm), 6) AS cos_sim
+                      FROM dotsh
+                      JOIN nrmh nq ON nq.vec_id = query_id
+                      JOIN nrmh nc ON nc.vec_id = cand_id),
+              rh AS (SELECT query_id, cand_id,
+                            ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, cand_id) AS rank
+                     FROM sch)
+         SELECT x.query_id, COUNT(*) AS n_exact, COUNT(h.cand_id) AS n_hit,
+                CAST(COUNT(h.cand_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+         FROM (SELECT query_id, cand_id FROM rx WHERE rank <= 3) x
+         LEFT JOIN (SELECT query_id, cand_id FROM rh WHERE rank <= 3) h
+           ON x.query_id = h.query_id AND x.cand_id = h.cand_id
+         GROUP BY 1 ORDER BY x.query_id""",
 
     "q_sim_ann_hadamard" ->
       """WITH ser AS (SELECT unnest(generate_series(1, 64)) AS i),

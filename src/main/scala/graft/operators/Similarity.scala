@@ -910,6 +910,27 @@ object Similarity {
       .select(col(idCol), array(comps: _*).as("proj"))
   }
 
+  /** Recall@k of an approximate top-k table against the exact one — the
+    * evaluation primitive for every ANN variant in this module (LSH,
+    * IVF, PQ, int8, PCA/Hadamard reductions): per query,
+    * |approx ∩ exact| / |exact| over (query_id, cand_id) rows. One
+    * shuffle on query_id; the tables are top-k-sized, not corpus-sized.
+    * `recall` is one IEEE division of exact counts, so when both inputs
+    * are deterministic the whole evaluation is oracle-comparable — an
+    * ANN configuration's QUALITY becomes a hash-checked query, not a
+    * hand-waved claim.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val hit = approx.select(col("query_id"), col("cand_id"), lit(1).as("__hit"))
+    exact.select("query_id", "cand_id")
+      .join(hit, Seq("query_id", "cand_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+           count(col("__hit")).as("n_hit"))
+      .withColumn("recall",
+        col("n_hit").cast("double") / col("n_exact").cast("double"))
+  }
+
   /** Cyclic Jacobi eigendecomposition of a symmetric d×d matrix —
     * driver-side by design: the covariance is d(d+1)/2 scalars (2 080
     * doubles at d=64) REGARDLESS of corpus size, the same

@@ -103,6 +103,16 @@ class SimilaritySpec extends SparkSpec {
     graft.operators.OpCache.clear()
   }
 
+  test("recallAtK: per-query hit fraction; queries the approx side missed score 0") {
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "cand_id")
+    val approx = Seq((1L, 10L), (1L, 99L)).toDF("query_id", "cand_id")
+    val got = Similarity.recallAtK(approx, exact).orderBy("query_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == Seq((1L, 2L, 1L, 0.5), (2L, 2L, 0L, 0.0)))
+  }
+
   test("meanPoolEmbeddings: per-group element-wise means, ragged rows excluded") {
     val df = Seq(
       (0, Array(1.0f, 2.0f)), (0, Array(3.0f, 6.0f)),
