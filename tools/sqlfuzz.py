@@ -53,6 +53,8 @@ SEED_C = 424242  # block C (cases 80+): round-8 second widening
 N_C = 25
 SEED_D = 42424242  # block D (cases 105+): round-8 third widening
 N_D = 20
+SEED_E = 4242424242  # block E (cases 125+): round-8 fourth widening
+N_E = 24
 SF = "/root/testdata/sf0.01"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(REPO, "src/main/scala/graft/SqlFuzz.scala")
@@ -762,6 +764,98 @@ class Gen:
                 f"ORDER BY k NULLS FIRST LIMIT 500")
 
 
+    # --- block-E templates (cases 125+; blocks A-D stay byte-stable) ---
+
+    def t_join_using(self):
+        """JOIN … USING — shared-column join syntax (single output copy
+        of the key in both engines)."""
+        l, rt, lk, rk = self.r.choice([
+            ("orders", "customer", "o_custkey", "c_custkey"),
+            ("lineitem", "part", "l_partkey", "p_partkey"),
+        ])
+        num = self.r.choice(cols_of(l, "d"))
+        # the join side keeps a guaranteed-nonempty integer predicate:
+        # string-vocabulary predicates on BOTH sides empty the join too
+        # often for the shared round-robin RNG stream to ever accept one
+        return (f"SELECT k, COUNT(*) AS cnt, "
+                f"CAST(SUM(CAST({num} AS DECIMAL(38,6))) AS DOUBLE) AS total "
+                f"FROM (SELECT {lk} AS k, {num} FROM {l} "
+                f"WHERE {self.preds(l, n=1)}) a "
+                f"JOIN (SELECT {rk} AS k FROM {rt} "
+                f"WHERE {rk} % {self.r.randrange(2, 5)} = 0) b "
+                f"USING (k) GROUP BY k ORDER BY k NULLS FIRST LIMIT 500")
+
+    def t_lateral(self):
+        """LATERAL correlated subquery — per-row top-1 child lookup."""
+        l, rt, lk, rk, rnum = self.r.choice([
+            ("customer", "orders", "c_custkey", "o_custkey", "o_totalprice"),
+            ("supplier", "lineitem", "s_suppkey", "l_suppkey", "l_extendedprice"),
+        ])
+        return (f"SELECT o.{lk} AS id, CAST(t.m AS DOUBLE) AS best FROM {l} o, "
+                f"LATERAL (SELECT MAX(CAST({rnum} AS DECIMAL(38,6))) AS m "
+                f"FROM {rt} i WHERE i.{rk} = o.{lk}) t "
+                f"WHERE {self.preds(l, 'o', n=1)} AND t.m IS NOT NULL "
+                f"ORDER BY id NULLS FIRST LIMIT 300")
+
+    def t_grouping_sets(self):
+        """Explicit GROUPING SETS (named subtotal combinations)."""
+        t, k1, k2, num = self.r.choice([
+            ("lineitem", "l_returnflag", "l_linestatus", "l_quantity"),
+            ("orders", "o_orderstatus", "o_orderpriority", "o_totalprice"),
+        ])
+        return (f"SELECT {k1} AS k1, {k2} AS k2, "
+                f"CAST(GROUPING({k1}) AS INTEGER) AS g1, "
+                f"CAST(GROUPING({k2}) AS INTEGER) AS g2, COUNT(*) AS cnt, "
+                f"CAST(SUM(CAST({num} AS DECIMAL(38,6))) AS DOUBLE) AS total "
+                f"FROM {t} WHERE {self.preds(t, n=1)} "
+                f"GROUP BY GROUPING SETS (({k1}), ({k2}), ({k1}, {k2})) "
+                f"ORDER BY g1 NULLS FIRST, g2 NULLS FIRST, "
+                f"k1 NULLS FIRST, k2 NULLS FIRST")
+
+    def t_except_all(self):
+        """EXCEPT ALL / INTERSECT ALL — multiset set-ops (bag semantics
+        differ from the DISTINCT forms when duplicates exist)."""
+        op = self.r.choice(["EXCEPT ALL", "INTERSECT ALL"])
+        l, rt, lk, rk = self.r.choice([
+            ("lineitem", "orders", "l_orderkey", "o_orderkey"),
+            ("orders", "customer", "o_custkey", "c_custkey"),
+        ])
+        return (f"SELECT k, COUNT(*) AS cnt FROM ("
+                f"SELECT {lk} AS k FROM {l} WHERE {self.preds(l, n=1)} "
+                f"{op} SELECT {rk} AS k FROM {rt} WHERE {self.preds(rt, n=1)}) u "
+                f"GROUP BY k ORDER BY k NULLS FIRST, cnt NULLS FIRST LIMIT 500")
+
+    def t_range_frame(self):
+        """RANGE frame with a numeric offset — value-based window bounds
+        (peers included by VALUE distance, not row position). `uniq`
+        must be genuinely unique: the first cut used lineitem's
+        l_orderkey, which repeats per line — the output ORDER BY was
+        not total, so the LIMIT kept a DIFFERENT row multiset per
+        engine (found as a q_sql_fuzz_140 hash mismatch, row "nearby"
+        1212 vs 403 — the frame itself agreed everywhere)."""
+        t, part, ordc, uniq = self.r.choice([
+            ("customer", "c_mktsegment", "c_acctbal", "c_custkey"),
+            ("orders", "o_orderstatus", "o_custkey", "o_orderkey"),
+        ])
+        off = self.r.randrange(2, 10)
+        return (f"SELECT part, u, CAST(nearby AS BIGINT) AS nearby FROM ("
+                f"SELECT {part} AS part, {uniq} AS u, "
+                f"COUNT(*) OVER (PARTITION BY {part} ORDER BY {ordc} "
+                f"RANGE BETWEEN {off} PRECEDING AND CURRENT ROW) AS nearby "
+                f"FROM {t} WHERE {self.preds(t, n=1)}) s "
+                f"ORDER BY part NULLS FIRST, u NULLS FIRST LIMIT 300")
+
+    def t_global_having(self):
+        """HAVING on a global aggregate (no GROUP BY): one row or zero."""
+        t, num = self.r.choice([
+            ("orders", "o_totalprice"), ("lineitem", "l_extendedprice"),
+            ("customer", "c_acctbal"),
+        ])
+        return (f"SELECT COUNT(*) AS cnt, "
+                f"CAST(SUM(CAST({num} AS DECIMAL(38,6))) AS DOUBLE) AS total "
+                f"FROM {t} WHERE {self.preds(t, n=1)} HAVING COUNT(*) > 1")
+
+
 def accept_loop(con, templates, want):
     """Round-robin templates until `want` queries pass the DuckDB sanity
     screen (runs, nonzero bounded rows, no decimal outputs)."""
@@ -844,6 +938,14 @@ def generate():
                   gD.t_percent_rank, gD.t_limit_offset, gD.t_is_distinct,
                   gD.t_pad_trim, gD.t_corr_scalar_select, gD.t_cte_chain]
     out += accept_loop(con, templatesD, N_D)
+    # block E (cases 125+): the round-8 fourth widening — JOIN USING,
+    # LATERAL correlated subqueries, explicit GROUPING SETS,
+    # EXCEPT ALL / INTERSECT ALL bag semantics, RANGE frames with
+    # numeric offsets, and HAVING on a global aggregate.
+    gE = Gen(random.Random(SEED_E))
+    templatesE = [gE.t_join_using, gE.t_lateral, gE.t_grouping_sets,
+                  gE.t_except_all, gE.t_range_frame, gE.t_global_having]
+    out += accept_loop(con, templatesE, N_E)
     con.close()
     return out
 
