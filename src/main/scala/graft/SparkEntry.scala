@@ -1012,6 +1012,19 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // the multimodal dedup story end to end: aHash → banded pairs →
+    // connected components → cluster labels (same star-contraction
+    // machinery as text dedup; the oracle walks the closed-form pair
+    // set with a recursive CTE)
+    "q_multimodal_dedup_clusters" -> ((s, dir) => {
+      val pairs = Multimodal.imageNearDupPairs(s,
+          Multimodal.imageAHashBands(s, ahashCorpus(s, dir)), tau = 8)
+        .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
     // audio chunking at the oracle tier: the windows' offset arithmetic
     // (stride = chunk - overlap, tail chunks with no new samples
     // dropped, last chunk truncated to the remaining samples) is pure
@@ -3585,6 +3598,25 @@ object SparkEntry {
     "q_multimodal_ahash" ->
       s"""$AHashBandsCte
          SELECT doc_id, b0, b1, b2, b3 FROM bands ORDER BY doc_id""",
+
+    "q_multimodal_dedup_clusters" ->
+      s"""${AHashBandsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+              p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                    FROM bands a JOIN bands b
+                      ON a.doc_id < b.doc_id
+                     AND (a.b0 = b.b0 OR a.b1 = b.b1 OR
+                          a.b2 = b.b2 OR a.b3 = b.b3)
+                    WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+                        + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 8),
+              nodes AS (SELECT id_a AS id FROM p UNION SELECT id_b FROM p),
+              edges AS (SELECT id_a AS src, id_b AS dst FROM p
+                        UNION SELECT id_b, id_a FROM p),
+              reach AS (SELECT id, id AS comp FROM nodes
+                        UNION
+                        SELECT e.dst AS id, r.comp
+                        FROM reach r JOIN edges e ON e.src = r.id)
+         SELECT id AS doc_id, MIN(comp) AS cluster_id
+         FROM reach GROUP BY id ORDER BY doc_id""",
 
     "q_multimodal_image_neardup" ->
       s"""$AHashBandsCte,
