@@ -996,6 +996,32 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // streaming dual of the aHash pass: BINARY payloads through
+    // readStream, the same stateless typed mapPartitions decode per
+    // micro-batch — same oracle SQL text as the batch q_multimodal_ahash
+    // (the corpus-gate dual pattern, extended to the multimodal surface)
+    "q_stream_multimodal_ahash" -> ((s, dir) => {
+      val corpus = ahashCorpus(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_mmstream_").toString
+      val streamDir = new java.io.File(s"$tmp/media"); streamDir.mkdirs()
+      def emitFile(df: DataFrame, name: String, modMs: Long): Unit = {
+        val stage = s"$tmp/stage_$name"
+        df.coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(streamDir, s"$name.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        dest.setLastModified(modMs); ()
+      }
+      emitFile(corpus.filter(pmod(col("doc_id"), lit(2)) === 0), "b1", 1000000L)
+      emitFile(corpus.filter(pmod(col("doc_id"), lit(2)) === 1), "b2", 2000000L)
+      graft.streaming.StreamDrain.drain(s, streamDir.toString,
+          corpus.schema, "stream_multimodal_ahash", "append",
+          sourceOptions = Map("maxFilesPerTrigger" -> "1")) { src =>
+        Multimodal.imageAHashBands(s, src)
+      }.orderBy("doc_id")
+    }),
+
     // the audio dual of the aHash pair: REAL javax.sound PCM parse →
     // 64-window energy-envelope fingerprint, oracle = closed-form
     // arithmetic over the WAV fixture's sample formula
@@ -3596,6 +3622,10 @@ object SparkEntry {
          FROM documents ORDER BY doc_id""",
 
     "q_multimodal_ahash" ->
+      s"""$AHashBandsCte
+         SELECT doc_id, b0, b1, b2, b3 FROM bands ORDER BY doc_id""",
+
+    "q_stream_multimodal_ahash" ->
       s"""$AHashBandsCte
          SELECT doc_id, b0, b1, b2, b3 FROM bands ORDER BY doc_id""",
 
