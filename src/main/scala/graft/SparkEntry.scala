@@ -1897,6 +1897,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // incremental dedup clustering: old labels + the pairs touching the
+    // newly ingested half must fold to the SAME labels as a full
+    // recompute (same oracle SQL as q_dedup_clusters)
+    "q_dedup_clusters_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val oldPairs = Dedup.simhashPairs(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text",
+        maxHamming = 8)
+      val labels = Dedup.connectedComponents(oldPairs, "id_a", "id_b")
+      val newPairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)
+        .filter(pmod(col("id_a"), lit(2)) === 1 || pmod(col("id_b"), lit(2)) === 1)
+      Dedup.incrementalClusters(labels, newPairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
     // PII redaction: count + mask urls/emails/ips/phones. The corpus text
     // has no PII, so both engines first append a deterministic synthetic
     // tail derived from doc_id, then scrub it.
@@ -2304,6 +2320,23 @@ object SparkEntry {
                              CAST(COALESCE(SUM(CASE WHEN c // 16 = 3
                                THEN bit << (c % 16) ELSE 0 END), 0) AS INTEGER) AS b3
                       FROM bits GROUP BY doc_id)"""
+
+  /** Shared by `q_dedup_clusters` (one-shot) and
+    * `q_dedup_clusters_incremental` (labels-as-edges ∪ new pairs) — the
+    * incremental fold must reach the exact same labels.
+    */
+  private lazy val ClustersOracle =
+    s"""$SimhashCandCte,
+            pairs AS (SELECT id_a, id_b FROM cand WHERE hamming(sim_a, sim_b) <= 8),
+            nodes AS (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach AS (SELECT id, id AS comp FROM nodes
+                      UNION
+                      SELECT e.dst AS id, r.comp
+                      FROM reach r JOIN edges e ON e.src = r.id)
+       SELECT id AS doc_id, MIN(comp) AS cluster_id
+       FROM reach GROUP BY id ORDER BY doc_id"""
 
   private val CubeSql =
     """SELECT COALESCE(r_name, 'ALL') AS region_name,
@@ -3118,18 +3151,11 @@ object SparkEntry {
          FROM cand WHERE hamming(sim_a, sim_b) <= 8
          ORDER BY id_a, id_b""",
 
-    "q_dedup_clusters" ->
-      s"""$SimhashCandCte,
-              pairs AS (SELECT id_a, id_b FROM cand WHERE hamming(sim_a, sim_b) <= 8),
-              nodes AS (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs),
-              edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                        UNION SELECT id_b, id_a FROM pairs),
-              reach AS (SELECT id, id AS comp FROM nodes
-                        UNION
-                        SELECT e.dst AS id, r.comp
-                        FROM reach r JOIN edges e ON e.src = r.id)
-         SELECT id AS doc_id, MIN(comp) AS cluster_id
-         FROM reach GROUP BY id ORDER BY doc_id""",
+    "q_dedup_clusters" -> ClustersOracle,
+
+    // incremental maintenance must converge to the SAME labels as the
+    // full recompute — one oracle text serves both
+    "q_dedup_clusters_incremental" -> ClustersOracle,
 
     "q_funnel_stages" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tu FROM events),

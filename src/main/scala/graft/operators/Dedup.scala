@@ -268,6 +268,29 @@ object Dedup {
                           maxIter: Int = 25): DataFrame =
     connectedComponentsWithRounds(pairs, aCol, bCol, maxIter)._1
 
+  /** Incremental cluster maintenance — fold NEW near-dup pairs into an
+    * existing label table without re-deriving the old pairs: the stored
+    * (id, comp) labels become edges (they carry exactly the old
+    * connectivity — comp is a member id, so the id space is shared) and
+    * star contraction runs over labels ∪ newPairs. Cost scales with
+    * |labels| + |newPairs| — one label row per already-clustered doc,
+    * NOT the original candidate-generation work — which is what a
+    * per-ingestion-batch dedup deployment pays; correctness is the
+    * [[IncrementalAgg]]/covariance-merge claim transplanted to graphs:
+    * the folded labels are IDENTICAL to a full recompute (min-id of a
+    * merged component is the global min; the oracle pins it by running
+    * the same SQL as the one-shot query). Subset soundness holds
+    * because banded candidate generation is pairwise-local: a pair's
+    * bands depend only on its two documents, so pairs(A) =
+    * pairs(corpus) ∩ A×A and the new-edge set is exactly the pairs
+    * touching new documents.
+    */
+  def incrementalClusters(oldLabels: DataFrame, newPairs: DataFrame,
+                          aCol: String, bCol: String): DataFrame =
+    connectedComponents(
+      oldLabels.select(col("id").as(aCol), col("comp").as(bCol))
+        .unionByName(newPairs.select(aCol, bCol)), aCol, bCol)
+
   /** [[connectedComponents]] exposing the converged round count — the
     * spec pins the O(log²) behavior on a long path with it. */
   private[graft] def connectedComponentsWithRounds(
