@@ -1205,6 +1205,28 @@ object SparkEntry {
         .orderBy("user_id", "d")
     }),
 
+    // J7b — forward as-of: for each (user, week-start) probe, the FIRST
+    // event at-or-after it (the backward query's mirror, same merge-
+    // sorted single-window shape)
+    "q_asof_next_value" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("ed", tsDate("ts"))
+      val weeks = ev.agg(trunc(min(col("ed")), "week").as("lo"),
+                         trunc(max(col("ed")), "week").as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("interval 1 week"))).as("d"))
+      val probes = ev.select("user_id").distinct()
+        .crossJoin(weeks)
+        .withColumn("pt_us", expr("unix_date(d) * 86400000000"))
+      Joins.asOfForward(probes, ev.select("user_id", "ts_us", "event_id", "value"),
+          keys = Seq("user_id"), probeTimeCol = "pt_us", eventTimeCol = "ts_us",
+          carryCols = Seq("event_id", "value"), tieBreak = Seq("event_id"))
+        .select(col("user_id"), col("d"),
+                col("event_id").as("next_event_id"), col("value").as("next_value"))
+        .orderBy("user_id", "d")
+    }),
+
     // J8 — range (interval) join via bucket decomposition: lineitems
     // shipped within each high-value order's first week
     "q_range_join_week" -> ((s, dir) => {
@@ -3917,6 +3939,21 @@ object SparkEntry {
            SELECT event_id, value FROM ev e
            WHERE e.user_id = p.user_id AND e.ts_us <= epoch_us(CAST(p.d AS TIMESTAMP))
            ORDER BY e.ts_us DESC, e.event_id DESC LIMIT 1) l ON TRUE
+         ORDER BY user_id, d""",
+
+    "q_asof_next_value" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events),
+              b AS (SELECT date_trunc('week', MIN(CAST(ts AS DATE))) AS lo,
+                           date_trunc('week', MAX(CAST(ts AS DATE))) AS hi FROM events),
+              weeks AS (SELECT CAST(unnest(generate_series(
+                          (SELECT lo FROM b), (SELECT hi FROM b), INTERVAL 1 WEEK)) AS DATE) AS d),
+              probes AS (SELECT user_id, d
+                         FROM (SELECT DISTINCT user_id FROM events) u CROSS JOIN weeks)
+         SELECT p.user_id, p.d, l.event_id AS next_event_id, l.value AS next_value
+         FROM probes p LEFT JOIN LATERAL (
+           SELECT event_id, value FROM ev e
+           WHERE e.user_id = p.user_id AND e.ts_us >= epoch_us(CAST(p.d AS TIMESTAMP))
+           ORDER BY e.ts_us ASC, e.event_id ASC LIMIT 1) l ON TRUE
          ORDER BY user_id, d""",
 
     "q_range_join_week" ->

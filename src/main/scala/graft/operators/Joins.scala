@@ -118,6 +118,41 @@ object Joins {
         carryCols.map(c => col(s"__last.$c").as(c)): _*)
   }
 
+  /** [[asOf]]'s FORWARD dual — for each probe, the FIRST event
+    * at-or-after its time ("next price tick" / "next maintenance
+    * window" lookup). Same merge-sorted single-window shape, mirrored:
+    * probes sort BEFORE events at equal time (at-or-after includes
+    * ties), the frame looks forward, `first(ignoreNulls)` carries the
+    * next event struct back, and the EARLIEST tied event wins via
+    * ascending tie-break. Probes with no later event carry nulls.
+    */
+  def asOfForward(probes: DataFrame, events: DataFrame, keys: Seq[String],
+                  probeTimeCol: String, eventTimeCol: String,
+                  carryCols: Seq[String], tieBreak: Seq[String]): DataFrame = {
+    val probeCols = probes.columns.toSeq
+    val ev = events.select(
+      keys.map(col) ++ Seq(col(eventTimeCol).cast("long").as("__t"),
+        lit(1).as("__e"),
+        struct(carryCols.map(col): _*).as("__c")) ++
+        tieBreak.map(c => col(c).as(s"__tb_$c")): _*)
+    val pr = probes.select(
+      keys.map(col) ++ Seq(col(probeTimeCol).cast("long").as("__t"),
+        lit(0).as("__e"),
+        lit(null).cast(ev.schema("__c").dataType).as("__c"),
+        struct(probeCols.map(col): _*).as("__p")): _*)
+    val tagged = ev.unionByName(pr, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc +: col("__e").asc +:
+        tieBreak.map(c => col(s"__tb_$c").asc_nulls_last): _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = tagged
+      .withColumn("__next", first(col("__c"), ignoreNulls = true).over(w))
+      .filter(col("__e") === 0)
+    carried.select(
+      probeCols.map(c => col(s"__p.$c").as(c)) ++
+        carryCols.map(c => col(s"__next.$c").as(c)): _*)
+  }
+
   /** Range (interval) join via bucket decomposition — the scale path for
     * `point BETWEEN lo AND hi` joins, which Spark would otherwise plan as
     * a broadcast-nested-loop over the full cross space.

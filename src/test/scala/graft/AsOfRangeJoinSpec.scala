@@ -38,6 +38,46 @@ class AsOfRangeJoinSpec extends SparkSpec {
     assert(out.head.getLong(2) == 7L) // max eid wins deterministically
   }
 
+  test("asOfForward attaches the first event at-or-after each probe; ties pick the EARLIEST") {
+    val events = Seq(
+      (1L, 10L, 100L, 1.0), (1L, 20L, 101L, 2.0), (1L, 30L, 102L, 3.0),
+      (2L, 15L, 200L, 9.0)
+    ).toDF("k", "t", "eid", "v")
+    val probes = Seq((1L, 5L), (1L, 20L), (1L, 25L), (1L, 35L), (3L, 50L))
+      .toDF("k", "pt")
+    val out = Joins.asOfForward(probes, events, Seq("k"), "pt", "t",
+        carryCols = Seq("eid", "v"), tieBreak = Seq("eid"))
+      .orderBy("k", "pt").collect()
+    assert(out(0).getLong(2) == 100L)  // next after 5 is t=10
+    assert(out(1).getLong(2) == 101L)  // at-or-after includes t=20
+    assert(out(2).getLong(2) == 102L)  // next after 25 is t=30
+    assert(out(3).isNullAt(2))         // probe after the last event → nulls
+    assert(out(4).isNullAt(2))         // key with no events → nulls
+    // equal-time ties: the MINIMUM tieBreak wins (the backward dual's mirror)
+    val tied = Seq((1L, 10L, 5L, 1.0), (1L, 10L, 7L, 2.0), (1L, 10L, 6L, 3.0))
+      .toDF("k", "t", "eid", "v")
+    val one = Joins.asOfForward(Seq((1L, 10L)).toDF("k", "pt"), tied,
+      Seq("k"), "pt", "t", Seq("eid", "v"), Seq("eid")).collect()
+    assert(one.head.getLong(2) == 5L)
+  }
+
+  test("approx_percentile stays within its accuracy envelope of the exact percentile") {
+    // the documented 100 TB swap for exact percentiles (SCALE.md): pin
+    // the error bound so the swap is evidenced, not asserted. accuracy
+    // 10000 → rank error <= n/10000; on n=10000 rows of 1..10000 the
+    // p50/p90 estimates must land within ±2 of exact (loose 2x slack).
+    val df = (1 to 10000).map(_.toDouble).toDF("v")
+    val r = df.agg(
+      expr("percentile(v, 0.5)").as("exact50"),
+      expr("approx_percentile(v, 0.5, 10000)").as("ap50"),
+      expr("percentile(v, 0.9)").as("exact90"),
+      expr("approx_percentile(v, 0.9, 10000)").as("ap90")).head()
+    assert(math.abs(r.getDouble(1) - r.getDouble(0)) <= 2.0,
+      s"p50 ${r.getDouble(1)} vs ${r.getDouble(0)}")
+    assert(math.abs(r.getDouble(3) - r.getDouble(2)) <= 2.0,
+      s"p90 ${r.getDouble(3)} vs ${r.getDouble(2)}")
+  }
+
   test("rangeJoin matches point-in-interval exactly, no duplicates across buckets") {
     val intervals = Seq((1L, 0L, 13L), (2L, 5L, 6L), (3L, 20L, 21L))
       .toDF("ivid", "lo", "hi")
