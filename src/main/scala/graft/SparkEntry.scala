@@ -1205,6 +1205,32 @@ object SparkEntry {
         .orderBy("user_id", "d")
     }),
 
+    // U2 — CDC merge with tombstones: a Debezium-style I/U/D change feed
+    // applied to the store; out-of-order and multi-change keys resolve
+    // by sequence (U then D deletes; D then U resurrects). The oracle
+    // states the NET FINAL STATE directly — semantic, not a replay
+    "q_u2_cdc_merge" -> ((s, dir) => {
+      val base = t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .filter(col("c_custkey") <= 700)
+      val b = base.withColumn("__m", pmod(col("c_custkey"), lit(7)))
+      def ch(df: DataFrame, op: String, seq: Long,
+             bal: org.apache.spark.sql.Column): DataFrame =
+        df.select(col("c_custkey"), col("c_name"), bal.as("c_acctbal"),
+          lit(op).as("op"), lit(seq).as("seq"))
+      val changes = ch(b.filter(col("__m") === 0), "D", 1, col("c_acctbal"))
+        .unionByName(ch(b.filter(col("__m") === 1), "U", 1, col("c_acctbal") + 100))
+        .unionByName(ch(b.filter(col("__m") === 2), "U", 1, col("c_acctbal") + 999))
+        .unionByName(ch(b.filter(col("__m") === 2), "D", 2, col("c_acctbal")))
+        .unionByName(ch(b.filter(col("__m") === 3), "D", 1, col("c_acctbal")))
+        .unionByName(ch(b.filter(col("__m") === 3), "U", 2, col("c_acctbal") + 50))
+        .unionByName(ch(b.filter(col("__m") === 4)
+          .withColumn("c_custkey", col("c_custkey") + 100000), "I", 1,
+          col("c_acctbal")))
+      Upsert.applyCdc(base, changes, Seq("c_custkey"), "op", "seq")
+        .orderBy("c_custkey")
+    }),
+
     // J7b — forward as-of: for each (user, week-start) probe, the FIRST
     // event at-or-after it (the backward query's mirror, same merge-
     // sorted single-window shape)
@@ -3940,6 +3966,19 @@ object SparkEntry {
            WHERE e.user_id = p.user_id AND e.ts_us <= epoch_us(CAST(p.d AS TIMESTAMP))
            ORDER BY e.ts_us DESC, e.event_id DESC LIMIT 1) l ON TRUE
          ORDER BY user_id, d""",
+
+    "q_u2_cdc_merge" ->
+      """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer
+                       WHERE c_custkey <= 700),
+              m AS (SELECT *, c_custkey % 7 AS m FROM base)
+         SELECT c_custkey, c_name,
+                CASE WHEN m = 1 THEN c_acctbal + 100
+                     WHEN m = 3 THEN c_acctbal + 50
+                     ELSE c_acctbal END AS c_acctbal
+         FROM m WHERE m NOT IN (0, 2)
+         UNION ALL
+         SELECT c_custkey + 100000, c_name, c_acctbal FROM m WHERE m = 4
+         ORDER BY c_custkey""",
 
     "q_asof_next_value" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events),

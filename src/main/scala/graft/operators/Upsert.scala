@@ -36,4 +36,30 @@ object Upsert {
       .filter(col("__rn") === 1)
       .drop("__rn", "__is_fresh")
   }
+
+  /** U2 — CDC merge with tombstones: apply a change feed carrying an op
+    * column ('I'/'U'/'D') to the store. The LATEST change per key (by
+    * `seqCol`, change rows beating store rows at any sequence) decides
+    * the outcome: I/U materialize the change row, D deletes the key —
+    * the delete the plain [[upsert]] cannot express, and the contract a
+    * Debezium-style feed needs. Same single key-shuffle window shape;
+    * re-applying the same feed is a no-op (last-write-wins is
+    * deterministic), and out-of-order feed rows resolve by sequence,
+    * not arrival. The store side needs no op/seq columns — they are
+    * tagged in (op 'I', seq −∞).
+    */
+  def applyCdc(store: DataFrame, changes: DataFrame, keys: Seq[String],
+               opCol: String, seqCol: String): DataFrame = {
+    val tagged = changes.withColumn("__is_fresh", lit(1))
+      .unionByName(
+        store.withColumn(opCol, lit("I"))
+          .withColumn(seqCol, lit(Long.MinValue))
+          .withColumn("__is_fresh", lit(0)),
+        allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(seqCol).desc, col("__is_fresh").desc)
+    tagged.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col(opCol) =!= "D")
+      .drop("__rn", "__is_fresh", opCol, seqCol)
+  }
 }

@@ -38,6 +38,25 @@ class UpsertSpec extends SparkSpec {
     assert(out.map(_.getString(3)).toSeq == Seq("보유", "소진"))
   }
 
+  test("applyCdc: tombstones delete, D-then-U resurrects, re-apply is a no-op") {
+    val store = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("k", "payload")
+    val feed = Seq(
+      (1L, "a",  "D", 1L),              // plain delete
+      (2L, "b2", "U", 1L), (2L, "b", "D", 2L), // U then D → net delete
+      (3L, "c",  "D", 1L), (3L, "c2", "U", 2L), // D then U → resurrected
+      (5L, "e",  "I", 1L))              // brand-new key
+      .toDF("k", "payload", "op", "seq")
+    val once = Upsert.applyCdc(store, feed, Seq("k"), "op", "seq")
+    val got = once.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // 4 untouched, 3 resurrected with the new payload, 5 inserted
+    assert(got == Seq((3L, "c2"), (4L, "d"), (5L, "e")))
+    // re-applying the same feed to the merged store changes nothing:
+    // every feed row resolves identically by sequence
+    val twice = Upsert.applyCdc(once, feed, Seq("k"), "op", "seq")
+    assert(twice.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq == got)
+  }
+
   test("upsert is idempotent: re-applying the same batch changes nothing") {
     val base = Seq(("e1", 1L, "a"), ("e2", 2L, "b")).toDF("event_id", "v", "payload")
     val batch = Seq(("e2", 3L, "b2"), ("e3", 1L, "c")).toDF("event_id", "v", "payload")
