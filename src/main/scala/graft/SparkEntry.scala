@@ -1949,6 +1949,13 @@ object SparkEntry {
     // newly ingested half must fold to the SAME labels as a full
     // recompute (same oracle SQL as q_dedup_clusters)
     "q_dedup_clusters_incremental" -> ((s, dir) => {
+      // Two pair derivations on purpose: a one-pass persist-and-filter
+      // variant (pairs(A) = persisted pairs(corpus) ∩ A×A, valid by
+      // pairwise-locality) measured SLOWER at sf0.1 (7.0 s vs 6.0 s) —
+      // the half-corpus signature pass is cheaper than materializing
+      // the full pair set, and the CC rounds dominate either way. A
+      // deployment doesn't face the choice: the old era's pairs are
+      // never re-derived at all, only its label table is read.
       val docs = t(s, dir, "documents")
       val oldPairs = Dedup.simhashPairs(
         docs.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text",
