@@ -1210,25 +1210,45 @@ object SparkEntry {
     // by sequence (U then D deletes; D then U resurrects). The oracle
     // states the NET FINAL STATE directly — semantic, not a replay
     "q_u2_cdc_merge" -> ((s, dir) => {
-      val base = t(s, dir, "customer")
-        .select("c_custkey", "c_name", "c_acctbal")
-        .filter(col("c_custkey") <= 700)
-      val b = base.withColumn("__m", pmod(col("c_custkey"), lit(7)))
-      def ch(df: DataFrame, op: String, seq: Long,
-             bal: org.apache.spark.sql.Column): DataFrame =
-        df.select(col("c_custkey"), col("c_name"), bal.as("c_acctbal"),
-          lit(op).as("op"), lit(seq).as("seq"))
-      val changes = ch(b.filter(col("__m") === 0), "D", 1, col("c_acctbal"))
-        .unionByName(ch(b.filter(col("__m") === 1), "U", 1, col("c_acctbal") + 100))
-        .unionByName(ch(b.filter(col("__m") === 2), "U", 1, col("c_acctbal") + 999))
-        .unionByName(ch(b.filter(col("__m") === 2), "D", 2, col("c_acctbal")))
-        .unionByName(ch(b.filter(col("__m") === 3), "D", 1, col("c_acctbal")))
-        .unionByName(ch(b.filter(col("__m") === 3), "U", 2, col("c_acctbal") + 50))
-        .unionByName(ch(b.filter(col("__m") === 4)
-          .withColumn("c_custkey", col("c_custkey") + 100000), "I", 1,
-          col("c_acctbal")))
+      val (base, changes) = cdcFixture(s, dir)
       Upsert.applyCdc(base, changes, Seq("c_custkey"), "op", "seq")
         .orderBy("c_custkey")
+    }),
+
+    // the same CDC feed as a STREAM: two seq-ordered micro-batches fold
+    // into an AtomicStore via foreachBatch applyCdc — cross-batch
+    // tombstone/resurrect semantics against the SAME semantic oracle
+    "q_stream_cdc_merge" -> ((s, dir) => {
+      val (base, changes) = cdcFixture(s, dir)
+      val root = new org.apache.hadoop.fs.Path(
+        s"/tmp/graft_stream_cdc_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(root, true)
+      val feedDir = new java.io.File(s"$root/feed"); feedDir.mkdirs()
+      def emitFile(df: DataFrame, name: String, modMs: Long): Unit = {
+        val stage = s"$root/stage_$name"
+        df.coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(feedDir, s"$name.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        dest.setLastModified(modMs); ()
+      }
+      // log order: everything at seq 1 lands before everything at seq 2
+      emitFile(changes.filter(col("seq") === 1), "b1", 1000000L)
+      emitFile(changes.filter(col("seq") === 2), "b2", 2000000L)
+      val store = s"$root/store"
+      graft.pipelines.AtomicStore.overwrite(base, store)
+      val q = graft.streaming.StreamingUpsert.startCdc(s,
+        s.readStream.schema(changes.schema)
+          .option("maxFilesPerTrigger", "1").parquet(feedDir.toString),
+        store, Seq("c_custkey"), "op", "seq", s"$root/ckpt")
+      try {
+        if (!q.awaitTermination(600000L))
+          throw new IllegalStateException(
+            "stream cdc drain did not terminate within 600s")
+      } finally if (q.isActive) q.stop()
+      s.read.parquet(store).orderBy("c_custkey")
     }),
 
     // J7b — forward as-of: for each (user, week-start) probe, the FIRST
@@ -2316,6 +2336,51 @@ object SparkEntry {
                              CAST(COALESCE(SUM(CASE WHEN c // 16 = 3
                                THEN bit << (c % 16) ELSE 0 END), 0) AS INTEGER) AS b3
                       FROM bits GROUP BY doc_id)"""
+
+  /** Semantic oracle shared by `q_u2_cdc_merge` (batch) and
+    * `q_stream_cdc_merge` (two seq-ordered micro-batches through
+    * foreachBatch): it states the NET FINAL STATE the feed must reach,
+    * not a merge replay — so both execution models answer to the same
+    * ground truth.
+    */
+  private val CdcMergeOracle =
+    """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer
+                     WHERE c_custkey <= 700),
+            m AS (SELECT *, c_custkey % 7 AS m FROM base)
+       SELECT c_custkey, c_name,
+              CASE WHEN m = 1 THEN c_acctbal + 100
+                   WHEN m = 3 THEN c_acctbal + 50
+                   ELSE c_acctbal END AS c_acctbal
+       FROM m WHERE m NOT IN (0, 2)
+       UNION ALL
+       SELECT c_custkey + 100000, c_name, c_acctbal FROM m WHERE m = 4
+       ORDER BY c_custkey"""
+
+  /** Shared by the batch and streaming CDC-merge queries: the customer
+    * store plus a deterministic I/U/D feed with multi-change keys
+    * (m=0 delete; m=1 update; m=2 U→D net delete; m=3 D→U resurrect;
+    * m=4 spawns a brand-new inserted key).
+    */
+  private def cdcFixture(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val base = t(s, dir, "customer")
+      .select("c_custkey", "c_name", "c_acctbal")
+      .filter(col("c_custkey") <= 700)
+    val b = base.withColumn("__m", pmod(col("c_custkey"), lit(7)))
+    def ch(df: DataFrame, op: String, seq: Long,
+           bal: org.apache.spark.sql.Column): DataFrame =
+      df.select(col("c_custkey"), col("c_name"), bal.as("c_acctbal"),
+        lit(op).as("op"), lit(seq).as("seq"))
+    val changes = ch(b.filter(col("__m") === 0), "D", 1, col("c_acctbal"))
+      .unionByName(ch(b.filter(col("__m") === 1), "U", 1, col("c_acctbal") + 100))
+      .unionByName(ch(b.filter(col("__m") === 2), "U", 1, col("c_acctbal") + 999))
+      .unionByName(ch(b.filter(col("__m") === 2), "D", 2, col("c_acctbal")))
+      .unionByName(ch(b.filter(col("__m") === 3), "D", 1, col("c_acctbal")))
+      .unionByName(ch(b.filter(col("__m") === 3), "U", 2, col("c_acctbal") + 50))
+      .unionByName(ch(b.filter(col("__m") === 4)
+        .withColumn("c_custkey", col("c_custkey") + 100000), "I", 1,
+        col("c_acctbal")))
+    (base, changes)
+  }
 
   /** Shared corpus for the audio-fingerprint queries — base WAV fixtures
     * plus PCM-XOR-perturbed variants (doc_id + 10000) for doc_id < 64.
@@ -3974,18 +4039,9 @@ object SparkEntry {
            ORDER BY e.ts_us DESC, e.event_id DESC LIMIT 1) l ON TRUE
          ORDER BY user_id, d""",
 
-    "q_u2_cdc_merge" ->
-      """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer
-                       WHERE c_custkey <= 700),
-              m AS (SELECT *, c_custkey % 7 AS m FROM base)
-         SELECT c_custkey, c_name,
-                CASE WHEN m = 1 THEN c_acctbal + 100
-                     WHEN m = 3 THEN c_acctbal + 50
-                     ELSE c_acctbal END AS c_acctbal
-         FROM m WHERE m NOT IN (0, 2)
-         UNION ALL
-         SELECT c_custkey + 100000, c_name, c_acctbal FROM m WHERE m = 4
-         ORDER BY c_custkey""",
+    "q_u2_cdc_merge" -> CdcMergeOracle,
+
+    "q_stream_cdc_merge" -> CdcMergeOracle,
 
     "q_asof_next_value" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events),

@@ -99,6 +99,36 @@ object StreamingUpsert {
       } finally { b.unpersist(); () }
     }
 
+  /** CDC sink — [[writer]]'s tombstone-aware sibling: each micro-batch
+    * of an I/U/D change feed folds into the store via
+    * [[graft.operators.Upsert.applyCdc]] (latest change per key by
+    * sequence; D deletes). Cross-batch correctness needs the feed
+    * delivered in sequence order ACROSS batches (within a batch any
+    * order resolves by `seqCol`) — the contract a log-ordered CDC
+    * source (binlog/WAL reader) provides naturally; same crash-safe
+    * AtomicStore swap and replay idempotence as the plain upsert sink.
+    */
+  def writerCdc(spark: SparkSession, stream: DataFrame, storePath: String,
+                keys: Seq[String], opCol: String,
+                seqCol: String): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      graft.pipelines.AtomicStore.recover(spark, storePath)
+      val base = graft.pipelines.BoxOfficePipeline
+        .readOrEmpty(spark, storePath, batch.drop(opCol, seqCol))
+      val merged = Upsert.applyCdc(base, batch, keys, opCol, seqCol)
+      graft.pipelines.AtomicStore.overwrite(merged, storePath)
+      ()
+    }
+
+  /** [[writerCdc]] started with an AvailableNow drain. */
+  def startCdc(spark: SparkSession, stream: DataFrame, storePath: String,
+               keys: Seq[String], opCol: String, seqCol: String,
+               checkpoint: String): StreamingQuery =
+    writerCdc(spark, stream, storePath, keys, opCol, seqCol)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** [[writerPartitioned]] started with an AvailableNow drain. */
   def startPartitioned(spark: SparkSession, stream: DataFrame,
                        storePath: String, keys: Seq[String],
