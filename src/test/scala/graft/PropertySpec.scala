@@ -43,6 +43,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("applyCdc matches an in-memory log fold on random feeds; batch split is irrelevant") {
+    import graft.operators.Upsert
+    import org.apache.spark.sql.functions.col
+    for (seed <- 1 to 6) {
+      val rnd = new Random(seed)
+      val storeKeys = (0L until 8L).toSeq
+      val store = storeKeys.map(k => (k, s"base$k")).toDF("k", "payload")
+      // random feed: unique (k, seq) per change (the operator's declared
+      // input contract), random op mix
+      val feed = (for (k <- 0L until 12L; seq <- 1L to 3L
+                       if rnd.nextBoolean()) yield {
+        val op = Seq("I", "U", "D")(rnd.nextInt(3))
+        (k, s"v$k-$seq", op, seq)
+      }).toList
+      // reference: fold by ascending seq over the initial store
+      val m = scala.collection.mutable.Map[Long, String]()
+      storeKeys.foreach(k => m(k) = s"base$k")
+      feed.sortBy(_._4).foreach { case (k, p, op, _) =>
+        if (op == "D") m.remove(k) else m(k) = p
+      }
+      val expected = m.toSeq.sorted
+      val feedDf = feed.toDF("k", "payload", "op", "seq")
+      val once = Upsert.applyCdc(store, feedDf, Seq("k"), "op", "seq")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+      assert(once == expected, s"seed=$seed feed=$feed")
+      // applying the feed split into seq-ordered batches reaches the
+      // same state (the streaming-sink contract)
+      val mid = Upsert.applyCdc(store, feedDf.filter(col("seq") <= 1), Seq("k"), "op", "seq")
+      val split = Upsert.applyCdc(mid, feedDf.filter(col("seq") > 1), Seq("k"), "op", "seq")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+      assert(split == expected, s"seed=$seed split-fold diverged")
+    }
+  }
+
   test("sessionize: session count equals 1 + number of over-gap steps") {
     for (seed <- 1 to 6) {
       val rnd = new Random(seed)
