@@ -1215,6 +1215,15 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // SCD-2 history from the same CDC feed: every version kept as a
+    // [seq, next-seq) interval, tombstones close intervals without
+    // opening one, is_current marks open versions
+    "q_scd2_from_cdc" -> ((s, dir) => {
+      val (_, changes) = cdcFixture(s, dir)
+      Upsert.scd2FromCdc(changes, Seq("c_custkey"), "op", "seq")
+        .orderBy("c_custkey", "valid_from")
+    }),
+
     // the same CDC feed as a STREAM: two seq-ordered micro-batches fold
     // into an AtomicStore via foreachBatch applyCdc — cross-batch
     // tombstone/resurrect semantics against the SAME semantic oracle
@@ -4042,6 +4051,31 @@ object SparkEntry {
     "q_u2_cdc_merge" -> CdcMergeOracle,
 
     "q_stream_cdc_merge" -> CdcMergeOracle,
+
+    "q_scd2_from_cdc" ->
+      """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer
+                       WHERE c_custkey <= 700),
+              m AS (SELECT *, c_custkey % 7 AS m FROM base),
+              feed AS (
+                SELECT c_custkey, c_name, c_acctbal, 'D' AS op,
+                       CAST(1 AS BIGINT) AS seq FROM m WHERE m = 0
+                UNION ALL SELECT c_custkey, c_name, c_acctbal + 100, 'U',
+                       CAST(1 AS BIGINT) FROM m WHERE m = 1
+                UNION ALL SELECT c_custkey, c_name, c_acctbal + 999, 'U',
+                       CAST(1 AS BIGINT) FROM m WHERE m = 2
+                UNION ALL SELECT c_custkey, c_name, c_acctbal, 'D',
+                       CAST(2 AS BIGINT) FROM m WHERE m = 2
+                UNION ALL SELECT c_custkey, c_name, c_acctbal, 'D',
+                       CAST(1 AS BIGINT) FROM m WHERE m = 3
+                UNION ALL SELECT c_custkey, c_name, c_acctbal + 50, 'U',
+                       CAST(2 AS BIGINT) FROM m WHERE m = 3
+                UNION ALL SELECT c_custkey + 100000, c_name, c_acctbal, 'I',
+                       CAST(1 AS BIGINT) FROM m WHERE m = 4),
+              w AS (SELECT *, LEAD(seq) OVER (PARTITION BY c_custkey
+                               ORDER BY seq) AS valid_to FROM feed)
+         SELECT c_custkey, c_name, c_acctbal, seq AS valid_from, valid_to,
+                (valid_to IS NULL) AS is_current
+         FROM w WHERE op <> 'D' ORDER BY c_custkey, valid_from""",
 
     "q_asof_next_value" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events),

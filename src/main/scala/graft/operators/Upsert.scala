@@ -48,6 +48,26 @@ object Upsert {
     * not arrival. The store side needs no op/seq columns — they are
     * tagged in (op 'I', seq −∞).
     */
+  /** SCD-2 history FROM the CDC feed — [[applyCdc]] keeps the net
+    * state; this keeps every version: each non-delete change opens an
+    * interval [seq, next-change-seq) in the sequence domain, a
+    * tombstone CLOSES its predecessor's interval without opening one
+    * (the lead() sees the D's sequence, the D row itself is dropped),
+    * and `is_current` marks the still-open versions. One key shuffle,
+    * one window — the [[graft.operators.Analytics.scd2Intervals]]
+    * shape extended with delete semantics.
+    */
+  def scd2FromCdc(changes: DataFrame, keys: Seq[String],
+                  opCol: String, seqCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(seqCol).asc)
+    changes
+      .withColumn("valid_from", col(seqCol))
+      .withColumn("valid_to", lead(col(seqCol), 1).over(w))
+      .filter(col(opCol) =!= "D")
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop(opCol, seqCol)
+  }
+
   def applyCdc(store: DataFrame, changes: DataFrame, keys: Seq[String],
                opCol: String, seqCol: String): DataFrame = {
     val tagged = changes.withColumn("__is_fresh", lit(1))

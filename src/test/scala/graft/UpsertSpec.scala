@@ -57,6 +57,22 @@ class UpsertSpec extends SparkSpec {
     assert(twice.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq == got)
   }
 
+  test("scd2FromCdc: versions interval-chain; tombstones close without opening") {
+    val feed = Seq(
+      (1L, "v1", "I", 1L), (1L, "v2", "U", 2L),             // two open-then-closed versions
+      (2L, "w1", "U", 1L), (2L, "w1", "D", 2L),             // closed by a tombstone
+      (3L, "x1", "D", 1L), (3L, "x2", "U", 2L))             // D first, then a fresh version
+      .toDF("k", "payload", "op", "seq")
+    val out = Upsert.scd2FromCdc(feed, Seq("k"), "op", "seq")
+      .orderBy("k", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4))).toSeq
+    assert(out == Seq(
+      (1L, "v1", 1L, 2L, false), (1L, "v2", 2L, -1L, true),
+      (2L, "w1", 1L, 2L, false),                  // closed at the D's seq, no current row
+      (3L, "x2", 2L, -1L, true)))                 // the D emitted nothing
+  }
+
   test("upsert is idempotent: re-applying the same batch changes nothing") {
     val base = Seq(("e1", 1L, "a"), ("e2", 2L, "b")).toDF("event_id", "v", "payload")
     val batch = Seq(("e2", 3L, "b2"), ("e3", 1L, "c")).toDF("event_id", "v", "payload")
