@@ -862,6 +862,13 @@ object SparkEntry {
         .orderBy(col("n_occurrences").desc, col("gram").asc)
     }),
 
+    // per-document k-gram novelty: fraction of the doc's distinct
+    // 4-grams appearing in no other document — the prune-ranking score
+    "q_text_novelty" -> ((s, dir) => {
+      Dedup.noveltyScore(t(s, dir, "documents"), "doc_id", "text", k = 4)
+        .orderBy("doc_id")
+    }),
+
     // exact-substring span dedup (Lee et al. 2022): maximal 1-based token
     // spans covered by any word 4-gram occurring >= 2 times corpus-wide
     // (counting repeats within a document)
@@ -3230,6 +3237,19 @@ object SparkEntry {
               g AS (SELECT doc_id, array_to_string(ts[p0:p0+3], ' ') AS gram FROM pos)
          SELECT gram, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
          FROM g GROUP BY gram ORDER BY n_occurrences DESC, gram LIMIT 20""",
+
+    "q_text_novelty" ->
+      """WITH docs AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+                       FROM documents),
+              pos AS (SELECT doc_id, unnest(range(1, len(ts) - 2))::BIGINT AS p0, ts FROM docs),
+              g AS (SELECT doc_id, array_to_string(ts[p0:p0+3], ' ') AS gram FROM pos),
+              dg AS (SELECT DISTINCT doc_id, gram FROM g),
+              f AS (SELECT gram, COUNT(*) AS n_docs FROM dg GROUP BY gram)
+         SELECT dg.doc_id, COUNT(*) AS n_grams,
+                CAST(SUM(CASE WHEN n_docs = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+                CAST(SUM(CASE WHEN n_docs = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                  / COUNT(*) AS novelty
+         FROM dg JOIN f USING (gram) GROUP BY dg.doc_id ORDER BY doc_id""",
 
     "q_text_inverted_index" ->
       """WITH tk AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term

@@ -797,6 +797,37 @@ object Dedup {
       .limit(topN)
   }
 
+  /** Per-document k-gram NOVELTY — the duplication-contamination score a
+    * corpus owner ranks by before pruning: for each document, the
+    * fraction of its DISTINCT word k-grams that appear in no other
+    * document (df = 1 across the corpus). A boilerplate-heavy or
+    * near-duplicated document scores near 0, genuinely fresh text near
+    * 1 — the per-document complement of [[topDuplicatedGrams]]'s
+    * corpus-level view. Two exchanges: one gram-keyed (distinct + df
+    * window over (doc, gram) rows), one doc-keyed aggregate; novelty is
+    * one IEEE division of exact counts.
+    */
+  def noveltyScore(df: DataFrame, idCol: String, textCol: String,
+                   k: Int): DataFrame = {
+    require(k >= 1)
+    val docGram = Stage.spread(df)
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= k)
+      .select(col(idCol),
+        explode(sequence(lit(1), size(col("__t")) - (k - 1))).as("__i"),
+        col("__t"))
+      .select(col(idCol),
+        concat_ws(" ", slice(col("__t"), col("__i"), lit(k))).as("gram"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("gram")
+    docGram.withColumn("__df", count(lit(1)).over(w))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+           sum(when(col("__df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_grams"))
+  }
+
   /** Maximal duplicated spans per document: contiguous runs of token
     * positions covered by some corpus-duplicated k-gram, as
     * (id, span_start, span_end, span_len) with 1-based inclusive token

@@ -304,6 +304,21 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq(("a b", 3L, 2L), ("b c", 2L, 2L), ("b a", 1L, 1L)))
   }
 
+  test("noveltyScore: duplicated docs score 0, fresh 1, mixed by gram fraction") {
+    val docs = Seq(
+      (1L, "x y z w q"),          // identical to doc 2 → every gram shared
+      (2L, "x y z w q"),
+      (3L, "fresh words only here now"), // all grams unique → 1.0
+      (4L, "x y z w end"))        // "x y z w" shared, "y z w end" unique → 0.5
+      .toDF("doc_id", "text")
+    val got = Dedup.noveltyScore(docs, "doc_id", "text", k = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq(
+      (1L, 2L, 0L, 0.0), (2L, 2L, 0L, 0.0),
+      (3L, 2L, 2L, 1.0), (4L, 2L, 1L, 0.5)))
+  }
+
   test("removeDuplicateSpans cuts covered tokens, keeps unique docs verbatim") {
     val out = Dedup.removeDuplicateSpans(spanDocs.toDF("doc_id", "text"),
         "doc_id", "text", k = 3)
