@@ -1568,6 +1568,24 @@ object SparkEntry {
         .orderBy("rule")
     }),
 
+    // the admission-control gate on the CORPUS tables: text presence,
+    // cross-column consistency (n_chars must equal length(text) — a rule
+    // shape the orders gate doesn't exercise), vocab/range rules, key
+    // uniqueness, and corpus↔embedding alignment (every doc embedded)
+    "q_quality_corpus" -> ((s, dir) => {
+      Expectations.report(t(s, dir, "documents"), Seq(
+          Expectations.notNull("text"),
+          Expectations.RowRule("text_nonempty", length(col("text")) > 0),
+          Expectations.RowRule("nchars_consistent",
+            col("n_chars") === length(col("text"))),
+          Expectations.inSet("lang", Seq("en", "de", "fr", "es")),
+          Expectations.inRange("n_chars", 1, 100000),
+          Expectations.Unique("unique_doc_id", Seq("doc_id")),
+          Expectations.RefIntegrity("doc_has_embedding", "doc_id",
+            t(s, dir, "embeddings"), "vec_id")))
+        .orderBy("rule")
+    }),
+
     // quarantine-with-attribution dual: offending rows + every rule they
     // failed, comma-joined — map-side filter+project only
     "q_quality_quarantine" -> ((s, dir) => {
@@ -4594,6 +4612,37 @@ object SparkEntry {
            SELECT 'lineitem_partkey_in_part', (SELECT COUNT(*) FROM lineitem),
                   (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
                      (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+         ) ORDER BY rule""",
+
+    "q_quality_corpus" ->
+      """SELECT * FROM (
+           SELECT 'not_null_text' AS rule,
+                  (SELECT COUNT(*) FROM documents) AS n_checked,
+                  (SELECT COUNT(*) FROM documents WHERE text IS NULL) AS n_violations
+           UNION ALL
+           SELECT 'text_nonempty', (SELECT COUNT(*) FROM documents),
+                  (SELECT COUNT(*) FROM documents
+                   WHERE text IS NULL OR NOT (length(text) > 0))
+           UNION ALL
+           SELECT 'nchars_consistent', (SELECT COUNT(*) FROM documents),
+                  (SELECT COUNT(*) FROM documents
+                   WHERE text IS NULL OR n_chars IS NULL
+                      OR NOT (n_chars = length(text)))
+           UNION ALL
+           SELECT 'in_set_lang', (SELECT COUNT(*) FROM documents),
+                  (SELECT COUNT(*) FROM documents
+                   WHERE lang IS NULL OR lang NOT IN ('en', 'de', 'fr', 'es'))
+           UNION ALL
+           SELECT 'in_range_n_chars', (SELECT COUNT(*) FROM documents),
+                  (SELECT COUNT(*) FROM documents
+                   WHERE n_chars IS NULL OR n_chars < 1 OR n_chars > 100000)
+           UNION ALL
+           SELECT 'unique_doc_id', (SELECT COUNT(*) FROM documents),
+                  (SELECT COUNT(*) - COUNT(DISTINCT doc_id) FROM documents)
+           UNION ALL
+           SELECT 'doc_has_embedding', (SELECT COUNT(*) FROM documents),
+                  (SELECT COUNT(*) FROM documents d WHERE NOT EXISTS
+                     (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id))
          ) ORDER BY rule""",
 
     "q_quality_quarantine" ->
