@@ -575,6 +575,27 @@ object SparkEntry {
         .orderBy("rnum")
     }),
 
+    // F1 at the oracle tier (round-8 verdict #8 — the last §2 id whose
+    // evidence was spec-only): the camelCase→snake_case rename asserted
+    // RELATIONALLY by emitting the renamed schema as data. Covers the
+    // rule's boundary cases — no-op lowercase, two-step acronym runs
+    // (rankOldAndNew), short trailing groups (movieCd), and the
+    // digit→Upper boundary (seat2Cnt) — against a literal VALUES oracle
+    // of the names utils.py:4-9 would produce.
+    "q_f1_snake_schema" -> ((s, dir) => {
+      import s.implicits._
+      val camel = s.range(1).select(
+        lit(1L).as("rnum"), lit(0L).as("rankInten"),
+        lit("OLD").as("rankOldAndNew"), lit("20240001").as("movieCd"),
+        lit(1L).as("salesAmt"), lit(45.5).as("salesShare"),
+        lit(1L).as("audiAcc"), lit(1L).as("showCnt"), lit(1L).as("seat2Cnt"))
+      graft.sources.KobisSource.snakeCased(camel)
+        .columns.zipWithIndex
+        .map { case (c, i) => (i, c) }.toSeq
+        .toDF("ord", "column_name")
+        .orderBy("ord")
+    }),
+
     // S2/S9 movie-list source adapter at the oracle tier: two page
     // fixtures in ONE multi-path scan (the collapsed pagination loop),
     // falsy-dropping directors/companys array extraction → compact JSON,
@@ -1009,7 +1030,13 @@ object SparkEntry {
     // (the corpus-gate dual pattern, extended to the multimodal surface)
     "q_stream_multimodal_ahash" -> ((s, dir) => {
       val corpus = ahashCorpus(s, dir)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_mmstream_").toString
+      // fixed per-sf path, cleared on entry (the q_stream_cdc_merge
+      // pattern) — a fresh createTempDirectory per run would accumulate
+      // parquet batches across harness runs (round-8 advice)
+      val tmp = s"/tmp/graft_mmstream_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fsRoot = new org.apache.hadoop.fs.Path(tmp)
+      fsRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(fsRoot, true)
       val streamDir = new java.io.File(s"$tmp/media"); streamDir.mkdirs()
       def emitFile(df: DataFrame, name: String, modMs: Long): Unit = {
         val stage = s"$tmp/stage_$name"
@@ -1810,7 +1837,11 @@ object SparkEntry {
       val (lo, hi) = (bounds.getInt(0), bounds.getInt(1))
       val c1 = lo + (hi - lo) / 3
       val c2 = lo + 2 * (hi - lo) / 3
-      val tmp = java.nio.file.Files.createTempDirectory("graft_gapfill_").toString
+      // fixed per-sf path, cleared on entry (see q_stream_multimodal_ahash)
+      val tmp = s"/tmp/graft_gapfill_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fsRoot = new org.apache.hadoop.fs.Path(tmp)
+      fsRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(fsRoot, true)
       val streamDir = new java.io.File(s"$tmp/obs"); streamDir.mkdirs()
       def emitFile(df: DataFrame, name: String, modMs: Long): Unit = {
         val stage = s"$tmp/stage_$name"
@@ -1928,7 +1959,11 @@ object SparkEntry {
       val d1 = mx / 3
       val d2 = (2 * mx) / 3
       val ttlSecs = (d1 * 4 / 10) * 60 + 30
-      val tmp = java.nio.file.Files.createTempDirectory("graft_neardup_ttl_").toString
+      // fixed per-sf path, cleared on entry (see q_stream_multimodal_ahash)
+      val tmp = s"/tmp/graft_neardup_ttl_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fsRoot = new org.apache.hadoop.fs.Path(tmp)
+      fsRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(fsRoot, true)
       val streamDir = new java.io.File(s"$tmp/docs"); streamDir.mkdirs()
       def emitFile(df: DataFrame, name: String, modMs: Long): Unit = {
         val stage = s"$tmp/stage_$name"
@@ -2274,7 +2309,8 @@ object SparkEntry {
   private val CovarianceOracle =
     """WITH ser AS (SELECT unnest(generate_series(1, 64)) AS i),
             e AS (SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS x
-                  FROM embeddings CROSS JOIN ser WHERE i <= len(embedding)),
+                  FROM embeddings CROSS JOIN ser
+                  WHERE i <= len(embedding) AND len(embedding) = 64),
             p AS (SELECT a.i AS i, b.i AS j, COUNT(*) AS n,
                          SUM(CAST(a.x * b.x AS DECIMAL(38,18))) AS s_ij
                   FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i
@@ -3014,6 +3050,15 @@ object SparkEntry {
               sales_share, audi_cnt, audi_change, scrn_cnt, show_cnt,
               elapsed_dt)
          ORDER BY rnum""",
+
+    "q_f1_snake_schema" ->
+      """SELECT * FROM (VALUES
+           (CAST(0 AS INTEGER), 'rnum'), (1, 'rank_inten'),
+           (2, 'rank_old_and_new'), (3, 'movie_cd'), (4, 'sales_amt'),
+           (5, 'sales_share'), (6, 'audi_acc'), (7, 'show_cnt'),
+           (8, 'seat2_cnt'))
+         AS t(ord, column_name)
+         ORDER BY ord""",
 
     // S2: M2 dropped (adult genre), M3 dropped (no directors), M5 dropped
     // (blank English title); M4's null title/date survive as NULLs
@@ -4270,7 +4315,8 @@ object SparkEntry {
       """WITH ser AS (SELECT unnest(generate_series(1, 64)) AS i),
               e AS (SELECT label, i,
                            CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS x
-                    FROM embeddings CROSS JOIN ser WHERE i <= len(embedding)),
+                    FROM embeddings CROSS JOIN ser
+                    WHERE i <= len(embedding) AND len(embedding) = 64),
               g AS (SELECT label, i, COUNT(*) AS n,
                            SUM(CAST(x AS DECIMAL(38,18))) AS s
                     FROM e GROUP BY 1, 2)

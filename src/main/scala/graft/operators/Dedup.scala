@@ -349,13 +349,20 @@ object Dedup {
     // source (chains are gone) and every source has exactly one root.
     // A star forest oriented (bigger, smaller) necessarily roots each
     // star at its component MINIMUM — which is why the check certifies
-    // the answer, not just a fixpoint. Two O(|E|) probe jobs per round.
+    // the answer, not just a fixpoint. ONE fused probe job per round
+    // (round-8 verdict #2; was two): tag each edge endpoint with its
+    // role, group once by node, and a node violates iff it has >1
+    // outgoing edge (multi-out) or is both a source and a target
+    // (chained) — the same two predicates the old per-predicate jobs
+    // checked, now sharing a single shuffle over the checkpointed
+    // blocks.
     def isStarForest(ed: DataFrame): Boolean = {
-      val multiOut = ed.groupBy("a").agg(count(lit(1)).as("c"))
-        .filter(col("c") > 1)
-      val chained = ed.select(col("b")).distinct()
-        .join(ed.select(col("a").as("b")).distinct(), "b")
-      multiOut.isEmpty && chained.isEmpty
+      val roles = ed.select(col("a").as("n"), lit(1L).as("s"), lit(0L).as("t"))
+        .union(ed.select(col("b").as("n"), lit(0L).as("s"), lit(1L).as("t")))
+      roles.groupBy("n")
+        .agg(sum(col("s")).as("sc"), sum(col("t")).as("tc"))
+        .filter(col("sc") > 1 || (col("sc") > 0 && col("tc") > 0))
+        .isEmpty
     }
     var iter = 0
     var done = isStarForest(e)

@@ -111,10 +111,14 @@ object FuzzyMatch {
       .withColumn("__qn", normalizeTitle(col(qCol)))
     val cand = candidates.select(col(candCol)).distinct()
       .filter(length(col(candCol)) > 0)
-    val scored = q.crossJoin(Hints.bcast(cand))
+    // LEFT cross join, not crossJoin: with zero candidates every query
+    // row must still reach phase 4 (matched = the query itself) instead
+    // of vanishing — the bestMatch/phasedBestMatch fallback contract
+    // (round-8 advice)
+    val scored = q.join(Hints.bcast(cand), lit(true), "left")
       .withColumn("__d", levenshtein(col("__qn"), col(candCol)))
     val w = Window.partitionBy(queries.columns.map(col).toIndexedSeq: _*).orderBy(
-      col("__d").asc, length(col(candCol)).asc, col(candCol).asc)
+      col("__d").asc_nulls_last, length(col(candCol)).asc, col(candCol).asc)
     val best = scored.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .withColumn("matched",

@@ -47,6 +47,21 @@ object Multimodal {
     java.security.MessageDigest.getInstance("MD5")
       .digest(bytes).map("%02x".format(_)).mkString
 
+  /** Exact `a*b > c*d` for NON-NEGATIVE longs via 128-bit products —
+    * the aHash / audio-fingerprint thresholds multiply a per-cell sum by
+    * the total sample count, which overflows a Long around 1.3e8 PCM
+    * samples / 8.7e8 pixels and would silently flip hash bits
+    * (round-8 advice). `Math.multiplyHigh` is the signed high word,
+    * which equals the unsigned one when both operands are ≥ 0 — true
+    * for every call site (sums of non-negative intensities, counts).
+    */
+  private[graft] def mulGt(a: Long, b: Long, c: Long, d: Long): Boolean = {
+    val hi1 = Math.multiplyHigh(a, b); val lo1 = a * b
+    val hi2 = Math.multiplyHigh(c, d); val lo2 = c * d
+    if (hi1 != hi2) hi1 > hi2
+    else java.lang.Long.compareUnsigned(lo1, lo2) > 0
+  }
+
   /** Decode/feature-extract over a media DataFrame with columns
     * (doc_id LONG, media_type STRING, blob BINARY). Payloads a real JDK
     * ImageIO reader recognizes (magic-byte match) get REAL dimensions
@@ -246,7 +261,7 @@ object Multimodal {
           val bands = new Array[Int](4)
           var c = 0
           while (c < 64) {
-            if (cellSum(c) * n > total * cellCnt(c))
+            if (mulGt(cellSum(c), n, total, cellCnt(c)))
               bands(c / 16) |= 1 << (c % 16)
             c += 1
           }
@@ -332,7 +347,7 @@ object Multimodal {
             val bands = new Array[Int](4)
             var c = 0
             while (c < 64) {
-              if (winCnt(c) > 0 && winSum(c) * n > total * winCnt(c))
+              if (winCnt(c) > 0 && mulGt(winSum(c), n, total, winCnt(c)))
                 bands(c / 16) |= 1 << (c % 16)
               c += 1
             }

@@ -68,6 +68,13 @@ object Upsert {
       .drop(opCol, seqCol)
   }
 
+  /** Feed contract: (keys, seqCol) SHOULD be unique per feed — a log
+    * assigns one sequence per change. If a malformed feed carries two
+    * ops for one key at one sequence, the outcome is still
+    * deterministic (round-8 advice): the final tie-break prefers the
+    * stronger statement D > U > I, independent of partitioning/arrival
+    * order, instead of leaving row_number to pick arbitrarily.
+    */
   def applyCdc(store: DataFrame, changes: DataFrame, keys: Seq[String],
                opCol: String, seqCol: String): DataFrame = {
     val tagged = changes.withColumn("__is_fresh", lit(1))
@@ -76,8 +83,10 @@ object Upsert {
           .withColumn(seqCol, lit(Long.MinValue))
           .withColumn("__is_fresh", lit(0)),
         allowMissingColumns = true)
+    val opRank = when(col(opCol) === "D", 2)
+      .when(col(opCol) === "U", 1).otherwise(0)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(seqCol).desc, col("__is_fresh").desc)
+      .orderBy(col(seqCol).desc, col("__is_fresh").desc, opRank.desc)
     tagged.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && col(opCol) =!= "D")
       .drop("__rn", "__is_fresh", opCol, seqCol)

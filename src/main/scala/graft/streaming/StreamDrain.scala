@@ -51,10 +51,26 @@ object StreamDrain {
     // of row volume — a stream-stream join carries 4 stores per
     // partition, so the session's batch-tuned fan-out of 32 costs 128
     // commits per batch of fixed overhead against the bounded testdata.
-    // The drain pins a smaller fan-out for the harness run and restores
-    // the session conf after; a production deployment sizes this to key
-    // cardinality exactly like batch shuffle partitions.
-    val confs = Map("spark.sql.shuffle.partitions" -> "8") ++ extraConfs
+    // The drain sizes the fan-out to the INPUT (round-8 verdict #4):
+    // one state partition per 64 MB of source bytes, clamped to [1, 8]
+    // — bounded harness drains get 1–2 partitions instead of a fixed 8,
+    // cutting per-batch commit files 4–8× with identical results (state
+    // keying is partition-count-independent). Safe here ONLY because
+    // drains are checkpoint-free end-to-end replays: an existing
+    // checkpoint pins its partition count forever, so a production
+    // stream must size this once at first start, not per run. Callers
+    // can still override via extraConfs (applied after).
+    val fsIn = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val inputBytes =
+      try {
+        val matched = Option(fsIn.globStatus(new org.apache.hadoop.fs.Path(globbed)))
+          .getOrElse(Array.empty)
+        matched.iterator.flatMap { st =>
+          if (st.isDirectory) fsIn.listStatus(st.getPath).iterator else Iterator(st)
+        }.map(_.getLen).sum
+      } catch { case _: Exception => Long.MaxValue } // unsized → max fan-out
+    val sized = math.max(1L, math.min(8L, (inputBytes + (64L << 20) - 1) / (64L << 20)))
+    val confs = Map("spark.sql.shuffle.partitions" -> sized.toString) ++ extraConfs
     // a fresh SessionState initializes from builder-time SparkConf, NOT
     // the caller's runtime `conf.set` overrides — re-pin the one runtime
     // conf the oracle agreement depends on (UTC timestamp arithmetic)

@@ -95,4 +95,32 @@ class AtomicStoreSpec extends SparkSpec {
     val cds = spark0.read.parquet(path).select("movie_cd").as[String].collect().sorted
     assert(cds.toSeq == Seq("m3", "m4"))
   }
+
+  test("a second concurrent writer fails loudly at the lock, store intact " +
+      "(round-8 verdict #5)") {
+    val path = tmp()
+    AtomicStore.overwrite(Seq(1).toDF("v"), path)
+    // writer A holds the lock (simulated: lock file present mid-write)
+    assert(new java.io.File(path + ".lock").createNewFile())
+    val e = intercept[java.io.IOException] {
+      AtomicStore.overwrite(Seq(2).toDF("v"), path)
+    }
+    assert(e.getMessage.contains("concurrent writer"))
+    // the failed attempt neither swapped nor clobbered writer A's lock
+    assert(spark.read.parquet(path).as[Int].collect().toSeq == Seq(1))
+    assert(new java.io.File(path + ".lock").exists())
+    new java.io.File(path + ".lock").delete()
+  }
+
+  test("recover clears a crashed writer's stale lock; next write proceeds") {
+    val path = tmp()
+    AtomicStore.overwrite(Seq(1).toDF("v"), path)
+    assert(new java.io.File(path + ".lock").createNewFile())
+    AtomicStore.recover(spark, path)
+    assert(!new java.io.File(path + ".lock").exists())
+    AtomicStore.overwrite(Seq(2).toDF("v"), path)
+    assert(spark.read.parquet(path).as[Int].collect().toSeq == Seq(2))
+    // and a clean overwrite releases its own lock
+    assert(!new java.io.File(path + ".lock").exists())
+  }
 }

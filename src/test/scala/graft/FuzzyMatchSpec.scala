@@ -48,6 +48,17 @@ class FuzzyMatchSpec extends SparkSpec {
                       ("zzzzzz", "zzzzzz", -1)))
   }
 
+  test("bestMatchByEditDistance: EMPTY candidate set still emits every " +
+      "query via the phase-4 fallback (round-8 advice)") {
+    val probes = Seq("kitten", "zzzzzz").toDF("probe")
+    val empty = Seq.empty[String].toDF("name")
+    val out = FuzzyMatch.bestMatchByEditDistance(probes, "probe", empty, "name")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.isNullAt(2)))
+      .sortBy(_._1).toSeq
+    assert(out == Seq(("kitten", "kitten", true), ("zzzzzz", "zzzzzz", true)))
+  }
+
   test("tie-break is deterministic: shorter then lexicographic candidate") {
     val queries = Seq("abcd").toDF("title")
     val movies = Seq("ab", "cd", "bc").toDF("movie_nm")  // equal length diff

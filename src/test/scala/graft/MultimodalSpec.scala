@@ -164,4 +164,25 @@ class MultimodalSpec extends SparkSpec {
     // every sample is covered: last chunk ends exactly at totalSamples
     assert(chunks.last.getAs[Long]("start_sample") + chunks.last.getAs[Int]("n_samples") == 10)
   }
+
+  test("aHash threshold arithmetic is overflow-exact (round-8 advice): " +
+      "mulGt matches BigInteger on 128-bit products") {
+    import java.math.BigInteger
+    def ref(a: Long, b: Long, c: Long, d: Long): Boolean =
+      BigInteger.valueOf(a).multiply(BigInteger.valueOf(b))
+        .compareTo(BigInteger.valueOf(c).multiply(BigInteger.valueOf(d))) > 0
+    // the overflow regime the old Long math silently wrapped in:
+    // ~1.3e8 PCM samples / ~8.7e8 pixels pushes sum*n past 2^63
+    val cases = Seq(
+      (765L * 870000000L, 870000000L, 765L * 870000000L * 64L, 870000000L / 64L),
+      (Long.MaxValue / 3, 7L, Long.MaxValue / 3, 7L),           // exact tie
+      (Long.MaxValue / 3, 7L, Long.MaxValue / 3, 6L),
+      (32767L * 140000000L, 140000000L, 32767L * 139999999L, 140000001L),
+      (0L, 5L, 0L, 9L), (1L, 1L, 0L, 0L),
+      ((1L << 62) + 3L, 4L, (1L << 62) + 2L, 4L))               // hi equal, lo differs
+    cases.foreach { case (a, b, c, d) =>
+      assert(Multimodal.mulGt(a, b, c, d) == ref(a, b, c, d), s"($a,$b,$c,$d)")
+      assert(Multimodal.mulGt(c, d, a, b) == ref(c, d, a, b), s"($c,$d,$a,$b)")
+    }
+  }
 }
