@@ -1025,6 +1025,18 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // two-stage retrieval at the oracle tier: the SAME deterministic ADC
+    // chain shortlists 10 per query, then the exact fixed-point cosine
+    // reranks — the production shortlist-then-rerank shape whose trained
+    // face (ivfPqRerankTopK) carries the bench recall metric
+    "q_sim_ivfpq_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfPqAdcRerankDeterministic(emb.filter(col("vec_id") < 5), emb,
+          "vec_id", "embedding", dim = 64, nCells = 16, m = 4, ksub = 4,
+          k = 3, rerank = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     // LSH-bucketed ANN top-3 (8 sign-projection planes) — the scale path
     "q_sim_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -2378,6 +2390,60 @@ object SparkEntry {
                   * (CAST(CAST(sj.s AS VARCHAR) AS DOUBLE) / p.n) AS cov
        FROM p JOIN s1 si ON si.i = p.i JOIN s1 sj ON sj.i = p.j
        ORDER BY i, j"""
+
+  /** The deterministic IVF-PQ ADC pipeline as CTEs ending at the ranked
+    * shortlist `r` — shared by `q_sim_ivfpq_adc` (rank ≤ 3 head) and
+    * `q_sim_ivfpq_rerank` (rank ≤ 10 shortlist reranked by exact
+    * cosine): one chain, two retrieval depths.
+    */
+  private val IvfPqAdcCoreSql =
+    """WITH ser AS (SELECT unnest(generate_series(1, 64)) AS i),
+              es AS (SELECT vec_id, i,
+                            CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS x,
+                            (i - 1) // 16 AS s
+                     FROM embeddings CROSS JOIN ser WHERE i <= len(embedding)),
+              nrm AS (SELECT vec_id, sqrt(CAST(SUM(x * x) AS DOUBLE)) AS nrm
+                      FROM es GROUP BY vec_id),
+              adots AS (SELECT v.vec_id, c.vec_id AS centroid_id, SUM(v.x * c.x) AS dot
+                        FROM es v JOIN es c ON c.i = v.i AND c.vec_id < 16
+                        GROUP BY 1, 2),
+              asg AS (SELECT vec_id, centroid_id
+                      FROM (SELECT a.vec_id, a.centroid_id,
+                                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                     ORDER BY round(CAST(a.dot AS DOUBLE) / (nv.nrm * nc.nrm), 6) DESC,
+                                              a.centroid_id) AS rn
+                            FROM adots a
+                            JOIN nrm nv ON nv.vec_id = a.vec_id
+                            JOIN nrm nc ON nc.vec_id = a.centroid_id) t
+                      WHERE rn = 1),
+              cent AS (SELECT vec_id AS cid, s, i, x FROM es WHERE vec_id < 4),
+              d2 AS (SELECT v.vec_id, v.s, c.cid,
+                            SUM(CAST(CAST(v.x - c.x AS DECIMAL(18,9))
+                                     * CAST(v.x - c.x AS DECIMAL(18,9))
+                                     AS DECIMAL(38,18))) AS d2
+                     FROM es v JOIN cent c ON v.i = c.i
+                     GROUP BY 1, 2, 3),
+              code AS (SELECT vec_id, s, cid
+                       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                               ORDER BY d2, cid) AS rn FROM d2)
+                       WHERE rn = 1),
+              q AS (SELECT vec_id AS query_id, centroid_id FROM asg WHERE vec_id < 5),
+              cand AS (SELECT q.query_id, a.vec_id AS cand_id, q.centroid_id
+                       FROM q JOIN asg a ON a.centroid_id = q.centroid_id
+                                        AND a.vec_id <> q.query_id),
+              adc AS (SELECT cand.query_id, cand.cand_id, cand.centroid_id,
+                             SUM(CAST(qe.x * c.x AS DECIMAL(38,18))) AS adot
+                      FROM cand
+                      JOIN es qe ON qe.vec_id = cand.query_id
+                      JOIN code cd ON cd.vec_id = cand.cand_id AND cd.s = qe.s
+                      JOIN cent c ON c.cid = cd.cid AND c.s = qe.s AND c.i = qe.i
+                      GROUP BY 1, 2, 3),
+              r AS (SELECT query_id, centroid_id, cand_id,
+                           round(CAST(adot AS DOUBLE), 6) AS approx_dot,
+                           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY round(CAST(adot AS DOUBLE), 6) DESC, cand_id)
+                             AS INTEGER) AS rank
+                    FROM adc)"""
 
   /** Shared by `q_timeseries_fill` (batch) and `q_stream_timeseries_fill`
     * (drained streaming dual) — one oracle text, two execution models.
@@ -3804,55 +3870,31 @@ object SparkEntry {
          FROM r WHERE rank <= 3 ORDER BY query_id, rank""",
 
     "q_sim_ivfpq_adc" ->
-      """WITH ser AS (SELECT unnest(generate_series(1, 64)) AS i),
-              es AS (SELECT vec_id, i,
-                            CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS x,
-                            (i - 1) // 16 AS s
-                     FROM embeddings CROSS JOIN ser WHERE i <= len(embedding)),
-              nrm AS (SELECT vec_id, sqrt(CAST(SUM(x * x) AS DOUBLE)) AS nrm
-                      FROM es GROUP BY vec_id),
-              adots AS (SELECT v.vec_id, c.vec_id AS centroid_id, SUM(v.x * c.x) AS dot
-                        FROM es v JOIN es c ON c.i = v.i AND c.vec_id < 16
-                        GROUP BY 1, 2),
-              asg AS (SELECT vec_id, centroid_id
-                      FROM (SELECT a.vec_id, a.centroid_id,
-                                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
-                                     ORDER BY round(CAST(a.dot AS DOUBLE) / (nv.nrm * nc.nrm), 6) DESC,
-                                              a.centroid_id) AS rn
-                            FROM adots a
-                            JOIN nrm nv ON nv.vec_id = a.vec_id
-                            JOIN nrm nc ON nc.vec_id = a.centroid_id) t
-                      WHERE rn = 1),
-              cent AS (SELECT vec_id AS cid, s, i, x FROM es WHERE vec_id < 4),
-              d2 AS (SELECT v.vec_id, v.s, c.cid,
-                            SUM(CAST(CAST(v.x - c.x AS DECIMAL(18,9))
-                                     * CAST(v.x - c.x AS DECIMAL(18,9))
-                                     AS DECIMAL(38,18))) AS d2
-                     FROM es v JOIN cent c ON v.i = c.i
-                     GROUP BY 1, 2, 3),
-              code AS (SELECT vec_id, s, cid
-                       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
-                               ORDER BY d2, cid) AS rn FROM d2)
-                       WHERE rn = 1),
-              q AS (SELECT vec_id AS query_id, centroid_id FROM asg WHERE vec_id < 5),
-              cand AS (SELECT q.query_id, a.vec_id AS cand_id, q.centroid_id
-                       FROM q JOIN asg a ON a.centroid_id = q.centroid_id
-                                        AND a.vec_id <> q.query_id),
-              adc AS (SELECT cand.query_id, cand.cand_id, cand.centroid_id,
-                             SUM(CAST(qe.x * c.x AS DECIMAL(38,18))) AS adot
-                      FROM cand
-                      JOIN es qe ON qe.vec_id = cand.query_id
-                      JOIN code cd ON cd.vec_id = cand.cand_id AND cd.s = qe.s
-                      JOIN cent c ON c.cid = cd.cid AND c.s = qe.s AND c.i = qe.i
-                      GROUP BY 1, 2, 3),
-              r AS (SELECT query_id, centroid_id, cand_id,
-                           round(CAST(adot AS DOUBLE), 6) AS approx_dot,
-                           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                             ORDER BY round(CAST(adot AS DOUBLE), 6) DESC, cand_id)
-                             AS INTEGER) AS rank
-                    FROM adc)
+      (IvfPqAdcCoreSql +
+      """
          SELECT query_id, centroid_id, cand_id, approx_dot, rank
-         FROM r WHERE rank <= 3 ORDER BY query_id, rank""",
+         FROM r WHERE rank <= 3 ORDER BY query_id, rank"""),
+
+    // the ADC shortlist (rank ≤ 10 from the SAME CTE chain) reranked by
+    // the exact fixed-point cosine — the two-stage retrieval oracle
+    "q_sim_ivfpq_rerank" ->
+      (IvfPqAdcCoreSql + """,
+              rr AS (SELECT query_id, cand_id FROM r WHERE rank <= 10),
+              ex AS (SELECT rr.query_id, rr.cand_id,
+                            round(CAST(SUM(a.x * b.x) AS DOUBLE)
+                                  / (na.nrm * nb.nrm), 6) AS cos_sim
+                     FROM rr
+                     JOIN es a ON a.vec_id = rr.query_id
+                     JOIN es b ON b.vec_id = rr.cand_id AND b.i = a.i
+                     JOIN nrm na ON na.vec_id = rr.query_id
+                     JOIN nrm nb ON nb.vec_id = rr.cand_id
+                     GROUP BY rr.query_id, rr.cand_id, na.nrm, nb.nrm),
+              fin AS (SELECT query_id, cand_id, cos_sim,
+                             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, cand_id) AS INTEGER) AS rank
+                      FROM ex)
+         SELECT query_id, cand_id, cos_sim, rank
+         FROM fin WHERE rank <= 3 ORDER BY query_id, rank"""),
 
     "q_sim_int8_topk" ->
       """WITH ser AS (SELECT unnest(generate_series(1, 64)) AS i),

@@ -558,4 +558,46 @@ class SimilaritySpec extends SparkSpec {
     assert(e.getMessage.contains("length") ||
       Option(e.getCause).exists(_.getMessage.contains("length")))
   }
+
+  test("ivfPqRerankTopK: with exhaustive probe + corpus-wide shortlist the " +
+      "rerank output EQUALS brute force (the rerank stage is exact)") {
+    import spark.implicits._
+    val dim = 8
+    val vecs = (0L until 24L).map { i =>
+      val v = Array.tabulate(dim)(d =>
+        (math.cos(0.7 * i + 1.3 * d) * 0.5).toFloat)
+      (i, v)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 4)
+    def sets(r: Array[org.apache.spark.sql.Row]) =
+      r.groupBy(_.getLong(0)).view
+        .mapValues(_.sortBy(x => x.getInt(x.fieldIndex("rank")))
+          .map(x => x.getLong(x.fieldIndex("cand_id"))).toSeq).toMap
+    val exact = sets(Similarity.bruteForceTopK(queries, df,
+      "vec_id", "embedding", k = 3).collect())
+    val rr = sets(Similarity.ivfPqRerankTopK(df, queries,
+      "vec_id", "embedding", dim = dim, nCells = 2, m = 4, ksub = 4,
+      iters = 3, k = 3, nProbe = 2, rerank = 24).collect())
+    // nProbe = nCells and rerank = |corpus| remove both approximation
+    // stages, so the EXACT rerank must reproduce brute force order
+    // including rank order (ties broken by cand_id in both)
+    assert(rr == exact, s"rerank diverged from brute force: $rr vs $exact")
+    graft.operators.OpCache.clear()
+  }
+
+  test("trained IVF-PQ + exact rerank holds the recall floor on the sf0.1 " +
+      "bench embeddings (round-8 verdict #6)") {
+    // The BENCH-CORPUS floor, not a toy fixture: near-isotropic vectors
+    // are ANN's adversarial case (no cluster structure, thin cosine
+    // margins), and plain ADC saturates at 0.3-0.5 recall@10 there —
+    // the exact rerank stage is what clears the bar. Deterministic
+    // given the data (seeded init, first-nCells centroids): measured
+    // 0.72 at the pinned operating point; the 0.65 floor leaves margin
+    // only against a testdata regeneration, not run-to-run noise.
+    val dir = "/root/testdata/sf0.1"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists(), s"$dir absent")
+    val r = Bench.ivfPqRecallAt10(spark, dir)
+    assert(r >= 0.65, s"trained IVF-PQ rerank recall@10 dropped to $r")
+  }
 }
