@@ -24,13 +24,24 @@ QUERIES = ["q_stream_neardup", "q_dedup_semantic", "q_dedup_clusters",
            "q_pipeline_corpus_prep", "q_text_tfidf",
            # round-8 additions: the decode-bound banded pair search and
            # the 3-batch covariance merge
-           "q_multimodal_audio_neardup", "q_sim_covariance_incremental"]
-SFS = ["0.001", "0.01", "0.1"]
+           "q_multimodal_audio_neardup", "q_sim_covariance_incremental",
+           # round-9 (verdict #1): the remaining heaviest families, now
+           # measurable on a DATA-dominated decade via the generated sf1
+           "q_dedup_corpus", "q_dedup_clusters_incremental",
+           "q_stream_neardup_ttl", "q_sim_ivfpq_adc",
+           "q_multimodal_image_neardup"]
+# sf1 is repo-generated (graft.GenData; the driver dirs are read-only) —
+# 6M lineitem / 50k documents / 20k embeddings, same recipe, measured
+# distribution match in SCALE.md. Its decade (0.1 -> 1) is the first one
+# where data, not per-run fixed overhead, dominates.
+SFS = ["0.001", "0.01", "0.1", "1"]
+SF_DIRS = {sf: (f"/root/repo/testdata/sf{sf}" if sf == "1"
+                else f"/root/testdata/sf{sf}") for sf in SFS}
 
 
 def run_sf(sf, passes):
     env = dict(os.environ,
-               SPARK_GRAFT_SF_DIR=f"/root/testdata/sf{sf}",
+               SPARK_GRAFT_SF_DIR=SF_DIRS[sf],
                SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS", "32"),
                SPARK_GRAFT_BENCH_PASSES=str(passes),
                SPARK_GRAFT_ONLY=",".join(QUERIES))
@@ -75,7 +86,7 @@ def main():
         alphas[q] = al
         print(row + "  " + " ".join(f"{a:14.2f}" for a in al))
     out["alphas"] = alphas
-    path = os.path.join(REPO, "tools", "scaling_r08.json")
+    path = os.path.join(REPO, "tools", "scaling_r09.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"\nwrote {path}")
