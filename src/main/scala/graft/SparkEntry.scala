@@ -1141,11 +1141,13 @@ object SparkEntry {
     // connected components → cluster labels (same star-contraction
     // machinery as text dedup; the oracle walks the closed-form pair
     // set with a recursive CTE)
+    // the LINEAR cluster path (round-9: representatives + member edges,
+    // never the Θ(Σ group²) pair set) against the SAME oracle that the
+    // full-pair-graph clustering passed — the plan swap is hash-proven
+    // output-identical
     "q_multimodal_dedup_clusters" -> ((s, dir) => {
-      val pairs = Multimodal.imageNearDupPairs(s,
+      Multimodal.mediaDedupClusters(s,
           Multimodal.imageAHashBands(s, ahashCorpus(s, dir)), tau = 8)
-        .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
-      Dedup.connectedComponents(pairs, "id_a", "id_b")
         .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
         .orderBy("doc_id")
     }),

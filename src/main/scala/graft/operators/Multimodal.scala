@@ -281,26 +281,89 @@ object Multimodal {
     */
   def imageNearDupPairs(spark: SparkSession, hashes: DataFrame,
                         tau: Int): DataFrame = {
-    // the hash frame is referenced EIGHT times (two sides × four band
-    // joins) — without a persist each reference re-runs the upstream
-    // DECODE pass over every payload (measured 8× the corpus decode
-    // cost at sf0.1). The hash table is ~16 bytes/item; pin it once.
+    // the hash frame is referenced several times — without a persist
+    // each reference re-runs the upstream DECODE pass over every
+    // payload (measured 8× the corpus decode cost at sf0.1). The hash
+    // table is ~16 bytes/item; pin it once.
     val hs = OpCache.persist(hashes.filter(col("b0") >= 0))
-    val a = hs.select(col("doc_id").as("doc_a"),
-      col("b0").as("a0"), col("b1").as("a1"),
+    // DISTINCT-SIGNATURE plan (round-9 sf1 measurement: the naive
+    // doc×doc band joins went α≈1.2 super-linear on the duplicate-heavy
+    // synthetic corpus — every identical-hash group of size g fed g²
+    // rows through FOUR band joins plus a quadratic dropDuplicates).
+    // Identical signatures collapse first: the band joins and the
+    // Hamming verify run over the D distinct signatures only, then
+    // surviving signature pairs expand back to member doc pairs. The
+    // OUTPUT is unchanged and inherently Θ(Σ group²) on such corpora —
+    // that term is the contract of emitting every pair (named in
+    // SCALE.md); what this plan removes is the 4× candidate-generation
+    // and shuffle work riding on it. Identical-hash pairs are emitted
+    // directly from one equi-self-join at dist = 0.
+    val within = hs.select(col("doc_id").as("doc_a"), col("b0"), col("b1"),
+        col("b2"), col("b3"))
+      .join(hs.select(col("doc_id").as("doc_b"), col("b0"), col("b1"),
+        col("b2"), col("b3")), Seq("b0", "b1", "b2", "b3"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit(0).as("dist"))
+    val d = OpCache.persist(
+      hs.select("b0", "b1", "b2", "b3").dropDuplicates())
+    // (hi, lo) packs the 4×16-bit signature into two comparable longs —
+    // the strict order that dedups a signature pair across band joins
+    def hi(p: String) = (col(s"${p}0").cast("long") * 65536L + col(s"${p}1"))
+    def lo(p: String) = (col(s"${p}2").cast("long") * 65536L + col(s"${p}3"))
+    val da = d.select(col("b0").as("a0"), col("b1").as("a1"),
       col("b2").as("a2"), col("b3").as("a3"))
-    val b = hs.select(col("doc_id").as("doc_b"),
-      col("b0").as("c0"), col("b1").as("c1"),
+    val db = d.select(col("b0").as("c0"), col("b1").as("c1"),
       col("b2").as("c2"), col("b3").as("c3"))
-    val cands = (0 to 3).map { k =>
-      a.join(b, col("doc_a") < col("doc_b") &&
-        col(s"a$k") === col(s"c$k"))
-    }.reduce(_.unionByName(_)).dropDuplicates("doc_a", "doc_b")
+    val ordered = hi("a") < hi("c") || (hi("a") === hi("c") && lo("a") < lo("c"))
+    val hashPairs = (0 to 3).map { k =>
+      da.join(db, col(s"a$k") === col(s"c$k") && ordered)
+    }.reduce(_.unionByName(_))
+      .dropDuplicates("a0", "a1", "a2", "a3", "c0", "c1", "c2", "c3")
     val dist = (0 to 3).map(k =>
       bit_count(col(s"a$k").bitwiseXOR(col(s"c$k")))).reduce(_ + _)
-    cands.withColumn("dist", dist.cast("int"))
-      .filter(col("dist") <= tau)
-      .select("doc_a", "doc_b", "dist")
+    val survivors = hashPairs.withColumn("dist", dist.cast("int"))
+      .filter(col("dist") <= tau) // dist > 0 by construction: signatures differ
+    val cross = survivors
+      .join(hs.select(col("doc_id").as("__ida"), col("b0").as("a0"),
+        col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3")),
+        Seq("a0", "a1", "a2", "a3"))
+      .join(hs.select(col("doc_id").as("__idb"), col("b0").as("c0"),
+        col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3")),
+        Seq("c0", "c1", "c2", "c3"))
+      .select(least(col("__ida"), col("__idb")).as("doc_a"),
+        greatest(col("__ida"), col("__idb")).as("doc_b"), col("dist"))
+    within.unionByName(cross)
+  }
+
+  /** Near-dup CLUSTER labels without ever materializing the quadratic
+    * pair set — the scale-safe form the sf1 measurement demanded: on a
+    * corpus where many payloads are bit-identical (the common case a
+    * dedup pass exists to catch), the pair LIST is Θ(Σ group²) but the
+    * cluster STRUCTURE is linear. Identical signatures collapse to a
+    * min-id representative, the banded+Hamming search runs over
+    * representatives only, members attach by one (member → rep) edge
+    * each, and connected components label the union. Components of size
+    * 1 (docs in no real pair) are dropped, so the output row set —
+    * and every label, since min-id labeling is connectivity-determined
+    * — exactly equals clustering the full [[imageNearDupPairs]] output
+    * (the committed cluster oracle pins this equality).
+    */
+  def mediaDedupClusters(spark: SparkSession, hashes: DataFrame,
+                         tau: Int): DataFrame = {
+    val hs = OpCache.persist(hashes.filter(col("b0") >= 0))
+    val rep = OpCache.persist(hs.groupBy("b0", "b1", "b2", "b3")
+      .agg(min(col("doc_id")).as("rep_id")))
+    val repPairs = imageNearDupPairs(spark,
+      rep.select(col("rep_id").as("doc_id"), col("b0"), col("b1"),
+        col("b2"), col("b3")), tau)
+    val memberEdges = hs.join(rep, Seq("b0", "b1", "b2", "b3"))
+      .select(col("doc_id").as("id_a"), col("rep_id").as("id_b"))
+    val edges = repPairs.select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+      .unionByName(memberEdges)
+    val labels = Dedup.connectedComponents(edges, "id_a", "id_b")
+    val sizes = labels.groupBy("comp").agg(count(lit(1)).as("__n"))
+    labels.join(sizes, "comp").filter(col("__n") > 1)
+      .select("id", "comp")
   }
 
   /** Audio fingerprint — the aHash design over the 1-D PCM stream: a
