@@ -753,6 +753,36 @@ object SparkEntry {
         .limit(100)
     }),
 
+    // TPC-H q21 shape — the hallmark correlated EXISTS + NOT EXISTS SELF
+    // correlation on the big fact: per lineitem, (a) ANOTHER supplier
+    // contributed to the same order (left-semi, fact-fact, inequality in
+    // the join condition) and (b) NO other supplier shipped later
+    // (left-anti with a theta leg on the date). Both correlations ride
+    // the l_orderkey equi key, so each is one hash join keyed by the
+    // fact's natural key — no per-row subquery re-execution; the
+    // supplier dim broadcasts; the count is map-side-combinable.
+    "q21_waiting_supplier" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val l1 = li.select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val others = li.select(col("l_orderkey").as("__ok"),
+        col("l_suppkey").as("__os"), col("l_shipdate").as("__osd"))
+      val wait = l1
+        .join(others, col("l_orderkey") === col("__ok")
+          && col("__os") =!= col("l_suppkey"), "left_semi")
+        .join(others, col("l_orderkey") === col("__ok")
+          && col("__os") =!= col("l_suppkey")
+          && col("__osd") > col("l_shipdate"), "left_anti")
+      wait
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Hints.bcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }),
+
     // F2 — JSON-string column extraction (kobisdata_extractor.py:93-113 /
     // ai_agent.py:137-139 boundary): events.props is a JSON object
     "q_f2_json_props" -> ((s, dir) => {
@@ -3281,6 +3311,22 @@ object SparkEntry {
          GROUP BY 1, 2, 3, 4, 5
          ORDER BY o_totalprice DESC, o_orderkey
          LIMIT 100""",
+
+    "q21_waiting_supplier" ->
+      """SELECT s_name, COUNT(*) AS numwait
+         FROM lineitem l1
+         JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+         JOIN supplier ON s_suppkey = l1.l_suppkey
+         WHERE EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_shipdate > l1.l_shipdate)
+         GROUP BY s_name
+         ORDER BY numwait DESC, s_name
+         LIMIT 20""",
 
     "q_f2_json_props" ->
       """SELECT event_type, COUNT(*) AS n,

@@ -144,4 +144,15 @@ class PlanShapeSpec extends SparkSpec {
       s"top-100 fell back to a global sort in:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q21_waiting_supplier: both self-correlations are single hash joins " +
+      "keyed by the fact key (LeftSemi + LeftAnti), never per-row subqueries " +
+      "or a cartesian") {
+    val p = planOf("q21_waiting_supplier")
+    assert(p.contains("LeftSemi"), s"no semi self-correlation join in:\n$p")
+    assert(p.contains("LeftAnti"), s"no anti self-correlation join in:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 fell back to a global sort in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
 }
