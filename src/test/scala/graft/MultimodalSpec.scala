@@ -165,6 +165,61 @@ class MultimodalSpec extends SparkSpec {
     assert(chunks.last.getAs[Long]("start_sample") + chunks.last.getAs[Int]("n_samples") == 10)
   }
 
+  test("distinct-signature pair plan == naive all-pairs reference on random " +
+      "duplicate-heavy signature sets (round-9 quadratic fix equivalence)") {
+    import spark.implicits._
+    // seeded randomized equivalence: many ids mapped onto FEW signatures
+    // (the duplicate-heavy regime the sf1 measurement exposed) so both
+    // the dist=0 within-group expansion and the cross-signature band
+    // path carry real weight. The reference is the obviously-correct
+    // O(n²) in-memory scan.
+    val rnd = new scala.util.Random(9)
+    for (trial <- 1 to 3) {
+      val sigs = Array.fill(6)(Array.fill(4)(rnd.nextInt(1 << 16)))
+      val docs = (0L until 40L).map { id =>
+        val s = sigs(rnd.nextInt(sigs.length))
+        (id, s(0), s(1), s(2), s(3))
+      }
+      val tau = 8 + rnd.nextInt(20)
+      val hashes = docs.toDF("doc_id", "b0", "b1", "b2", "b3")
+      val got = Multimodal.imageNearDupPairs(spark, hashes, tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val expect = (for {
+        (a, i) <- docs.zipWithIndex
+        b <- docs.drop(i + 1)
+        if (1 to 4).exists(k => a.productElement(k) == b.productElement(k))
+        d = (1 to 4).map(k => Integer.bitCount(
+          a.productElement(k).asInstanceOf[Int] ^
+            b.productElement(k).asInstanceOf[Int])).sum
+        if d <= tau
+      } yield (math.min(a._1, b._1), math.max(a._1, b._1), d)).toSet
+      assert(got == expect, s"trial $trial (tau=$tau) diverged")
+      graft.operators.OpCache.clear()
+    }
+  }
+
+  test("mediaDedupClusters == clustering the full pair graph on random " +
+      "duplicate-heavy inputs (the linear path's label contract)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val sigs = Array.fill(8)(Array.fill(4)(rnd.nextInt(1 << 16)))
+    val docs = (0L until 50L).map { id =>
+      val s = sigs(rnd.nextInt(sigs.length))
+      (id, s(0), s(1), s(2), s(3))
+    }
+    val hashes = docs.toDF("doc_id", "b0", "b1", "b2", "b3")
+    val viaPairs = {
+      val pairs = Multimodal.imageNearDupPairs(spark, hashes, tau = 16)
+        .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+      graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val viaReps = Multimodal.mediaDedupClusters(spark, hashes, tau = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaReps == viaPairs)
+    graft.operators.OpCache.clear()
+  }
+
   test("aHash threshold arithmetic is overflow-exact (round-8 advice): " +
       "mulGt matches BigInteger on 128-bit products") {
     import java.math.BigInteger
