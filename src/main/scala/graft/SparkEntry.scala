@@ -849,6 +849,48 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // JSONL landing-zone ingest with corrupt-line quarantine: PERMISSIVE
+    // schema-first read keeps every input line accounted for — parseable
+    // lines land typed (missing fields → null, NOT rejected), truncated/
+    // non-JSON lines land whole in the quarantine side; the oracle pins
+    // the exact split and the count of rejected lines
+    "q_source_jsonl_quarantine" -> ((s, dir) => {
+      val fixture = Seq(
+        """{"doc_id": 1, "text": "alpha beta", "lang": "en"}""",
+        """{"doc_id": 2, "text": "gamma", "lang": "de"}""",
+        """{"doc_id": 3, "text": "no lang"}""",
+        """{"doc_id": 4, "text": """,
+        """not json at all""").mkString("\n")
+      val p = java.nio.file.Paths.get("/tmp/graft_jsonl_fixture/docs.jsonl")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, fixture)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType)))
+      val (clean, bad) =
+        graft.sources.JsonlSource.split(
+          graft.sources.JsonlSource.readWithQuarantine(s, p.toString, schema))
+      clean.crossJoin(Hints.bcast(bad.agg(count(lit(1)).as("n_quarantined"))))
+        .select("doc_id", "text", "lang", "n_quarantined")
+        .orderBy("doc_id")
+    }),
+
+    // exact heavy hitters via Misra–Gries sketch + exact verify: the
+    // sketch's n/(k+1) survival guarantee makes it a COMPLETE candidate
+    // generator, so the verified output equals the oracle's plain
+    // GROUP BY … HAVING cnt·(k+1) > n — approximate machinery, exact
+    // contract (k = 40 puts the 30 uniform vocabulary words above the
+    // threshold and the rare `dup` marker below it, exercising both
+    // sides of the filter)
+    "q_text_heavy_hitters" -> ((s, dir) => {
+      TextAnalysis.heavyHitters(t(s, dir, "documents"), "text", k = 40)
+        .orderBy(col("cnt").desc, col("token"))
+    }),
+
     // quality scoring: length/stopword/token-shape signals → [0,1] score
     "q_text_quality" -> ((s, dir) => {
       TextAnalysis.withQuality(t(s, dir, "documents"), "text")
@@ -3371,6 +3413,26 @@ object SparkEntry {
                 CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS ttr,
                 CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INTEGER) AS n_tokens_re
          FROM t ORDER BY doc_id""",
+
+    "q_source_jsonl_quarantine" ->
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), 'alpha beta', 'en', CAST(2 AS BIGINT)),
+           (2, 'gamma', 'de', 2),
+           (3, 'no lang', CAST(NULL AS VARCHAR), 2))
+         AS t(doc_id, text, lang, n_quarantined)
+         ORDER BY doc_id""",
+
+    // the exact form the sketch+verify must equal: plain GROUP BY with
+    // the n/(k+1) threshold, k = 41 counters' worth of guarantee
+    "q_text_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(list_filter(string_split(text, ' '),
+                                                x -> x <> '')) AS token
+                      FROM documents),
+              tot AS (SELECT COUNT(*) AS n FROM tok),
+              c AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token)
+         SELECT token, cnt FROM c, tot
+         WHERE cnt * 41 > n
+         ORDER BY cnt DESC, token""",
 
     "q_text_quality" ->
       """WITH t AS (SELECT doc_id, text,

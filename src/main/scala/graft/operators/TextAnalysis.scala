@@ -437,4 +437,41 @@ object TextAnalysis {
           when(col(s"bal_$j") >= 0, "1").otherwise("0")): _*))
       .select(col(idCol), col("simhash"))
   }
+
+  /** EXACT corpus heavy hitters via a two-pass sketch+verify — the
+    * frequent-token report (vocabulary monitoring, boilerplate
+    * detection, stop-list derivation) that a 100 TB corpus cannot
+    * answer with a plain `groupBy(token)`: that plan exchanges one row
+    * per DISTINCT token (web-scale n-gram vocabularies run to
+    * billions). Pass 1 runs the mergeable Misra–Gries sketch
+    * ([[graft.functions.MisraGriesAgg]]) whose exchange is ≤ k counters
+    * per map partition and whose guarantee is that every token with
+    * true frequency > n/(k+1) survives as a candidate. Pass 2 re-counts
+    * ONLY the ≤ k broadcast candidates exactly (a broadcast semi join —
+    * non-candidate rows drop map-side before any shuffle) and keeps
+    * those with exact cnt·(k+1) > n.
+    *
+    * The output is therefore EXACT and deterministic — identical to
+    * `GROUP BY token HAVING cnt·(k+1) > n` — even though the sketch's
+    * own survivor set for sub-threshold tokens is merge-order-dependent:
+    * the guarantee makes the sketch a complete candidate generator, and
+    * the verify pass makes the answer exact. Approximate machinery,
+    * exact contract (the DuckDB oracle states the plain-GROUP-BY form).
+    */
+  def heavyHitters(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    val toks = OpCache.persist(
+      Stage.spreadLarge(df)
+        .select(explode(tokens(col(textCol))).as("token"))
+        .filter(length(col("token")) > 0))
+    val cands = toks
+      .agg(graft.functions.MisraGriesAgg(spark, col("token"), k).as("c"))
+      .select(explode(col("c")).as("token"))
+    val total = toks.agg(count(lit(1)).as("__n"))
+    toks.join(Hints.bcast(cands), Seq("token"), "left_semi")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .crossJoin(Hints.bcast(total))
+      .filter(col("cnt") * (k + 1) > col("__n"))
+      .select(col("token"), col("cnt"))
+  }
 }

@@ -246,4 +246,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(out("b")._2 - klOf(Map("x" -> 1, "z" -> 2))) < 1e-4)
     graft.operators.OpCache.clear()
   }
+
+  test("heavyHitters: exact output under an adversarial sketch load " +
+      "(k < distinct count) and invariant to partitioning") {
+    import spark.implicits._
+    // 1 heavy token (freq 400 of n=1000 > n/(k+1)), 3 mid tokens at
+    // exactly-threshold-adjacent counts, and 300 distinct singletons
+    // that force constant MG decrements/evictions with k = 4
+    val words =
+      Seq.fill(400)("heavy") ++ Seq.fill(150)("mid1") ++
+        Seq.fill(100)("mid2") ++ Seq.fill(50)("mid3") ++
+        (0 until 300).map(i => s"rare$i")
+    val rnd = new scala.util.Random(5)
+    val shuffled = rnd.shuffle(words)
+    val docs = shuffled.grouped(10).map(_.mkString(" ")).toSeq.toDF("text")
+    val k = 4 // threshold n/(k+1) = 200: heavy passes, mid1 (150) fails
+    def run(df: org.apache.spark.sql.DataFrame) = {
+      val got = graft.operators.TextAnalysis.heavyHitters(df, "text", k)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      graft.operators.OpCache.clear()
+      got
+    }
+    val expect = Map("heavy" -> 400L)
+    assert(run(docs) == expect)
+    // the sketch's intermediate survivor set is merge-order-dependent;
+    // the verified output must not be
+    assert(run(docs.repartition(7)) == expect)
+    assert(run(docs.repartition(1)) == expect)
+    // larger k admits the mid tokens exactly at the documented
+    // threshold: n/(k+1) = 1000/11 ≈ 90.9 → mid3 (50) still excluded
+    val k10 = run(docs.repartition(5)) // default k is the test's k
+    val got10 = {
+      val g = graft.operators.TextAnalysis.heavyHitters(docs, "text", 10)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      graft.operators.OpCache.clear(); g
+    }
+    assert(got10 == Map("heavy" -> 400L, "mid1" -> 150L, "mid2" -> 100L))
+    assert(k10 == expect)
+  }
 }
