@@ -879,6 +879,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // corpus-mix drift monitoring: PSI per language between an even-id
+    // reference snapshot and an odd-id current snapshot with 'zh'
+    // removed — the vanished-key side exercises the ε-smoothing path,
+    // the survivors the plain-fraction path
+    "q_drift_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Analytics.distributionDrift(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1 && col("lang") =!= "zh"),
+          "lang")
+        .orderBy("lang")
+    }),
+
     // exact heavy hitters via Misra–Gries sketch + exact verify: the
     // sketch's n/(k+1) survival guarantee makes it a COMPLETE candidate
     // generator, so the verified output equals the oracle's plain
@@ -3413,6 +3426,28 @@ object SparkEntry {
                 CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS ttr,
                 CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INTEGER) AS n_tokens_re
          FROM t ORDER BY doc_id""",
+
+    "q_drift_report" ->
+      """WITH ref AS (SELECT lang FROM documents WHERE doc_id % 2 = 0),
+              cur AS (SELECT lang FROM documents
+                      WHERE doc_id % 2 = 1 AND lang <> 'zh'),
+              rc AS (SELECT lang, COUNT(*) AS n FROM ref GROUP BY 1),
+              cc AS (SELECT lang, COUNT(*) AS n FROM cur GROUP BY 1),
+              rt AS (SELECT SUM(n) AS t FROM rc),
+              ct AS (SELECT SUM(n) AS t FROM cc),
+              j AS (SELECT COALESCE(rc.lang, cc.lang) AS lang,
+                           COALESCE(rc.n, 0) AS ref_cnt,
+                           COALESCE(cc.n, 0) AS cur_cnt,
+                           COALESCE(CAST(rc.n AS DOUBLE) / rt.t, 0) AS p,
+                           COALESCE(CAST(cc.n AS DOUBLE) / ct.t, 0) AS q,
+                           GREATEST(COALESCE(CAST(rc.n AS DOUBLE) / rt.t, 0), 1e-6) AS ps,
+                           GREATEST(COALESCE(CAST(cc.n AS DOUBLE) / ct.t, 0), 1e-6) AS qs
+                    FROM rc FULL OUTER JOIN cc ON rc.lang = cc.lang, rt, ct)
+         SELECT lang, ref_cnt, cur_cnt,
+                round(p, 6) AS ref_frac, round(q, 6) AS cur_frac,
+                round(qs - ps, 6) AS frac_diff,
+                round((qs - ps) * ln(qs / ps), 6) AS psi_term
+         FROM j ORDER BY lang""",
 
     "q_source_jsonl_quarantine" ->
       """SELECT * FROM (VALUES

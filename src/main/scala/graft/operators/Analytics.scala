@@ -783,4 +783,50 @@ object Analytics {
       .withColumn("is_gap", when(col(valueCol).isNull, lit(1)).otherwise(lit(0)))
       .withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
   }
+
+  /** Distribution drift between two corpus snapshots over a categorical
+    * key — the monitoring primitive that tells a training-data pipeline
+    * its incoming mix changed (language balance shifting, a source
+    * going dark, a crawler flooding one domain) BEFORE the model does:
+    * per key, both snapshots' fractions, their difference, and the PSI
+    * (population stability index) contribution
+    * (p − q)·ln(p/q) over ε-smoothed fractions — Σ psi_term is the
+    * scalar gate (rule of thumb: < 0.1 stable, > 0.25 investigate), and
+    * the per-key rows say WHICH keys moved. Keys absent from one side
+    * (new source / vanished source) survive the full-outer join as
+    * count 0 and get the ε treatment rather than a division blowup.
+    *
+    * Scale: one partial→final count agg per side (exchange = key
+    * cardinality, dimension-sized for lang/source/domain keys), one
+    * tiny full-outer join of the two count tables, map-side arithmetic.
+    * Neither corpus is scanned twice and nothing is driver-side.
+    * Doubles are rounded to 6 places — the repo's cross-engine IEEE
+    * convention, which is also why ln (one libm call both engines)
+    * stays oracle-exact.
+    */
+  def distributionDrift(ref: DataFrame, cur: DataFrame, keyCol: String,
+                        eps: Double = 1e-6): DataFrame = {
+    def fracs(df: DataFrame, cntName: String, fracName: String): DataFrame = {
+      val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as(cntName))
+      counts.crossJoin(Hints.bcast(
+          counts.agg(sum(col(cntName)).as(s"__t_$cntName"))))
+        .withColumn(fracName,
+          col(cntName).cast("double") / col(s"__t_$cntName").cast("double"))
+        .drop(s"__t_$cntName")
+    }
+    val r = fracs(ref, "ref_cnt", "__p")
+    val c = fracs(cur, "cur_cnt", "__q")
+    r.join(c, Seq(keyCol), "full_outer")
+      .withColumn("ref_cnt", coalesce(col("ref_cnt"), lit(0L)))
+      .withColumn("cur_cnt", coalesce(col("cur_cnt"), lit(0L)))
+      .withColumn("__ps", greatest(coalesce(col("__p"), lit(0.0)), lit(eps)))
+      .withColumn("__qs", greatest(coalesce(col("__q"), lit(0.0)), lit(eps)))
+      .withColumn("ref_frac", round(coalesce(col("__p"), lit(0.0)), 6))
+      .withColumn("cur_frac", round(coalesce(col("__q"), lit(0.0)), 6))
+      .withColumn("frac_diff", round(col("__qs") - col("__ps"), 6))
+      .withColumn("psi_term",
+        round((col("__qs") - col("__ps")) * log(col("__qs") / col("__ps")), 6))
+      .select(col(keyCol), col("ref_cnt"), col("cur_cnt"),
+        col("ref_frac"), col("cur_frac"), col("frac_diff"), col("psi_term"))
+  }
 }

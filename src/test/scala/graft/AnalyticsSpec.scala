@@ -453,4 +453,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.getLong(2) == 3L)
     assert(out.getDouble(3) == 1.0)
   }
+
+  test("distributionDrift: identical mixes score ~0, a vanished key takes " +
+      "the epsilon path, a new key appears with ref_cnt 0") {
+    import spark.implicits._
+    val ref = Seq("en", "en", "en", "de", "fr", "fr").toDF("lang")
+    // identical mix → every psi_term rounds to 0
+    val same = Analytics.distributionDrift(ref, ref, "lang")
+      .collect().map(r => r.getAs[Double]("psi_term"))
+    assert(same.forall(_ == 0.0))
+    // 'fr' vanishes, 'zh' appears
+    val cur = Seq("en", "en", "de", "de", "zh", "zh").toDF("lang")
+    val out = Analytics.distributionDrift(ref, cur, "lang")
+      .collect().map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("ref_cnt"), r.getAs[Long]("cur_cnt"),
+          r.getAs[Double]("psi_term"))).toMap
+    assert(out("fr")._1 == 2L && out("fr")._2 == 0L)
+    assert(out("zh")._1 == 0L && out("zh")._2 == 2L)
+    // epsilon keeps the vanished/new contributions finite and positive
+    assert(out("fr")._3 > 0.0 && out("fr")._3.isFinite)
+    assert(out("zh")._3 > 0.0 && out("zh")._3.isFinite)
+    // hand-check one surviving key: en p=3/6=.5, q=2/6→.333333;
+    // (q-p)*ln(q/p) = (-1/6)*ln(2/3) ≈ 0.067577
+    assert(math.abs(out("en")._3 - 0.067577) < 1e-5, out("en")._3.toString)
+  }
 }

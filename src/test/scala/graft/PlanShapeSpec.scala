@@ -145,6 +145,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q_text_heavy_hitters: the sketch partial-aggregates before the " +
+      "exchange and the candidate set broadcasts into the verify join") {
+    val p = planOf("q_text_heavy_hitters")
+    // TypedImperativeAggregate plans as ObjectHashAggregate; partial +
+    // final must both be present (map-side combine = ≤ k counters per
+    // partition crossing the exchange — the operator's entire point)
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"sketch not partial-aggregated in:\n$p")
+    assert(p.contains("LeftSemi") && p.contains("BroadcastHashJoin"),
+      s"candidate verify join not a broadcast semi in:\n$p")
+    // the one BroadcastNestedLoopJoin is the 1-row scalar-total attach —
+    // correct for a scalar; what must not appear is a data×data cartesian
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q21_waiting_supplier: both self-correlations are single hash joins " +
       "keyed by the fact key (LeftSemi + LeftAnti), never per-row subqueries " +
       "or a cartesian") {
