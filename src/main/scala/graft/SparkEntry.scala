@@ -892,6 +892,28 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // the STREAMING dual of q_drift_report (one oracle text, two
+    // execution models — the house pattern): a complete-mode
+    // groupBy(lang).count() stream maintains the current snapshot's
+    // counts incrementally (the stateful half — at production volumes
+    // this is the live mix monitor updated per micro-batch), and the
+    // PSI arithmetic derives from the drained count table exactly as
+    // the batch path derives from its aggregation
+    "q_stream_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val raw = Tables.loadRaw(s, dir, "documents")
+      val curCounts = graft.streaming.StreamDrain.drain(s,
+          s"$dir/documents.parquet", raw.schema, "stream_drift", "complete") { src =>
+        src.filter(pmod(col("doc_id"), lit(2)) === 1 && col("lang") =!= "zh")
+          .groupBy("lang").agg(count(lit(1)).as("cur_cnt"))
+      }
+      Analytics.distributionDriftFromCounts(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+            .groupBy("lang").agg(count(lit(1)).as("ref_cnt")),
+          curCounts, "lang")
+        .orderBy("lang")
+    }),
+
     // exact heavy hitters via Misra–Gries sketch + exact verify: the
     // sketch's n/(k+1) survival guarantee makes it a COMPLETE candidate
     // generator, so the verified output equals the oracle's plain
@@ -2532,6 +2554,32 @@ object SparkEntry {
                              AS INTEGER) AS rank
                     FROM adc)"""
 
+  /** Shared by `q_drift_report` (batch) and `q_stream_drift` (the
+    * complete-mode count-maintenance dual) — one oracle text, two
+    * execution models.
+    */
+  private val DriftOracle =
+    """WITH ref AS (SELECT lang FROM documents WHERE doc_id % 2 = 0),
+              cur AS (SELECT lang FROM documents
+                      WHERE doc_id % 2 = 1 AND lang <> 'zh'),
+              rc AS (SELECT lang, COUNT(*) AS n FROM ref GROUP BY 1),
+              cc AS (SELECT lang, COUNT(*) AS n FROM cur GROUP BY 1),
+              rt AS (SELECT SUM(n) AS t FROM rc),
+              ct AS (SELECT SUM(n) AS t FROM cc),
+              j AS (SELECT COALESCE(rc.lang, cc.lang) AS lang,
+                           COALESCE(rc.n, 0) AS ref_cnt,
+                           COALESCE(cc.n, 0) AS cur_cnt,
+                           COALESCE(CAST(rc.n AS DOUBLE) / rt.t, 0) AS p,
+                           COALESCE(CAST(cc.n AS DOUBLE) / ct.t, 0) AS q,
+                           GREATEST(COALESCE(CAST(rc.n AS DOUBLE) / rt.t, 0), 1e-6) AS ps,
+                           GREATEST(COALESCE(CAST(cc.n AS DOUBLE) / ct.t, 0), 1e-6) AS qs
+                    FROM rc FULL OUTER JOIN cc ON rc.lang = cc.lang, rt, ct)
+         SELECT lang, ref_cnt, cur_cnt,
+                round(p, 6) AS ref_frac, round(q, 6) AS cur_frac,
+                round(qs - ps, 6) AS frac_diff,
+                round((qs - ps) * ln(qs / ps), 6) AS psi_term
+         FROM j ORDER BY lang"""
+
   /** Shared by `q_timeseries_fill` (batch) and `q_stream_timeseries_fill`
     * (drained streaming dual) — one oracle text, two execution models.
     */
@@ -3427,27 +3475,11 @@ object SparkEntry {
                 CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INTEGER) AS n_tokens_re
          FROM t ORDER BY doc_id""",
 
-    "q_drift_report" ->
-      """WITH ref AS (SELECT lang FROM documents WHERE doc_id % 2 = 0),
-              cur AS (SELECT lang FROM documents
-                      WHERE doc_id % 2 = 1 AND lang <> 'zh'),
-              rc AS (SELECT lang, COUNT(*) AS n FROM ref GROUP BY 1),
-              cc AS (SELECT lang, COUNT(*) AS n FROM cur GROUP BY 1),
-              rt AS (SELECT SUM(n) AS t FROM rc),
-              ct AS (SELECT SUM(n) AS t FROM cc),
-              j AS (SELECT COALESCE(rc.lang, cc.lang) AS lang,
-                           COALESCE(rc.n, 0) AS ref_cnt,
-                           COALESCE(cc.n, 0) AS cur_cnt,
-                           COALESCE(CAST(rc.n AS DOUBLE) / rt.t, 0) AS p,
-                           COALESCE(CAST(cc.n AS DOUBLE) / ct.t, 0) AS q,
-                           GREATEST(COALESCE(CAST(rc.n AS DOUBLE) / rt.t, 0), 1e-6) AS ps,
-                           GREATEST(COALESCE(CAST(cc.n AS DOUBLE) / ct.t, 0), 1e-6) AS qs
-                    FROM rc FULL OUTER JOIN cc ON rc.lang = cc.lang, rt, ct)
-         SELECT lang, ref_cnt, cur_cnt,
-                round(p, 6) AS ref_frac, round(q, 6) AS cur_frac,
-                round(qs - ps, 6) AS frac_diff,
-                round((qs - ps) * ln(qs / ps), 6) AS psi_term
-         FROM j ORDER BY lang""",
+    "q_drift_report" -> DriftOracle,
+
+    // streaming dual: the SAME oracle text (batch aggregation vs
+    // complete-mode incremental count maintenance must agree exactly)
+    "q_stream_drift" -> DriftOracle,
 
     "q_source_jsonl_quarantine" ->
       """SELECT * FROM (VALUES

@@ -805,17 +805,31 @@ object Analytics {
     * stays oracle-exact.
     */
   def distributionDrift(ref: DataFrame, cur: DataFrame, keyCol: String,
-                        eps: Double = 1e-6): DataFrame = {
-    def fracs(df: DataFrame, cntName: String, fracName: String): DataFrame = {
-      val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as(cntName))
+                        eps: Double = 1e-6): DataFrame =
+    distributionDriftFromCounts(
+      ref.groupBy(col(keyCol)).agg(count(lit(1)).as("ref_cnt")),
+      cur.groupBy(col(keyCol)).agg(count(lit(1)).as("cur_cnt")),
+      keyCol, eps)
+
+  /** [[distributionDrift]] from PRE-AGGREGATED per-key count tables —
+    * the entry the streaming dual uses: a complete-mode windowless
+    * `groupBy(key).count()` stream maintains the current snapshot's
+    * counts incrementally (the stateful half), and the drift arithmetic
+    * derives from the count tables exactly as in the batch path, so
+    * both duals hash against ONE oracle text. Count columns must be
+    * named `ref_cnt` / `cur_cnt`.
+    */
+  def distributionDriftFromCounts(refCounts: DataFrame, curCounts: DataFrame,
+                                  keyCol: String,
+                                  eps: Double = 1e-6): DataFrame = {
+    def fracs(counts: DataFrame, cntName: String, fracName: String): DataFrame =
       counts.crossJoin(Hints.bcast(
           counts.agg(sum(col(cntName)).as(s"__t_$cntName"))))
         .withColumn(fracName,
           col(cntName).cast("double") / col(s"__t_$cntName").cast("double"))
         .drop(s"__t_$cntName")
-    }
-    val r = fracs(ref, "ref_cnt", "__p")
-    val c = fracs(cur, "cur_cnt", "__q")
+    val r = fracs(refCounts, "ref_cnt", "__p")
+    val c = fracs(curCounts, "cur_cnt", "__q")
     r.join(c, Seq(keyCol), "full_outer")
       .withColumn("ref_cnt", coalesce(col("ref_cnt"), lit(0L)))
       .withColumn("cur_cnt", coalesce(col("cur_cnt"), lit(0L)))
