@@ -892,6 +892,22 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // numeric PSI drift: the current snapshot is the reference shifted
+    // +20000 — an exact location shift that drains the low reference
+    // bins and floods the top one, exercising both the equi-depth
+    // binning (exact ref-quantile edges, rounded to 6 for cross-engine
+    // bit-identical assignment) and the ε path for emptied bins
+    "q_drift_numeric" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      Analytics.numericDrift(
+          ord.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+            .select(col("o_totalprice")),
+          ord.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+            .select((col("o_totalprice") + 20000.0d).as("o_totalprice")),
+          "o_totalprice", nBins = 8)
+        .orderBy("bin")
+    }),
+
     // the STREAMING dual of q_drift_report (one oracle text, two
     // execution models — the house pattern): a complete-mode
     // groupBy(lang).count() stream maintains the current snapshot's
@@ -3480,6 +3496,36 @@ object SparkEntry {
     // streaming dual: the SAME oracle text (batch aggregation vs
     // complete-mode incremental count maintenance must agree exactly)
     "q_stream_drift" -> DriftOracle,
+
+    "q_drift_numeric" ->
+      """WITH ref AS (SELECT o_totalprice AS v FROM orders WHERE o_orderkey % 2 = 0),
+              cur AS (SELECT o_totalprice + 20000.0 AS v FROM orders
+                      WHERE o_orderkey % 2 = 1),
+              e AS (SELECT list_transform(
+                             quantile_cont(v, [0.125, 0.25, 0.375, 0.5,
+                                               0.625, 0.75, 0.875]),
+                             x -> round(x, 6)) AS edges FROM ref),
+              rb AS (SELECT CAST(len(list_filter(e.edges, x -> rf.v > x)) AS INTEGER) AS bin
+                     FROM ref rf, e),
+              cb AS (SELECT CAST(len(list_filter(e.edges, x -> cu.v > x)) AS INTEGER) AS bin
+                     FROM cur cu, e),
+              rc AS (SELECT bin, COUNT(*) AS n FROM rb GROUP BY 1),
+              cc AS (SELECT bin, COUNT(*) AS n FROM cb GROUP BY 1),
+              rt AS (SELECT SUM(n) AS t FROM rc),
+              ct AS (SELECT SUM(n) AS t FROM cc),
+              j AS (SELECT COALESCE(rc.bin, cc.bin) AS bin,
+                           COALESCE(rc.n, 0) AS ref_cnt,
+                           COALESCE(cc.n, 0) AS cur_cnt,
+                           COALESCE(CAST(rc.n AS DOUBLE) / rt.t, 0) AS p,
+                           COALESCE(CAST(cc.n AS DOUBLE) / ct.t, 0) AS q,
+                           GREATEST(COALESCE(CAST(rc.n AS DOUBLE) / rt.t, 0), 1e-6) AS ps,
+                           GREATEST(COALESCE(CAST(cc.n AS DOUBLE) / ct.t, 0), 1e-6) AS qs
+                    FROM rc FULL OUTER JOIN cc ON rc.bin = cc.bin, rt, ct)
+         SELECT bin, ref_cnt, cur_cnt,
+                round(p, 6) AS ref_frac, round(q, 6) AS cur_frac,
+                round(qs - ps, 6) AS frac_diff,
+                round((qs - ps) * ln(qs / ps), 6) AS psi_term
+         FROM j ORDER BY bin""",
 
     "q_source_jsonl_quarantine" ->
       """SELECT * FROM (VALUES

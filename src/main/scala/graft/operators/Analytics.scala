@@ -819,6 +819,47 @@ object Analytics {
     * both duals hash against ONE oracle text. Count columns must be
     * named `ref_cnt` / `cur_cnt`.
     */
+  /** [[distributionDrift]] for NUMERIC columns — the categorical PSI
+    * needs keys, so a numeric column is first bucketed by the REFERENCE
+    * snapshot's own equi-depth quantile edges (exact `percentile`,
+    * rounded to 6 places so both engines' bin assignment is
+    * bit-identical), then the per-bin counts flow through the same
+    * PSI arithmetic. Binning by the reference's quantiles is the
+    * standard PSI construction: a stable current snapshot puts ~1/nBins
+    * in every bin by definition, so every psi_term measures departure
+    * from the reference's shape (a location shift loads the edge bins,
+    * a variance change hollows the middle). Bin i holds values in
+    * (edge_i, edge_{i+1}]; values beyond either end land in the first/
+    * last bin (bin = count of edges strictly below the value).
+    *
+    * Scale: ONE exact-percentile aggregation over the reference (the
+    * same sorted-interpolation cost as any exact quantile — use the
+    * equi-depth histogram's approx path upstream if the reference is
+    * too big for exact), then the nBins-row edge table broadcasts and
+    * binning is map-side arithmetic; per-side exchanges carry nBins
+    * rows.
+    */
+  def numericDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
+                   nBins: Int, eps: Double = 1e-6): DataFrame = {
+    require(nBins >= 2, s"numericDrift needs >= 2 bins, got $nBins")
+    val fr = (1 until nBins).map(_.toDouble / nBins)
+    // EXACT interpolating percentile (the q_percentiles-proven parity
+    // with DuckDB's quantile_cont) — approx_percentile would return
+    // sketch-chosen data values, not interpolations, and bin edges
+    // would diverge between engines
+    val edges = ref.agg(
+        expr(s"percentile($valueCol, array(${fr.mkString(", ")}))").as("__e"))
+      .select(transform(col("__e"), e => round(e, 6)).as("__e"))
+    def binned(df: DataFrame, cnt: String): DataFrame =
+      df.crossJoin(Hints.bcast(edges))
+        .select(aggregate(col("__e"), lit(0),
+          (acc, e) => acc + when(col(valueCol).cast("double") > e, 1).otherwise(0))
+          .as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as(cnt))
+    distributionDriftFromCounts(
+      binned(ref, "ref_cnt"), binned(cur, "cur_cnt"), "bin", eps)
+  }
+
   def distributionDriftFromCounts(refCounts: DataFrame, curCounts: DataFrame,
                                   keyCol: String,
                                   eps: Double = 1e-6): DataFrame = {

@@ -477,4 +477,29 @@ class AnalyticsSpec extends SparkSpec {
     // (q-p)*ln(q/p) = (-1/6)*ln(2/3) ≈ 0.067577
     assert(math.abs(out("en")._3 - 0.067577) < 1e-5, out("en")._3.toString)
   }
+
+  test("numericDrift: equi-depth reference bins; a pure location shift " +
+      "floods the top bin and empties the rest via the epsilon path") {
+    import spark.implicits._
+    val ref = (1 to 100).map(_.toDouble).toDF("v")
+    // stable current = same distribution → every bin ~1/4, psi ≈ 0
+    val stable = Analytics.numericDrift(ref, ref, "v", nBins = 4)
+      .collect().map(r => r.getAs[Int]("bin") ->
+        (r.getAs[Long]("ref_cnt"), r.getAs[Long]("cur_cnt"),
+          r.getAs[Double]("psi_term"))).toMap
+    assert(stable.keySet == Set(0, 1, 2, 3))
+    assert(stable.values.forall { case (rc, cc, psi) => rc == cc && psi == 0.0 })
+    // equi-depth: each reference bin holds ~25 of 100
+    assert(stable.values.forall { case (rc, _, _) => rc >= 24 && rc <= 26 })
+    // +1000 shift: every current value exceeds the last reference edge
+    val shifted = Analytics.numericDrift(ref,
+        ref.select((col("v") + 1000.0).as("v")), "v", nBins = 4)
+      .collect().map(r => r.getAs[Int]("bin") ->
+        (r.getAs[Long]("cur_cnt"), r.getAs[Double]("psi_term"))).toMap
+    assert(shifted(3)._1 == 100L)
+    assert(Seq(0, 1, 2).forall(b => shifted(b)._1 == 0L))
+    // emptied bins take the epsilon path: finite, positive contributions
+    assert(Seq(0, 1, 2).forall(b =>
+      shifted(b)._2 > 0.0 && shifted(b)._2.isFinite))
+  }
 }
