@@ -942,6 +942,28 @@ object SparkEntry {
         .orderBy(col("cnt").desc, col("token"))
     }),
 
+    // the STREAMING dual: the Misra–Gries sketch maintained
+    // INCREMENTALLY by a complete-mode stream (its state IS the
+    // serialized sketch buffer, merged per micro-batch), then the exact
+    // verify pass over the batch corpus — hash-equal to the batch dual
+    // under the SAME oracle text because the n/(k+1) guarantee holds
+    // under ANY merge order, streaming included; the verify pass makes
+    // the answer exact regardless of which sub-threshold candidates the
+    // streaming merge happened to keep
+    "q_stream_heavy_hitters" -> ((s, dir) => {
+      val raw = Tables.loadRaw(s, dir, "documents")
+      val cands = graft.streaming.StreamDrain.drain(s,
+          s"$dir/documents.parquet", raw.schema,
+          "stream_heavy_hitters", "complete") { src =>
+        src.select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+          .filter(length(col("token")) > 0)
+          .agg(graft.functions.MisraGriesAgg(src.sparkSession,
+            col("token"), 40).as("c"))
+      }.select(explode(col("c")).as("token"))
+      TextAnalysis.heavyHittersVerify(t(s, dir, "documents"), "text", cands, k = 40)
+        .orderBy(col("cnt").desc, col("token"))
+    }),
+
     // quality scoring: length/stopword/token-shape signals → [0,1] score
     "q_text_quality" -> ((s, dir) => {
       TextAnalysis.withQuality(t(s, dir, "documents"), "text")
@@ -2570,6 +2592,20 @@ object SparkEntry {
                              AS INTEGER) AS rank
                     FROM adc)"""
 
+  /** Shared by `q_text_heavy_hitters` (batch sketch) and
+    * `q_stream_heavy_hitters` (incrementally maintained sketch) — the
+    * exact GROUP BY … HAVING form both sketch+verify paths must equal.
+    */
+  private val HeavyHittersOracle =
+    """WITH tok AS (SELECT unnest(list_filter(string_split(text, ' '),
+                                              x -> x <> '')) AS token
+                    FROM documents),
+            tot AS (SELECT COUNT(*) AS n FROM tok),
+            c AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token)
+       SELECT token, cnt FROM c, tot
+       WHERE cnt * 41 > n
+       ORDER BY cnt DESC, token"""
+
   /** Shared by `q_drift_report` (batch) and `q_stream_drift` (the
     * complete-mode count-maintenance dual) — one oracle text, two
     * execution models.
@@ -3537,15 +3573,12 @@ object SparkEntry {
 
     // the exact form the sketch+verify must equal: plain GROUP BY with
     // the n/(k+1) threshold, k = 41 counters' worth of guarantee
-    "q_text_heavy_hitters" ->
-      """WITH tok AS (SELECT unnest(list_filter(string_split(text, ' '),
-                                                x -> x <> '')) AS token
-                      FROM documents),
-              tot AS (SELECT COUNT(*) AS n FROM tok),
-              c AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token)
-         SELECT token, cnt FROM c, tot
-         WHERE cnt * 41 > n
-         ORDER BY cnt DESC, token""",
+    "q_text_heavy_hitters" -> HeavyHittersOracle,
+
+    // streaming dual: same oracle text — the guarantee holds under any
+    // merge order, so the incrementally maintained sketch verifies to
+    // the identical exact answer
+    "q_stream_heavy_hitters" -> HeavyHittersOracle,
 
     "q_text_quality" ->
       """WITH t AS (SELECT doc_id, text,

@@ -460,13 +460,34 @@ object TextAnalysis {
     */
   def heavyHitters(df: DataFrame, textCol: String, k: Int): DataFrame = {
     val spark = df.sparkSession
-    val toks = OpCache.persist(
-      Stage.spreadLarge(df)
-        .select(explode(tokens(col(textCol))).as("token"))
-        .filter(length(col("token")) > 0))
+    val toks = tokenized(df, textCol)
     val cands = toks
       .agg(graft.functions.MisraGriesAgg(spark, col("token"), k).as("c"))
       .select(explode(col("c")).as("token"))
+    verifyCandidates(toks, cands, k)
+  }
+
+  /** The exact verify pass against an EXTERNALLY produced candidate set
+    * — the entry the streaming dual uses: any candidate table that
+    * honors the n/(k+1) survival guarantee (a drained streaming
+    * Misra–Gries sketch, a sketch merged across ingestion batches, a
+    * stored candidate table) yields the same exact output, because the
+    * verify pass re-counts candidates exactly and applies the threshold
+    * itself. This is the merge-order-independence of the CONTRACT made
+    * operational: the sketch may be maintained anywhere.
+    */
+  def heavyHittersVerify(df: DataFrame, textCol: String,
+                         candidates: DataFrame, k: Int): DataFrame =
+    verifyCandidates(tokenized(df, textCol), candidates, k)
+
+  private def tokenized(df: DataFrame, textCol: String): DataFrame =
+    OpCache.persist(
+      Stage.spreadLarge(df)
+        .select(explode(tokens(col(textCol))).as("token"))
+        .filter(length(col("token")) > 0))
+
+  private def verifyCandidates(toks: DataFrame, cands: DataFrame,
+                               k: Int): DataFrame = {
     val total = toks.agg(count(lit(1)).as("__n"))
     toks.join(Hints.bcast(cands), Seq("token"), "left_semi")
       .groupBy("token").agg(count(lit(1)).as("cnt"))
