@@ -82,4 +82,27 @@ class UpsertSpec extends SparkSpec {
            twice.orderBy("event_id").collect().toSeq)
     assert(twice.count() == 3)
   }
+
+  test("applyCdc malformed-feed tie-break: duplicate (key, seq) resolves " +
+      "D > U > I deterministically, any partitioning (round-8 advice)") {
+    import spark.implicits._
+    val store = Seq(("k1", "old"), ("k2", "old"), ("k3", "old"))
+      .toDF("id", "payload")
+    // three keys, each with TWO ops at the same sequence:
+    //   k1: U + D at seq 5  → D wins → key deleted
+    //   k2: I + U at seq 5  → U wins → U's payload survives
+    //   k3: D at 5 beaten by U at 6 (sanity: seq still dominates op rank)
+    val feed = Seq(
+      ("k1", "U", 5L, "u1"), ("k1", "D", 5L, null),
+      ("k2", "I", 5L, "i2"), ("k2", "U", 5L, "u2"),
+      ("k3", "D", 5L, null), ("k3", "U", 6L, "u3"))
+      .toDF("id", "op", "seq", "payload")
+    def run(f: org.apache.spark.sql.DataFrame) =
+      Upsert.applyCdc(store, f, Seq("id"), "op", "seq")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val out = run(feed)
+    assert(out == Map("k2" -> "u2", "k3" -> "u3"), out.toString)
+    assert(run(feed.repartition(5)) == out)
+    assert(run(feed.orderBy(col("op").asc)) == out)
+  }
 }
