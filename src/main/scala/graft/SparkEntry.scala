@@ -942,6 +942,16 @@ object SparkEntry {
         .orderBy(col("cnt").desc, col("token"))
     }),
 
+    // per-group heavy hitters: grouped MG aggregation (≤ k counters per
+    // (partition, group) crossing the exchange) + per-group exact verify
+    // against each group's own token total — per-lang k=40 keeps the
+    // same 30-word outcome per language but with per-group counts
+    "q_text_heavy_hitters_by_lang" -> ((s, dir) => {
+      TextAnalysis.heavyHittersByGroup(t(s, dir, "documents"),
+          "lang", "text", k = 40)
+        .orderBy(col("lang"), col("cnt").desc, col("token"))
+    }),
+
     // the STREAMING dual: the Misra–Gries sketch maintained
     // INCREMENTALLY by a complete-mode stream (its state IS the
     // serialized sketch buffer, merged per micro-batch), then the exact
@@ -3579,6 +3589,19 @@ object SparkEntry {
     // merge order, so the incrementally maintained sketch verifies to
     // the identical exact answer
     "q_stream_heavy_hitters" -> HeavyHittersOracle,
+
+    "q_text_heavy_hitters_by_lang" ->
+      """WITH tok AS (SELECT lang,
+                             unnest(list_filter(string_split(text, ' '),
+                                                x -> x <> '')) AS token
+                      FROM documents),
+              tot AS (SELECT lang, COUNT(*) AS n FROM tok GROUP BY lang),
+              c AS (SELECT lang, token, COUNT(*) AS cnt
+                    FROM tok GROUP BY lang, token)
+         SELECT c.lang, c.token, c.cnt
+         FROM c JOIN tot ON c.lang = tot.lang
+         WHERE c.cnt * 41 > tot.n
+         ORDER BY c.lang, c.cnt DESC, c.token""",
 
     "q_text_quality" ->
       """WITH t AS (SELECT doc_id, text,

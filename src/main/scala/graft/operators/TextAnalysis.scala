@@ -480,6 +480,35 @@ object TextAnalysis {
                          candidates: DataFrame, k: Int): DataFrame =
     verifyCandidates(tokenized(df, textCol), candidates, k)
 
+  /** Per-GROUP exact heavy hitters — the per-domain/per-language
+    * frequent-token report (boilerplate detection: a navigation string
+    * that is a heavy hitter within one source but invisible globally).
+    * Same sketch+verify construction as [[heavyHitters]], with the
+    * Misra–Gries aggregate running as a GROUPED aggregation: the
+    * exchange carries ≤ k counters per (partition, group) — the
+    * per-group analog of the global bound — and the exact verify
+    * re-counts each group's ≤ k candidates against that group's own
+    * token total, so the output equals per-group
+    * `GROUP BY token HAVING cnt·(k+1) > n_group` exactly.
+    */
+  def heavyHittersByGroup(df: DataFrame, groupCol: String, textCol: String,
+                          k: Int): DataFrame = {
+    val spark = df.sparkSession
+    val toks = OpCache.persist(
+      Stage.spreadLarge(df)
+        .select(col(groupCol), explode(tokens(col(textCol))).as("token"))
+        .filter(length(col("token")) > 0))
+    val cands = toks.groupBy(col(groupCol))
+      .agg(graft.functions.MisraGriesAgg(spark, col("token"), k).as("c"))
+      .select(col(groupCol), explode(col("c")).as("token"))
+    val totals = toks.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    toks.join(Hints.bcast(cands), Seq(groupCol, "token"), "left_semi")
+      .groupBy(col(groupCol), col("token")).agg(count(lit(1)).as("cnt"))
+      .join(Hints.bcast(totals), Seq(groupCol))
+      .filter(col("cnt") * (k + 1) > col("__n"))
+      .select(col(groupCol), col("token"), col("cnt"))
+  }
+
   private def tokenized(df: DataFrame, textCol: String): DataFrame =
     OpCache.persist(
       Stage.spreadLarge(df)

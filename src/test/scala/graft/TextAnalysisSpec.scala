@@ -284,4 +284,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got10 == Map("heavy" -> 400L, "mid1" -> 150L, "mid2" -> 100L))
     assert(k10 == expect)
   }
+
+  test("heavyHittersByGroup: per-group thresholds — a token heavy inside " +
+      "one source is found there even when another group drowns it globally") {
+    import spark.implicits._
+    val docs = Seq(
+      ("a", "nav nav nav nav nav"), ("a", "nav nav x y"),
+      // group b: 18 distinct singletons — none reaches n_b/(k+1)
+      ("b", (1 to 9).map(i => s"t$i").mkString(" ")),
+      ("b", (10 to 18).map(i => s"t$i").mkString(" "))).toDF("src", "text")
+    def run(df: org.apache.spark.sql.DataFrame) = {
+      val g = graft.operators.TextAnalysis
+        .heavyHittersByGroup(df, "src", "text", k = 2)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      graft.operators.OpCache.clear(); g
+    }
+    // group a: n=9, threshold n/3=3 → nav (7) qualifies, x/y don't;
+    // group b: n=18, threshold 6 → nothing
+    val expect = Map(("a", "nav") -> 7L)
+    assert(run(docs) == expect)
+    assert(run(docs.repartition(5)) == expect)
+    // the GLOBAL pass at the same k misses nav: n=27, threshold 9 > 7
+    val global = graft.operators.TextAnalysis.heavyHitters(docs, "text", 2)
+      .collect()
+    graft.operators.OpCache.clear()
+    assert(global.isEmpty)
+  }
 }
