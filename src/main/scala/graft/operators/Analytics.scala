@@ -852,8 +852,15 @@ object Analytics {
       .select(transform(col("__e"), e => round(e, 6)).as("__e"))
     def binned(df: DataFrame, cnt: String): DataFrame =
       df.crossJoin(Hints.bcast(edges))
-        .select(aggregate(col("__e"), lit(0),
-          (acc, e) => acc + when(col(valueCol).cast("double") > e, 1).otherwise(0))
+        // an EMPTY reference leaves the percentile null — without this
+        // guard every current row would land in a silent null bin and
+        // the report would be garbage with a straight face (found by
+        // the empty-input sweep); loud beats wrong
+        .select(when(col("__e").isNull, raise_error(lit(
+            "numericDrift: reference snapshot is empty — quantile bin " +
+              "edges are undefined")))
+          .otherwise(aggregate(col("__e"), lit(0),
+            (acc, e) => acc + when(col(valueCol).cast("double") > e, 1).otherwise(0)))
           .as("bin"))
         .groupBy("bin").agg(count(lit(1)).as(cnt))
     distributionDriftFromCounts(

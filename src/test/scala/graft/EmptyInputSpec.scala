@@ -1,0 +1,97 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Empty-input sweep over the operator library — the robustness corner a
+  * 100 TB pipeline hits constantly (a partition-pruned read, a filter
+  * that matched nothing, day one of an incremental store): every
+  * operator must return an EMPTY result of the right schema or fail
+  * LOUDLY with a contract message — never NPE, never a null-poisoned
+  * row, never a silent wrong answer.
+  */
+class EmptyInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs0: DataFrame =
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private def emb0: DataFrame =
+    Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+
+  test("dedup family: empty corpus → empty results, correct schemas") {
+    assert(Dedup.exactCanonical(docs0, "doc_id", "text").count() == 0)
+    assert(Dedup.minhashLshPairs(docs0, "doc_id", "text",
+      k = 5, numHashes = 16, numBands = 4, threshold = 0.5).count() == 0)
+    assert(Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "id_a", "id_b").count() == 0)
+    val corpus = Dedup.dedupCorpus(docs0, "doc_id", "text",
+      k = 5, numHashes = 16, numBands = 4, threshold = 0.5)
+    assert(corpus.count() == 0)
+    graft.operators.OpCache.clear()
+  }
+
+  test("text family: empty corpus → empty results") {
+    assert(TextAnalysis.heavyHitters(docs0, "text", k = 4).count() == 0)
+    assert(TextAnalysis.heavyHittersByGroup(
+      docs0.withColumn("src", lit("s")), "src", "text", k = 4).count() == 0)
+    assert(TextAnalysis.withTokenStats(docs0, "text").count() == 0)
+    graft.operators.OpCache.clear()
+  }
+
+  test("drift: empty CURRENT side reports every reference key vanished; " +
+      "empty reference reports every current key newborn") {
+    val ref = Seq("en", "en", "de").toDF("lang")
+    val empty = Seq.empty[String].toDF("lang")
+    val out = Analytics.distributionDrift(ref, empty, "lang")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("cur_cnt"), r.getAs[Double]("psi_term"))).toMap
+    assert(out.keySet == Set("en", "de"))
+    assert(out.values.forall { case (c, psi) => c == 0L && psi > 0.0 && psi.isFinite })
+    val out2 = Analytics.distributionDrift(empty, ref, "lang")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("ref_cnt")).toMap
+    assert(out2 == Map("en" -> 0L, "de" -> 0L))
+    // BOTH empty: nothing to report, and nothing blows up
+    assert(Analytics.distributionDrift(empty, empty, "lang").count() == 0)
+  }
+
+  test("numericDrift refuses an empty reference LOUDLY (found by this " +
+      "sweep: it used to emit a silent null-bin garbage row)") {
+    import spark.implicits._
+    val ref0 = Seq.empty[Double].toDF("v")
+    val cur = Seq(1.0, 2.0).toDF("v")
+    val e = intercept[Exception] {
+      Analytics.numericDrift(ref0, cur, "v", nBins = 4).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("reference snapshot is empty")), e.toString)
+    // and a valid reference with an empty CURRENT still reports: every
+    // current bin count 0 except nothing — all reference bins vanish-side
+    val ref = (1 to 40).map(_.toDouble).toDF("v")
+    val out = Analytics.numericDrift(ref, Seq.empty[Double].toDF("v"), "v", nBins = 4)
+      .collect().map(r => r.getAs[Long]("cur_cnt"))
+    assert(out.length == 4 && out.forall(_ == 0L))
+  }
+
+  test("similarity family: empty corpus/queries → empty top-k") {
+    assert(Similarity.bruteForceTopK(emb0, emb0,
+      "vec_id", "embedding", k = 3).count() == 0)
+    val one = Seq((1L, Array.fill(4)(0.5f))).toDF("vec_id", "embedding")
+    // empty QUERY side against a real corpus
+    assert(Similarity.bruteForceTopK(emb0, one,
+      "vec_id", "embedding", k = 3).count() == 0)
+    graft.operators.OpCache.clear()
+  }
+
+  test("upsert/CDC: empty feed is a no-op; empty store takes the whole feed") {
+    val store = Seq(("k1", 1L, "a")).toDF("id", "v", "p")
+    val feed0 = Seq.empty[(String, Long, String)].toDF("id", "v", "p")
+    assert(Upsert.upsert(store, feed0, Seq("id"), col("v"))
+      .collect().toSeq.map(_.getString(0)) == Seq("k1"))
+    val store0 = Seq.empty[(String, Long, String)].toDF("id", "v", "p")
+    assert(Upsert.upsert(store0, store, Seq("id"), col("v")).count() == 1)
+    val cdc0 = Seq.empty[(String, String, Long, String)].toDF("id", "op", "seq", "p")
+    assert(Upsert.applyCdc(store, cdc0, Seq("id"), "op", "seq").count() == 1)
+  }
+}
