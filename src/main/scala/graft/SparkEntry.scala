@@ -3533,7 +3533,9 @@ object SparkEntry {
                     FROM documents)
          SELECT doc_id, CAST(len(tk) AS INTEGER) AS n_tokens,
                 CAST(len(list_distinct(tk)) AS INTEGER) AS n_unique,
-                CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS ttr,
+                CASE WHEN len(tk) > 0
+                     THEN CAST(len(list_distinct(tk)) AS DOUBLE)
+                          / CAST(len(tk) AS DOUBLE) END AS ttr,
                 CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INTEGER) AS n_tokens_re
          FROM t ORDER BY doc_id""",
 

@@ -15,13 +15,19 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(text, " "), x => x =!= "")
 
-  /** Type–token stats: token count, distinct count, type-token ratio. */
+  /** Type–token stats: token count, distinct count, type-token ratio.
+    * A tokenless document (empty or null text) reports ttr NULL — under
+    * ANSI mode the plain division THREW on the first empty string
+    * (found by the null/degenerate-input sweep); undefined-as-null is
+    * the contract, not a crash.
+    */
   def withTokenStats(df: DataFrame, textCol: String): DataFrame =
     Stage.spreadLarge(df).withColumn("__toks", tokens(col(textCol)))
       .withColumn("n_tokens", size(col("__toks")))
       .withColumn("n_unique", size(array_distinct(col("__toks"))))
       .withColumn("ttr",
-        col("n_unique").cast("double") / col("n_tokens").cast("double"))
+        when(col("n_tokens") > 0,
+          col("n_unique").cast("double") / col("n_tokens").cast("double")))
       .drop("__toks")
 
   /** Stopword list used by the quality and language heuristics. */
@@ -37,16 +43,29 @@ object TextAnalysis {
     df.withColumn("__toks", tokens(col(textCol)))
       .withColumn("n_tokens", size(col("__toks")))
       .withColumn("sum_token_len", length(regexp_replace(col(textCol), " ", "")))
+      // null-on-zero: a tokenless (empty/null) document has undefined
+      // ratios, and under ANSI the plain division THREW on the first
+      // empty string (null/degenerate-input sweep find) — its
+      // quality_score then nulls through, the conventional "cannot
+      // score" marker a downstream filter treats as reject
       .withColumn("avg_token_len",
-        col("sum_token_len").cast("double") / col("n_tokens").cast("double"))
+        when(col("n_tokens") > 0,
+          col("sum_token_len").cast("double") / col("n_tokens").cast("double")))
       .withColumn("stop_ratio",
-        size(filter(col("__toks"), x => array_contains(stopArr, x))).cast("double")
-          / col("n_tokens").cast("double"))
+        when(col("n_tokens") > 0,
+          size(filter(col("__toks"), x => array_contains(stopArr, x))).cast("double")
+            / col("n_tokens").cast("double")))
+      // gated on n_tokens > 0, not left to null propagation: Spark's
+      // least/greatest SKIP nulls, so a tokenless doc's null stop_ratio
+      // would otherwise collapse the clamp to a PERFECT 1.0 score — an
+      // empty document rated top quality (the worse cousin of the
+      // divide-by-zero this sweep originally caught)
       .withColumn("quality_score",
-        greatest(lit(0.0), least(lit(1.0),
-          col("stop_ratio") * 0.3
-            + least(lit(1.0), col("n_tokens").cast("double") / 100.0) * 0.4
-            + least(lit(1.0), col("avg_token_len") / 8.0) * 0.3)))
+        when(col("n_tokens") > 0,
+          greatest(lit(0.0), least(lit(1.0),
+            col("stop_ratio") * 0.3
+              + least(lit(1.0), col("n_tokens").cast("double") / 100.0) * 0.4
+              + least(lit(1.0), col("avg_token_len") / 8.0) * 0.3))))
       .drop("__toks")
   }
 

@@ -84,6 +84,32 @@ class EmptyInputSpec extends SparkSpec {
     graft.operators.OpCache.clear()
   }
 
+  test("null/empty TEXT rows flow through every text/dedup family without " +
+      "throwing (two ANSI divide-by-zero crashes found and fixed here)") {
+    val docs = Seq((1L, "the a is alpha beta and of to in gamma"), (2L, null),
+      (3L, ""), (4L, "the a is alpha beta and of to in gamma"))
+      .toDF("doc_id", "text")
+    // withTokenStats / withQuality used to THROW on the empty string
+    // (ANSI division by zero); tokenless docs now report null ratios
+    val ts = TextAnalysis.withTokenStats(docs, "text")
+      .collect().map(r => r.getLong(0) -> r.isNullAt(r.fieldIndex("ttr"))).toMap
+    assert(ts(1L) == false && ts(2L) == true && ts(3L) == true)
+    val qu = TextAnalysis.withQuality(docs, "text")
+      .collect().map(r => r.getLong(0) ->
+        r.isNullAt(r.fieldIndex("quality_score"))).toMap
+    assert(qu(1L) == false && qu(3L) == true)
+    // the rest of the family: no throw, sensible row counts (token-keyed
+    // ops emit nothing for tokenless docs; doc-keyed ops keep all rows)
+    assert(TextAnalysis.withLangId(docs, "text").count() == 4)
+    assert(TextAnalysis.withRepetition(docs, "text").count() == 4)
+    assert(TextAnalysis.withSimhash(docs, "doc_id", "text").count() == 2)
+    assert(Dedup.noveltyScore(docs, "doc_id", "text", 2).count() == 2)
+    // the null/empty docs must not break the near-dup path for real docs
+    assert(Dedup.minhashLshPairs(docs, "doc_id", "text", 2, 8, 4, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 4L)))
+    graft.operators.OpCache.clear()
+  }
+
   test("upsert/CDC: empty feed is a no-op; empty store takes the whole feed") {
     val store = Seq(("k1", 1L, "a")).toDF("id", "v", "p")
     val feed0 = Seq.empty[(String, Long, String)].toDF("id", "v", "p")
