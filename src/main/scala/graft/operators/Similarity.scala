@@ -38,13 +38,29 @@ object Similarity {
 
   private val elemDec = "decimal(18,9)"
 
+  /** TRUE iff the embedding is present and every element is finite —
+    * the boundary predicate the similarity family filters on (the same
+    * convention as the `size === dim` filters): a NaN/Inf element would
+    * either CRASH a cast (ANSI decimal/int8 hops — the
+    * degenerate-input sweep caught quantizeInt8 throwing CAST_OVERFLOW
+    * on one NaN) or, worse, flow a garbage score silently into a
+    * ranking. Corrupt vectors are excluded like wrong-dimension ones;
+    * a deployment wanting them surfaced runs an Expectations rule
+    * upstream rather than letting ANN answers depend on NaN ordering.
+    */
+  private def finiteVec(vecCol: String): Column =
+    col(vecCol).isNotNull && forall(col(vecCol),
+      x => x.isNotNull && !isnan(x) && abs(x.cast("double")) <= Float.MaxValue.toDouble)
+
   /** Narrow per-vector table: (__vid, __vl ×10⁹ fixed-point longs, __nrm).
     * The decimal(18,9) hop makes the long exact and engine-portable; the
-    * norm is sqrt of the exact decimal self-dot.
+    * norm is sqrt of the exact decimal self-dot. Non-finite vectors are
+    * excluded at this boundary (see [[finiteVec]]).
     */
   private def fixedVectors(vectors: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val spark = vectors.sparkSession
     vectors
+      .filter(finiteVec(vecCol))
       .select(col(idCol).as("__vid"),
         transform(col(vecCol),
           x => (x.cast("double").cast(elemDec) * lit(1000000000L)).cast("long"))
@@ -114,6 +130,7 @@ object Similarity {
     val maxAbs = array_max(transform(xs, x => abs(x)))
     val scale = when(maxAbs > 0, maxAbs / 127.0).otherwise(lit(1.0))
     vectors
+      .filter(finiteVec(vecCol)) // a single NaN used to CAST_OVERFLOW here
       .select(col(idCol).as("__vid"), xs.as("__x"), scale.as("scale"))
       .select(col("__vid"), col("scale"),
         transform(col("__x"), x => round(x / col("scale")).cast("long")).as("__vl"))
@@ -844,7 +861,8 @@ object Similarity {
     * rescan.
     */
   def covariancePartials(vectors: DataFrame, vecCol: String, dim: Int): DataFrame = {
-    val vd = Stage.spread(vectors.filter(size(col(vecCol)) === dim))
+    val vd = Stage.spread(
+        vectors.filter(size(col(vecCol)) === dim && finiteVec(vecCol)))
       .select(transform(col(vecCol), x => x.cast("double").cast(elemDec)).as("__v"))
     val pairSums = vd
       .select(posexplode(col("__v")).as(Seq("i", "xi")), col("__v"))
@@ -899,7 +917,7 @@ object Similarity {
     */
   def meanPoolEmbeddings(vectors: DataFrame, groupCol: String,
                          vecCol: String, dim: Int): DataFrame = {
-    vectors.filter(size(col(vecCol)) === dim)
+    vectors.filter(size(col(vecCol)) === dim && finiteVec(vecCol))
       .select(col(groupCol),
         posexplode(transform(col(vecCol), x => x.cast("double").cast(elemDec)))
           .as(Seq("i", "x")))

@@ -110,6 +110,28 @@ class EmptyInputSpec extends SparkSpec {
     graft.operators.OpCache.clear()
   }
 
+  test("degenerate embeddings (NaN element, null vector, zero vector) are " +
+      "excluded at the similarity boundary like wrong-dim vectors — " +
+      "quantizeInt8 used to crash and NaN flowed into exact rankings") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(0.5f, 0.5f, 0.5f, 0.5f)),
+      (2L, Array(Float.NaN, 0.1f, 0.1f, 0.1f)),
+      (3L, Array(0f, 0f, 0f, 0f)),
+      (4L, null.asInstanceOf[Array[Float]]),
+      (5L, Array(0.5f, 0.5f, 0.5f, 0.49f))).toDF("vec_id", "embedding")
+    val bf = Similarity.bruteForceTopK(vecs.filter(col("vec_id") === 1),
+        vecs, "vec_id", "embedding", k = 3)
+      .collect().map(r => r.getLong(1)).toSeq
+    // NaN (2) and null (4) excluded; the zero vector (3) stays with its
+    // documented cos_sim = 0 convention
+    assert(bf == Seq(5L, 3L), bf.toString)
+    // int8 quantization: one NaN used to throw CAST_OVERFLOW for the
+    // whole job; now the corrupt vector is excluded, the rest quantize
+    assert(Similarity.quantizeInt8(vecs, "vec_id", "embedding").count() == 3)
+    graft.operators.OpCache.clear()
+  }
+
   test("upsert/CDC: empty feed is a no-op; empty store takes the whole feed") {
     val store = Seq(("k1", 1L, "a")).toDF("id", "v", "p")
     val feed0 = Seq.empty[(String, Long, String)].toDF("id", "v", "p")
