@@ -520,12 +520,49 @@ object Dedup {
     * the pair set and the label table. Canonical = component label
     * directly, because min-label propagation converges to the min id.
     */
+  /** Cluster labels with EXACT-TEXT COLLAPSE before the LSH pair search
+    * — the text analog of the multimodal distinct-signature fix the sf1
+    * measurement forced (round 9): a corpus where one document repeats
+    * g times used to push g² candidate pairs through banding, Jaccard
+    * verify, and CC (500 identical docs = 124,750 pairs; 10⁶ would be
+    * 5·10¹¹ — and MANY identical copies is exactly the case a dedup
+    * pass exists for). Identical texts (md5-grouped, restricted to docs
+    * with ≥ 1 shingle — shingle-less docs never pair today and keep
+    * that behavior) are Jaccard 1 ≥ any threshold BY CONSTRUCTION, so
+    * each group collapses to its min-id representative: LSH + verify
+    * run over DISTINCT texts only, members attach by one (member → rep)
+    * edge each, and connectivity — hence every min-id label — is
+    * PROVABLY unchanged (Jaccard and band keys are functions of the
+    * text, so X≡rep(G) relates to any Y exactly as rep(G) does; the
+    * committed corpus oracles pin the equality). Member edges exist
+    * only for groups of size > 1, so the label table still covers
+    * exactly the docs in some near-dup relation and the sparse-corpus
+    * cost is unchanged.
+    */
+  private def collapsedNearDupLabels(df: DataFrame, idCol: String,
+      textCol: String, k: Int, numHashes: Int, numBands: Int,
+      threshold: Double): DataFrame = {
+    val eligible = df
+      .select(col(idCol), col(textCol))
+      .filter(size(TextAnalysis.tokens(col(textCol))) >= k)
+      .withColumn("__th", md5(col(textCol)))
+    val groups = OpCache.persist(eligible.groupBy(col("__th"))
+      .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("__gn")))
+    val reps = df.join(groups.select(col("__rep").as(idCol)), Seq(idCol), "left_semi")
+    val repPairs = minhashLshPairs(reps, idCol, textCol,
+        k, numHashes, numBands, threshold)
+      .select("id_a", "id_b")
+    val memberEdges = eligible
+      .join(groups.filter(col("__gn") > 1), Seq("__th"))
+      .select(col(idCol).as("id_a"), col("__rep").as("id_b"))
+    connectedComponents(repPairs.unionByName(memberEdges), "id_a", "id_b")
+  }
+
   def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
                   k: Int, numHashes: Int, numBands: Int,
                   threshold: Double): DataFrame = {
-    val pairs = minhashLshPairs(df, idCol, textCol, k, numHashes, numBands, threshold)
-      .select("id_a", "id_b")
-    val labels = OpCache.persist(connectedComponents(pairs, "id_a", "id_b"))
+    val labels = OpCache.persist(collapsedNearDupLabels(
+      df, idCol, textCol, k, numHashes, numBands, threshold))
     val canon = labels.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
       .select(col("comp").as(idCol), col("cluster_size"))
     val unique = df.select(col(idCol))
@@ -551,9 +588,8 @@ object Dedup {
                     preferCol: String, k: Int, numHashes: Int, numBands: Int,
                     threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = minhashLshPairs(df, idCol, textCol, k, numHashes, numBands, threshold)
-      .select("id_a", "id_b")
-    val labels = OpCache.persist(connectedComponents(pairs, "id_a", "id_b"))
+    val labels = OpCache.persist(collapsedNearDupLabels(
+      df, idCol, textCol, k, numHashes, numBands, threshold))
     val w = Window.partitionBy(col("comp"))
       .orderBy(col(preferCol).desc_nulls_last, col("id").asc)
     val canon = labels

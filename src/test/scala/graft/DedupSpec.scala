@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.Dedup
-import org.apache.spark.sql.functions.{col, explode}
+import org.apache.spark.sql.functions.{col, count, explode, lit}
 
 class DedupSpec extends SparkSpec {
   import spark.implicits._
@@ -351,5 +351,40 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(minId == Map(1L -> 2L, 3L -> 1L))
     graft.operators.OpCache.clear()
+  }
+
+  test("exact-text collapse == uncollapsed pairs->CC on random duplicate-" +
+      "heavy corpora (round-9 quadratic fix: identical texts are Jaccard 1 " +
+      "by construction, so connectivity cannot change)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val vocab = Seq("a", "b", "c", "d", "e", "f", "g", "h")
+    def text() = Seq.fill(6 + rnd.nextInt(5))(vocab(rnd.nextInt(vocab.length)))
+      .mkString(" ")
+    for (trial <- 1 to 2) {
+      // 12 base texts, each repeated 1-8 times (heavy identical groups),
+      // plus a couple of degenerate short docs (< k tokens → no shingles)
+      val bases = Seq.fill(12)(text())
+      var id = -1L
+      val docs = (bases.flatMap { t =>
+        Seq.fill(1 + rnd.nextInt(8)) { id += 1; (id, t) }
+      } ++ Seq({ id += 1; (id, "x y") }, { id += 1; (id, "z") })).toDF("doc_id", "text")
+      val viaCollapse = Dedup.dedupCorpus(docs, "doc_id", "text",
+          k = 3, numHashes = 16, numBands = 4, threshold = 0.5)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      graft.operators.OpCache.clear()
+      // the pre-collapse construction, from the same public pieces
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+          k = 3, numHashes = 16, numBands = 4, threshold = 0.5)
+        .select("id_a", "id_b")
+      val labels = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      val canon = labels.groupBy(col("comp")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val labeled = labels.select("id").collect().map(_.getLong(0)).toSet
+      graft.operators.OpCache.clear()
+      val unique = (0L to id).filterNot(labeled)
+        .map(_ -> 1L).toMap
+      assert(viaCollapse == canon ++ unique, s"trial $trial diverged")
+    }
   }
 }
