@@ -132,6 +132,22 @@ class EmptyInputSpec extends SparkSpec {
     graft.operators.OpCache.clear()
   }
 
+  test("day-one streaming: a drain over an EMPTY source directory " +
+      "terminates with an empty sink in both append and complete modes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty_stream_").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+    assert(graft.streaming.StreamDrain.drain(spark, dir, schema,
+      "empty_drain_append", "append") { src =>
+        src.filter(col("v") > 0) }.count() == 0)
+    assert(graft.streaming.StreamDrain.drain(spark, dir, schema,
+      "empty_drain_complete", "complete") { src =>
+        src.groupBy("k").agg(count(lit(1)).as("n")) }.count() == 0)
+  }
+
   test("upsert/CDC: empty feed is a no-op; empty store takes the whole feed") {
     val store = Seq(("k1", 1L, "a")).toDF("id", "v", "p")
     val feed0 = Seq.empty[(String, Long, String)].toDF("id", "v", "p")
