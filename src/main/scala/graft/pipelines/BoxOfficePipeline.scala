@@ -118,15 +118,21 @@ object BoxOfficePipeline {
     * post-swap row count.
     */
   private def mergeAndSwap(spark: SparkSession, path: String, fresh: DataFrame,
-                           merge: DataFrame => DataFrame): Long = {
-    AtomicStore.recover(spark, path) // roll forward a swap a crash interrupted
-    val store = readOrEmpty(spark, path, fresh)
-    val out = merge(store).cache()
-    val n = out.count()
-    AtomicStore.overwrite(out, path)
-    out.unpersist()
-    n
-  }
+                           merge: DataFrame => DataFrame): Long =
+    // The lock spans the WHOLE read-merge-write: locking only the swap
+    // would let two concurrent upserts read the same base generation and
+    // the later swap silently drop the earlier writer's rows (round-9
+    // verdict #4). A concurrent upsert waits here, then merges against
+    // the winner's output — both batches land.
+    AtomicStore.withLock(spark, path) {
+      AtomicStore.recover(spark, path) // roll forward a swap a crash interrupted
+      val store = readOrEmpty(spark, path, fresh)
+      val out = merge(store).cache()
+      val n = out.count()
+      AtomicStore.overwrite(out, path)
+      out.unpersist()
+      n
+    }
 
   /** Stock append (S10, goods_stock_pipeline.py:99-113) with the F18
     * ingestion timestamp stamped at write time (injected, not

@@ -34,13 +34,15 @@ object StreamingIncrementalAgg {
              keys: Seq[String], valueCol: String, distinctCol: String,
              k: Int): DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      graft.pipelines.AtomicStore.recover(spark, storePath)
-      val delta = IncrementalAgg.aggregateBatch(
-        batch, keys, valueCol, distinctCol, k)
-      val base = graft.pipelines.BoxOfficePipeline
-        .readOrEmpty(spark, storePath, delta)
-      val merged = IncrementalAgg.merge(base, delta, keys, k)
-      graft.pipelines.AtomicStore.overwrite(merged, storePath)
+      graft.pipelines.AtomicStore.withLock(spark, storePath) {
+        graft.pipelines.AtomicStore.recover(spark, storePath)
+        val delta = IncrementalAgg.aggregateBatch(
+          batch, keys, valueCol, distinctCol, k)
+        val base = graft.pipelines.BoxOfficePipeline
+          .readOrEmpty(spark, storePath, delta)
+        val merged = IncrementalAgg.merge(base, delta, keys, k)
+        graft.pipelines.AtomicStore.overwrite(merged, storePath)
+      }
       ()
     }
 

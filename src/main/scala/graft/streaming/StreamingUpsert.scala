@@ -50,10 +50,15 @@ object StreamingUpsert {
       // localCheckpoint, whose executor-local blocks die with the executor)
       // and the live path is only ever swapped via rename — a crash at any
       // point leaves a complete table for AtomicStore.recover.
-      graft.pipelines.AtomicStore.recover(spark, storePath)
-      val base = graft.pipelines.BoxOfficePipeline.readOrEmpty(spark, storePath, batch)
-      val merged = Upsert.upsert(base, batch, keys, col(versionCol))
-      graft.pipelines.AtomicStore.overwrite(merged, storePath)
+      // lock spans the whole read-merge-write so an external writer (or a
+      // second stream on the same store) can't interleave between the base
+      // read and the swap (round-9 verdict #4)
+      graft.pipelines.AtomicStore.withLock(spark, storePath) {
+        graft.pipelines.AtomicStore.recover(spark, storePath)
+        val base = graft.pipelines.BoxOfficePipeline.readOrEmpty(spark, storePath, batch)
+        val merged = Upsert.upsert(base, batch, keys, col(versionCol))
+        graft.pipelines.AtomicStore.overwrite(merged, storePath)
+      }
       ()
     }
 
@@ -112,11 +117,13 @@ object StreamingUpsert {
                 keys: Seq[String], opCol: String,
                 seqCol: String): DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      graft.pipelines.AtomicStore.recover(spark, storePath)
-      val base = graft.pipelines.BoxOfficePipeline
-        .readOrEmpty(spark, storePath, batch.drop(opCol, seqCol))
-      val merged = Upsert.applyCdc(base, batch, keys, opCol, seqCol)
-      graft.pipelines.AtomicStore.overwrite(merged, storePath)
+      graft.pipelines.AtomicStore.withLock(spark, storePath) {
+        graft.pipelines.AtomicStore.recover(spark, storePath)
+        val base = graft.pipelines.BoxOfficePipeline
+          .readOrEmpty(spark, storePath, batch.drop(opCol, seqCol))
+        val merged = Upsert.applyCdc(base, batch, keys, opCol, seqCol)
+        graft.pipelines.AtomicStore.overwrite(merged, storePath)
+      }
       ()
     }
 

@@ -96,20 +96,62 @@ class AtomicStoreSpec extends SparkSpec {
     assert(cds.toSeq == Seq("m3", "m4"))
   }
 
-  test("a second concurrent writer fails loudly at the lock, store intact " +
-      "(round-8 verdict #5)") {
+  test("a second concurrent writer fails loudly once retries are exhausted, " +
+      "store intact (round-8 verdict #5)") {
     val path = tmp()
     AtomicStore.overwrite(Seq(1).toDF("v"), path)
-    // writer A holds the lock (simulated: lock file present mid-write)
+    // writer A holds the lock (simulated: lock file present mid-write;
+    // content-less, like a pre-lease writer's — mtime still carries the lease)
     assert(new java.io.File(path + ".lock").createNewFile())
     val e = intercept[java.io.IOException] {
-      AtomicStore.overwrite(Seq(2).toDF("v"), path)
+      AtomicStore.overwrite(Seq(2).toDF("v"), path, lockRetries = 0)
     }
     assert(e.getMessage.contains("concurrent writer"))
     // the failed attempt neither swapped nor clobbered writer A's lock
     assert(spark.read.parquet(path).as[Int].collect().toSeq == Seq(1))
     assert(new java.io.File(path + ".lock").exists())
     new java.io.File(path + ".lock").delete()
+  }
+
+  test("a crashed holder's lock is STOLEN once its lease expires (round-9 " +
+      "verdict #4)") {
+    val path = tmp()
+    AtomicStore.overwrite(Seq(1).toDF("v"), path)
+    val lock = new java.io.File(path + ".lock")
+    assert(lock.createNewFile())
+    // age the lock past the (tiny) lease we'll pass — a crashed writer
+    assert(lock.setLastModified(System.currentTimeMillis() - 60000))
+    AtomicStore.overwrite(Seq(2).toDF("v"), path, lockRetries = 0, leaseMs = 1000)
+    assert(spark.read.parquet(path).as[Int].collect().toSeq == Seq(2))
+    // the thief released its own lock on the way out
+    assert(!lock.exists())
+  }
+
+  test("two CONCURRENT upserts: the loser waits on the lock and BOTH " +
+      "batches land (round-9 verdict #4)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cc_").toString
+    val spark0 = spark
+    import graft.pipelines.BoxOfficePipeline
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def writerThread(cd: String, nm: String) = new Thread(() => {
+      try {
+        gate.await()
+        BoxOfficePipeline.upsertMovies(spark0, root,
+          Seq((cd, nm)).toDF("movie_cd", "movie_nm"))
+      } catch { case t: Throwable => errs.add(t) }
+    })
+    val a = writerThread("mA", "Movie A")
+    val b = writerThread("mB", "Movie B")
+    a.start(); b.start(); gate.countDown()
+    a.join(120000); b.join(120000)
+    assert(errs.isEmpty, s"a writer failed: ${Option(errs.peek()).map(_.getMessage)}")
+    // the lock spans read-merge-write: the loser merged against the
+    // winner's output, so neither row was silently dropped
+    val cds = spark0.read.parquet(root + "/movie")
+      .select("movie_cd").as[String].collect().sorted
+    assert(cds.toSeq == Seq("mA", "mB"))
+    assert(!new java.io.File(root + "/movie.lock").exists())
   }
 
   test("recover clears a crashed writer's stale lock; next write proceeds") {
