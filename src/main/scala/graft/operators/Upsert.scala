@@ -71,9 +71,11 @@ object Upsert {
   /** Feed contract: (keys, seqCol) SHOULD be unique per feed — a log
     * assigns one sequence per change. If a malformed feed carries two
     * ops for one key at one sequence, the outcome is still
-    * deterministic (round-8 advice): the final tie-break prefers the
-    * stronger statement D > U > I, independent of partitioning/arrival
-    * order, instead of leaving row_number to pick arbitrarily.
+    * deterministic (round-8 advice): the tie-break prefers the stronger
+    * statement D > U > I, and — round-9 advice — two rows with the SAME
+    * op but different payloads resolve by payload hash, so the survivor
+    * is a pure function of the feed's contents, never of
+    * partitioning/arrival order.
     */
   def applyCdc(store: DataFrame, changes: DataFrame, keys: Seq[String],
                opCol: String, seqCol: String): DataFrame = {
@@ -85,8 +87,14 @@ object Upsert {
         allowMissingColumns = true)
     val opRank = when(col(opCol) === "D", 2)
       .when(col(opCol) === "U", 1).otherwise(0)
+    val payloadCols = tagged.columns
+      .filterNot((keys ++ Seq(opCol, seqCol, "__is_fresh")).contains)
+    val payloadHash =
+      if (payloadCols.isEmpty) lit(0L)
+      else xxhash64(payloadCols.toIndexedSeq.map(c => col(c).cast("string")): _*)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(seqCol).desc, col("__is_fresh").desc, opRank.desc)
+      .orderBy(col(seqCol).desc, col("__is_fresh").desc, opRank.desc,
+        payloadHash.desc)
     tagged.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && col(opCol) =!= "D")
       .drop("__rn", "__is_fresh", opCol, seqCol)
