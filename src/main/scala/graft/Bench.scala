@@ -50,6 +50,61 @@ object Bench {
     r
   }
 
+  /** [[ivfPqRecallAt10]] with the shortlist built by the RESIDUAL ADC
+    * ([[graft.operators.Similarity.ivfPqResidualRerankTopK]]) — same
+    * rerank budget over a higher-fidelity shortlist.
+    */
+  def ivfPqResidualRecallAt10(spark: SparkSession, sfDir: String,
+                              nCells: Int = 16, nProbe: Int = 8,
+                              m: Int = 16, ksub: Int = 16,
+                              rerank: Int = 100): Double = {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 200)
+    val exact = graft.operators.Similarity.bruteForceTopK(
+      queries, emb, "vec_id", "embedding", k = 10)
+    val approx = graft.operators.Similarity.ivfPqResidualRerankTopK(
+      emb, queries, "vec_id", "embedding",
+      dim = 64, nCells = nCells, m = m, ksub = ksub, iters = 5, k = 10,
+      nProbe = nProbe, rerank = rerank)
+    val r = graft.operators.Similarity.recallAtK(approx, exact)
+      .agg(avg(col("recall"))).head().getDouble(0)
+    graft.operators.OpCache.clear()
+    r
+  }
+
+  /** ADC-ONLY recall@10 (no exact rerank) — the shortlist quality the
+    * rerank stage builds from, plain vs residual encoding at the SAME
+    * m/ksub/nProbe (round-9 verdict #2). `residual = true` routes
+    * through [[graft.operators.Similarity.ivfPqResidualTopK]] (trained
+    * coarse k-means, residual codebooks, exact cell term, reconstruction-
+    * norm correction); `false` is the plain [[ivfPqTopK]] band.
+    */
+  def ivfPqAdcRecallAt10(spark: SparkSession, sfDir: String, residual: Boolean,
+                         nCells: Int = 16, nProbe: Int = 8,
+                         m: Int = 16, ksub: Int = 16): Double = {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 200)
+    val exact = graft.operators.Similarity.bruteForceTopK(
+      queries, emb, "vec_id", "embedding", k = 10)
+    val approx =
+      if (residual)
+        graft.operators.Similarity.ivfPqResidualTopK(
+          emb, queries, "vec_id", "embedding",
+          dim = 64, nCells = nCells, m = m, ksub = ksub, iters = 5, k = 10,
+          nProbe = nProbe)
+      else
+        graft.operators.Similarity.ivfPqTopK(
+          emb, queries, "vec_id", "embedding",
+          dim = 64, nCells = nCells, m = m, ksub = ksub, iters = 5, k = 10,
+          nProbe = nProbe)
+    val r = graft.operators.Similarity.recallAtK(approx, exact)
+      .agg(avg(col("recall"))).head().getDouble(0)
+    graft.operators.OpCache.clear()
+    r
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -123,13 +178,22 @@ object Bench {
     // quality metric, measured once (not per pass — it is not a timing):
     // skipped only when a SPARK_GRAFT_ONLY filter says this is a partial
     // local iteration
-    val recall =
-      if (only.isEmpty)
-        try Some(ivfPqRecallAt10(spark, sfDir))
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] ivfpq recall failed: ${e.getMessage}"); None }
-      else None
-    recall.foreach(r => System.err.println(f"[bench] ivfpq_recall_at10 $r%.4f"))
+    def quality(name: String)(f: => Double): Option[(String, Double)] =
+      if (only.nonEmpty) None
+      else
+        try {
+          val v = f
+          System.err.println(f"[bench] $name $v%.4f")
+          Some(name -> v)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); None }
+    val recalls = Seq(
+      quality("ivfpq_recall_at10")(ivfPqRecallAt10(spark, sfDir)),
+      quality("ivfpq_residual_recall_at10")(ivfPqResidualRecallAt10(spark, sfDir)),
+      quality("ivfpq_adc_recall_at10")(
+        ivfPqAdcRecallAt10(spark, sfDir, residual = false)),
+      quality("ivfpq_adc_residual_recall_at10")(
+        ivfPqAdcRecallAt10(spark, sfDir, residual = true))).flatten
 
     var best = Map.empty[String, Double]
     def emit(): Unit = {
@@ -137,7 +201,7 @@ object Bench {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       val total = results.map(_._2).filter(_ >= 0).sum
-      val recallField = recall.map(r => s""","ivfpq_recall_at10":$r""").getOrElse("")
+      val recallField = recalls.map { case (n, v) => s""","$n":$v""" }.mkString
       // headline emitted BOTH before and after the (long) per-query line:
       // the driver's artifact keeps the TAIL, so a leading headline is
       // lost when the big sibling line is truncated (round-6 verdict #3),

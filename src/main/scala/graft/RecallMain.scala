@@ -20,8 +20,11 @@ object RecallMain {
     spark.sparkContext.setLogLevel("ERROR")
     val Seq(nCells, nProbe, m, ksub, rerank) =
       (args.drop(1).map(_.toInt) ++ Seq(16, 8, 16, 16, 100).drop(args.length - 1)).take(5).toSeq
+    println(f"ADC_PLAIN_RECALL_AT10=${Bench.ivfPqAdcRecallAt10(spark, sfDir, residual = false, nCells, nProbe, m, ksub)}%.4f")
+    println(f"ADC_RESIDUAL_RECALL_AT10=${Bench.ivfPqAdcRecallAt10(spark, sfDir, residual = true, nCells, nProbe, m, ksub)}%.4f")
     println(f"IVFPQ_RECALL_AT10=${Bench.ivfPqRecallAt10(spark, sfDir, nCells, nProbe, m, ksub, rerank)}%.4f" +
       s" (nCells=$nCells nProbe=$nProbe m=$m ksub=$ksub rerank=$rerank)")
+    println(f"IVFPQ_RESIDUAL_RERANK_RECALL_AT10=${Bench.ivfPqResidualRecallAt10(spark, sfDir, nCells, nProbe, m, ksub, rerank)}%.4f")
     spark.stop()
   }
 }

@@ -1196,6 +1196,18 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // RESIDUAL IVFADC at the oracle tier (round-9 verdict #2): residuals
+    // r = x − cell-centroid in exact decimal, codebook = residuals of
+    // vec_ids 16..19, score = exact cell dot + residual ADC — the
+    // residual decomposition the trained ivfPqResidualTopK uses, with
+    // every arithmetic step recomputed by the DuckDB oracle
+    "q_sim_ivfpq_residual" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfPqResidualAdcDeterministic(emb.filter(col("vec_id") < 5), emb,
+          "vec_id", "embedding", dim = 64, nCells = 16, m = 4, ksub = 4, k = 3)
+        .orderBy("query_id", "rank")
+    }),
+
     // LSH-bucketed ANN top-3 (8 sign-projection planes) — the scale path
     "q_sim_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -4182,6 +4194,73 @@ object SparkEntry {
                       FROM ex)
          SELECT query_id, cand_id, cos_sim, rank
          FROM fin WHERE rank <= 3 ORDER BY query_id, rank"""),
+
+    // residual IVFADC: same cell-assignment CTEs as IvfPqAdcCoreSql,
+    // then residual elements, residual codebook (vec_ids 16..19),
+    // argmin-L2 codes over residuals, and score = exact decimal cell
+    // dot + residual ADC — the residual decomposition recomputed
+    "q_sim_ivfpq_residual" ->
+      """WITH ser AS (SELECT unnest(generate_series(1, 64)) AS i),
+              es AS (SELECT vec_id, i,
+                            CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS x,
+                            (i - 1) // 16 AS s
+                     FROM embeddings CROSS JOIN ser WHERE i <= len(embedding)),
+              nrm AS (SELECT vec_id, sqrt(CAST(SUM(x * x) AS DOUBLE)) AS nrm
+                      FROM es GROUP BY vec_id),
+              adots AS (SELECT v.vec_id, c.vec_id AS centroid_id, SUM(v.x * c.x) AS dot
+                        FROM es v JOIN es c ON c.i = v.i AND c.vec_id < 16
+                        GROUP BY 1, 2),
+              asg AS (SELECT vec_id, centroid_id
+                      FROM (SELECT a.vec_id, a.centroid_id,
+                                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                     ORDER BY round(CAST(a.dot AS DOUBLE) / (nv.nrm * nc.nrm), 6) DESC,
+                                              a.centroid_id) AS rn
+                            FROM adots a
+                            JOIN nrm nv ON nv.vec_id = a.vec_id
+                            JOIN nrm nc ON nc.vec_id = a.centroid_id) t
+                      WHERE rn = 1),
+              res AS (SELECT v.vec_id, v.i, v.s,
+                             CAST(v.x - c.x AS DECIMAL(18,9)) AS rx
+                      FROM es v
+                      JOIN asg ON asg.vec_id = v.vec_id
+                      JOIN es c ON c.vec_id = asg.centroid_id AND c.i = v.i),
+              cent AS (SELECT CAST(vec_id - 16 AS INTEGER) AS cid, s, i, rx
+                       FROM res WHERE vec_id >= 16 AND vec_id < 20),
+              d2 AS (SELECT v.vec_id, v.s, c.cid,
+                            SUM(CAST(CAST(v.rx - c.rx AS DECIMAL(18,9))
+                                     * CAST(v.rx - c.rx AS DECIMAL(18,9))
+                                     AS DECIMAL(38,18))) AS d2
+                     FROM res v JOIN cent c ON v.i = c.i
+                     GROUP BY 1, 2, 3),
+              code AS (SELECT vec_id, s, cid
+                       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                               ORDER BY d2, cid) AS rn FROM d2)
+                       WHERE rn = 1),
+              q AS (SELECT vec_id AS query_id, centroid_id FROM asg WHERE vec_id < 5),
+              cdot AS (SELECT q2.query_id,
+                              SUM(CAST(qe.x * ce.x AS DECIMAL(38,18))) AS cdot
+                       FROM q q2
+                       JOIN es qe ON qe.vec_id = q2.query_id
+                       JOIN es ce ON ce.vec_id = q2.centroid_id AND ce.i = qe.i
+                       GROUP BY 1),
+              cand AS (SELECT q.query_id, a.vec_id AS cand_id, q.centroid_id
+                       FROM q JOIN asg a ON a.centroid_id = q.centroid_id
+                                        AND a.vec_id <> q.query_id),
+              adc AS (SELECT cand.query_id, cand.cand_id,
+                             SUM(CAST(qe.x * c.rx AS DECIMAL(38,18))) AS adot
+                      FROM cand
+                      JOIN es qe ON qe.vec_id = cand.query_id
+                      JOIN code cd ON cd.vec_id = cand.cand_id AND cd.s = qe.s
+                      JOIN cent c ON c.cid = cd.cid AND c.s = qe.s AND c.i = qe.i
+                      GROUP BY 1, 2),
+              r AS (SELECT a.query_id, a.cand_id,
+                           round(CAST(cd.cdot + a.adot AS DOUBLE), 6) AS approx_dot,
+                           CAST(ROW_NUMBER() OVER (PARTITION BY a.query_id
+                             ORDER BY round(CAST(cd.cdot + a.adot AS DOUBLE), 6) DESC,
+                                      a.cand_id) AS INTEGER) AS rank
+                    FROM adc a JOIN cdot cd ON cd.query_id = a.query_id)
+         SELECT query_id, cand_id, approx_dot, rank
+         FROM r WHERE rank <= 3 ORDER BY query_id, rank""",
 
     "q_sim_int8_topk" ->
       """WITH ser AS (SELECT unnest(generate_series(1, 64)) AS i),

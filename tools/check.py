@@ -11,6 +11,12 @@ import json, subprocess, sys, os
 
 SF = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("-") else "/root/testdata/sf0.01"
 OUT = "/tmp/graft_verify"
+REPORT = None
+for i, a in enumerate(sys.argv):
+    if a == "--out" and i + 1 < len(sys.argv):
+        OUT = sys.argv[i + 1]
+    if a == "--report" and i + 1 < len(sys.argv):
+        REPORT = sys.argv[i + 1]
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
@@ -28,7 +34,12 @@ import pandas as pd
 
 con = duckdb.connect()
 for t in TABLES:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    # driver testdata ships single files; repo-generated (sf1) tables are
+    # Spark-written directories — glob those
+    src = f"{SF}/{t}.parquet"
+    if os.path.isdir(src):
+        src += "/*.parquet"
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 
@@ -54,6 +65,7 @@ if os.path.exists(marker):
 
 fails = []
 stale = []
+results = {}
 for name, sql in sorted(oracle.items()):
     if fresh is not None and name not in fresh:
         if name in requested:
@@ -108,6 +120,8 @@ for name, sql in sorted(oracle.items()):
         fails.append(name)
         print(f"FAIL {name}: {len(bad)} cols differ; first: {bad[0]}")
     else:
+        results[name] = {"status": "pass", "rows": int(exp.shape[0]),
+                         "cols": int(exp.shape[1])}
         print(f"PASS {name} ({exp.shape[0]} rows x {exp.shape[1]} cols)")
 
 if fresh is not None:
@@ -119,6 +133,14 @@ if fresh is not None:
 compared = len(oracle) - len(stale)
 print(f"\n{compared - len(fails)}/{compared} compared queries pass"
       + (f" ({len(stale)} stale skipped)" if stale else ""))
+if REPORT:
+    for f in fails:
+        results.setdefault(f, {"status": "fail"})["status"] = "fail"
+    json.dump({"sf_dir": SF, "compared": compared, "passed": compared - len(fails),
+               "failed": sorted(fails), "stale_skipped": len(stale),
+               "queries": {k: results[k] for k in sorted(results)}},
+              open(REPORT, "w"), indent=1)
+    print(f"report written to {REPORT}")
 # comparing NOTHING is a failure, not a pass: a marker naming zero (or
 # only unknown) queries would otherwise let a scripted gate go green
 # with no coverage at all
