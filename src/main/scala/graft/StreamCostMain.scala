@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measures the micro-batch COMMIT term of the stateful stream drains
+  * (round-9 verdict #3): runs the exact q_stream_neardup_ttl operator
+  * chain (minhash banding → flatMapGroupsWithState with event-time TTL)
+  * over the same data TWICE — once as the semantic 3-single-file-batch
+  * layout (maxFilesPerTrigger=1, the production eviction cadence) and
+  * once as ONE batch of all 3 files — and prints the decomposition
+  * time ≈ a·batches + b·rows:
+  *
+  *   a (per-batch commit/start cost) = (T_3batch − T_1batch) / 2
+  *   b·rows (data term)             = T_1batch − a
+  *
+  * The single-batch run changes TTL semantics (nothing expires inside
+  * one batch), so it is a TIMING probe only — the oracle-gated query
+  * keeps the 3-batch layout because the eviction behavior IS its
+  * contract. Two passes each, min taken, second pass reported (first
+  * warms codegen/page cache).
+  *
+  * Usage: `runMain graft.StreamCostMain /root/repo/testdata/sf1 [passes]`
+  */
+object StreamCostMain {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val passes = args.drop(1).headOption.map(_.toInt).getOrElse(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val batch = Tables.load(spark, dir, "documents")
+      .withColumn("ts", timestamp_micros(col("doc_id") * lit(60000000L)))
+    val mx = batch.agg(max("doc_id")).head().getLong(0)
+    val d1 = mx / 3
+    val d2 = (2 * mx) / 3
+    val ttlSecs = (d1 * 4 / 10) * 60 + 30
+
+    val tmp = s"/tmp/graft_streamcost_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    val fsRoot = new org.apache.hadoop.fs.Path(tmp)
+    fsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(fsRoot, true)
+    val streamDir = new java.io.File(s"$tmp/docs"); streamDir.mkdirs()
+    def emitFile(df: org.apache.spark.sql.DataFrame, name: String, modMs: Long): Unit = {
+      val stage = s"$tmp/stage_$name"
+      df.coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(streamDir, s"$name.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(modMs); ()
+    }
+    emitFile(batch.filter(col("doc_id") <= d1), "b1", 1000000L)
+    emitFile(batch.filter(col("doc_id") > d1 && col("doc_id") <= d2), "b2", 2000000L)
+    emitFile(batch.filter(col("doc_id") > d2), "b3", 3000000L)
+
+    def run(name: String, opts: Map[String, String]): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val out = graft.streaming.StreamDrain.drain(spark, streamDir.toString,
+          batch.schema, name, "append", sourceOptions = opts) { src =>
+        graft.streaming.StreamingNearDup.candidatePairsExpiring(spark,
+          graft.streaming.StreamingNearDup.banded(src, "doc_id", "text",
+            k = 5, numHashes = 16, numBands = 4, carryCols = Seq("ts"))
+            .withWatermark("ts", "0 seconds"),
+          ttl = java.time.Duration.ofSeconds(ttlSecs),
+          maxBucket = 1 << 20).toDF()
+      }
+      val n = out.count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+
+    var t3 = Double.MaxValue
+    var t1 = Double.MaxValue
+    for (p <- 1 to passes) {
+      val (a, na) = run(s"sc3_$p", Map("maxFilesPerTrigger" -> "1"))
+      val (b, nb) = run(s"sc1_$p", Map.empty)
+      println(f"[streamcost] pass $p: 3-batch $a%.2f s ($na rows), 1-batch $b%.2f s ($nb rows)")
+      t3 = math.min(t3, a); t1 = math.min(t1, b)
+    }
+    val perBatch = (t3 - t1) / 2.0
+    println(f"[streamcost] dir=$dir min: T_3batch=$t3%.2f s, T_1batch=$t1%.2f s -> " +
+      f"per-batch term a=$perBatch%.2f s, data term b*rows=${t1 - perBatch}%.2f s")
+    spark.stop()
+  }
+}
