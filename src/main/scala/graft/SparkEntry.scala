@@ -1260,6 +1260,18 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // per-document pair budget over the same search (round-9 verdict
+    // #9): each doc reports its 2 best partners by (dist, doc_b) — the
+    // Θ(Σ group²) report term bounded to corpus×cap, dist-0 partners
+    // generated by lead() instead of the group self-join; the oracle is
+    // the uncapped derivation under a LIMIT-per-group window
+    "q_multimodal_image_neardup_capped" -> ((s, dir) => {
+      Multimodal.imageNearDupPairsCapped(s,
+          Multimodal.imageAHashBands(s, ahashCorpus(s, dir)), tau = 8,
+          maxPairsPerDoc = 2)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // streaming dual of the aHash pass: BINARY payloads through
     // readStream, the same stateless typed mapPartitions decode per
     // micro-batch — same oracle SQL text as the batch q_multimodal_ahash
@@ -4386,6 +4398,26 @@ object SparkEntry {
                          AND (a.b0 = b.b0 OR a.b1 = b.b1 OR
                               a.b2 = b.b2 OR a.b3 = b.b3))
          SELECT doc_a, doc_b, dist FROM pairs WHERE dist <= 8
+         ORDER BY doc_a, doc_b""",
+
+    // the same derivation under a per-doc_a LIMIT window — the capped
+    // report's oracle shape
+    "q_multimodal_image_neardup_capped" ->
+      s"""$AHashBandsCte,
+              pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                               CAST(bit_count(xor(a.b0, b.b0))
+                                  + bit_count(xor(a.b1, b.b1))
+                                  + bit_count(xor(a.b2, b.b2))
+                                  + bit_count(xor(a.b3, b.b3)) AS INTEGER) AS dist
+                        FROM bands a JOIN bands b
+                          ON a.doc_id < b.doc_id
+                         AND (a.b0 = b.b0 OR a.b1 = b.b1 OR
+                              a.b2 = b.b2 OR a.b3 = b.b3)),
+              capped AS (SELECT doc_a, doc_b, dist,
+                                ROW_NUMBER() OVER (PARTITION BY doc_a
+                                  ORDER BY dist, doc_b) AS rn
+                         FROM pairs WHERE dist <= 8)
+         SELECT doc_a, doc_b, dist FROM capped WHERE rn <= 2
          ORDER BY doc_a, doc_b""",
 
     "q_multimodal_audio_fp" ->

@@ -304,6 +304,16 @@ object Multimodal {
         col("b2"), col("b3")), Seq("b0", "b1", "b2", "b3"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), lit(0).as("dist"))
+    within.unionByName(crossSignaturePairs(hs, tau))
+  }
+
+  /** The DISTINCT-SIGNATURE half of [[imageNearDupPairs]] (0 < dist ≤
+    * tau — differing signatures only): band joins + Hamming verify over
+    * distinct signatures, then expansion back to member doc pairs.
+    * Shared by the capped variant, which replaces the Θ(Σ g²) dist-0
+    * self-join with a bounded lead() generation.
+    */
+  private def crossSignaturePairs(hs: DataFrame, tau: Int): DataFrame = {
     val d = OpCache.persist(
       hs.select("b0", "b1", "b2", "b3").dropDuplicates())
     // (hi, lo) packs the 4×16-bit signature into two comparable longs —
@@ -332,7 +342,46 @@ object Multimodal {
         Seq("c0", "c1", "c2", "c3"))
       .select(least(col("__ida"), col("__idb")).as("doc_a"),
         greatest(col("__ida"), col("__idb")).as("doc_b"), col("dist"))
+    cross
+  }
+
+  /** [[imageNearDupPairs]] with a per-document pair budget (round-9
+    * verdict #9): each doc_a reports at most `maxPairsPerDoc` partners,
+    * the best by (dist asc, doc_b asc) — equivalent to capping the full
+    * pair set per doc_a, so the oracle is one LIMIT-per-group window
+    * over the uncapped derivation. The point is bounding the Θ(Σ g²)
+    * OUTPUT term the uncapped report carries by contract: the dist-0
+    * within-group part is generated as each member's next
+    * `maxPairsPerDoc` group successors via lead() — g·cap rows of work,
+    * never g² — which provably contains every dist-0 pair the final cap
+    * can keep (a doc's best partners at dist 0 are exactly its nearest
+    * group successors by id); the cross-signature part rides the
+    * distinct-signature search unchanged and the final per-doc window
+    * folds both to the budget. Cluster labeling
+    * ([[mediaDedupClusters]]) stays the scale default when pair
+    * identities aren't needed at all.
+    */
+  def imageNearDupPairsCapped(spark: SparkSession, hashes: DataFrame,
+                              tau: Int, maxPairsPerDoc: Int): DataFrame = {
+    require(maxPairsPerDoc >= 1, s"maxPairsPerDoc must be >= 1, got $maxPairsPerDoc")
+    val hs = OpCache.persist(hashes.filter(col("b0") >= 0))
+    val sig = Seq("b0", "b1", "b2", "b3")
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy(sig.map(col): _*).orderBy(col("doc_id").asc)
+    val within = (1 to maxPairsPerDoc).map { o =>
+      hs.withColumn("__nb", lead(col("doc_id"), o).over(wg))
+        .filter(col("__nb").isNotNull)
+        .select(col("doc_id").as("doc_a"), col("__nb").as("doc_b"),
+          lit(0).as("dist"))
+    }.reduce(_ unionByName _)
+    val cross = crossSignaturePairs(hs, tau)
+    val wcap = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_a"))
+      .orderBy(col("dist").asc, col("doc_b").asc)
     within.unionByName(cross)
+      .withColumn("__rn", row_number().over(wcap))
+      .filter(col("__rn") <= maxPairsPerDoc)
+      .drop("__rn")
   }
 
   /** Near-dup CLUSTER labels without ever materializing the quadratic
