@@ -838,6 +838,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the AQE skew lever's demonstration join (round-9 verdict #6): the
+    // fact side shuffles on event_type — FIVE distinct keys, each ~20 %
+    // of the table, the canonical few-hot-keys skew a uniform hash
+    // fan-out cannot spread. Under Verify's defaults this is an
+    // ordinary hash-green join; PlanShapeSpec re-executes it with
+    // broadcast disabled + skew thresholds lowered and pins that AQE's
+    // OptimizeSkewedJoin actually SPLITS the hot partitions
+    // (AQEShuffleRead ... skewed in the final plan) with identical
+    // results — runtime skew-split evidence, complementing the manual
+    // Skew.saltedGroupSum lever
+    "q_skew_join_aqe" -> ((s, dir) => {
+      import s.implicits._
+      val dim = Seq(
+        ("click", "engagement"), ("view", "engagement"),
+        ("purchase", "revenue"), ("signup", "growth"), ("error", "ops"))
+        .toDF("event_type", "tier")
+      t(s, dir, "events")
+        // multi-mapper fact side: a skewed reduce partition splits by
+        // MAPPER ranges, so a single-row-group toy scan (one mapper)
+        // would leave AQE nothing to split — at scale this is a no-op
+        .transform(Stage.spread)
+        .join(dim, "event_type")
+        .groupBy("tier")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(38,6)")).cast("double").as("total_value"))
+        .orderBy("tier")
+    }),
+
     // ---- LLM-data-pipeline pack -------------------------------------
 
     // token counting (whitespace + BPE-ish regex) + type-token ratio
@@ -3550,6 +3578,16 @@ object SparkEntry {
                 CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total,
                 CAST(COUNT(*) AS BIGINT) AS n
          FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
+
+    "q_skew_join_aqe" ->
+      """WITH dim(event_type, tier) AS (VALUES
+              ('click', 'engagement'), ('view', 'engagement'),
+              ('purchase', 'revenue'), ('signup', 'growth'),
+              ('error', 'ops'))
+         SELECT tier, COUNT(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+         FROM events JOIN dim USING (event_type)
+         GROUP BY tier ORDER BY tier""",
 
     "q_p6_multi_filter" ->
       """SELECT doc_id, lang, source, n_chars FROM documents

@@ -170,4 +170,66 @@ class PlanShapeSpec extends SparkSpec {
       s"top-20 fell back to a global sort in:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q_skew_join_aqe: AQE's runtime skew-split fires on the hot " +
+      "event_type partitions, result identical (round-9 verdict #6)") {
+    // EXECUTES (skew detection is a runtime re-plan on observed shuffle
+    // sizes, not a static shape) at sf0.01 with the thresholds lowered
+    // to toy scale and the 5-row dim's broadcast disabled so the join
+    // actually shuffles both sides — the cluster regime where one hot
+    // key would otherwise pin a straggler task
+    val xdir = "/root/testdata/sf0.01"
+    assume(new java.io.File(xdir).exists(), s"$xdir not present")
+    val c = spark.conf
+    val keys = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin",
+      "spark.sql.shuffle.partitions")
+    val saved = keys.map(k => k -> c.getOption(k)).toMap
+    def restore(): Unit = saved.foreach {
+      case (k, Some(v)) => c.set(k, v)
+      case (k, None)    => c.unset(k)
+    }
+    val expected =
+      SparkEntry.queries("q_skew_join_aqe")(spark, xdir).collect().toSeq
+    try {
+      c.set("spark.sql.adaptive.enabled", "true")
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
+      c.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+      c.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // the join's output feeds a re-shuffle anyway, but the rule's
+      // requirement check is conservative — force keeps the demo honest
+      // about WHICH mechanism fired rather than depending on the
+      // downstream plan's shape
+      c.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      // 5 hot keys across 8 reduce partitions: several empty, so the
+      // median is small and the hot ones exceed factor×median (the
+      // suite default of 2 makes the MEDIAN itself the biggest
+      // partition — nothing can exceed it at factor 1)
+      c.set("spark.sql.shuffle.partitions", "8")
+      // NOTE a skewed reduce partition is split by MAPPER ranges: the
+      // query's Stage.spread gives the join shuffle multiple data-
+      // carrying mappers even on the single-row-group toy file (one
+      // mapper would leave AQE nothing to split)
+      val df = SparkEntry.queries("q_skew_join_aqe")(spark, xdir)
+      val rows = df.collect().toSeq
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("skewed"),
+        s"OptimizeSkewedJoin did not split any partition in final plan:\n$p")
+      assert(rows == expected,
+        s"skew-split changed the result: $rows vs $expected")
+    } finally {
+      restore()
+      graft.operators.OpCache.clear()
+    }
+  }
 }
