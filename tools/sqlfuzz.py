@@ -63,6 +63,8 @@ SEED_D = 42424242  # block D (cases 105+): round-8 third widening
 N_D = 20
 SEED_E = 4242424242  # block E (cases 125+): round-8 fourth widening
 N_E = 24
+SEED_F = 424242424242  # block F (cases 149+): round-10 multi-join widening
+N_F = 15
 SF = "/root/testdata/sf0.01"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(REPO, "src/main/scala/graft/SqlFuzz.scala")
@@ -878,6 +880,86 @@ class Gen:
                 f"CAST(SUM(CAST({num} AS DECIMAL(38,6))) AS DOUBLE) AS total "
                 f"FROM {t} WHERE {self.preds(t, n=1)} HAVING COUNT(*) > 1")
 
+    # --- block-F templates (cases 149+; round-10 multi-join widening —
+    # randomized coverage for the join-reorder / AQE planning paths the
+    # hand-written q9/q18/q21 exercise; blocks A-E stay byte-stable) ----
+
+    def sum_alias(self, c, t, a):
+        """sum_of with an explicit table alias on the column."""
+        k = dict(COLS[t])[c]
+        if k == "d":
+            return f"CAST(SUM(CAST({a}.{c} AS DECIMAL(38,6))) AS DOUBLE)"
+        return f"CAST(SUM({a}.{c}) AS BIGINT)"
+
+    def t_star_join(self):
+        """Star: lineitem fact + 2-3 independent dims, grouped by two dim
+        attributes — the q9 shape with randomized dim picks/predicates."""
+        num = self.r.choice(["l_quantity", "l_extendedprice", "l_discount"])
+        dims = [
+            ("part", "l_partkey", "p_partkey",
+             self.r.choice(["p_brand", "p_type"])),
+            ("supplier", "l_suppkey", "s_suppkey", "s_nationkey"),
+            ("orders", "l_orderkey", "o_orderkey",
+             self.r.choice(["o_orderstatus", "o_orderpriority"])),
+        ]
+        picked = self.r.sample(dims, self.r.choice([2, 3]))
+        joins = " ".join(
+            f"JOIN {t} d{i} ON f.{lk} = d{i}.{rk}"
+            for i, (t, lk, rk, _) in enumerate(picked))
+        gk = [(f"d{i}.{attr}", attr) for i, (_, _, _, attr) in enumerate(picked)][:2]
+        sel = ", ".join(f"{k} AS {n}" for k, n in gk)
+        order = ", ".join(f"{n} NULLS FIRST" for _, n in gk)
+        return (f"SELECT {sel}, COUNT(*) AS cnt, "
+                f"{self.sum_alias(num, 'lineitem', 'f')} AS total "
+                f"FROM lineitem f {joins} "
+                f"WHERE {self.preds('lineitem', 'f', n=1)} "
+                f"GROUP BY {', '.join(k for k, _ in gk)} ORDER BY {order}")
+
+    def t_chain4(self):
+        """4-table FK chain fact→orders→customer→nation with predicates
+        spread across two levels of the chain."""
+        num = self.r.choice(["l_quantity", "l_extendedprice"])
+        extra = self.r.choice(["", f" AND {self.predicate('customer', 'c')}"])
+        return (f"SELECT n.n_name AS n_name, COUNT(*) AS cnt, "
+                f"{self.sum_alias(num, 'lineitem', 'l')} AS total "
+                f"FROM lineitem l "
+                f"JOIN orders o ON l.l_orderkey = o.o_orderkey "
+                f"JOIN customer c ON o.o_custkey = c.c_custkey "
+                f"JOIN nation n ON c.c_nationkey = n.n_nationkey "
+                f"WHERE {self.preds('lineitem', 'l', n=1)}{extra} "
+                f"GROUP BY n.n_name ORDER BY n_name NULLS FIRST")
+
+    def t_snowflake(self):
+        """Snowflake: orders fact + customer→nation→region dim chain,
+        grouped by region name × an orders attribute (the q5 dim-chain
+        shape with a second grouping level)."""
+        okey = self.r.choice(["o_orderstatus", "o_orderpriority"])
+        num = "o_totalprice"
+        jt = self.r.choice(["JOIN", "JOIN", "LEFT JOIN"])
+        return (f"SELECT r.r_name AS r_name, o.{okey} AS {okey}, "
+                f"COUNT(*) AS cnt, {self.sum_alias(num, 'orders', 'o')} AS total "
+                f"FROM orders o "
+                f"JOIN customer c ON o.o_custkey = c.c_custkey "
+                f"{jt} nation n ON c.c_nationkey = n.n_nationkey "
+                f"{jt} region r ON n.n_regionkey = r.r_regionkey "
+                f"WHERE {self.preds('orders', 'o', n=1)} "
+                f"GROUP BY r.r_name, o.{okey} "
+                f"ORDER BY r_name NULLS FIRST, {okey} NULLS FIRST")
+
+    def t_join_semi_mix(self):
+        """Two-join rollup PLUS a correlated EXISTS on a third fact — the
+        q21 mixed semi/join plan under randomized predicates."""
+        neg = self.r.choice(["", "NOT "])
+        return (f"SELECT n.n_name AS n_name, COUNT(*) AS cnt "
+                f"FROM customer c "
+                f"JOIN nation n ON c.c_nationkey = n.n_nationkey "
+                f"JOIN orders o ON o.o_custkey = c.c_custkey "
+                f"WHERE {self.preds('orders', 'o', n=1)} "
+                f"AND {neg}EXISTS (SELECT 1 FROM lineitem i "
+                f"WHERE i.l_orderkey = o.o_orderkey "
+                f"AND {self.predicate('lineitem', 'i')}) "
+                f"GROUP BY n.n_name ORDER BY n_name NULLS FIRST")
+
 
 def accept_loop(con, templates, want):
     """Round-robin templates until `want` queries pass the DuckDB sanity
@@ -975,6 +1057,14 @@ def generate():
     templatesE = [gE.t_join_using, gE.t_lateral, gE.t_grouping_sets,
                   gE.t_except_all, gE.t_range_frame, gE.t_global_having]
     out += accept_loop(con, templatesE, N_E)
+    # block F (cases 149+): the round-10 multi-join widening — star
+    # fact+dims, 4-table FK chains, snowflake dim chains, and mixed
+    # join+EXISTS plans, all randomized — join-reordering coverage the
+    # single-join templates never generated.
+    gF = Gen(random.Random(SEED_F))
+    templatesF = [gF.t_star_join, gF.t_chain4, gF.t_snowflake,
+                  gF.t_join_semi_mix, gF.t_join3]
+    out += accept_loop(con, templatesF, N_F)
     con.close()
     return out
 
@@ -1026,7 +1116,16 @@ def all_templates(g):
             g.t_limit_offset, g.t_is_distinct, g.t_pad_trim,
             g.t_corr_scalar_select, g.t_cte_chain, g.t_join_using,
             g.t_lateral, g.t_grouping_sets, g.t_except_all,
-            g.t_range_frame, g.t_global_having]
+            g.t_range_frame, g.t_global_having,
+            g.t_star_join, g.t_chain4, g.t_snowflake, g.t_join_semi_mix]
+
+
+def multijoin_templates(g):
+    """Only the ≥2-join templates — for a dedicated multi-join sweep
+    (round-9 verdict #5: join-reorder/AQE paths need randomized
+    coverage at volume, not just the handful of committed cases)."""
+    return [g.t_star_join, g.t_chain4, g.t_snowflake, g.t_join_semi_mix,
+            g.t_join3]
 
 
 def sweep(seed, n):
@@ -1036,7 +1135,9 @@ def sweep(seed, n):
     for t in COLS:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     g = Gen(random.Random(seed))
-    cases = accept_loop(con, all_templates(g), n)
+    tmpls = multijoin_templates(g) if "--multijoin" in sys.argv \
+        else all_templates(g)
+    cases = accept_loop(con, tmpls, n)
     root = f"/tmp/graft_sqlsweep_{seed}"
     out = os.path.join(root, "out")
     os.makedirs(root, exist_ok=True)
@@ -1052,7 +1153,8 @@ def sweep(seed, n):
     if "SWEEP_DONE" not in r.stdout:
         sys.stderr.write(r.stdout[-3000:] + r.stderr[-3000:])
         sys.exit("Spark sweep run failed")
-    report = {"seed": seed, "n": len(cases), "divergences": [], "clean": 0}
+    report = {"seed": seed, "n": len(cases), "divergences": [], "clean": 0,
+              "multijoin": "--multijoin" in sys.argv}
     for i, (sql, _) in enumerate(cases):
         name = f"q_sweep_{i:02d}"
         errf = os.path.join(out, name + ".ERROR")
@@ -1091,7 +1193,8 @@ def sweep(seed, n):
             print(f"DIVERGE {name}: {bad}")
         else:
             report["clean"] += 1
-    path = os.path.join(REPO, "tools", f"sqlsweep_seed{seed}.json")
+    tag = "_multijoin" if "--multijoin" in sys.argv else ""
+    path = os.path.join(REPO, "tools", f"sqlsweep_seed{seed}{tag}.json")
     with open(path, "w") as f:
         json.dump(report, f, indent=1)
     print(f"\nsweep seed={seed}: {report['clean']}/{report['n']} agree, "
