@@ -19,21 +19,88 @@ import org.apache.spark.sql.types.StructType
   * data-carrying micro-batch (a later batch would re-emit superseded
   * rows into the accumulating memory sink), so update-mode drains ASSERT
   * single-batch-ness after termination instead of assuming it (round-5
-  * advice). No checkpoint location is set on purpose — each drain is a
-  * fresh end-to-end replay (a persisted checkpoint would make the second
-  * run a no-op and the gate would compare an empty sink). Production
-  * deployments run the same operators with `start()` plus a durable
-  * checkpoint dir; only the sink and trigger differ.
+  * advice). Each drain gets a FRESH checkpoint location on tmpfs
+  * ([[freshCheckpoint]]) — each drain is a fresh end-to-end replay (a
+  * persisted checkpoint would make the second run a no-op and the gate
+  * would compare an empty sink), and a replay's checkpoint has zero
+  * durability value, so its fsync-heavy commit path belongs in memory.
+  * Production deployments run the same operators with `start()` plus a
+  * DURABLE checkpoint dir; only the sink, trigger, and checkpoint
+  * durability differ.
   *
-  * Conf isolation (round-6 verdict #7): the drain runs on a DEDICATED
-  * `spark.newSession()` — same SparkContext, isolated SQLConf and temp
-  * views — so the pinned shuffle fan-out and any `extraConfs` (e.g. the
-  * state-store provider) never leak into queries planned concurrently on
-  * the caller's session. The memory-sink table registers in the private
-  * session and the returned DataFrame is bound to it, which also means
-  * repeated drains under the same sink name can never collide.
+  * Conf isolation (round-6 verdict #7): the drain runs on a dedicated
+  * session — same SparkContext, isolated SQLConf and temp views — so
+  * the pinned shuffle fan-out and any `extraConfs` (e.g. the
+  * state-store provider) never leak into queries planned concurrently
+  * on the caller's session. Round 10: dedicated sessions are CACHED
+  * per conf set ([[sessionFor]]) instead of rebuilt per drain — same
+  * isolation boundary (sessions never mix conf sets), minus the
+  * per-drain SessionState rebuild. A repeated drain under the same
+  * sink name replaces the memory-sink view in its cached session; the
+  * caller materializes the returned frame before any later drain of
+  * the same name (Verify writes parquet, Bench writes noop —
+  * both immediate).
   */
 object StreamDrain {
+
+  /** Config-keyed cache of drain sessions (round-9 verdict #7): the
+    * drain family's sf0.1 cost is dominated by per-drain START
+    * machinery, and a fresh `newSession()` per drain re-initializes a
+    * SessionState (conf, catalog, parser, analyzer rule pipeline) that
+    * is identical for every drain sharing one conf set. Sessions are
+    * cached per (context, conf-set, inherited-conf) key — isolation
+    * between DIFFERENT conf sets is preserved exactly as before (a
+    * RocksDB drain never shares a session with a default-provider
+    * drain), and reuse within a set is safe because each drain's
+    * memory sink registers under its own query name and the streaming
+    * query is stopped before return. Bounded: a handful of distinct
+    * conf sets exist across the whole suite.
+    */
+  private val sessions =
+    new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
+
+  /** Fresh-per-drain checkpoint root on tmpfs when available (round-9
+    * verdict #7, second lever): a drain's checkpoint (offset/commit
+    * logs, state-store deltas + CRCs, one fsync-laden file per store
+    * per batch) is a REPLAY artifact with zero durability value — the
+    * contract is a fresh end-to-end run every time — but by default it
+    * lands on java.io.tmpdir, which on this host is disk-backed ext4.
+    * /dev/shm puts the whole commit path in memory. The counter keeps
+    * every drain's location fresh (a reused checkpoint would turn the
+    * second run into a no-op and the gate would compare an empty
+    * sink); each location is deleted after its drain.
+    */
+  private val ckptCounter = new java.util.concurrent.atomic.AtomicLong()
+  private def freshCheckpoint(name: String): java.io.File = {
+    val root =
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft_drain_ckpt"
+      else sys.props("java.io.tmpdir") + "/graft_drain_ckpt"
+    val d = new java.io.File(s"$root/${name}_${ckptCounter.incrementAndGet()}")
+    d.mkdirs()
+    d
+  }
+
+  private def sessionFor(spark: SparkSession,
+                         confs: Map[String, String]): SparkSession = {
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    val nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    val key = (System.identityHashCode(spark.sparkContext),
+      tz, nanos, confs.toSeq.sorted).toString
+    sessions.computeIfAbsent(key, _ => {
+      val ss = spark.newSession()
+      // a fresh SessionState initializes from builder-time SparkConf,
+      // NOT the caller's runtime `conf.set` overrides — re-pin the two
+      // runtime confs the oracle agreement depends on (UTC timestamp
+      // arithmetic; the events-nanos schema contract, propagated so any
+      // future inferring path sees the caller's contract), then the
+      // drain-local overrides
+      ss.conf.set("spark.sql.session.timeZone", tz)
+      ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", nanos)
+      confs.foreach { case (k, v) => ss.conf.set(k, v) }
+      ss
+    })
+  }
+
   def drain(spark: SparkSession, path: String, schema: StructType,
             name: String, outputMode: String,
             extraConfs: Map[String, String] = Map.empty,
@@ -76,29 +143,13 @@ object StreamDrain {
       } catch { case _: Exception => Long.MaxValue } // unsized → max fan-out
     val sized = math.max(1L, math.min(8L, (inputBytes + (64L << 20) - 1) / (64L << 20)))
     val confs = Map("spark.sql.shuffle.partitions" -> sized.toString) ++ extraConfs
-    // a fresh SessionState initializes from builder-time SparkConf, NOT
-    // the caller's runtime `conf.set` overrides — re-pin the one runtime
-    // conf the oracle agreement depends on (UTC timestamp arithmetic)
-    // before applying the drain-local overrides
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.session.timeZone",
-      spark.conf.get("spark.sql.session.timeZone"))
-    // the schema-adaptive events contract (Tables.normalizeEventTs) reads
-    // TIMESTAMP(NANOS)-typed parquet as Long via this legacy conf, which
-    // Tables.loadRaw sets at RUNTIME on the caller's session — a fresh
-    // SessionState would default it false. Empirically (TablesSchemaSpec)
-    // the drain's explicit `.schema(...)` bypasses footer-schema
-    // INFERENCE, which is where a nanos file throws, so today's drains
-    // work either way — the conf is propagated so any future path that
-    // does infer (globs without schema, schema evolution checks) sees the
-    // caller's contract rather than a silently different default.
-    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong",
-      spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false"))
-    confs.foreach { case (k, v) => ss.conf.set(k, v) }
+    val ss = sessionFor(spark, confs)
+    val ckpt = freshCheckpoint(name)
     val q = op(ss.readStream.schema(schema).options(sourceOptions)
         .parquet(globbed))
       .writeStream.format("memory").queryName(name)
       .outputMode(outputMode)
+      .option("checkpointLocation", ckpt.getAbsolutePath)
       .trigger(Trigger.AvailableNow())
       .start()
     try {
@@ -120,7 +171,12 @@ object StreamDrain {
               "update-mode agreement with a batch oracle requires exactly " +
               "one (a multi-file source would emit superseded rows)")
       }
-    } finally if (q.isActive) q.stop()
+    } finally {
+      if (q.isActive) q.stop()
+      // replay artifact — reclaim the tmpfs space immediately
+      org.apache.commons.io.FileUtils.deleteQuietly(ckpt)
+      ()
+    }
     ss.table(name)
   }
 }
