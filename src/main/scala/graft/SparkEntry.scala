@@ -657,6 +657,58 @@ object SparkEntry {
         .orderBy("movie_cd")
     }),
 
+    // S2/S9 at the DataSourceV2 tier: the SAME paginated feed read
+    // through `spark.read.format("kobis-pages")` — the reference's
+    // curPage HTTP loop (kobisdata_extractor.py:56-91) re-expressed as
+    // partition planning (one InputPartition per landed page; column
+    // pruning and LIMIT pushdown reach the reader, pinned in
+    // KobisPagesV2Spec). The oracle states every per-item normalization
+    // the reader performs: snake_case keys, falsy-dropped directors /
+    // companys serialized to compact JSON, JSON-null and missing fields
+    // → SQL NULL, empty strings preserved raw (the scan does NOT
+    // filter — P6 stays a downstream Catalyst op).
+    "q_source_v2_pages" -> ((s, dir) => {
+      def page(items: String) =
+        s"""{"movieListResult": {"totCnt": "5", "movieList": [$items]}}"""
+      val p1 = page(
+        """{"movieCd":"V1","movieNm":"브이 하나","movieNmEn":"Vee One",
+          | "prdtYear":"2024","openDt":"20240101","typeNm":"장편",
+          | "prdtStatNm":"개봉","nationAlt":"한국","genreAlt":"드라마",
+          | "repNationNm":"한국","repGenreNm":"드라마",
+          | "directors":[{"peopleNm":"Kim"},{"peopleNm":""}],
+          | "companys":[{"companyCd":"C1","companyNm":"Acme"},
+          |             {"companyCd":"","companyNm":"Ghost"}]},
+          |{"movieCd":"V2","movieNm":"브이 둘","movieNmEn":null}""".stripMargin)
+      val p2 = page(
+        """{"movieCd":"V3","movieNm":"Vee Three","movieNmEn":"V3 En",
+          | "prdtYear":"2023","openDt":"20240215","typeNm":"장편",
+          | "prdtStatNm":"개봉","nationAlt":"한국","genreAlt":"액션",
+          | "repNationNm":"한국","repGenreNm":"액션",
+          | "directors":[{"peopleNm":"Lee"},{"peopleNm":"Park"}],
+          | "companys":[]},
+          |{"movieCd":"V4","movieNm":"공백","movieNmEn":"  ",
+          | "prdtYear":"2024","openDt":"","typeNm":"장편",
+          | "prdtStatNm":"개봉예정","nationAlt":"한국","genreAlt":"액션",
+          | "repNationNm":"한국","repGenreNm":"액션",
+          | "directors":[],"companys":[]}""".stripMargin)
+      val p3 = page(
+        """{"movieCd":"V5","movieNm":"다섯","movieNmEn":"Five",
+          | "prdtYear":"2024","openDt":"20240501","typeNm":"장편",
+          | "prdtStatNm":"개봉","nationAlt":"한국","genreAlt":"드라마",
+          | "repNationNm":"한국","repGenreNm":"드라마",
+          | "directors":[{"peopleNm":"최감독"}],"companys":[]}""".stripMargin)
+      val root = java.nio.file.Paths.get(s"$scratchRoot/graft_kobis_v2_pages")
+      java.nio.file.Files.createDirectories(root)
+      java.nio.file.Files.writeString(root.resolve("page_0001.json"), p1)
+      java.nio.file.Files.writeString(root.resolve("page_0002.json"), p2)
+      java.nio.file.Files.writeString(root.resolve("page_0003.json"), p3)
+      s.read.format("kobis-pages").option("pageSize", "2")
+        .option("path", root.toString).load()
+        .select("movie_cd", "movie_nm", "movie_nm_en", "open_dt",
+          "rep_genre_nm", "directors", "companys")
+        .orderBy("movie_cd")
+    }),
+
     // J6 phased — the reference's full candidate ladder
     // (movie_events_scraper.py:64-125): recent ∪ opening-soon first, full
     // catalog second, raw containment third, normalized-self fallback.
@@ -3456,6 +3508,21 @@ object SparkEntry {
             CAST(NULL AS VARCHAR), '액션', '["Lee"]', '[]'))
          AS t(movie_cd, movie_nm, movie_nm_en, prdt_year, open_dt,
               rep_genre_nm, directors, companys)
+         ORDER BY movie_cd""",
+
+    "q_source_v2_pages" ->
+      """SELECT * FROM (VALUES
+           ('V1', '브이 하나', 'Vee One', '20240101', '드라마',
+            '["Kim"]', '[{"company_cd":"C1","company_nm":"Acme"}]'),
+           ('V2', '브이 둘', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+            CAST(NULL AS VARCHAR), '[]', '[]'),
+           ('V3', 'Vee Three', 'V3 En', '20240215', '액션',
+            '["Lee","Park"]', '[]'),
+           ('V4', '공백', '  ', '', '액션', '[]', '[]'),
+           ('V5', '다섯', 'Five', '20240501', '드라마',
+            '["최감독"]', '[]'))
+         AS t(movie_cd, movie_nm, movie_nm_en, open_dt, rep_genre_nm,
+              directors, companys)
          ORDER BY movie_cd""",
 
     "q_j6_fuzzy_title_phased" ->
