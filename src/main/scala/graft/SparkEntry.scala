@@ -1337,7 +1337,8 @@ object SparkEntry {
     // pool→threshold, oracle restates the (lossless) fixture's pixel
     // formula as closed-form arithmetic — content decode verified, not
     // just headers. Corpus = base fixtures + XOR-perturbed variants
-    // (doc_id + 10000), which seed genuine near-dup pairs below
+    // (doc_id + 100000000, clear of real ids at every sf), which seed
+    // genuine near-dup pairs below
     "q_multimodal_ahash" -> ((s, dir) => {
       Multimodal.imageAHashBands(s, ahashCorpus(s, dir)).orderBy("doc_id")
     }),
@@ -2650,7 +2651,7 @@ object SparkEntry {
     */
   private val CovarianceOracle =
     """WITH ser AS (SELECT unnest(generate_series(1, 64)) AS i),
-            e AS (SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS x
+            e AS (SELECT vec_id, i, CAST(CAST(CAST(embedding[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9)) AS x
                   FROM embeddings CROSS JOIN ser
                   WHERE i <= len(embedding) AND len(embedding) = 64
                     AND len(list_filter(embedding,
@@ -2678,7 +2679,7 @@ object SparkEntry {
   private val IvfPqAdcCoreSql =
     """WITH ser AS (SELECT unnest(generate_series(1, 64)) AS i),
               es AS (SELECT vec_id, i,
-                            CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS x,
+                            CAST(CAST(CAST(embedding[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9)) AS x,
                             (i - 1) // 16 AS s
                      FROM embeddings CROSS JOIN ser WHERE i <= len(embedding)),
               nrm AS (SELECT vec_id, sqrt(CAST(SUM(x * x) AS DOUBLE)) AS nrm
@@ -2788,8 +2789,13 @@ object SparkEntry {
        FROM j ORDER BY o_custkey, d"""
 
   /** Shared corpus for the aHash queries: every document's base PNG
-    * fixture plus an XOR-perturbed variant (doc_id + 10000) for
+    * fixture plus an XOR-perturbed variant (doc_id + 100_000_000) for
     * doc_id < 64 — the perturbed copies are the planted near-dups.
+    * The variant offset must clear every real doc_id at EVERY scale
+    * factor: the original 10000 collided with live ids on the sf1
+    * corpus (50 k docs), where the oracle's GROUP BY doc_id silently
+    * merged a real document's pixels with a perturbed variant's — a
+    * scale-dependent fixture bug only the sf1 gate could catch.
     */
   private def ahashCorpus(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -2798,7 +2804,7 @@ object SparkEntry {
         Multimodal.syntheticPngFixture(id))))
     val pert = t(s, dir, "documents").select("doc_id").as[Long]
       .filter((id: Long) => id < 64)
-      .mapPartitions(_.map(id => Multimodal.MediaRecord(id + 10000, "image",
+      .mapPartitions(_.map(id => Multimodal.MediaRecord(id + 100000000L, "image",
         Multimodal.syntheticPngPerturbedFixture(id))))
     base.union(pert).toDF()
   }
@@ -2812,7 +2818,7 @@ object SparkEntry {
   private val AHashBandsCte =
     """WITH ids AS (SELECT doc_id, doc_id % 32 AS r, 0 AS pert FROM documents
                     UNION ALL
-                    SELECT doc_id + 10000, doc_id % 32, 1 FROM documents
+                    SELECT doc_id + 100000000, doc_id % 32, 1 FROM documents
                     WHERE doc_id < 64),
             dims AS (SELECT doc_id, r, pert, 16 + r AS w,
                             16 + (r * 7) % 32 AS h FROM ids),
@@ -2891,7 +2897,8 @@ object SparkEntry {
   }
 
   /** Shared corpus for the audio-fingerprint queries — base WAV fixtures
-    * plus PCM-XOR-perturbed variants (doc_id + 10000) for doc_id < 64.
+    * plus PCM-XOR-perturbed variants (doc_id + 100_000_000, clear of real
+    * ids at every scale factor — see ahashCorpus) for doc_id < 64.
     */
   private def audioFpCorpus(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -2900,7 +2907,7 @@ object SparkEntry {
         Multimodal.syntheticWavFixture(id))))
     val pert = t(s, dir, "documents").select("doc_id").as[Long]
       .filter((id: Long) => id < 64)
-      .mapPartitions(_.map(id => Multimodal.MediaRecord(id + 10000, "audio",
+      .mapPartitions(_.map(id => Multimodal.MediaRecord(id + 100000000L, "audio",
         Multimodal.syntheticWavPerturbedFixture(id))))
     base.union(pert).toDF()
   }
@@ -2913,7 +2920,7 @@ object SparkEntry {
   private val AudioFpBandsCte =
     """WITH ids AS (SELECT doc_id, doc_id % 100 AS r, 0 AS pert FROM documents
                     UNION ALL
-                    SELECT doc_id + 10000, doc_id % 100, 1 FROM documents
+                    SELECT doc_id + 100000000, doc_id % 100, 1 FROM documents
                     WHERE doc_id < 64),
             meta AS (SELECT doc_id, r, pert,
                             (100 + r % 50) * (1 + r % 2) AS n FROM ids),
@@ -4245,7 +4252,7 @@ object SparkEntry {
 
     "q_sim_cosine_topk" ->
       """WITH ser AS (SELECT unnest(generate_series(1, 64)) AS i),
-              e AS (SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS x
+              e AS (SELECT vec_id, i, CAST(CAST(CAST(embedding[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9)) AS x
                     FROM embeddings CROSS JOIN ser WHERE i <= len(embedding)),
               nrm AS (SELECT vec_id, sqrt(CAST(SUM(x * x) AS DOUBLE)) AS nrm
                       FROM e GROUP BY vec_id),
@@ -4267,7 +4274,7 @@ object SparkEntry {
     "q_sim_pq_adc" ->
       """WITH ser AS (SELECT unnest(generate_series(1, 64)) AS i),
               es AS (SELECT vec_id, i,
-                            CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS x,
+                            CAST(CAST(CAST(embedding[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9)) AS x,
                             (i - 1) // 16 AS s
                      FROM embeddings CROSS JOIN ser WHERE i <= len(embedding)),
               cent AS (SELECT vec_id AS cid, s, i, x FROM es WHERE vec_id < 4),
@@ -4331,7 +4338,7 @@ object SparkEntry {
     "q_sim_ivfpq_residual" ->
       """WITH ser AS (SELECT unnest(generate_series(1, 64)) AS i),
               es AS (SELECT vec_id, i,
-                            CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS x,
+                            CAST(CAST(CAST(embedding[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9)) AS x,
                             (i - 1) // 16 AS s
                      FROM embeddings CROSS JOIN ser WHERE i <= len(embedding)),
               nrm AS (SELECT vec_id, sqrt(CAST(SUM(x * x) AS DOUBLE)) AS nrm
@@ -4428,7 +4435,7 @@ object SparkEntry {
                                     substring(md5(CAST(p AS VARCHAR) || '_' || CAST(i - 1 AS VARCHAR)), 1, 1)) - 1) % 2 = 1
                                   THEN 1 ELSE -1 END AS sgn
                       FROM pl CROSS JOIN ser),
-              e AS (SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS x
+              e AS (SELECT vec_id, i, CAST(CAST(CAST(embedding[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9)) AS x
                     FROM embeddings CROSS JOIN ser WHERE i <= len(embedding)),
               proj AS (SELECT vec_id, p, SUM(x * sgn) AS proj
                        FROM e JOIN sgn ON e.i = sgn.i GROUP BY 1, 2),
@@ -4630,7 +4637,7 @@ object SparkEntry {
 
     "q_sim_ivf_topk" ->
       """WITH ser AS (SELECT unnest(generate_series(1, 64)) AS i),
-              e AS (SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS x
+              e AS (SELECT vec_id, i, CAST(CAST(CAST(embedding[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9)) AS x
                     FROM embeddings CROSS JOIN ser WHERE i <= len(embedding)),
               nrm AS (SELECT vec_id, sqrt(CAST(SUM(x * x) AS DOUBLE)) AS nrm
                       FROM e GROUP BY vec_id),
@@ -4675,7 +4682,7 @@ object SparkEntry {
                                     substring(md5(CAST(p AS VARCHAR) || '_' || CAST(i - 1 AS VARCHAR)), 1, 1)) - 1) % 2 = 1
                                   THEN 1 ELSE -1 END AS sgn
                       FROM pl CROSS JOIN ser),
-              e AS (SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS x
+              e AS (SELECT vec_id, i, CAST(CAST(CAST(embedding[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9)) AS x
                     FROM embeddings CROSS JOIN ser WHERE i <= len(embedding)),
               proj AS (SELECT vec_id, p, SUM(x * sgn) AS proj
                        FROM e JOIN sgn ON e.i = sgn.i GROUP BY 1, 2),
@@ -4707,7 +4714,7 @@ object SparkEntry {
     // reachability of the dedup-corpus oracle, survivor = min id
     "q_dedup_semantic" ->
       """WITH RECURSIVE ser AS (SELECT unnest(generate_series(1, 64)) AS i),
-              e AS (SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS x
+              e AS (SELECT vec_id, i, CAST(CAST(CAST(embedding[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9)) AS x
                     FROM embeddings CROSS JOIN ser WHERE i <= len(embedding)),
               nrm AS (SELECT vec_id, sqrt(CAST(SUM(x * x) AS DOUBLE)) AS nrm
                       FROM e GROUP BY vec_id),
@@ -4872,7 +4879,7 @@ object SparkEntry {
 
     "q_sim_recall_eval" ->
       """WITH ser AS (SELECT unnest(generate_series(1, 64)) AS i),
-              e AS (SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS x
+              e AS (SELECT vec_id, i, CAST(CAST(CAST(embedding[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9)) AS x
                     FROM embeddings CROSS JOIN ser
                     WHERE i <= len(embedding) AND len(embedding) = 64),
               nrmx AS (SELECT vec_id, sqrt(CAST(SUM(x * x) AS DOUBLE)) AS nrm
@@ -4921,7 +4928,7 @@ object SparkEntry {
 
     "q_sim_ann_hadamard" ->
       """WITH ser AS (SELECT unnest(generate_series(1, 64)) AS i),
-              e AS (SELECT vec_id, i, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS x
+              e AS (SELECT vec_id, i, CAST(CAST(CAST(embedding[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9)) AS x
                     FROM embeddings CROSS JOIN ser
                     WHERE i <= len(embedding) AND len(embedding) = 64),
               cs AS (SELECT unnest(generate_series(0, 15)) AS c),
@@ -4951,7 +4958,7 @@ object SparkEntry {
     "q_sim_meanpool" ->
       """WITH ser AS (SELECT unnest(generate_series(1, 64)) AS i),
               e AS (SELECT label, i,
-                           CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS x
+                           CAST(CAST(CAST(embedding[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9)) AS x
                     FROM embeddings CROSS JOIN ser
                     WHERE i <= len(embedding) AND len(embedding) = 64
                       AND len(list_filter(embedding,

@@ -36,6 +36,18 @@ import graft.functions.DotFixedPoint
   */
 object Similarity {
 
+  /** Element-quantization convention (cross-engine boundary, found by
+    * the sf1 gate): Spark's double→decimal Cast rounds the double's
+    * SHORTEST DECIMAL STRING half-up (scala BigDecimal(d) is
+    * string-based since 2.11), while DuckDB's native cast disagrees on
+    * exact ties — float32-origin dyadic components like 0.2119140625
+    * terminate at digit 10, so ×1e9 lands exactly on .5 and the engines
+    * round opposite ways (one such component shifted a 2001-row
+    * mean-pool sum by exactly 1e-9 at sf1). DuckDB oracles therefore
+    * quantize through a VARCHAR hop — CAST(CAST(x AS VARCHAR) AS
+    * DECIMAL(18,9)) — which reproduces Spark's shortest-string half-up
+    * semantics bit-for-bit (probed on positive/negative ties).
+    */
   private val elemDec = "decimal(18,9)"
 
   /** TRUE iff the embedding is present and every element is finite —
