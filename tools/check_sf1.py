@@ -1,0 +1,105 @@
+#!/usr/bin/env python3
+"""sf1 correctness gate: hash-verify the heaviest non-fuzz query families
+against DuckDB on the repo-generated sf1 corpus.
+
+The sf0.01 gate (tools/check.py) runs every oracle verbatim; at sf1 three
+oracle shapes are infeasible in DuckDB and get exact replacements that
+preserve semantics bit-for-bit:
+  - DIRECT (41 queries): oracle SQL verbatim (tools/sf1_direct_compare.py);
+  - CLOSURE (5): the transitive-closure CTE would materialize ~1.9e9 label
+    pairs; pair CTEs + suffix run verbatim, the closure itself is exact
+    min-id union-find (tools/sf1_closure_compare.py);
+  - NUMPY (2): the 64-way exploded pair-scoring self-join (~12.5M x 64 rows)
+    is replicated with exact Decimal/Fraction/integer arithmetic plus a
+    float64 screen whose boundary band is re-decided exactly
+    (tools/sf1_numpy_compare.py).
+
+Usage: python3 tools/check_sf1.py [sfDir] [--skip-verify]
+  sfDir default /root/repo/testdata/sf1 (regenerate if absent:
+  sbt "runMain graft.GenData /root/repo/testdata/sf1 10").
+Writes CORRECTNESS_sf1.json in the repo root.
+"""
+import json, os, subprocess, sys
+
+SF = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("-") \
+    else "/root/repo/testdata/sf1"
+OUT = "/tmp/graft_verify_sf1"
+TOOLS = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(TOOLS)
+
+CLOSURE = ["q_dedup_clusters", "q_dedup_clusters_incremental",
+           "q_dedup_corpus", "q_dedup_corpus_best",
+           "q_multimodal_dedup_clusters"]
+NUMPY = ["q_dedup_embedding_cosine", "q_dedup_semantic"]
+DIRECT = ["q_dedup_containment", "q_dedup_exact", "q_dedup_incremental",
+          "q_dedup_incremental_stored", "q_dedup_index_build",
+          "q_dedup_jaccard_capped", "q_dedup_minhash_lsh",
+          "q_dedup_ngram_jaccard", "q_dedup_simhash_pairs",
+          "q_dedup_span_removal", "q_dedup_spans", "q_dedup_top_grams",
+          "q_drift_numeric", "q_drift_report",
+          "q_multimodal_ahash", "q_multimodal_audio",
+          "q_multimodal_audio_fp", "q_multimodal_audio_neardup",
+          "q_multimodal_chunks", "q_multimodal_decode",
+          "q_multimodal_image_neardup", "q_multimodal_image_neardup_capped",
+          "q_multimodal_meta", "q_multimodal_unknown",
+          "q_sim_ann_hadamard", "q_sim_ann_lsh", "q_sim_cosine_topk",
+          "q_sim_covariance", "q_sim_covariance_incremental",
+          "q_sim_int8_topk", "q_sim_ivf_topk", "q_sim_ivfpq_adc",
+          "q_sim_ivfpq_rerank", "q_sim_ivfpq_residual", "q_sim_meanpool",
+          "q_sim_pq_adc", "q_sim_recall_eval",
+          "q_stream_neardup", "q_stream_neardup_ttl",
+          "q_text_heavy_hitters", "q_text_heavy_hitters_by_lang"]
+ALL = sorted(CLOSURE + NUMPY + DIRECT)
+
+if "--skip-verify" not in sys.argv:
+    env = dict(os.environ, SPARK_GRAFT_ONLY=",".join(ALL))
+    r = subprocess.run(
+        ["sbt", "-batch", f"runMain graft.Verify {SF} {OUT}"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=7200)
+    sys.stdout.write(r.stdout[-3000:])
+    if r.returncode != 0:
+        sys.stderr.write(r.stderr[-3000:])
+        sys.exit("verify run failed")
+
+reports = []
+def run(script, args, report):
+    p = subprocess.run([sys.executable, os.path.join(TOOLS, script)] + args,
+                       cwd=REPO)
+    if p.returncode != 0:
+        sys.exit(f"{script} failed")
+    reports.append(report)
+
+def nf(path, names):
+    open(path, "w").write("\n".join(names) + "\n")
+    return path
+
+run("sf1_direct_compare.py",
+    [SF, OUT, nf("/tmp/sf1_direct.txt", DIRECT), "/tmp/sf1_direct_report.json", "16"],
+    "/tmp/sf1_direct_report.json")
+run("sf1_closure_compare.py",
+    [SF, OUT, "/tmp/sf1_closure_report.json", nf("/tmp/sf1_closure.txt", CLOSURE)],
+    "/tmp/sf1_closure_report.json")
+run("sf1_numpy_compare.py", [SF, OUT, "/tmp/sf1_numpy_report.json"],
+    "/tmp/sf1_numpy_report.json")
+
+merged, failed = {}, []
+for rp in reports:
+    d = json.load(open(rp))
+    merged.update(d["queries"])
+failed = sorted(n for n, r in merged.items() if r.get("status") != "pass")
+out = {
+    "sf_dir": SF,
+    "note": ("sf1 correctness gate: heaviest non-fuzz families hashed vs "
+             "DuckDB on the repo-generated sf1 corpus. Exact compare: "
+             "columns sorted by name, exact value equality; closure and "
+             "pair-scoring oracles evaluated with exact semantics-preserving "
+             "replacements (see tools/check_sf1.py docstring)."),
+    "compared": len(merged),
+    "passed": len(merged) - len(failed),
+    "failed": failed,
+    "queries": {n: merged[n] for n in sorted(merged)},
+}
+dest = os.path.join(REPO, "CORRECTNESS_sf1.json")
+json.dump(out, open(dest, "w"), indent=1)
+print(f"{out['passed']}/{out['compared']} pass -> {dest}")
+sys.exit(1 if failed else 0)
