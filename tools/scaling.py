@@ -29,7 +29,16 @@ QUERIES = ["q_stream_neardup", "q_dedup_semantic", "q_dedup_clusters",
            # measurable on a DATA-dominated decade via the generated sf1
            "q_dedup_corpus", "q_dedup_clusters_incremental",
            "q_stream_neardup_ttl", "q_sim_ivfpq_adc",
-           "q_multimodal_image_neardup"]
+           "q_multimodal_image_neardup",
+           # r9 sweep extension (recorded in scaling_r09.json)
+           "q_multimodal_dedup_clusters", "q_drift_numeric",
+           "q_drift_report", "q_text_heavy_hitters",
+           "q_text_heavy_hitters_by_lang",
+           # round-10 additions: residual IVFADC, the capped pair-budget
+           # variant (vs the uncapped a=0.90 output-bound family), and
+           # the AQE skew-split join
+           "q_sim_ivfpq_residual", "q_multimodal_image_neardup_capped",
+           "q_skew_join_aqe"]
 # sf1 is repo-generated (graft.GenData; the driver dirs are read-only) —
 # 6M lineitem / 50k documents / 20k embeddings, same recipe, measured
 # distribution match in SCALE.md. Its decade (0.1 -> 1) is the first one
@@ -86,7 +95,9 @@ def main():
         alphas[q] = al
         print(row + "  " + " ".join(f"{a:14.2f}" for a in al))
     out["alphas"] = alphas
-    path = os.path.join(REPO, "tools", "scaling_r09.json")
+    path = os.path.join(REPO, "tools",
+                        os.environ.get("SPARK_GRAFT_SCALING_OUT",
+                                       "scaling_r10.json"))
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"\nwrote {path}")
