@@ -1182,9 +1182,13 @@ object Similarity {
     * stay EXACT 9-place decimals (sums of the decimal(18,9) hop), which
     * is what makes the whole reduced-space ANN pipeline — projection,
     * norms, dots, ranking — bit-for-bit oracle-verifiable with no new
-    * rounding convention. Map-side only, k·d adds per row, zero
-    * shuffle; the output `proj` column feeds [[bruteForceTopK]] /
-    * [[lshTopK]] / [[ivfTopK]] unchanged. Magnitude note: |Σ±xᵢ| ≤
+    * rounding convention. k·d adds per row, computed once into an
+    * [[OpCache]]-persisted reduced corpus (the one narrow exchange is
+    * [[Stage.spread]]'s input spread, a no-op on an already-parallel
+    * scan); the output `proj` column feeds [[bruteForceTopK]] /
+    * [[lshTopK]] / [[ivfTopK]] unchanged. Non-finite vectors are
+    * excluded here (the quantization would ANSI-overflow on NaN), so
+    * the output is finite by construction. Magnitude note: |Σ±xᵢ| ≤
     * √d·‖x‖₂ (Cauchy-Schwarz) = 8 for unit vectors at d = 64 — safely
     * inside [[graft.functions.DotFixedPoint]]'s 16.0 element guard,
     * which throws loudly rather than overflowing if a caller feeds
@@ -1218,8 +1222,34 @@ object Similarity {
           when(bit_count(i.bitwiseAND(lit(row))) % 2 === 0, x).otherwise(-x)),
         lit(0L), _ + _).cast("double") / lit(1e9)
     }
-    vectors.filter(size(col(vecCol)) === dim)
-      .select(col(idCol), array(comps: _*).as("proj"))
+    // Three shape decisions, all found by a measured 3.5 s sf0.1 query
+    // whose data volume justifies ~0.3 s:
+    // 1. Spread the NARROW input before the k·d lambda work: higher-
+    //    order functions evaluate outside whole-stage codegen
+    //    (interpreted per-element closures + BigDecimal casts), so on a
+    //    one-split source the k×d×rows compute otherwise lands in the
+    //    SCAN's single task (measured 2.4 s). Downstream consumers'
+    //    own spread exchanges the PROJECTED rows — too late.
+    // 2. Filter non-finite vectors HERE, on the raw float column where
+    //    the predicate pushes to the scan for pennies. It was already
+    //    the operator's obligation — the ×10⁹ decimal quantization
+    //    CAST_OVERFLOWs on a NaN element under ANSI before any
+    //    downstream guard runs — and it makes the output finite by
+    //    construction (finite decimals, exact long sums).
+    // 3. PERSIST the projection. Any deterministic filter a consumer
+    //    puts above this operator (fixedVectors' finite guard, a
+    //    query-id pushdown) is otherwise rewritten THROUGH the
+    //    defining Project — duplicating all k aggregate lambdas into
+    //    the filter, which then pushes below the exchange of (1) back
+    //    into the single-task scan (measured: 1.25 s to re-derive the
+    //    whole projection just to test finiteness). Filters on a
+    //    cached relation evaluate against the materialized k-wide
+    //    array instead. At scale this is also the semantically right
+    //    artifact to keep: the reduced-dim corpus is what every ANN
+    //    pass reads, at k/d of the input's width.
+    OpCache.persist(
+      Stage.spread(vectors.filter(size(col(vecCol)) === dim && finiteVec(vecCol)))
+        .select(col(idCol), array(comps: _*).as("proj")))
   }
 
   /** Recall@k of an approximate top-k table against the exact one — the
