@@ -1255,6 +1255,27 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // hard-negative mining (exact tier): for each of 5 query vectors,
+    // the 3 most cosine-similar vectors with a DIFFERENT label — the
+    // near-boundary negatives a contrastive loss trains on
+    "q_sim_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegatives(emb.filter(col("vec_id") < 5), emb,
+          "vec_id", "embedding", "label", k = 3)
+        .orderBy("query_id", "rank")
+    }),
+
+    // hard-negative mining, IVF-cell-bounded (the 100 TB form): same
+    // different-label predicate over the deterministic-cell candidate
+    // join (cells = vec_id < 16, nProbe = 2), so candidate generation
+    // AND scores are oracle-exact
+    "q_sim_hard_negatives_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegativesIvf(emb, emb.filter(col("vec_id") < 5),
+          nCells = 16, "vec_id", "embedding", "label", k = 3, nProbe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     // product-quantization ADC top-3 with deterministic codebooks
     // (subvectors of vec_id < 4): codes and approximate dots are
     // decimal-exact, so the PQ approximation itself is oracle-checked
@@ -2433,6 +2454,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // BM25 keyword retrieval: top-15 documents for a 4-term query —
+    // Lucene-idf + saturation/length normalization, per-doc sums routed
+    // through DECIMAL(38,6) so the ranking is engine-exact
+    "q_text_bm25" -> ((s, dir) => {
+      TextAnalysis.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+          Seq("spark", "window", "merge", "stream"), topK = 15)
+    }),
+
     // corpus-vs-corpus token-distribution divergence (even/odd doc
     // split): add-one-smoothed KL(P‖Q) + cross-entropy over the union
     // vocabulary — the domain-shift diagnostic
@@ -2479,6 +2508,18 @@ object SparkEntry {
           split.filter(col("split") === "train"),
           split.filter(col("split") === "test"),
           "doc_id", "text", k = 5)
+        .orderBy("doc_id")
+    }),
+
+    // leakage-SAFE split: the fix for what q_split_leakage measures —
+    // the split key is the near-dup cluster representative (coalesced to
+    // the doc itself for unclustered docs), so near-duplicates land in
+    // the same split by construction
+    "q_split_by_cluster" -> ((s, dir) => {
+      Dedup.splitByCluster(t(s, dir, "documents"), "doc_id", "text",
+          valRate = 0.1, testRate = 0.1,
+          k = 5, numHashes = 16, numBands = 4, threshold = 0.5)
+        .select("doc_id", "lang", "cluster_key", "split")
         .orderBy("doc_id")
     }),
 
@@ -4271,6 +4312,81 @@ object SparkEntry {
          SELECT query_id, cand_id, cos_sim, rank
          FROM r WHERE rank <= 3 ORDER BY query_id, rank""",
 
+    "q_sim_hard_negatives" ->
+      """WITH ser AS (SELECT unnest(generate_series(1, 64)) AS i),
+              e AS (SELECT vec_id, i, CAST(CAST(CAST(embedding[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9)) AS x
+                    FROM embeddings CROSS JOIN ser WHERE i <= len(embedding)),
+              nrm AS (SELECT vec_id, sqrt(CAST(SUM(x * x) AS DOUBLE)) AS nrm
+                      FROM e GROUP BY vec_id),
+              q AS (SELECT vec_id AS query_id, i, x FROM e WHERE vec_id < 5),
+              lab AS (SELECT vec_id, label FROM embeddings),
+              dots AS (SELECT q.query_id, c.vec_id AS cand_id, SUM(q.x * c.x) AS dot
+                       FROM q JOIN e c ON q.i = c.i AND q.query_id <> c.vec_id
+                       JOIN lab lq ON lq.vec_id = q.query_id
+                       JOIN lab lc ON lc.vec_id = c.vec_id
+                       WHERE lc.label IS DISTINCT FROM lq.label
+                       GROUP BY 1, 2),
+              sc AS (SELECT query_id, cand_id,
+                            round(CAST(dot AS DOUBLE) / (nq.nrm * nc.nrm), 6) AS cos_sim
+                     FROM dots
+                     JOIN nrm nq ON nq.vec_id = query_id
+                     JOIN nrm nc ON nc.vec_id = cand_id),
+              r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, cand_id) AS INTEGER) AS rank
+                    FROM sc)
+         SELECT query_id, cand_id, cos_sim, rank
+         FROM r WHERE rank <= 3 ORDER BY query_id, rank""",
+
+    "q_sim_hard_negatives_ivf" ->
+      """WITH ser AS (SELECT unnest(generate_series(1, 64)) AS i),
+              e AS (SELECT vec_id, i, CAST(CAST(CAST(embedding[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9)) AS x
+                    FROM embeddings CROSS JOIN ser WHERE i <= len(embedding)),
+              nrm AS (SELECT vec_id, sqrt(CAST(SUM(x * x) AS DOUBLE)) AS nrm
+                      FROM e GROUP BY vec_id),
+              adots AS (SELECT v.vec_id, c.vec_id AS centroid_id, SUM(v.x * c.x) AS dot
+                        FROM e v JOIN e c ON c.i = v.i AND c.vec_id < 16
+                        GROUP BY 1, 2),
+              ascored AS (SELECT a.vec_id, a.centroid_id,
+                                 round(CAST(a.dot AS DOUBLE) / (nv.nrm * nc.nrm), 6) AS cs
+                          FROM adots a
+                          JOIN nrm nv ON nv.vec_id = a.vec_id
+                          JOIN nrm nc ON nc.vec_id = a.centroid_id),
+              asg AS (SELECT vec_id, centroid_id
+                      FROM (SELECT vec_id, centroid_id,
+                                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY cs DESC, centroid_id) AS rn
+                            FROM ascored) t
+                      WHERE rn = 1),
+              probe AS (SELECT vec_id AS query_id, centroid_id
+                        FROM (SELECT vec_id, centroid_id,
+                                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY cs DESC, centroid_id) AS rn
+                              FROM ascored WHERE vec_id < 5) t
+                        WHERE rn <= 2),
+              lab AS (SELECT vec_id, label FROM embeddings),
+              cand AS (SELECT DISTINCT p.query_id, a.vec_id AS cand_id
+                       FROM probe p
+                       JOIN asg a ON a.centroid_id = p.centroid_id
+                                 AND a.vec_id <> p.query_id
+                       JOIN lab lq ON lq.vec_id = p.query_id
+                       JOIN lab lc ON lc.vec_id = a.vec_id
+                       WHERE lc.label IS DISTINCT FROM lq.label),
+              dots AS (SELECT cand.query_id, cand.cand_id, SUM(qa.x * qb.x) AS dot
+                       FROM cand
+                       JOIN e qa ON qa.vec_id = cand.query_id
+                       JOIN e qb ON qb.vec_id = cand.cand_id AND qb.i = qa.i
+                       GROUP BY 1, 2),
+              sc AS (SELECT query_id, cand_id,
+                            round(CAST(dot AS DOUBLE) / (nq.nrm * nc2.nrm), 6) AS cos_sim
+                     FROM dots
+                     JOIN nrm nq ON nq.vec_id = query_id
+                     JOIN nrm nc2 ON nc2.vec_id = cand_id),
+              r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, cand_id) AS INTEGER) AS rank
+                    FROM sc)
+         SELECT query_id, cand_id, cos_sim, rank
+         FROM r WHERE rank <= 3 ORDER BY query_id, rank""",
+
     "q_sim_pq_adc" ->
       """WITH ser AS (SELECT unnest(generate_series(1, 64)) AS i),
               es AS (SELECT vec_id, i,
@@ -5104,6 +5220,45 @@ object SparkEntry {
                      ELSE 'train' END AS split
          FROM u ORDER BY doc_id""",
 
+    // leakage-safe split: q_dedup_corpus's component labels give the
+    // cluster representative, coalesced to the doc itself; then the
+    // q_split_train_test md5 rule runs on that cluster_key
+    "q_split_by_cluster" ->
+      s"""${MinhashBkCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+              candAll AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+                          FROM bk a JOIN bk c ON a.b = c.b AND a.key = c.key
+                                             AND a.doc_id < c.doc_id),
+              cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+              shr AS (SELECT id_a, id_b, COUNT(*) AS shared
+                      FROM candAll
+                      JOIN sh sa ON sa.doc_id = id_a
+                      JOIN sh sb ON sb.doc_id = id_b AND sb.s = sa.s
+                      GROUP BY 1, 2),
+              pairs AS (SELECT id_a, id_b
+                        FROM shr JOIN cnt ca ON ca.doc_id = id_a
+                                 JOIN cnt cb ON cb.doc_id = id_b
+                        WHERE CAST(shared AS DOUBLE)
+                              / CAST(ca.n + cb.n - shared AS DOUBLE) >= 0.5),
+              nodes AS (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs),
+              edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                        UNION SELECT id_b, id_a FROM pairs),
+              reach AS (SELECT id, id AS comp FROM nodes
+                        UNION
+                        SELECT e.dst AS id, r.comp
+                        FROM reach r JOIN edges e ON e.src = r.id),
+              lab AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id),
+              ck AS (SELECT d.doc_id, d.lang,
+                            COALESCE(l.comp, d.doc_id) AS cluster_key
+                     FROM documents d LEFT JOIN lab l ON l.id = d.doc_id),
+              u AS (SELECT doc_id, lang, cluster_key,
+                CAST(CAST('0x' || substring(md5(CAST(cluster_key AS VARCHAR)), 1, 13) AS BIGINT) AS DOUBLE)
+                  / 4503599627370496.0 AS u
+              FROM ck)
+         SELECT doc_id, lang, cluster_key,
+                CASE WHEN u < 0.1 THEN 'test' WHEN u < 0.2 THEN 'val'
+                     ELSE 'train' END AS split
+         FROM u ORDER BY doc_id""",
+
     "q_correlation" -> {
       // mirrors Analytics.correlationMatrix exactly: per-row fixed-point
       // p = floor(v·10⁶) decomposed into three base-2²⁰ long limbs (all
@@ -5411,6 +5566,30 @@ object SparkEntry {
                       / CAST(SUM(tf.tf) AS DOUBLE), 6) AS unigram_ce
          FROM tf JOIN lm USING (term)
          GROUP BY tf.doc_id ORDER BY doc_id""",
+
+    // BM25: Lucene idf + saturation/length normalization, identical
+    // parenthesization both engines; per-doc sum through DECIMAL(38,6)
+    "q_text_bm25" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+                       FROM documents),
+              st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(len(t)) AS DOUBLE) AS tl
+                     FROM toks),
+              tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf
+                     FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks)
+                     WHERE term IN ('spark', 'window', 'merge', 'stream')
+                     GROUP BY 1, 2, 3),
+              dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+              sc AS (SELECT doc_id,
+                            ln(1.0 + (st.n - CAST(df AS DOUBLE) + 0.5)
+                                     / (CAST(df AS DOUBLE) + 0.5))
+                            * (CAST(tf AS DOUBLE) * 2.2)
+                            / (CAST(tf AS DOUBLE)
+                               + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (st.tl / st.n)))) AS s
+                     FROM tf JOIN dft USING (term) CROSS JOIN st)
+         SELECT doc_id, COUNT(*) AS n_matched,
+                round(CAST(SUM(CAST(s AS DECIMAL(38,6))) AS DOUBLE), 6) AS bm25
+         FROM sc GROUP BY doc_id
+         ORDER BY bm25 DESC, doc_id LIMIT 15""",
 
     // count-scale sums (see TextAnalysis.tokenDivergence): per-term
     // decimal routing at O(count) magnitude, closed-form remainder in

@@ -604,6 +604,37 @@ object Dedup {
     unique.unionByName(canon)
   }
 
+  /** Leakage-SAFE train/val/test split: the split label is a pure md5
+    * function of each document's near-dup CLUSTER representative, not of
+    * the document itself, so near-duplicates land in the same split BY
+    * CONSTRUCTION — the fix for what `q_split_leakage`'s audit measures
+    * (a per-document split assigns two 0.9-Jaccard copies of the same
+    * page independently, and one in train + one in test is exactly the
+    * contamination that inflates eval numbers). Composition:
+    * [[collapsedNearDupLabels]]' component labels give every clustered
+    * doc its representative id; unclustered docs represent themselves
+    * (`coalesce`); then [[graft.operators.Analytics.withSplit]]'s
+    * md5-fraction rule runs on that `cluster_key`. Inherits withSplit's
+    * growth stability — and more: ADDING a near-duplicate of an existing
+    * test doc routes it to test automatically.
+    *
+    * Scale: one label-table left join beyond the standard near-dup
+    * labeling cost (labels are clustered-docs-sized, not corpus-sized);
+    * the split itself is map-side arithmetic.
+    */
+  def splitByCluster(df: DataFrame, idCol: String, textCol: String,
+                     valRate: Double, testRate: Double,
+                     k: Int, numHashes: Int, numBands: Int,
+                     threshold: Double): DataFrame = {
+    val labels = OpCache.persist(collapsedNearDupLabels(
+      df, idCol, textCol, k, numHashes, numBands, threshold))
+    val keyed = df
+      .join(labels.select(col("id").as(idCol), col("comp")), Seq(idCol), "left")
+      .withColumn("cluster_key", coalesce(col("comp"), col(idCol)))
+      .drop("comp")
+    Analytics.withSplit(keyed, "cluster_key", valRate, testRate)
+  }
+
   /** Persist a [[minhashIndex]] as the two stored tables the incremental
     * path probes — the promised SCALE.md shape, now actually exercised:
     *

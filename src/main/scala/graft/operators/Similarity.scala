@@ -168,6 +168,66 @@ object Similarity {
       .transform(topK(_, k))
   }
 
+  /** Hard-negative mining for contrastive embedding training: for each
+    * query vector, the k most cosine-similar corpus vectors with a
+    * DIFFERENT label — the near-boundary negatives a contrastive /
+    * metric-learning loss actually learns from (random negatives are
+    * trivially separable; these are the ones the current embedding
+    * confuses). Exact form: the label-differs predicate prunes the pair
+    * space BEFORE any vector arithmetic, then the standard fixed-point
+    * cosine + per-query top-k heap. NULL labels never match anything
+    * (null-safe inequality), so unlabeled rows mine negatives from every
+    * labeled row and vice versa.
+    *
+    * This exact cross-product form is the oracle tier; at corpus scale
+    * use [[hardNegativesIvf]], which bounds candidates to probed IVF
+    * cells exactly like [[ivfTopK]].
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val fv = OpCache.persist(fixedVectors(Stage.spread(corpus), idCol, vecCol))
+    val pairs = queries.select(col(idCol).as("id_a"), col(labelCol).as("__la"))
+      .crossJoin(corpus.select(col(idCol).as("id_b"), col(labelCol).as("__lb")))
+      .filter(col("id_a") =!= col("id_b") && !(col("__la") <=> col("__lb")))
+      .select("id_a", "id_b")
+    pairCosine(pairs, fv)
+      .select(col("id_a").as("query_id"), col("id_b").as("cand_id"), col("cos_sim"))
+      .transform(topK(_, k))
+  }
+
+  /** [[hardNegatives]] with IVF-cell-bounded candidate generation — the
+    * 100 TB form: queries only score corpus vectors in their `nProbe`
+    * nearest cells (the [[ivfTopK]] search shape), with the
+    * different-label predicate applied on the cell-join result before
+    * the cosine arithmetic. Same output schema; recall follows the IVF
+    * candidate bound exactly as in search (the `nProbe` lever), which
+    * is acceptable for negative MINING — a missed near-boundary negative
+    * costs a slightly easier batch, not a wrong answer.
+    */
+  def hardNegativesIvf(vectors: DataFrame, queries: DataFrame, nCells: Int,
+                       idCol: String, vecCol: String, labelCol: String,
+                       k: Int, nProbe: Int = 1): DataFrame = {
+    val fv = OpCache.persist(fixedVectors(Stage.spread(vectors), idCol, vecCol))
+    val centroids = vectors.filter(col(idCol) < nCells)
+    val assigned = OpCache.persist(ivfAssignWith(fv, centroids, idCol))
+    val lab = vectors.select(col(idCol), col(labelCol))
+    val q = probeCells(fv, queries.select(col(idCol).as("__qid")),
+        centroids, idCol, nProbe)
+      .join(lab, idCol)
+      .select(col(idCol).as("id_a"), col(labelCol).as("__la"), col("centroid_id"))
+    val pairs = q.join(
+        assigned.select(col(idCol).as("id_b"), col("centroid_id"))
+          .join(lab.select(col(idCol).as("id_b"), col(labelCol).as("__lb")), "id_b"),
+        Seq("centroid_id"))
+      .filter(col("id_a") =!= col("id_b") && !(col("__la") <=> col("__lb")))
+      .select("id_a", "id_b")
+      // a candidate can fall in several probed cells — score it once
+      .distinct()
+    pairCosine(pairs, fv)
+      .select(col("id_a").as("query_id"), col("id_b").as("cand_id"), col("cos_sim"))
+      .transform(topK(_, k))
+  }
+
   /** Deterministic ±1 hyperplanes: sign(p,d) = +1 iff the first md5 hex
     * digit of "p_d" is odd — the single convention lives in
     * [[graft.functions.LshBucketBits.signMatrix]] (shared with the

@@ -356,6 +356,62 @@ object TextAnalysis {
         concat_ws(",", transform(sort_array(collect_list(col(idCol))),
           x => x.cast("string"))).as("postings"))
 
+  /** BM25 keyword retrieval: score every document against a bag-of-terms
+    * query and return the top-k — the sparse-retrieval rung under the
+    * embedding ANN stack (and [[tfidfTop1]]'s ranked dual: that names a
+    * document's best term, this names a query's best documents). Uses
+    * Lucene's non-negative idf variant
+    *   idf(t) = ln(1 + (N − df(t) + ½)/(df(t) + ½))
+    * and the classic saturation + length normalization
+    *   s(d,t) = idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+    *
+    * Shape: the query-term membership filter lands BEFORE the (doc, term)
+    * count, so the only corpus-sized stage is the map-side
+    * tokenize+filter scan — the aggregation exchange carries matching
+    * (doc, term) rows only (≤ |query| rows per doc), never the
+    * vocabulary. Document length rides the exploded rows (no second
+    * corpus join); corpus stats (N, Σdl) and per-term df are scalar /
+    * query-sized broadcasts; the final ranking is orderBy+limit →
+    * TakeOrderedAndProject per-partition heaps, never a global sort.
+    *
+    * Cross-engine exactness: each (doc, term) score is IEEE-double math
+    * with a fixed parenthesization mirrored in the oracle; the per-doc
+    * sum is routed through DECIMAL(38,6) ([[graft.Tables.dec]]) so it is
+    * order/partitioning-independent, then rounded to 6 dp.
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], topK: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val toks = Stage.spreadLarge(df)
+      .select(col(idCol), size(tokens(col(textCol))).cast("long").as("dl"),
+        tokens(col(textCol)).as("__t"))
+    val cached = OpCache.persist(toks)
+    val stats = cached.agg(count(lit(1)).as("__N"), sum(col("dl")).as("__L"))
+    val tf = OpCache.persist(cached
+      .select(col(idCol), col("dl"), explode(col("__t")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf")))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(Hints.bcast(dft), "term")
+      .crossJoin(Hints.bcast(stats))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("__N").cast("double") - col("df").cast("double") + lit(0.5))
+          / (col("df").cast("double") + lit(0.5))))
+      .withColumn("__nrm",
+        col("dl").cast("double") / (col("__L").cast("double") / col("__N").cast("double")))
+      .withColumn("__s",
+        col("__idf") * (col("tf").cast("double") * lit(k1 + 1.0))
+          / (col("tf").cast("double") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__nrm"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_matched"),
+        round(sum(graft.Tables.dec(col("__s"))).cast("double"), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol).asc)
+      .limit(topK)
+  }
+
   /** Context-window chunking: split each document's token stream into
     * fixed-size windows with `overlap` tokens of lookback (the text
     * analog of `Multimodal.chunkAudio`, and the standard shape for

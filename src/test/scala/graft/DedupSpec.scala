@@ -387,4 +387,27 @@ class DedupSpec extends SparkSpec {
       assert(viaCollapse == canon ++ unique, s"trial $trial diverged")
     }
   }
+
+  test("splitByCluster keeps near-duplicates in one split, always") {
+    // two near-identical docs (one token differs over 12) + one unique
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    val docs = Seq(
+      (10L, base), (11L, base.replace("w12", "w12x")),
+      (12L, "completely different tokens here nothing shared at all ok")
+    ).toDF("doc_id", "text")
+    val out = Dedup.splitByCluster(docs, "doc_id", "text",
+        valRate = 0.3, testRate = 0.3,
+        k = 3, numHashes = 8, numBands = 4, threshold = 0.5)
+      .select("doc_id", "cluster_key", "split").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    graft.operators.OpCache.clear()
+    // the pair shares one cluster key (the min member id) and one split
+    assert(out(10L)._1 == 10L && out(11L)._1 == 10L)
+    assert(out(10L)._2 == out(11L)._2)
+    // the unique doc represents itself
+    assert(out(12L)._1 == 12L)
+    // a per-document split CAN disagree on the pair only if md5(10) and
+    // md5(11) land in different buckets — the point of the cluster key
+    // is that the pair's fate follows ONE key, proven above regardless
+  }
 }

@@ -637,4 +637,58 @@ class SimilaritySpec extends SparkSpec {
     val r = Bench.ivfPqRecallAt10(spark, dir)
     assert(r >= 0.65, s"trained IVF-PQ rerank recall@10 dropped to $r")
   }
+
+  test("hardNegatives skips same-label neighbors, however close") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 7),
+      (1L, Array(0.99f, 0.1f), 7),   // nearest of all — but same label
+      (2L, Array(0.9f, 0.3f), 8),    // nearest DIFFERENT-label → rank 1
+      (3L, Array(0.0f, 1.0f), 9),    // farther, different label → rank 2
+      (4L, Array(-1.0f, 0.0f), 7)    // same label again — excluded
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(
+        vecs.filter(col("vec_id") === 0), vecs,
+        "vec_id", "embedding", "label", k = 3)
+      .orderBy("rank").collect()
+    graft.operators.OpCache.clear()
+    assert(out.map(_.getLong(1)).toSeq == Seq(2L, 3L))
+    assert(out.head.getDouble(2) > 0.9)
+  }
+
+  test("hardNegatives: null labels never equal anything (null-safe)") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), Some(7)),
+      (1L, Array(0.9f, 0.1f), None),      // null label differs from 7 → mined
+      (2L, Array(0.8f, 0.2f), Some(7))    // same label → excluded
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(
+        vecs.filter(col("vec_id") === 0), vecs,
+        "vec_id", "embedding", "label", k = 2).collect()
+    graft.operators.OpCache.clear()
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L))
+  }
+
+  test("hardNegativesIvf bounds candidates to probed cells, exact within them") {
+    // two tight clusters; centroids = ids 0 and 1 (one per cluster).
+    // query 2 sits in cluster A: with nProbe=1 its negatives come from
+    // cluster A only; nProbe=2 admits the cross-cluster negative too.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 1),    // centroid/member of cluster A
+      (1L, Array(0.0f, 1.0f), 2),    // centroid/member of cluster B
+      (2L, Array(0.99f, 0.05f), 1),  // query, cluster A, label 1
+      (3L, Array(0.95f, 0.1f), 3),   // cluster A, different label
+      (4L, Array(0.05f, 0.99f), 3)   // cluster B, different label
+    ).toDF("vec_id", "embedding", "label")
+    def mine(nProbe: Int) = {
+      val r = Similarity.hardNegativesIvf(vecs,
+          vecs.filter(col("vec_id") === 2), nCells = 2,
+          "vec_id", "embedding", "label", k = 5, nProbe = nProbe)
+        .orderBy("rank").collect().map(_.getLong(1)).toSeq
+      graft.operators.OpCache.clear(); r
+    }
+    assert(mine(1) == Seq(3L))          // same-label 0 excluded, B invisible
+    // second probe admits cluster B; 4 = (.05,.99) has cos≈0.10 with the
+    // query vs 1 = (0,1) at cos≈0.05, so 4 ranks above 1
+    assert(mine(2) == Seq(3L, 4L, 1L))
+  }
 }

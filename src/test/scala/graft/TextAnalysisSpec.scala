@@ -310,4 +310,40 @@ class TextAnalysisSpec extends SparkSpec {
     graft.operators.OpCache.clear()
     assert(global.isEmpty)
   }
+
+  test("bm25TopK: rare terms outrank common ones, long docs are penalized") {
+    val docs = Seq(
+      (1L, "rare alpha beta"),           // has the rare query term
+      (2L, "common alpha beta"),         // only the common one
+      (3L, "common gamma delta"),
+      (4L, "common epsilon zeta"),
+      // same single 'rare' hit as doc 1 but 5x longer → length-normalized below it
+      (5L, "rare x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12 x13 x14")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      Seq("rare", "common"), topK = 5).collect()
+    graft.operators.OpCache.clear()
+    val score = out.map(r => r.getLong(0) -> r.getAs[Double]("bm25")).toMap
+    // df(rare)=2 < df(common)=3 → a lone 'rare' hit outranks a lone 'common' hit
+    assert(score(1L) > score(2L))
+    // identical tf on 'rare' but doc 5 is much longer → lower score
+    assert(score(1L) > score(5L))
+    // every doc matches >= 1 term, all scores positive, ranking is by score desc
+    assert(out.length == 5 && score.values.forall(_ > 0))
+    assert(out.map(_.getAs[Double]("bm25")).toSeq ==
+      out.map(_.getAs[Double]("bm25")).sortBy(-_).toSeq)
+  }
+
+  test("bm25TopK honors topK and counts matched terms") {
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b x"), (3L, "a y z"), (4L, "q r s")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      Seq("a", "b", "c"), topK = 2).collect()
+    graft.operators.OpCache.clear()
+    assert(out.length == 2)
+    // doc 1 matches 3 query terms, ranks first
+    assert(out.head.getLong(0) == 1L)
+    assert(out.head.getAs[Long]("n_matched") == 3L)
+  }
 }
