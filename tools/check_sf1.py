@@ -29,7 +29,7 @@ REPO = os.path.dirname(TOOLS)
 
 CLOSURE = ["q_dedup_clusters", "q_dedup_clusters_incremental",
            "q_dedup_corpus", "q_dedup_corpus_best",
-           "q_multimodal_dedup_clusters"]
+           "q_multimodal_dedup_clusters", "q_split_by_cluster"]
 NUMPY = ["q_dedup_embedding_cosine", "q_dedup_semantic"]
 DIRECT = ["q_dedup_containment", "q_dedup_exact", "q_dedup_incremental",
           "q_dedup_incremental_stored", "q_dedup_index_build",
@@ -44,11 +44,13 @@ DIRECT = ["q_dedup_containment", "q_dedup_exact", "q_dedup_incremental",
           "q_multimodal_meta", "q_multimodal_unknown",
           "q_sim_ann_hadamard", "q_sim_ann_lsh", "q_sim_cosine_topk",
           "q_sim_covariance", "q_sim_covariance_incremental",
+          "q_sim_hard_negatives", "q_sim_hard_negatives_ivf",
           "q_sim_int8_topk", "q_sim_ivf_topk", "q_sim_ivfpq_adc",
           "q_sim_ivfpq_rerank", "q_sim_ivfpq_residual", "q_sim_meanpool",
           "q_sim_pq_adc", "q_sim_recall_eval",
           "q_stream_neardup", "q_stream_neardup_ttl",
-          "q_text_heavy_hitters", "q_text_heavy_hitters_by_lang"]
+          "q_text_bm25", "q_text_heavy_hitters",
+          "q_text_heavy_hitters_by_lang"]
 ALL = sorted(CLOSURE + NUMPY + DIRECT)
 
 if "--skip-verify" not in sys.argv:
