@@ -209,10 +209,28 @@ object Bench {
       // bracketing the big line survives either direction
       val headline =
         s"""{"total_s":$total,"n_queries":${results.count(_._2 >= 0)},"sf":"$sfDir"}"""
+      val full =
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$recallField}"""
       println(headline)
-      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$recallField}""")
+      println(full)
       println(headline)
       System.out.flush()
+      // The driver's artifact keeps only a stdout TAIL, so per-query data
+      // for the first ~290 queries is lost to round-over-round trend
+      // analysis (round-10 verdict #9). Persist the complete line to a
+      // committable file as well — overwritten per emit, so a mid-pass
+      // kill still leaves the previous pass's full map on disk. Path is
+      // env-tunable; write failures must not take down the bench.
+      val outPath = sys.env.getOrElse(
+        "SPARK_GRAFT_BENCH_OUT", "tools/bench_full_last.json")
+      try {
+        val p = java.nio.file.Paths.get(outPath)
+        Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.write(p,
+          (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+      }
     }
     for (pass <- 1 to nPasses) {
       names.foreach { n =>

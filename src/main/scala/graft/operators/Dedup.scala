@@ -614,9 +614,21 @@ object Dedup {
     * [[collapsedNearDupLabels]]' component labels give every clustered
     * doc its representative id; unclustered docs represent themselves
     * (`coalesce`); then [[graft.operators.Analytics.withSplit]]'s
-    * md5-fraction rule runs on that `cluster_key`. Inherits withSplit's
-    * growth stability — and more: ADDING a near-duplicate of an existing
-    * test doc routes it to test automatically.
+    * md5-fraction rule runs on that `cluster_key`. Growth stability is
+    * PER-CLUSTER, not absolute: as long as a doc's component keeps the
+    * same min-id representative, its split never changes, and ADDING a
+    * near-duplicate of an existing test doc routes it to test
+    * automatically. But when corpus growth MERGES two clusters (a new
+    * bridge near-dup), the merged component takes the smaller min id —
+    * every doc of the higher-min cluster gets a NEW cluster_key and can
+    * migrate splits, including test→train (the contamination direction
+    * across dataset versions). Re-snapshot frozen eval sets whenever
+    * cluster topology changes; the split is leakage-safe within any one
+    * corpus version, not an immutable doc→split promise across versions.
+    *
+    * `cluster_key` is a RESERVED output column (an existing one is
+    * overwritten); the internal join label is `__`-prefixed so a caller
+    * `comp` column survives untouched.
     *
     * Scale: one label-table left join beyond the standard near-dup
     * labeling cost (labels are clustered-docs-sized, not corpus-sized);
@@ -629,9 +641,10 @@ object Dedup {
     val labels = OpCache.persist(collapsedNearDupLabels(
       df, idCol, textCol, k, numHashes, numBands, threshold))
     val keyed = df
-      .join(labels.select(col("id").as(idCol), col("comp")), Seq(idCol), "left")
-      .withColumn("cluster_key", coalesce(col("comp"), col(idCol)))
-      .drop("comp")
+      .join(labels.select(col("id").as(idCol), col("comp").as("__comp")),
+            Seq(idCol), "left")
+      .withColumn("cluster_key", coalesce(col("__comp"), col(idCol)))
+      .drop("__comp")
     Analytics.withSplit(keyed, "cluster_key", valRate, testRate)
   }
 

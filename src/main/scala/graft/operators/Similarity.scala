@@ -175,9 +175,11 @@ object Similarity {
     * trivially separable; these are the ones the current embedding
     * confuses). Exact form: the label-differs predicate prunes the pair
     * space BEFORE any vector arithmetic, then the standard fixed-point
-    * cosine + per-query top-k heap. NULL labels never match anything
-    * (null-safe inequality), so unlabeled rows mine negatives from every
-    * labeled row and vice versa.
+    * cosine + per-query top-k heap. NULL labels behave as one shared
+    * label under the null-safe inequality (`<=>` makes NULL equal NULL):
+    * unlabeled rows mine negatives from every LABELED row and vice
+    * versa, but two unlabeled rows never mine from each other — the
+    * same semantics as the oracle's IS DISTINCT FROM.
     *
     * This exact cross-product form is the oracle tier; at corpus scale
     * use [[hardNegativesIvf]], which bounds candidates to probed IVF
