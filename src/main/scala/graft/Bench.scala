@@ -105,6 +105,54 @@ object Bench {
     r
   }
 
+  /** OPQ-rotated residual ADC recall@10 (round-10 verdict #3): the one
+    * standard lever untried at the 128-bit budget — an orthogonal
+    * eigenvalue-allocation rotation before the subspace split
+    * ([[graft.operators.Similarity.ivfPqResidualOpqTopK]]), measured at
+    * the SAME pinned operating point as the other recall fields so the
+    * delta vs `ivfpq_adc_residual_recall_at10` is read directly off the
+    * bench JSON, win or lose.
+    */
+  def opqAdcRecallAt10(spark: SparkSession, sfDir: String,
+                       nCells: Int = 16, nProbe: Int = 8,
+                       m: Int = 16, ksub: Int = 16): Double = {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 200)
+    val exact = graft.operators.Similarity.bruteForceTopK(
+      queries, emb, "vec_id", "embedding", k = 10)
+    val approx = graft.operators.Similarity.ivfPqResidualOpqTopK(
+      emb, queries, "vec_id", "embedding",
+      dim = 64, nCells = nCells, m = m, ksub = ksub, iters = 5, k = 10,
+      nProbe = nProbe)
+    val r = graft.operators.Similarity.recallAtK(approx, exact)
+      .agg(avg(col("recall"))).head().getDouble(0)
+    graft.operators.OpCache.clear()
+    r
+  }
+
+  /** [[opqAdcRecallAt10]]'s rerank composition — OPQ-rotated shortlist,
+    * exact-cosine rerank at the same rerank=100 budget as
+    * [[ivfPqResidualRecallAt10]]. */
+  def opqRerankRecallAt10(spark: SparkSession, sfDir: String,
+                          nCells: Int = 16, nProbe: Int = 8,
+                          m: Int = 16, ksub: Int = 16,
+                          rerank: Int = 100): Double = {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 200)
+    val exact = graft.operators.Similarity.bruteForceTopK(
+      queries, emb, "vec_id", "embedding", k = 10)
+    val approx = graft.operators.Similarity.ivfPqResidualOpqRerankTopK(
+      emb, queries, "vec_id", "embedding",
+      dim = 64, nCells = nCells, m = m, ksub = ksub, iters = 5, k = 10,
+      nProbe = nProbe, rerank = rerank)
+    val r = graft.operators.Similarity.recallAtK(approx, exact)
+      .agg(avg(col("recall"))).head().getDouble(0)
+    graft.operators.OpCache.clear()
+    r
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -193,7 +241,11 @@ object Bench {
       quality("ivfpq_adc_recall_at10")(
         ivfPqAdcRecallAt10(spark, sfDir, residual = false)),
       quality("ivfpq_adc_residual_recall_at10")(
-        ivfPqAdcRecallAt10(spark, sfDir, residual = true))).flatten
+        ivfPqAdcRecallAt10(spark, sfDir, residual = true)),
+      quality("ivfpq_adc_opq_recall_at10")(
+        opqAdcRecallAt10(spark, sfDir)),
+      quality("ivfpq_opq_recall_at10")(
+        opqRerankRecallAt10(spark, sfDir))).flatten
 
     var best = Map.empty[String, Double]
     def emit(): Unit = {

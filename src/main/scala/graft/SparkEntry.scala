@@ -709,6 +709,41 @@ object SparkEntry {
         .orderBy("movie_cd")
     }),
 
+    // S1 at the DataSourceV2 tier with FILTER pushdown as partition
+    // pruning (round-10 verdict #5): one landed file per targetDt
+    // (`kobisdata_extractor.py:127-150`'s per-day fetch), so the pushed
+    // `target_dt >= DATE'2024-01-02'` plans only the two in-range day
+    // files — KobisDailyV2Spec pins the planned-partition count and
+    // that the pushed conjunct leaves no post-scan Filter. Downstream
+    // casts stay Catalyst ops; the oracle states the date-stamped,
+    // coerced result.
+    "q_source_v2_daily" -> ((s, dir) => {
+      def day(items: String) =
+        s"""{"boxOfficeResult": {"boxofficeType": "일별 박스오피스",
+           |  "showRange": "x~x", "dailyBoxOfficeList": [$items]}}""".stripMargin
+      def item(cd: String, nm: String, rank: Int, audi: String): String =
+        s"""{"rnum":"$rank","rank":"$rank","rankInten":"0",
+           | "rankOldAndNew":"OLD","movieCd":"$cd","movieNm":"$nm",
+           | "openDt":"2024-01-01","salesAmt":"1000","salesShare":"1.5",
+           | "salesInten":"0","salesChange":"0","salesAcc":"9000",
+           | "audiCnt":"$audi","audiInten":"0","audiChange":"0",
+           | "audiAcc":"5000","scrnCnt":"100","showCnt":"400"}""".stripMargin
+      val root = java.nio.file.Paths.get(s"$scratchRoot/graft_kobis_v2_daily")
+      java.nio.file.Files.createDirectories(root)
+      java.nio.file.Files.writeString(root.resolve("daily_20240101.json"),
+        day(Seq(item("D1", "하나", 1, "100"), item("D2", "둘", 2, "90")).mkString(",")))
+      java.nio.file.Files.writeString(root.resolve("daily_20240102.json"),
+        day(item("D3", "셋", 1, "80")))
+      java.nio.file.Files.writeString(root.resolve("daily_20240103.json"),
+        day(Seq(item("D4", "넷", 1, "70"), item("D5", "bad", 2, "oops")).mkString(",")))
+      s.read.format("kobis-daily").option("path", root.toString).load()
+        .filter(col("target_dt") >= lit(java.sql.Date.valueOf("2024-01-02")))
+        .select(date_format(col("target_dt"), "yyyy-MM-dd").as("target_dt"),
+          col("movie_cd"), col("movie_nm"), col("rank"),
+          coalesce(col("audi_cnt").try_cast("bigint"), lit(0L)).as("audi_cnt"))
+        .orderBy("target_dt", "rank")
+    }),
+
     // J6 phased — the reference's full candidate ladder
     // (movie_events_scraper.py:64-125): recent ∪ opening-soon first, full
     // catalog second, raw containment third, normalized-self fallback.
@@ -3572,6 +3607,16 @@ object SparkEntry {
          AS t(movie_cd, movie_nm, movie_nm_en, open_dt, rep_genre_nm,
               directors, companys)
          ORDER BY movie_cd""",
+
+    // the pushed `target_dt >= 2024-01-02` drops the whole 2024-01-01
+    // file at planning time; D5's non-numeric audiCnt coerces to 0
+    "q_source_v2_daily" ->
+      """SELECT * FROM (VALUES
+           ('2024-01-02', 'D3', '셋', '1', CAST(80 AS BIGINT)),
+           ('2024-01-03', 'D4', '넷', '1', CAST(70 AS BIGINT)),
+           ('2024-01-03', 'D5', 'bad', '2', CAST(0 AS BIGINT)))
+         AS t(target_dt, movie_cd, movie_nm, "rank", audi_cnt)
+         ORDER BY target_dt, "rank"""",
 
     "q_j6_fuzzy_title_phased" ->
       """WITH q(title) AS (VALUES ('widget <collector event>'),

@@ -20,6 +20,16 @@ import org.apache.spark.sql.functions._
   * contract. Two passes each, min taken, second pass reported (first
   * warms codegen/page cache).
   *
+  * Round 11 (round-10 verdict #2): the same decomposition is measured
+  * under THREE state-store providers — the default HDFS-backed one
+  * (whose a≈10.9 s at sf1 the round-10 model attributed to per-batch
+  * full-state REWRITE), RocksDB, and RocksDB with changelog
+  * checkpointing (the engine's built-in incremental answer: per batch
+  * it uploads only the changed keys plus a periodic snapshot, so the
+  * rewrite term should scale with the DELTA, not live state). Whether
+  * `a` actually drops decides whether RocksDB becomes the TTL-drain
+  * default; either way the coefficients land in SCALE.md.
+  *
   * Usage: `runMain graft.StreamCostMain /root/repo/testdata/sf1 [passes]`
   */
 object StreamCostMain {
@@ -60,10 +70,12 @@ object StreamCostMain {
     emitFile(batch.filter(col("doc_id") > d1 && col("doc_id") <= d2), "b2", 2000000L)
     emitFile(batch.filter(col("doc_id") > d2), "b3", 3000000L)
 
-    def run(name: String, opts: Map[String, String]): (Double, Long) = {
+    def run(name: String, opts: Map[String, String],
+            confs: Map[String, String]): (Double, Long) = {
       val t0 = System.nanoTime()
       val out = graft.streaming.StreamDrain.drain(spark, streamDir.toString,
-          batch.schema, name, "append", sourceOptions = opts) { src =>
+          batch.schema, name, "append", extraConfs = confs,
+          sourceOptions = opts) { src =>
         graft.streaming.StreamingNearDup.candidatePairsExpiring(spark,
           graft.streaming.StreamingNearDup.banded(src, "doc_id", "text",
             k = 5, numHashes = 16, numBands = 4, carryCols = Seq("ts"))
@@ -75,17 +87,31 @@ object StreamCostMain {
       ((System.nanoTime() - t0) / 1e9, n)
     }
 
-    var t3 = Double.MaxValue
-    var t1 = Double.MaxValue
-    for (p <- 1 to passes) {
-      val (a, na) = run(s"sc3_$p", Map("maxFilesPerTrigger" -> "1"))
-      val (b, nb) = run(s"sc1_$p", Map.empty)
-      println(f"[streamcost] pass $p: 3-batch $a%.2f s ($na rows), 1-batch $b%.2f s ($nb rows)")
-      t3 = math.min(t3, a); t1 = math.min(t1, b)
+    val rocks = Map("spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val rocksClog = rocks +
+      ("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true")
+    val providers = Seq(
+      ("hdfs", Map.empty[String, String]),
+      ("rocksdb", rocks),
+      ("rocksdb+changelog", rocksClog))
+
+    for ((label, confs) <- providers) {
+      var t3 = Double.MaxValue
+      var t1 = Double.MaxValue
+      var rows3 = 0L
+      for (p <- 1 to passes) {
+        val (a, na) = run(s"sc3_${label}_$p".replaceAll("[^A-Za-z0-9_]", "_"),
+          Map("maxFilesPerTrigger" -> "1"), confs)
+        val (b, nb) = run(s"sc1_${label}_$p".replaceAll("[^A-Za-z0-9_]", "_"),
+          Map.empty, confs)
+        println(f"[streamcost] $label pass $p: 3-batch $a%.2f s ($na rows), 1-batch $b%.2f s ($nb rows)")
+        t3 = math.min(t3, a); t1 = math.min(t1, b); rows3 = na
+      }
+      val perBatch = (t3 - t1) / 2.0
+      println(f"[streamcost] $label dir=$dir min: T_3batch=$t3%.2f s, T_1batch=$t1%.2f s -> " +
+        f"per-batch term a=$perBatch%.2f s, data term b*rows=${t1 - perBatch}%.2f s")
     }
-    val perBatch = (t3 - t1) / 2.0
-    println(f"[streamcost] dir=$dir min: T_3batch=$t3%.2f s, T_1batch=$t1%.2f s -> " +
-      f"per-batch term a=$perBatch%.2f s, data term b*rows=${t1 - perBatch}%.2f s")
     spark.stop()
   }
 }

@@ -1,0 +1,254 @@
+package graft.sources.v2
+
+import java.util.OptionalLong
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{DateType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.KobisSource.camelToSnake
+
+/** DataSourceV2 connector for the per-day KOBIS daily box-office feed —
+  * the S1 dual of [[KobisPagesSource]], and the connector where FILTER
+  * pushdown (round-10 verdict #5) has a physical meaning: the reference
+  * fetches one document per `targetDt` (`kobisdata_extractor.py:127-150`,
+  * one blocking HTTP request per day), so the landing zone is one file
+  * per day named `daily_YYYYMMDD.json` and every row in a file shares
+  * that file's `target_dt`. A pushed `target_dt` predicate therefore
+  * prunes WHOLE FILES at partition-planning time — the DSv2 analog of
+  * Hive-style partition pruning, and exactly the optimization the
+  * reference's per-day loop performs implicitly by only fetching the
+  * days it needs. On a years-deep landing zone, `WHERE target_dt =
+  * DATE'...'` plans one partition instead of thousands, and the scan's
+  * reported statistics shrink with it (a date-bounded read of a huge
+  * zone stays broadcast-eligible).
+  *
+  * Pushdown contract ([[SupportsPushDownFilters]]): conjuncts over
+  * `target_dt` alone (=, <, <=, >, >=, IN, IS NOT NULL) are accepted
+  * and FULLY handled — file-granularity pruning implements them exactly
+  * because file date ≡ row date, and `target_dt` is never null — so
+  * Spark plans no re-evaluation. Every other predicate is returned as a
+  * residual for Catalyst to evaluate post-scan. Column pruning and
+  * planned-page statistics work as in the movie-list connector.
+  *
+  * Rows are the reference's raw per-item fields, snake_cased, as
+  * strings (`utils.py:4-9`); `target_dt` is a typed DATE stamped from
+  * the file name. Numeric coercions, the `open_dt` parse, and
+  * `elapsed_dt` remain downstream Catalyst ops, same as the batch
+  * adapter ([[graft.sources.KobisSource.dailyBoxOffice]]) — a scan
+  * should scan.
+  */
+class KobisDailySource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "kobis-daily"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    KobisDailySource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new KobisDailyTable(opts.get("path"))
+  }
+}
+
+object KobisDailySource {
+  /** Daily feed item fields in feed order (`kobisdata_extractor.py`'s
+    * dailyBoxOfficeList items); schema names are the snake_cased forms.
+    */
+  val camelFields: Seq[String] = Seq(
+    "rnum", "rank", "rankInten", "rankOldAndNew", "movieCd", "movieNm",
+    "openDt", "salesAmt", "salesShare", "salesInten", "salesChange",
+    "salesAcc", "audiCnt", "audiInten", "audiChange", "audiAcc",
+    "scrnCnt", "showCnt")
+
+  val schema: StructType = StructType(
+    StructField("target_dt", DateType) +:
+      camelFields.map(f => StructField(camelToSnake(f), StringType)))
+
+  private val FileDate = """daily_(\d{4})(\d{2})(\d{2})\.json""".r
+
+  /** Landing-zone name contract: `daily_YYYYMMDD.json` → epoch days.
+    * Pruning correctness RESTS on this mapping, so a non-conforming
+    * .json file in the zone fails loudly instead of silently scanning
+    * under an unknown date. */
+  private[v2] def epochDayOf(fileName: String): Int = fileName match {
+    case FileDate(y, m, d) =>
+      java.time.LocalDate.of(y.toInt, m.toInt, d.toInt).toEpochDay.toInt
+    case other => throw new IllegalArgumentException(
+      s"kobis-daily landing zone file '$other' does not match daily_YYYYMMDD.json")
+  }
+
+  /** Spark hands DateType literals as java.sql.Date or LocalDate
+    * depending on the session's java8 datetime API flag — normalize
+    * either to epoch days. Non-date values (schema says this cannot
+    * happen) → None, which makes the filter unpushable rather than
+    * wrong. */
+  private[v2] def toEpochDay(v: Any): Option[Int] = v match {
+    case d: java.sql.Date      => Some(d.toLocalDate.toEpochDay.toInt)
+    case d: java.time.LocalDate => Some(d.toEpochDay.toInt)
+    case _                      => None
+  }
+
+  /** TRUE iff a file with `epochDay` can hold rows satisfying `f`.
+    * Callers only pass filters [[pushable]] accepted. */
+  private[v2] def admits(f: Filter, epochDay: Int): Boolean = f match {
+    case EqualTo("target_dt", v)            => toEpochDay(v).contains(epochDay)
+    case GreaterThan("target_dt", v)        => toEpochDay(v).exists(epochDay > _)
+    case GreaterThanOrEqual("target_dt", v) => toEpochDay(v).exists(epochDay >= _)
+    case LessThan("target_dt", v)           => toEpochDay(v).exists(epochDay < _)
+    case LessThanOrEqual("target_dt", v)    => toEpochDay(v).exists(epochDay <= _)
+    case In("target_dt", vs)                => vs.flatMap(toEpochDay).contains(epochDay)
+    case IsNotNull("target_dt")             => true
+    case _                                  => false
+  }
+
+  /** Conjuncts this source handles FULLY (no Spark-side re-check):
+    * simple `target_dt` comparisons whose literals convert to a date.
+    * `target_dt` is file-derived and never null, so IS NOT NULL is a
+    * no-op truth. */
+  private[v2] def pushable(f: Filter): Boolean = f match {
+    case EqualTo("target_dt", v)            => toEpochDay(v).isDefined
+    case GreaterThan("target_dt", v)        => toEpochDay(v).isDefined
+    case GreaterThanOrEqual("target_dt", v) => toEpochDay(v).isDefined
+    case LessThan("target_dt", v)           => toEpochDay(v).isDefined
+    case LessThanOrEqual("target_dt", v)    => toEpochDay(v).isDefined
+    case In("target_dt", vs)                => vs.nonEmpty && vs.forall(toEpochDay(_).isDefined)
+    case IsNotNull("target_dt")             => true
+    case _                                  => false
+  }
+}
+
+private[v2] class KobisDailyTable(path: String) extends Table with SupportsRead {
+  require(path != null, "kobis-daily requires a path option")
+
+  override def name(): String = s"kobis_daily(`$path`)"
+  override def schema(): StructType = KobisDailySource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new KobisDailyScanBuilder(path)
+}
+
+private[v2] class KobisDailyScanBuilder(path: String)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = KobisDailySource.schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Split the conjuncts: `target_dt` comparisons are handled fully by
+    * file pruning (returned array = the residual Spark must still
+    * evaluate). */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ours, residual) = filters.partition(KobisDailySource.pushable)
+    pushed = ours
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = {
+    val hadoopConf = SparkSession.active.sessionState.newHadoopConf()
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(hadoopConf)
+    val days = fs.listStatus(dir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".json"))
+      .map(st => (st.getPath.toString, st.getLen,
+        KobisDailySource.epochDayOf(st.getPath.getName)))
+      .sortBy(_._3)
+    // partition pruning: a file survives only if EVERY pushed conjunct
+    // admits its date
+    val planned = days.filter { case (_, _, day) =>
+      pushed.forall(KobisDailySource.admits(_, day)) }
+    new KobisDailyScan(planned, required, pushed)
+  }
+}
+
+private[v2] class KobisDailyScan(pages: Seq[(String, Long, Int)],
+                                 required: StructType, pushed: Array[Filter])
+    extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"kobis-daily ${pages.size} day file(s), pushed=[${pushed.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    pages.map { case (file, _, day) => KobisDailyPartition(file, day) }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new KobisDailyReaderFactory(required.fieldNames)
+
+  /** Bytes of exactly the surviving day files — a date-pruned scan of a
+    * years-deep zone reports a small size and stays broadcast-eligible.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong =
+      OptionalLong.of(pages.map(_._2).sum)
+    override def numRows(): OptionalLong = OptionalLong.empty()
+  }
+}
+
+private[v2] case class KobisDailyPartition(file: String, epochDay: Int)
+    extends InputPartition
+
+private[v2] class KobisDailyReaderFactory(fields: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[KobisDailyPartition]
+    new KobisDailyReader(p.file, p.epochDay, fields)
+  }
+}
+
+/** Parses ONE day document and emits its box-office items as pruned
+  * rows; `target_dt` is the partition's file-name date (DateType =
+  * epoch days in InternalRow). */
+private[v2] class KobisDailyReader(file: String, epochDay: Int,
+                                   fields: Array[String])
+    extends PartitionReader[InternalRow] {
+
+  private val snakeToCamel: Map[String, String] =
+    KobisDailySource.camelFields.map(c => camelToSnake(c) -> c).toMap
+
+  private lazy val mapper = new ObjectMapper()
+
+  private lazy val items: Iterator[com.fasterxml.jackson.databind.JsonNode] = {
+    val p = new Path(file)
+    val in = p.getFileSystem(new Configuration()).open(p)
+    val root = try mapper.readTree(in) finally in.close()
+    val arr = root.path("boxOfficeResult").path("dailyBoxOfficeList")
+    if (arr.isArray) arr.elements().asScala else Iterator.empty
+  }
+
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    if (!items.hasNext) return false
+    val item = items.next()
+    current = InternalRow.fromSeq(fields.toSeq.map {
+      case "target_dt" => epochDay
+      case snake =>
+        val n = item.path(snakeToCamel(snake))
+        if (n.isMissingNode || n.isNull) null else UTF8String.fromString(n.asText())
+    })
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

@@ -610,6 +610,42 @@ class SimilaritySpec extends SparkSpec {
     graft.operators.OpCache.clear()
   }
 
+  test("opqEigenRotation is orthogonal and ivfPqResidualOpqRerankTopK " +
+      "with exhaustive probe + corpus-wide shortlist EQUALS brute force " +
+      "(rotation invariance, round-10 verdict #3)") {
+    import spark.implicits._
+    val dim = 8
+    val vecs = (0L until 24L).map { i =>
+      val v = Array.tabulate(dim)(d =>
+        (math.cos(0.7 * i + 1.3 * d) * 0.5).toFloat)
+      (i, v)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    // R·Rᵀ = I: rows are reordered orthonormal eigenvectors
+    val r = Similarity.opqEigenRotation(df, "embedding", dim, m = 4)
+    assert(r.length == dim && r.forall(_.length == dim))
+    for (i <- 0 until dim; j <- 0 until dim) {
+      val d = (0 until dim).map(c => r(i)(c) * r(j)(c)).sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(d - want) < 1e-9, s"R·Rᵀ($i,$j)=$d, want $want")
+    }
+    val queries = df.filter(col("vec_id") < 4)
+    def sets(rows: Array[org.apache.spark.sql.Row]) =
+      rows.groupBy(_.getLong(0)).view
+        .mapValues(_.sortBy(x => x.getInt(x.fieldIndex("rank")))
+          .map(x => x.getLong(x.fieldIndex("cand_id"))).toSeq).toMap
+    val exact = sets(Similarity.bruteForceTopK(queries, df,
+      "vec_id", "embedding", k = 3).collect())
+    // exhaustive probe + full shortlist removes both approximation
+    // stages; because the rotation is orthogonal the exact rerank in
+    // the rotated pipeline must still reproduce brute force exactly
+    val rr = sets(Similarity.ivfPqResidualOpqRerankTopK(df, queries,
+      "vec_id", "embedding", dim = dim, nCells = 2, m = 4, ksub = 4,
+      iters = 3, k = 3, nProbe = 2, rerank = 24).collect())
+    assert(rr == exact, s"OPQ rerank diverged from brute force: $rr vs $exact")
+    graft.operators.OpCache.clear()
+  }
+
   test("residual ADC-only recall floor on the sf0.1 bench embeddings " +
       "(round-9 verdict #2)") {
     // ADC-ONLY (no rerank): the residual path's measured 0.339 vs the
