@@ -50,7 +50,22 @@ DIRECT = ["q_dedup_containment", "q_dedup_exact", "q_dedup_incremental",
           "q_sim_pq_adc", "q_sim_recall_eval",
           "q_stream_neardup", "q_stream_neardup_ttl",
           "q_text_bm25", "q_text_heavy_hitters",
-          "q_text_heavy_hitters_by_lang"]
+          "q_text_heavy_hitters_by_lang",
+          # round-11 widening (r10 verdict #4): the stateful streaming +
+          # pipeline families — where watermark/batch-size interactions
+          # and state-format edge cases would hide at scale. All are
+          # sf-scaled (events=1M, orders=1.5M rows at sf1) except
+          # q_stream_cdc_merge, whose fixture is bounded to 700 keys by
+          # the shared batch/stream oracle; it still exercises the
+          # 3-batch CDC drain on the sf1 session/provider configuration.
+          "q_stream_sessionize", "q_stream_interval_join",
+          "q_stream_interval_join_outer", "q_stream_windowed_counts",
+          "q_stream_static_enrich", "q_stream_funnel",
+          "q_stream_timeseries_fill", "q_stream_dedup_firstseen",
+          "q_stream_latest_per_key", "q_stream_latest_rocksdb",
+          "q_stream_upsert", "q_stream_cdc_merge",
+          "q_stream_incremental_agg",
+          "q_pipeline_store_lifecycle", "q_pipeline_csv_roundtrip"]
 ALL = sorted(CLOSURE + NUMPY + DIRECT)
 
 if "--skip-verify" not in sys.argv:

@@ -38,7 +38,10 @@ QUERIES = ["q_stream_neardup", "q_dedup_semantic", "q_dedup_clusters",
            # variant (vs the uncapped a=0.90 output-bound family), and
            # the AQE skew-split join
            "q_sim_ivfpq_residual", "q_multimodal_image_neardup_capped",
-           "q_skew_join_aqe"]
+           "q_skew_join_aqe",
+           # round-11 (verdict #8): the two new corpus-sized operators
+           # with documented shapes but no measured exponents yet
+           "q_text_bm25", "q_sim_hard_negatives_ivf"]
 # sf1 is repo-generated (graft.GenData; the driver dirs are read-only) —
 # 6M lineitem / 50k documents / 20k embeddings, same recipe, measured
 # distribution match in SCALE.md. Its decade (0.1 -> 1) is the first one
@@ -97,7 +100,7 @@ def main():
     out["alphas"] = alphas
     path = os.path.join(REPO, "tools",
                         os.environ.get("SPARK_GRAFT_SCALING_OUT",
-                                       "scaling_r10.json"))
+                                       "scaling_r11.json"))
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"\nwrote {path}")

@@ -65,6 +65,8 @@ SEED_E = 4242424242  # block E (cases 125+): round-8 fourth widening
 N_E = 24
 SEED_F = 424242424242  # block F (cases 149+): round-10 multi-join widening
 N_F = 15
+SEED_G = 42424242424242  # block G (cases 164+): round-11 outer/window/re-agg multi-join widening
+N_G = 15
 SF = "/root/testdata/sf0.01"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(REPO, "src/main/scala/graft/SqlFuzz.scala")
@@ -960,6 +962,88 @@ class Gen:
                 f"AND {self.predicate('lineitem', 'i')}) "
                 f"GROUP BY n.n_name ORDER BY n_name NULLS FIRST")
 
+    # --- block-G templates (cases 164+; round-11 widening — verdict #7:
+    # the F cases are all INNER star/chain shapes; these cover the
+    # planner paths agent SQL hits next: null-extending outer chains,
+    # FULL OUTER + dim enrichment, windows OVER a join result, and
+    # aggregation over a join over an aggregation) -----------------------
+
+    def t_outer_chain(self):
+        """customer LEFT JOIN orders LEFT JOIN lineitem — TWO levels of
+        null extension, fact predicates in the ON clause (so they filter
+        the match, not the preserved side), childless counted via
+        IS NULL."""
+        on_o = self.r.choice(["", f" AND {self.predicate('orders', 'o')}"])
+        on_l = self.r.choice(["", f" AND {self.predicate('lineitem', 'l')}"])
+        return (f"SELECT c.c_mktsegment AS seg, COUNT(*) AS cnt, "
+                f"CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS childless, "
+                f"CAST(SUM(CAST(COALESCE(l.l_quantity, 0) AS DECIMAL(38,6))) AS DOUBLE) AS qty "
+                f"FROM customer c "
+                f"LEFT JOIN orders o ON o.o_custkey = c.c_custkey{on_o} "
+                f"LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey{on_l} "
+                f"WHERE {self.preds('customer', 'c', n=1)} "
+                f"GROUP BY c.c_mktsegment ORDER BY seg NULLS FIRST")
+
+    def t_full_outer_dim(self):
+        """FULL OUTER of two pre-aggregated sides + a LEFT dim join on
+        the COALESCE'd key — three joins with both null-extension
+        directions live."""
+        t1, k1, t2, k2 = self.r.choice([
+            ("customer", "c_nationkey", "supplier", "s_nationkey"),
+            ("supplier", "s_nationkey", "customer", "c_nationkey"),
+        ])
+        return (f"SELECT COALESCE(n.n_name, 'none') AS nname, "
+                f"COALESCE(a.k, b.k) AS k, "
+                f"COALESCE(a.cnt, 0) AS cnt_left, COALESCE(b.cnt, 0) AS cnt_right "
+                f"FROM (SELECT {k1} AS k, COUNT(*) AS cnt FROM {t1} "
+                f"WHERE {self.preds(t1, n=1)} GROUP BY {k1}) a "
+                f"FULL OUTER JOIN (SELECT {k2} AS k, COUNT(*) AS cnt FROM {t2} "
+                f"WHERE {self.preds(t2, n=1)} GROUP BY {k2}) b ON a.k = b.k "
+                f"LEFT JOIN nation n ON n.n_nationkey = COALESCE(a.k, b.k) "
+                f"ORDER BY nname NULLS FIRST, k NULLS FIRST LIMIT 500")
+
+    def t_join_window(self):
+        """Window OVER a join result: top-k per dim attribute by fact
+        value. Tie-break key is unique (o_orderkey), so the rank — and
+        the LIMITed multiset — is total in both engines; window ORDER BY
+        carries explicit NULLS position like every other ORDER BY in the
+        grammar."""
+        part, extra_join = self.r.choice([
+            ("c.c_mktsegment", ""),
+            ("o.o_orderstatus", ""),
+            ("n.n_name", " JOIN nation n ON n.n_nationkey = c.c_nationkey"),
+        ])
+        fn = self.r.choice(["ROW_NUMBER()", "RANK()"])
+        kk = self.r.randrange(3, 8)
+        return (f"SELECT seg, o_orderkey, rn FROM ("
+                f"SELECT {part} AS seg, o.o_orderkey AS o_orderkey, "
+                f"{fn} OVER (PARTITION BY {part} "
+                f"ORDER BY o.o_totalprice DESC NULLS LAST, o.o_orderkey NULLS FIRST) AS rn "
+                f"FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey{extra_join} "
+                f"WHERE {self.preds('orders', 'o', n=1)}) s "
+                f"WHERE rn <= {kk} "
+                f"ORDER BY seg NULLS FIRST, rn NULLS FIRST, o_orderkey NULLS FIRST")
+
+    def t_agg_join_agg(self):
+        """Aggregation over a join over an aggregation: per-order line
+        rollup joined up the FK chain, then re-aggregated per customer
+        attribute — two exchanges with a join between them. The inner
+        sum is decimal-exact cast to DOUBLE (one deterministic IEEE
+        conversion), the outer re-sum decimal-routes those doubles."""
+        inner_num = self.r.choice(["l_quantity", "l_extendedprice"])
+        outer_key = self.r.choice(["c.c_mktsegment", "o.o_orderstatus"])
+        name = outer_key.split(".")[1]
+        return (f"SELECT {outer_key} AS {name}, COUNT(*) AS n_orders, "
+                f"CAST(SUM(CAST(la.qty AS DECIMAL(38,6))) AS DOUBLE) AS total "
+                f"FROM (SELECT l_orderkey, "
+                f"CAST(SUM(CAST({inner_num} AS DECIMAL(38,6))) AS DOUBLE) AS qty "
+                f"FROM lineitem WHERE {self.preds('lineitem', n=1)} "
+                f"GROUP BY l_orderkey) la "
+                f"JOIN orders o ON o.o_orderkey = la.l_orderkey "
+                f"JOIN customer c ON c.c_custkey = o.o_custkey "
+                f"WHERE {self.preds('orders', 'o', n=1)} "
+                f"GROUP BY {outer_key} ORDER BY {name} NULLS FIRST")
+
 
 def accept_loop(con, templates, want):
     """Round-robin templates until `want` queries pass the DuckDB sanity
@@ -1065,6 +1149,14 @@ def generate():
     templatesF = [gF.t_star_join, gF.t_chain4, gF.t_snowflake,
                   gF.t_join_semi_mix, gF.t_join3]
     out += accept_loop(con, templatesF, N_F)
+    # block G (cases 164+): the round-11 widening — LEFT-chain and
+    # FULL OUTER + dim multi-joins, windows over join results, and
+    # agg-over-join-over-agg: the null-extension and re-aggregation
+    # planner paths block F's inner equi-joins never exercised.
+    gG = Gen(random.Random(SEED_G))
+    templatesG = [gG.t_outer_chain, gG.t_full_outer_dim, gG.t_join_window,
+                  gG.t_agg_join_agg]
+    out += accept_loop(con, templatesG, N_G)
     con.close()
     return out
 
@@ -1117,7 +1209,9 @@ def all_templates(g):
             g.t_corr_scalar_select, g.t_cte_chain, g.t_join_using,
             g.t_lateral, g.t_grouping_sets, g.t_except_all,
             g.t_range_frame, g.t_global_having,
-            g.t_star_join, g.t_chain4, g.t_snowflake, g.t_join_semi_mix]
+            g.t_star_join, g.t_chain4, g.t_snowflake, g.t_join_semi_mix,
+            g.t_outer_chain, g.t_full_outer_dim, g.t_join_window,
+            g.t_agg_join_agg]
 
 
 def multijoin_templates(g):
@@ -1128,6 +1222,14 @@ def multijoin_templates(g):
             g.t_join3]
 
 
+def blockg_templates(g):
+    """Only the round-11 outer/window/re-agg multi-join templates — for
+    a dedicated block-G sweep (`--blockg`): null-extending chains, FULL
+    OUTER + dim, window-over-join, agg-over-join-over-agg."""
+    return [g.t_outer_chain, g.t_full_outer_dim, g.t_join_window,
+            g.t_agg_join_agg]
+
+
 def sweep(seed, n):
     import duckdb
     import pandas as pd
@@ -1136,6 +1238,7 @@ def sweep(seed, n):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     g = Gen(random.Random(seed))
     tmpls = multijoin_templates(g) if "--multijoin" in sys.argv \
+        else blockg_templates(g) if "--blockg" in sys.argv \
         else all_templates(g)
     cases = accept_loop(con, tmpls, n)
     root = f"/tmp/graft_sqlsweep_{seed}"
@@ -1154,7 +1257,8 @@ def sweep(seed, n):
         sys.stderr.write(r.stdout[-3000:] + r.stderr[-3000:])
         sys.exit("Spark sweep run failed")
     report = {"seed": seed, "n": len(cases), "divergences": [], "clean": 0,
-              "multijoin": "--multijoin" in sys.argv}
+              "multijoin": "--multijoin" in sys.argv,
+              "blockg": "--blockg" in sys.argv}
     for i, (sql, _) in enumerate(cases):
         name = f"q_sweep_{i:02d}"
         errf = os.path.join(out, name + ".ERROR")
@@ -1193,7 +1297,8 @@ def sweep(seed, n):
             print(f"DIVERGE {name}: {bad}")
         else:
             report["clean"] += 1
-    tag = "_multijoin" if "--multijoin" in sys.argv else ""
+    tag = "_multijoin" if "--multijoin" in sys.argv \
+        else "_blockg" if "--blockg" in sys.argv else ""
     path = os.path.join(REPO, "tools", f"sqlsweep_seed{seed}{tag}.json")
     with open(path, "w") as f:
         json.dump(report, f, indent=1)
