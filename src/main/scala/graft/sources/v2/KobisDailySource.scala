@@ -10,7 +10,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DateType, StringType, StructField, StructType}
@@ -179,14 +179,41 @@ private[v2] class KobisDailyScanBuilder(path: String)
   }
 }
 
-private[v2] class KobisDailyScan(pages: Seq[(String, Long, Int)],
+private[v2] class KobisDailyScan(planned: Seq[(String, Long, Int)],
                                  required: StructType, pushed: Array[Filter])
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
+
+  /** Shrunk in place by [[filter]] at execution time — Spark re-plans
+    * partitions through [[planInputPartitions]] after runtime filters
+    * arrive, so the var is read exactly once per (re)plan. */
+  private var pages: Seq[(String, Long, Int)] = planned
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"kobis-daily ${pages.size} day file(s), pushed=[${pushed.mkString(", ")}]"
+
+  /** RUNTIME partition pruning (the DSv2 analog of dynamic partition
+    * pruning): when this scan sits under a join on `target_dt`, Spark
+    * executes the other side first, derives the surviving key set, and
+    * hands it here as an IN filter BEFORE partitions are planned — so a
+    * join against a handful of dates reads a handful of day files out
+    * of a years-deep landing zone, with no static predicate in the
+    * query at all. Same file-date ≡ row-date contract as the static
+    * push; runtime filters are a best-effort REDUCTION (the join above
+    * re-checks every surviving row), so ignoring a shape [[pushable]]
+    * can't admit is always safe, never wrong.
+    */
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("target_dt"))
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val usable = filters.filter(KobisDailySource.pushable)
+    if (usable.nonEmpty)
+      pages = pages.filter { case (_, _, day) =>
+        usable.forall(KobisDailySource.admits(_, day)) }
+  }
 
   override def planInputPartitions(): Array[InputPartition] =
     pages.map { case (file, _, day) => KobisDailyPartition(file, day) }.toArray

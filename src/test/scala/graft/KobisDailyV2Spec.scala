@@ -98,6 +98,60 @@ class KobisDailyV2Spec extends SparkSpec {
     assert(pruned > 0 && pruned < all)
   }
 
+  test("RUNTIME filters prune planned partitions (SupportsRuntimeFiltering): " +
+      "an IN over target_dt shrinks the plan; a non-date filter is ignored, " +
+      "never wrongly applied") {
+    import org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    val scan = scanOf(read()).scan
+    val srf = scan.asInstanceOf[SupportsRuntimeFiltering]
+    assert(srf.filterAttributes().map(_.describe()).toSeq == Seq("target_dt"))
+    // a non-pushable runtime filter must be a no-op (the join above
+    // re-checks rows; partial application is the contract)
+    srf.filter(Array[org.apache.spark.sql.sources.Filter](EqualTo("movie_cd", "A1")))
+    assert(scan.toBatch.planInputPartitions().length == 3)
+    srf.filter(Array[org.apache.spark.sql.sources.Filter](
+      In("target_dt", Array[Any](java.sql.Date.valueOf("2024-01-02")))))
+    assert(scan.toBatch.planInputPartitions().length == 1)
+  }
+
+  test("END-TO-END dynamic pruning: a join against a filtered date dim " +
+      "injects a runtime filter into the scan and only the surviving day " +
+      "files are read") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import spark.implicits._
+    // dim must be a FILE source with a selective predicate — a local
+    // relation's filter constant-folds away and DPP declines to fire
+    val dimDir = Files.createTempDirectory("graft_daily_dim_").toString + "/dim"
+    Seq(("2024-01-02", "keep"), ("2024-01-01", "drop"), ("2024-01-03", "drop"))
+      .toDF("dts", "label")
+      .select(col("dts").cast("date").as("dt"), col("label"))
+      .write.parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter(col("label") === "keep")
+    val joined = read().join(dim, col("target_dt") === col("dt"))
+      .select("movie_cd", "dt")
+    val rows = joined.collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("B1"))
+    // collect() does not descend into AQE stages (QueryStageExec has no
+    // children) — recurse through both wrapper kinds explicitly
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[BatchScanExec] =
+      p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+        case b: BatchScanExec => Seq(b)
+      }.flatten
+    val scan = scans(joined.queryExecution.executedPlan)
+      .find(_.scan.description().startsWith("kobis-daily"))
+    assert(scan.nonEmpty, "kobis-daily BatchScanExec not found in executed plan")
+    assert(scan.get.runtimeFilters.nonEmpty,
+      "no dynamic-pruning runtime filter was injected into the scan")
+    // the scan emitted only the surviving day file's rows (1), not all 5
+    assert(scan.get.metrics("numOutputRows").value == 1,
+      s"scan read ${scan.get.metrics("numOutputRows").value} rows — runtime pruning did not happen")
+  }
+
   test("column pruning reaches the reader; a non-conforming file name " +
       "fails loudly (pruning correctness rests on the name contract)") {
     val df = read().select("movie_cd", "audi_cnt")
