@@ -135,7 +135,8 @@ private[v2] class KobisDailyTable(path: String) extends Table with SupportsRead 
   override def name(): String = s"kobis_daily(`$path`)"
   override def schema(): StructType = KobisDailySource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new KobisDailyScanBuilder(path)
@@ -175,11 +176,12 @@ private[v2] class KobisDailyScanBuilder(path: String)
     // admits its date
     val planned = days.filter { case (_, _, day) =>
       pushed.forall(KobisDailySource.admits(_, day)) }
-    new KobisDailyScan(planned, required, pushed)
+    new KobisDailyScan(path, planned, required, pushed)
   }
 }
 
-private[v2] class KobisDailyScan(planned: Seq[(String, Long, Int)],
+private[v2] class KobisDailyScan(path: String,
+                                 planned: Seq[(String, Long, Int)],
                                  required: StructType, pushed: Array[Filter])
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
@@ -221,6 +223,16 @@ private[v2] class KobisDailyScan(planned: Seq[(String, Long, Int)],
   override def createReaderFactory(): PartitionReaderFactory =
     new KobisDailyReaderFactory(required.fieldNames)
 
+  /** `spark.readStream.format("kobis-daily")` — the landing zone AS a
+    * stream, which is exactly what the reference's daily cron produces
+    * (one new `daily_YYYYMMDD.json` per run, `kobisdata_extractor.py:
+    * 127-150`): each micro-batch reads the day files that arrived since
+    * the last committed offset. See [[KobisDailyMicroBatchStream]] for
+    * the offset/ordering contract (forward-only day append). Column
+    * pruning applies to the stream exactly as to the batch scan. */
+  override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new KobisDailyMicroBatchStream(path, required.fieldNames)
+
   /** Bytes of exactly the surviving day files — a date-pruned scan of a
     * years-deep zone reports a small size and stays broadcast-eligible.
     */
@@ -240,6 +252,78 @@ private[v2] class KobisDailyReaderFactory(fields: Array[String])
     val p = partition.asInstanceOf[KobisDailyPartition]
     new KobisDailyReader(p.file, p.epochDay, fields)
   }
+}
+
+/** The daily landing zone as a MICRO-BATCH STREAM: the offset is the
+  * newest epoch day on disk, and a batch (start, end] reads exactly the
+  * day files with start < day ≤ end — one InputPartition per new day,
+  * the same reader as the batch scan, so a downstream pipeline
+  * (`readStream.format("kobis-daily")` → ingestDaily-shaped transforms
+  * → sink) processes each cron drop exactly once with checkpointed
+  * resume for free.
+  *
+  * OFFSET CONTRACT — forward-only day append: the reference's daily
+  * cron lands strictly increasing dates, and this stream commits a
+  * high-water DAY. A file that arrives with a date at or below the
+  * committed watermark (a manual backfill) is NOT picked up — replaying
+  * it would require rewinding the checkpoint, and silently including
+  * it under a later offset would double-read it on recovery (offset
+  * ranges must be deterministic REPLAYS, and "files since last listing"
+  * is not — the listing is not part of the checkpoint). Backfills go
+  * through the batch reader + the pipeline's partition-overwrite path
+  * (S13), same as the reference's manual re-fetch. The non-conforming-
+  * name contract applies unchanged: a stray .json fails the stream
+  * loudly rather than scanning under an unknown date.
+  */
+private[v2] class KobisDailyMicroBatchStream(path: String,
+                                             fields: Array[String])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class DayOffset(epochDay: Int) extends Offset {
+    override def json(): String = epochDay.toString
+  }
+
+  private def listDays(): Seq[(String, Int)] = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(new Configuration())
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".json"))
+      .map(st => (st.getPath.toString,
+        KobisDailySource.epochDayOf(st.getPath.getName)))
+      .sortBy(_._2)
+  }
+
+  /** Day before the earliest file (or a floor when empty): the first
+    * batch then covers every file present at stream start. */
+  override def initialOffset(): Offset = {
+    val ds = listDays()
+    DayOffset(if (ds.isEmpty) Int.MinValue + 1 else ds.head._2 - 1)
+  }
+
+  override def latestOffset(): Offset = {
+    val ds = listDays()
+    DayOffset(if (ds.isEmpty) Int.MinValue + 1 else ds.last._2)
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    DayOffset(json.toInt)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[DayOffset].epochDay
+    val hi = end.asInstanceOf[DayOffset].epochDay
+    listDays()
+      .filter { case (_, day) => day > lo && day <= hi }
+      .map { case (file, day) => KobisDailyPartition(file, day) }
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new KobisDailyReaderFactory(fields)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 /** Parses ONE day document and emits its box-office items as pruned

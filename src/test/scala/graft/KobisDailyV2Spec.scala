@@ -152,6 +152,41 @@ class KobisDailyV2Spec extends SparkSpec {
       s"scan read ${scan.get.metrics("numOutputRows").value} rows — runtime pruning did not happen")
   }
 
+  test("MICRO-BATCH stream over the landing zone: files present at start " +
+      "form the first batch, each new day arrives as its own batch, and a " +
+      "backfill below the committed day watermark is NOT re-read " +
+      "(forward-only append contract)") {
+    val d = Files.createTempDirectory("graft_daily_stream_")
+    Files.writeString(d.resolve("daily_20240101.json"),
+      day(Seq(item("S1", 1, 100), item("S2", 2, 90)).mkString(",")))
+    Files.writeString(d.resolve("daily_20240102.json"),
+      day(item("S3", 1, 80)))
+    val q = spark.readStream.format("kobis-daily")
+      .option("path", d.toString).load()
+      .select("target_dt", "movie_cd")
+      .writeStream.format("memory").queryName("daily_stream_sink")
+      .option("checkpointLocation", d.resolve("ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("daily_stream_sink").count() == 3)
+      Files.writeString(d.resolve("daily_20240103.json"),
+        day(Seq(item("S4", 1, 70), item("S5", 2, 60)).mkString(",")))
+      q.processAllAvailable()
+      val rows = spark.table("daily_stream_sink")
+        .collect().map(r => (r.getDate(0).toString, r.getString(1))).toSet
+      assert(rows == Set(("2024-01-01", "S1"), ("2024-01-01", "S2"),
+        ("2024-01-02", "S3"), ("2024-01-03", "S4"), ("2024-01-03", "S5")))
+      // a file landing BELOW the committed high-water day is a backfill:
+      // the stream's documented contract routes those through the batch
+      // reader + partition overwrite, never a silent stream re-read
+      Files.writeString(d.resolve("daily_20231231.json"),
+        day(item("S0", 1, 50)))
+      q.processAllAvailable()
+      assert(spark.table("daily_stream_sink").count() == 5)
+    } finally q.stop()
+  }
+
   test("column pruning reaches the reader; a non-conforming file name " +
       "fails loudly (pruning correctness rests on the name contract)") {
     val df = read().select("movie_cd", "audi_cnt")
