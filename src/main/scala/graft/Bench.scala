@@ -273,8 +273,12 @@ object Bench {
       // committable file as well — overwritten per emit, so a mid-pass
       // kill still leaves the previous pass's full map on disk. Path is
       // env-tunable; write failures must not take down the bench.
-      val outPath = sys.env.getOrElse(
-        "SPARK_GRAFT_BENCH_OUT", "tools/bench_full_last.json")
+      // a FILTERED run (scaling sweeps, local iteration) must not
+      // clobber the committed full map with a partial one — route it to
+      // a sibling file unless the caller overrode the path explicitly
+      val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        if (only.isEmpty) "tools/bench_full_last.json"
+        else "tools/bench_filtered_last.json")
       try {
         val p = java.nio.file.Paths.get(outPath)
         Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))

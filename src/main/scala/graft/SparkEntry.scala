@@ -744,6 +744,52 @@ object SparkEntry {
         .orderBy("target_dt", "rank")
     }),
 
+    // S1 streaming tier: the same landing zone consumed as a MICRO-BATCH
+    // STREAM (readStream.format("kobis-daily")) — each day file is one
+    // batch under the forward-only day-watermark offset; the drained
+    // memory-sink contents must equal the batch adapter's rows exactly
+    // (same snake_case schema, same coercions downstream). Fresh
+    // checkpoint + dropped sink view per invocation so re-runs (bench
+    // warm + measured passes) replay from zero instead of appending.
+    "q_source_v2_daily_stream" -> ((s, dir) => {
+      def day(items: String) =
+        s"""{"boxOfficeResult": {"boxofficeType": "일별 박스오피스",
+           |  "showRange": "x~x", "dailyBoxOfficeList": [$items]}}""".stripMargin
+      def item(cd: String, nm: String, rank: Int, audi: String): String =
+        s"""{"rnum":"$rank","rank":"$rank","rankInten":"0",
+           | "rankOldAndNew":"OLD","movieCd":"$cd","movieNm":"$nm",
+           | "openDt":"2024-01-01","salesAmt":"1000","salesShare":"1.5",
+           | "salesInten":"0","salesChange":"0","salesAcc":"9000",
+           | "audiCnt":"$audi","audiInten":"0","audiChange":"0",
+           | "audiAcc":"5000","scrnCnt":"100","showCnt":"400"}""".stripMargin
+      val root = java.nio.file.Paths.get(s"$scratchRoot/graft_kobis_v2_daily_stream")
+      def rmRec(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmRec))
+        f.delete(); ()
+      }
+      rmRec(root.toFile)
+      val feed = root.resolve("feed")
+      java.nio.file.Files.createDirectories(feed)
+      java.nio.file.Files.writeString(feed.resolve("daily_20240101.json"),
+        day(Seq(item("D1", "하나", 1, "100"), item("D2", "둘", 2, "90")).mkString(",")))
+      java.nio.file.Files.writeString(feed.resolve("daily_20240102.json"),
+        day(item("D3", "셋", 1, "80")))
+      java.nio.file.Files.writeString(feed.resolve("daily_20240103.json"),
+        day(Seq(item("D4", "넷", 1, "70"), item("D5", "bad", 2, "oops")).mkString(",")))
+      val sink = "graft_v2_daily_stream_sink"
+      s.catalog.dropTempView(sink)
+      val q = s.readStream.format("kobis-daily").option("path", feed.toString)
+        .load()
+        .select(date_format(col("target_dt"), "yyyy-MM-dd").as("target_dt"),
+          col("movie_cd"), col("movie_nm"), col("rank"),
+          coalesce(col("audi_cnt").try_cast("bigint"), lit(0L)).as("audi_cnt"))
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).orderBy("target_dt", "rank")
+    }),
+
     // J6 phased — the reference's full candidate ladder
     // (movie_events_scraper.py:64-125): recent ∪ opening-soon first, full
     // catalog second, raw containment third, normalized-self fallback.
@@ -2701,11 +2747,18 @@ object SparkEntry {
 
   /** One SQL text, executed verbatim by BOTH engines (§2.11: the engine
     * requirement behind the AI agent is "run arbitrary SELECTs").
+    *
+    * The decimal→double exports are VARCHAR-mediated (valid in both
+    * dialects as VARCHAR(48)): DuckDB's native DECIMAL(38,6)→DOUBLE
+    * double-rounds once the scaled value exceeds 2^53 — sf1's ~1.7e11
+    * running total is 1 ULP off without the hop (round-11 sf1-gate
+    * find); Spark's decimal→varchar→double is identical to its direct
+    * cast, so the shared text stays semantics-preserving there.
     */
   private val AgentWindowSql =
-    """SELECT mo, CAST(total AS DOUBLE) AS total,
-              CAST(SUM(total) OVER (ORDER BY mo
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_total
+    """SELECT mo, CAST(CAST(total AS VARCHAR(48)) AS DOUBLE) AS total,
+              CAST(CAST(SUM(total) OVER (ORDER BY mo
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR(48)) AS DOUBLE) AS cum_total
        FROM (SELECT date_trunc('month', o_orderdate) AS mo,
                     SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS total
              FROM orders GROUP BY 1) m
@@ -3232,15 +3285,22 @@ object SparkEntry {
                FROM events) t
          WHERE rn = 1 ORDER BY user_id, event_type""",
 
+    // The decimal→double exports go through a VARCHAR hop: DuckDB's
+    // native DECIMAL(38,6)→DOUBLE double-rounds (int128→double, then
+    // ÷10^6 — two IEEE roundings) once the scaled sum exceeds 2^53,
+    // which sf1's ~2.8e10 charge sums do; Spark/BigDecimal round ONCE.
+    // decimal→VARCHAR→DOUBLE is exact-then-correctly-rounded in both
+    // engines (found by the sf1 gate, round 11 — invisible at sf0.01
+    // where every scaled sum fits in 2^53).
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-                CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
-                CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
-                CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
-                CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
-                CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
-                CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_price,
-                CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
+                CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+                CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+                CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+                CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+                CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+                CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_price,
+                CAST(CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
                 COUNT(*) AS count_order
          FROM lineitem
          WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
@@ -3612,6 +3672,18 @@ object SparkEntry {
     // file at planning time; D5's non-numeric audiCnt coerces to 0
     "q_source_v2_daily" ->
       """SELECT * FROM (VALUES
+           ('2024-01-02', 'D3', '셋', '1', CAST(80 AS BIGINT)),
+           ('2024-01-03', 'D4', '넷', '1', CAST(70 AS BIGINT)),
+           ('2024-01-03', 'D5', 'bad', '2', CAST(0 AS BIGINT)))
+         AS t(target_dt, movie_cd, movie_nm, "rank", audi_cnt)
+         ORDER BY target_dt, "rank"""",
+
+    // the stream drains ALL three day files (no pushed filter); D5's
+    // non-numeric audiCnt coerces to 0 exactly as in the batch tier
+    "q_source_v2_daily_stream" ->
+      """SELECT * FROM (VALUES
+           ('2024-01-01', 'D1', '하나', '1', CAST(100 AS BIGINT)),
+           ('2024-01-01', 'D2', '둘', '2', CAST(90 AS BIGINT)),
            ('2024-01-02', 'D3', '셋', '1', CAST(80 AS BIGINT)),
            ('2024-01-03', 'D4', '넷', '1', CAST(70 AS BIGINT)),
            ('2024-01-03', 'D5', 'bad', '2', CAST(0 AS BIGINT)))
@@ -4787,10 +4859,13 @@ object SparkEntry {
            AND REPLACE(c_name, '#', '') LIKE '%Customer00000012%'
          GROUP BY c_name ORDER BY total_spent DESC, c_name LIMIT 5""",
 
+    // identical text to AgentWindowSql (the §2.11 shared-text contract);
+    // the VARCHAR(48) hops sidestep DuckDB's double-rounding
+    // DECIMAL(38,6)→DOUBLE above 2^53 (round-11 sf1-gate find)
     "q_sql_agent_window" ->
-      """SELECT mo, CAST(total AS DOUBLE) AS total,
-              CAST(SUM(total) OVER (ORDER BY mo
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_total
+      """SELECT mo, CAST(CAST(total AS VARCHAR(48)) AS DOUBLE) AS total,
+              CAST(CAST(SUM(total) OVER (ORDER BY mo
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR(48)) AS DOUBLE) AS cum_total
        FROM (SELECT date_trunc('month', o_orderdate) AS mo,
                     SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS total
              FROM orders GROUP BY 1) m
@@ -5598,6 +5673,12 @@ object SparkEntry {
          SELECT doc_id, term AS top_term, score AS tfidf
          FROM scored WHERE rn = 1 ORDER BY doc_id""",
 
+    // the VARCHAR→DECIMAL(18,6) hop replaces round(ce, 6): Spark's round
+    // is HALF_UP over the double's SHORTEST decimal string
+    // (BigDecimal.valueOf), and sf1 produced five CE values of the form
+    // x.xxxxx4999999998 that DuckDB's round() pushes UP where Spark
+    // rounds down — the hop reproduces Spark's string-based semantics
+    // exactly (round-11 sf1-gate find)
     "q_text_unigram_ce" ->
       """WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
                        FROM documents),
@@ -5606,11 +5687,14 @@ object SparkEntry {
                             ln(CAST(SUM(tf) AS DOUBLE)
                                / (SELECT CAST(SUM(tf) AS DOUBLE) FROM tf)) AS lp
                      FROM tf GROUP BY term)
-         SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
-                round(-CAST(SUM(CAST(tf.tf * lm.lp AS DECIMAL(38,6))) AS DOUBLE)
-                      / CAST(SUM(tf.tf) AS DOUBLE), 6) AS unigram_ce
-         FROM tf JOIN lm USING (term)
-         GROUP BY tf.doc_id ORDER BY doc_id""",
+         SELECT doc_id, n_tokens,
+                CAST(CAST(CAST(ce AS VARCHAR) AS DECIMAL(18,6)) AS DOUBLE) AS unigram_ce
+         FROM (SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+                      -CAST(SUM(CAST(tf.tf * lm.lp AS DECIMAL(38,6))) AS DOUBLE)
+                      / CAST(SUM(tf.tf) AS DOUBLE) AS ce
+               FROM tf JOIN lm USING (term)
+               GROUP BY tf.doc_id) r
+         ORDER BY doc_id""",
 
     // BM25: Lucene idf + saturation/length normalization, identical
     // parenthesization both engines; per-doc sum through DECIMAL(38,6)

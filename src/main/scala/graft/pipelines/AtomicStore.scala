@@ -32,8 +32,13 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * stores where it IS atomic. A blocked writer retries with bounded
   * backoff ([[withLock]]) instead of failing on first contact; a lock
   * whose holder crashed is STOLEN once its lease (file mtime) expires,
-  * so an orphaned lock no longer needs a manual [[recover]]. Racing
-  * stealers both delete-then-create and the atomic create arbitrates.
+  * so an orphaned lock no longer needs a manual [[recover]]. Stealing
+  * is itself ATOMIC (round 11): the expired lock is renamed aside to a
+  * stealer-unique name before removal — exactly one racing stealer's
+  * rename succeeds, and the subsequent create still races fairly with
+  * fresh acquirers, so no interleaving can delete a LIVE lock another
+  * stealer just re-created (the flaw the previous delete-then-create
+  * steal documented and round 11 closed).
   * Only `FileAlreadyExistsException` counts as contention — any other
   * IOException (permissions, disk full) propagates as the real failure
   * it is. Multi-writer MERGE on an object store without atomic rename
@@ -97,7 +102,20 @@ object AtomicStore {
         try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime > leaseMs
         catch { case _: java.io.FileNotFoundException => true }
       if (expired) {
-        fs.delete(lock, false)
+        // ATOMIC steal (closes the round-10-documented delete-then-create
+        // race): move the expired lock aside to a stealer-unique name —
+        // rename is atomic on POSIX and HDFS-semantics stores, so of N
+        // racing stealers exactly ONE rename succeeds (the others see the
+        // source vanish and fall back to re-racing tryCreate). The winner
+        // removes the relic and then still races tryCreate fairly against
+        // any fresh acquirer — stealing grants priority to delete the
+        // corpse, never ownership itself.
+        val aside = new Path(lock.getParent,
+          s"${lock.getName}.stolen-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+        val won =
+          try fs.rename(lock, aside)
+          catch { case _: java.io.IOException => false }
+        if (won) fs.delete(aside, false)
         if (tryCreate(fs, lock)) return
       }
       if (attempt >= retries)

@@ -65,7 +65,51 @@ DIRECT = ["q_dedup_containment", "q_dedup_exact", "q_dedup_incremental",
           "q_stream_latest_per_key", "q_stream_latest_rocksdb",
           "q_stream_upsert", "q_stream_cdc_merge",
           "q_stream_incremental_agg",
-          "q_pipeline_store_lifecycle", "q_pipeline_csv_roundtrip"]
+          "q_pipeline_store_lifecycle", "q_pipeline_csv_roundtrip",
+          # round-11 second widening: the remaining operator long tail —
+          # every non-fixture family now carries at-scale hash evidence.
+          # (A few keep fixture-bounded inputs by their shared oracle's
+          # construction — q_u2/q_scd2's 700-key CDC feed, LOCF fill's
+          # 40-customer slice — noted, not scale signal, kept for the
+          # drain/merge machinery they exercise at the sf1 session.)
+          "q1_pricing_summary", "q3_shipping_priority",
+          "q5_local_supplier_volume", "q9_product_type_profit",
+          "q18_large_volume", "q21_waiting_supplier",
+          "q_a2_freshness", "q_a3_topk_customers", "q_a4_top_days",
+          "q_a6_genre_rollup", "q_asof_latest_value", "q_asof_next_value",
+          "q_correlation", "q_cube_region_segment", "q_curriculum_order",
+          "q_decontaminate", "q_decontaminate_bloom",
+          "q_f1_snake_schema", "q_f2_json_props", "q_f2_json_roundtrip",
+          "q_f5_ship_delay", "q_f_scalar_suite", "q_f11_alias_normalize",
+          "q_f15_stock_status", "q_funnel_stages",
+          "q_histogram", "q_histogram_equidepth", "q_incremental_agg",
+          "q_j1_dim_rollup", "q_j2_customers_no_orders",
+          "q_j2b_customers_with_orders", "q_j4_enrich_fallback",
+          "q_j_full_outer", "q_mix_temperature", "q_o7_shortest_name",
+          "q_p6_multi_filter", "q_p_scan_filter_sort", "q_percentiles",
+          "q_pipeline_corpus_prep", "q_pivot_priority",
+          "q_profile_columns", "q_quality_corpus",
+          "q_quality_expectations", "q_quality_quarantine",
+          "q_range_join_week", "q_retention_cohorts", "q_robust_scale",
+          "q_rollup_region", "q_sample_deterministic", "q_sample_mix",
+          "q_sample_stratified", "q_sample_weighted",
+          "q_sample_weighted_group", "q_scd2_from_cdc",
+          "q_scd2_versions", "q_sessionize", "q_sketch_distinct",
+          "q_skew_join_aqe", "q_skew_salted_sum",
+          "q_split_leakage", "q_split_train_test",
+          "q_sql_agent_topk", "q_sql_agent_window", "q_sql_exists",
+          "q_st1_date_spine", "q_stream_drift", "q_stream_heavy_hitters",
+          "q_stream_corpus_gate", "q_t1_union_names", "q_t3_set_ops",
+          "q_text_chunks", "q_text_corpus_gate", "q_text_divergence",
+          "q_text_divergence_group", "q_text_fingerprint",
+          "q_text_inverted_index", "q_text_langid", "q_text_novelty",
+          "q_text_packing", "q_text_packing_sharded", "q_text_quality",
+          "q_text_redact", "q_text_repetition", "q_text_simhash",
+          "q_text_tfidf", "q_text_tokens", "q_text_unigram_ce",
+          "q_timeseries_fill", "q_u1_upsert", "q_u2_cdc_merge",
+          "q_unpivot_metrics", "q_w1_latest_per_key", "q_w2_daily_rank",
+          "q_w2_lag_cumsum", "q_w3_window_suite", "q_zorder_key",
+          "q_zscore_group"]
 ALL = sorted(CLOSURE + NUMPY + DIRECT)
 
 if "--skip-verify" not in sys.argv:
