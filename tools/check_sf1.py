@@ -85,6 +85,8 @@ DIRECT = ["q_dedup_containment", "q_dedup_exact", "q_dedup_incremental",
           "q_histogram", "q_histogram_equidepth", "q_incremental_agg",
           "q_j1_dim_rollup", "q_j2_customers_no_orders",
           "q_j2b_customers_with_orders", "q_j4_enrich_fallback",
+          "q_j6_fuzzy_title", "q_j6_fuzzy_title_phased",
+          "q_j6_fuzzy_levenshtein",
           "q_j_full_outer", "q_mix_temperature", "q_o7_shortest_name",
           "q_p6_multi_filter", "q_p_scan_filter_sort", "q_percentiles",
           "q_pipeline_corpus_prep", "q_pivot_priority",
