@@ -2535,6 +2535,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // interpolated bigram-LM cross-entropy (CCNet/KenLM-style perplexity
+    // filter): λ·bigram MLE + (1−λ)·add-one unigram back-off, λ=0.75;
+    // in-row bigram formation, adaptive LM join (broadcast at test scale,
+    // gram-keyed shuffle at 100 TB)
+    "q_text_bigram_ce" -> ((s, dir) => {
+      TextAnalysis.bigramCrossEntropy(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Naive-Bayes log-odds quality/domain classifier (fastText-filter
+    // analog): train (class token counts, add-one smoothing) and score
+    // fused in one plan; label = lang='en'; pred decided on the rounded
+    // score so the boolean is engine-exact
+    "q_text_nb_logodds" -> ((s, dir) => {
+      TextAnalysis.nbLogOdds(t(s, dir, "documents"), "doc_id", "text",
+          coalesce(col("lang") === lit("en"), lit(false)))
+        .orderBy("doc_id")
+    }),
+
     // BM25 keyword retrieval: top-15 documents for a 4-term query —
     // Lucene-idf + saturation/length normalization, per-doc sums routed
     // through DECIMAL(38,6) so the ranking is engine-exact
@@ -5694,6 +5713,69 @@ object SparkEntry {
                       / CAST(SUM(tf.tf) AS DOUBLE) AS ce
                FROM tf JOIN lm USING (term)
                GROUP BY tf.doc_id) r
+         ORDER BY doc_id""",
+
+    // interpolated bigram LM: DuckDB zips the two shifted-slice unnests
+    // positionally (same pairs as Spark's zip_with over slices); the
+    // interpolation constants 0.75/0.25 are exactly binary-representable
+    // so the double arithmetic is engine-identical; per-doc sum routed
+    // through DECIMAL(38,6); final 6-dp via the VARCHAR hop (Spark round
+    // semantics, see q_text_unigram_ce)
+    "q_text_bigram_ce" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+                       FROM documents),
+              unic AS (SELECT w2, COUNT(*) AS cu
+                       FROM (SELECT unnest(t) AS w2 FROM toks) GROUP BY 1),
+              tot AS (SELECT CAST(SUM(cu) AS DOUBLE) AS n, CAST(COUNT(*) AS DOUBLE) AS v FROM unic),
+              bi AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+                     FROM toks WHERE len(t) >= 2),
+              tf AS (SELECT doc_id, w1, w2, COUNT(*) AS tf FROM bi GROUP BY 1, 2, 3),
+              blm AS (SELECT w1, w2, SUM(tf) AS cb FROM tf GROUP BY 1, 2),
+              ctx AS (SELECT w1, SUM(cb) AS cw1 FROM blm GROUP BY 1),
+              lm AS (SELECT blm.w1, blm.w2,
+                            ln(0.75 * (CAST(cb AS DOUBLE) / CAST(cw1 AS DOUBLE))
+                               + 0.25 * ((CAST(cu AS DOUBLE) + 1.0) / (n + v))) AS lp
+                     FROM blm JOIN ctx USING (w1) JOIN unic USING (w2) CROSS JOIN tot)
+         SELECT doc_id, n_bigrams,
+                CAST(CAST(CAST(ce AS VARCHAR) AS DECIMAL(18,6)) AS DOUBLE) AS bigram_ce
+         FROM (SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_bigrams,
+                      -CAST(SUM(CAST(tf.tf * lm.lp AS DECIMAL(38,6))) AS DOUBLE)
+                      / CAST(SUM(tf.tf) AS DOUBLE) AS ce
+               FROM tf JOIN lm USING (w1, w2)
+               GROUP BY tf.doc_id) r
+         ORDER BY doc_id""",
+
+    // NB log-odds: add-one smoothed class-conditional token LMs over the
+    // shared vocabulary, identical parenthesization; evidence sum routed
+    // through DECIMAL(38,6); prior added in double AFTER the cast; 6-dp
+    // via the VARCHAR hop; pred compares the rounded value
+    "q_text_nb_logodds" ->
+      """WITH toks AS (SELECT doc_id, COALESCE(lang = 'en', FALSE) AS y,
+                              list_filter(string_split(text, ' '), x -> x <> '') AS t
+                       FROM documents),
+              tf AS (SELECT doc_id, y, term, COUNT(*) AS tf
+                     FROM (SELECT doc_id, y, unnest(t) AS term FROM toks)
+                     GROUP BY 1, 2, 3),
+              cls AS (SELECT term,
+                             SUM(CASE WHEN y THEN tf ELSE 0 END) AS c1,
+                             SUM(CASE WHEN NOT y THEN tf ELSE 0 END) AS c0
+                      FROM tf GROUP BY 1),
+              tot AS (SELECT CAST(SUM(c1) AS DOUBLE) AS t1, CAST(SUM(c0) AS DOUBLE) AS t0,
+                             CAST(COUNT(*) AS DOUBLE) AS v FROM cls),
+              pri AS (SELECT CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+                             CAST(SUM(CASE WHEN NOT y THEN 1 ELSE 0 END) AS DOUBLE) AS n0
+                      FROM toks WHERE len(t) >= 1),
+              lnr AS (SELECT term,
+                             ln((CAST(c1 AS DOUBLE) + 1.0) / (t1 + v))
+                             - ln((CAST(c0 AS DOUBLE) + 1.0) / (t0 + v)) AS lnr
+                      FROM cls CROSS JOIN tot)
+         SELECT doc_id, n_tokens,
+                CAST(CAST(CAST(score AS VARCHAR) AS DECIMAL(18,6)) AS DOUBLE) AS nb_log_odds,
+                CAST(CAST(CAST(score AS VARCHAR) AS DECIMAL(18,6)) AS DOUBLE) > 0.0 AS pred
+         FROM (SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+                      ln(n1 / n0) + CAST(SUM(CAST(tf.tf * lnr.lnr AS DECIMAL(38,6))) AS DOUBLE) AS score
+               FROM tf JOIN lnr USING (term) CROSS JOIN pri
+               GROUP BY tf.doc_id, n1, n0) r
          ORDER BY doc_id""",
 
     // BM25: Lucene idf + saturation/length normalization, identical

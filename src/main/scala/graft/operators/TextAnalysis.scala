@@ -248,6 +248,132 @@ object TextAnalysis {
           / sum(col("tf")).cast("double"), 6).as("unigram_ce"))
   }
 
+  /** Interpolated bigram-LM cross-entropy — the CCNet/KenLM-style
+    * fluency/perplexity filter (perplexity = exp of this value): each
+    * document is scored by the token-weighted mean −ln p of its bigram
+    * stream under a Jelinek–Mercer-interpolated bigram model trained on
+    * the corpus itself,
+    *   p(w₂|w₁) = λ·c(w₁w₂)/c(w₁·)  +  (1−λ)·(c(w₂)+1)/(N+|V|),
+    * with c(w₁·) the bigram-context total, the unigram back-off add-one
+    * smoothed over the corpus vocabulary, and λ = 0.75 (exactly binary-
+    * representable, as is 1−λ — the interpolation arithmetic is then
+    * bit-identical across engines under IEEE-754). Documents with fewer
+    * than two tokens have no bigram stream and are absent from the
+    * output (the same undefined-as-absent contract as the fuzzy-join
+    * unmatched side). Output: (id, n_bigrams, bigram_ce), ce rounded to
+    * 6 dp via Spark's shortest-string HALF_UP (oracle reproduces it with
+    * the VARCHAR→DECIMAL hop, see q_text_unigram_ce).
+    *
+    * Shape: bigram formation is IN-ROW (slice + zip_with over the token
+    * array — no positional self-join, no extra exchange); one
+    * `repartition(id)` is reused by both the (id,w₁,w₂) tf aggregate and
+    * the final per-doc aggregate (ClusteredDistribution on a subset of
+    * the group keys); the model tables are gram-keyed aggregates of that
+    * tf. The score join docTf⋈lm deliberately carries NO broadcast hint:
+    * the bigram LM is vocabulary²-bounded, so AQE broadcasts it at test
+    * scale but falls back to the gram-keyed shuffle join when a 100 TB
+    * corpus's bigram table outgrows the threshold — exactly the two
+    * regimes you want, picked at runtime from real sizes. Summed terms
+    * are tf·ln p = O(tf), so the [[graft.Tables.dec]] DECIMAL(38,6)
+    * routing makes the per-doc sum order-independent across engines.
+    * Reference parity: quality filtering appears in the reference only
+    * as hand rules (movie_events_scraper.py's per-source parse ladders);
+    * this is the statistical analog a 100 TB text pipeline runs.
+    */
+  def bigramCrossEntropy(df: DataFrame, idCol: String, textCol: String,
+                         lambda: Double = 0.75): DataFrame = {
+    val mix = 1.0 - lambda
+    val toks = Stage.spread(df)
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+    val bi = toks
+      .where(size(col("__t")) >= 2)
+      .select(col(idCol),
+        explode(zip_with(
+          slice(col("__t"), lit(1), size(col("__t")) - 1),
+          slice(col("__t"), lit(2), size(col("__t")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("__b"))
+      .select(col(idCol), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+    val docTf = OpCache.persist(bi
+      .repartition(col(idCol))
+      .groupBy(col(idCol), col("w1"), col("w2")).agg(count(lit(1)).as("tf")))
+    val biLm = docTf.groupBy(col("w1"), col("w2")).agg(sum("tf").as("__cb"))
+    val ctx = biLm.groupBy(col("w1")).agg(sum("__cb").as("__cw1"))
+    val uni = toks.select(explode(col("__t")).as("w2"))
+      .groupBy("w2").agg(count(lit(1)).as("__cu"))
+    val totals = uni.agg(sum(col("__cu")).cast("double").as("__N"),
+      count(lit(1)).cast("double").as("__V"))
+    val lm = biLm.join(ctx, "w1")
+      .join(uni, "w2")
+      .crossJoin(Hints.bcast(totals))
+      .withColumn("__lp", log(
+        lit(lambda) * (col("__cb").cast("double") / col("__cw1").cast("double"))
+          + lit(mix) * ((col("__cu").cast("double") + lit(1.0))
+            / (col("__N") + col("__V")))))
+      .select("w1", "w2", "__lp")
+    docTf.join(lm, Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        round(-sum(graft.Tables.dec(col("tf") * col("__lp"))).cast("double")
+          / sum(col("tf")).cast("double"), 6).as("bigram_ce"))
+  }
+
+  /** Multinomial Naive-Bayes log-odds — the fastText-style quality/
+    * domain classifier a training-data pipeline trains on a labeled
+    * slice and applies to the whole corpus (the statistical version of
+    * "does this look like curated text"). Train and score fuse into ONE
+    * plan: class-conditional token counts with add-one smoothing over
+    * the shared vocabulary,
+    *   lnr(w) = ln((c₁(w)+1)/(T₁+|V|)) − ln((c₀(w)+1)/(T₀+|V|)),
+    * per-doc score = ln(n₁/n₀) + Σ_w tf·lnr(w), and pred = score > 0
+    * (decided on the 6-dp-rounded score so the boolean is engine-exact
+    * too). `label` must be a non-null boolean column expression; docs
+    * with no tokens have no term evidence and are absent (the CE
+    * contract). Output: (id, n_tokens, nb_log_odds, pred).
+    *
+    * Shape: the label rides the explode (no doc-keyed label join); one
+    * `repartition(id)` is reused by the (id,label,term) tf aggregate and
+    * the final per-doc aggregate; class counts are ONE gram-keyed
+    * aggregate with conditional sums (no union of per-class subqueries);
+    * the model join carries no broadcast hint — vocabulary-sized, so AQE
+    * broadcasts at test scale and shuffle-joins when a 100 TB corpus's
+    * vocabulary outgrows the threshold. Priors come from a doc-level
+    * conditional aggregate over token-bearing docs (scan-side, no
+    * distinct). Summed terms tf·lnr are O(tf) so the
+    * [[graft.Tables.dec]] routing keeps per-doc sums order-independent.
+    */
+  def nbLogOdds(df: DataFrame, idCol: String, textCol: String,
+                label: Column): DataFrame = {
+    val toks = Stage.spread(df)
+      .select(col(idCol), label.as("__y"), tokens(col(textCol)).as("__t"))
+    val docTf = OpCache.persist(toks
+      .select(col(idCol), col("__y"), explode(col("__t")).as("term"))
+      .repartition(col(idCol))
+      .groupBy(col(idCol), col("__y"), col("term")).agg(count(lit(1)).as("tf")))
+    val cls = docTf.groupBy(col("term"))
+      .agg(sum(when(col("__y"), col("tf")).otherwise(lit(0L))).as("__c1"),
+        sum(when(!col("__y"), col("tf")).otherwise(lit(0L))).as("__c0"))
+    val tot = cls.agg(sum(col("__c1")).cast("double").as("__T1"),
+      sum(col("__c0")).cast("double").as("__T0"),
+      count(lit(1)).cast("double").as("__V"))
+    val prior = toks.where(size(col("__t")) >= 1)
+      .agg(sum(when(col("__y"), lit(1L)).otherwise(lit(0L))).cast("double").as("__n1"),
+        sum(when(!col("__y"), lit(1L)).otherwise(lit(0L))).cast("double").as("__n0"))
+    val lnr = cls.crossJoin(Hints.bcast(tot))
+      .withColumn("__lnr",
+        log((col("__c1").cast("double") + lit(1.0)) / (col("__T1") + col("__V")))
+          - log((col("__c0").cast("double") + lit(1.0)) / (col("__T0") + col("__V"))))
+      .select("term", "__lnr")
+    docTf.join(lnr, "term")
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(graft.Tables.dec(col("tf") * col("__lnr"))).cast("double").as("__ev"))
+      .crossJoin(Hints.bcast(prior))
+      .withColumn("nb_log_odds",
+        round(log(col("__n1") / col("__n0")) + col("__ev"), 6))
+      .withColumn("pred", col("nb_log_odds") > lit(0.0))
+      .select(col(idCol), col("n_tokens"), col("nb_log_odds"), col("pred"))
+  }
+
   /** Corpus-level token-distribution divergence — the domain-shift /
     * mixture-drift diagnostic a pipeline runs when swapping a data
     * source: KL(P‖Q) and cross-entropy H(P,Q) of corpus A's unigram

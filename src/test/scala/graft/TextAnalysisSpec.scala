@@ -191,6 +191,48 @@ class TextAnalysisSpec extends SparkSpec {
     assert(ce2 > ce1)
   }
 
+  test("bigram cross-entropy: hand-computed interpolated LM; <2-token docs absent") {
+    // unigrams: a=3 b=1 c=1 x=1, N=6, V=4; bigrams: (a,a)=1 (a,b)=1 (a,c)=1, ctx(a)=3
+    val df = Seq((1L, "a a b"), (2L, "a c"), (3L, "x")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramCrossEntropy(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    def d6(x: Double) = math.rint(x * 1e6) / 1e6
+    def dec6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pAA = 0.75 * (1.0 / 3.0) + 0.25 * ((3.0 + 1.0) / (6.0 + 4.0)) // 0.35
+    val pAB = 0.75 * (1.0 / 3.0) + 0.25 * ((1.0 + 1.0) / (6.0 + 4.0)) // 0.30
+    val pAC = pAB
+    val ce1 = d6(-(dec6(math.log(pAA)) + dec6(math.log(pAB))) / 2.0)
+    val ce2 = d6(-dec6(math.log(pAC)) / 1.0)
+    assert(out.length == 2) // doc 3 has no bigram stream
+    assert(out(0).getAs[Long]("n_bigrams") == 2L)
+    assert(out(0).getAs[Double]("bigram_ce") == ce1)
+    assert(out(1).getAs[Long]("n_bigrams") == 1L)
+    assert(out(1).getAs[Double]("bigram_ce") == ce2)
+    // the doc whose bigrams are all corpus-frequent scores lower (more fluent)
+    assert(ce1 < ce2)
+  }
+
+  test("nbLogOdds: hand-computed smoothed class LMs; tokenless docs absent from output and priors") {
+    // class counts: a c1=2 c0=1, b c1=1 c0=0, c c1=0 c0=1; T1=3 T0=2 V=3
+    // priors over token-bearing docs: n1=1, n0=1 → ln(1)=0
+    val df = Seq((1L, "a a b", true), (2L, "a c", false), (3L, "", true))
+      .toDF("doc_id", "text", "is_en")
+    val out = TextAnalysis.nbLogOdds(df, "doc_id", "text", col("is_en"))
+      .orderBy("doc_id").collect()
+    def d6(x: Double) = math.rint(x * 1e6) / 1e6
+    def dec6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lnrA = math.log(3.0 / 6.0) - math.log(2.0 / 5.0)
+    val lnrB = math.log(2.0 / 6.0) - math.log(1.0 / 5.0)
+    val lnrC = math.log(1.0 / 6.0) - math.log(2.0 / 5.0)
+    val s1 = d6(dec6(2 * lnrA) + dec6(lnrB))
+    val s2 = d6(dec6(lnrA) + dec6(lnrC))
+    assert(out.length == 2) // doc 3 has no term evidence
+    assert(out(0).getAs[Double]("nb_log_odds") == s1)
+    assert(out(0).getAs[Boolean]("pred"))
+    assert(out(1).getAs[Double]("nb_log_odds") == s2)
+    assert(!out(1).getAs[Boolean]("pred"))
+  }
+
   test("invertedIndex emits df and numerically-sorted postings") {
     import spark.implicits._
     val df = Seq((10L, "b a b"), (2L, "a c"), (1L, "a")).toDF("doc_id", "text")
