@@ -2554,6 +2554,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // DSIR importance log-weights: hashed uni+bigram bucket LLR of every
+    // raw doc against a curated target slice (lang='en'); the hashed
+    // model is O(buckets) by construction, so the score join broadcasts
+    // at any corpus scale
+    "q_text_dsir" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.dsirLogWeights(docs, docs.where(col("lang") === lit("en")),
+          "doc_id", "text", buckets = 4096)
+        .orderBy("doc_id")
+    }),
+
     // BM25 keyword retrieval: top-15 documents for a 4-term query —
     // Lucene-idf + saturation/length normalization, per-doc sums routed
     // through DECIMAL(38,6) so the ranking is engine-exact
@@ -5776,6 +5787,44 @@ object SparkEntry {
                       ln(n1 / n0) + CAST(SUM(CAST(tf.tf * lnr.lnr AS DECIMAL(38,6))) AS DOUBLE) AS score
                FROM tf JOIN lnr USING (term) CROSS JOIN pri
                GROUP BY tf.doc_id, n1, n0) r
+         ORDER BY doc_id""",
+
+    // DSIR hashed-n-gram importance weights: feature stream = unigrams
+    // UNION ALL space-joined bigrams (zipped shifted-slice unnests);
+    // portable md5-window bucket hash ('0x'||hex ≡ Spark conv(...,16,10));
+    // add-one smoothed bucket LLR, evidence through DECIMAL(38,6), 6-dp
+    // via the VARCHAR hop
+    "q_text_dsir" ->
+      """WITH toks AS (SELECT doc_id, lang,
+                              list_filter(string_split(text, ' '), x -> x <> '') AS t
+                       FROM documents),
+              feats AS (SELECT doc_id, lang, f FROM
+                          (SELECT doc_id, lang, unnest(t) AS f FROM toks)
+                        UNION ALL
+                        SELECT doc_id, lang, w1 || ' ' || w2 AS f FROM
+                          (SELECT doc_id, lang, unnest(t[1:len(t)-1]) AS w1,
+                                  unnest(t[2:len(t)]) AS w2
+                           FROM toks WHERE len(t) >= 2)),
+              fb AS (SELECT doc_id, lang,
+                            CAST('0x' || substring(md5(f), 1, 13) AS BIGINT) % 4096 AS b
+                     FROM feats),
+              tf AS (SELECT doc_id, b, COUNT(*) AS tf FROM fb GROUP BY 1, 2),
+              ct AS (SELECT b, COUNT(*) AS ct FROM fb WHERE lang = 'en' GROUP BY 1),
+              cr AS (SELECT b, SUM(tf) AS cr FROM tf GROUP BY 1),
+              m AS (SELECT COALESCE(cr.b, ct.b) AS b,
+                           COALESCE(cr, 0) AS cr, COALESCE(ct, 0) AS ct
+                    FROM cr FULL OUTER JOIN ct ON cr.b = ct.b),
+              tot AS (SELECT CAST(SUM(ct) AS DOUBLE) AS tt, CAST(SUM(cr) AS DOUBLE) AS tr FROM m),
+              lnr AS (SELECT b,
+                             ln((CAST(ct AS DOUBLE) + 1.0) / (tt + 4096.0))
+                             - ln((CAST(cr AS DOUBLE) + 1.0) / (tr + 4096.0)) AS lnr
+                      FROM m CROSS JOIN tot)
+         SELECT doc_id, n_feats,
+                CAST(CAST(CAST(w AS VARCHAR) AS DECIMAL(18,6)) AS DOUBLE) AS dsir_log_weight
+         FROM (SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_feats,
+                      CAST(SUM(CAST(tf.tf * lnr.lnr AS DECIMAL(38,6))) AS DOUBLE) AS w
+               FROM tf JOIN lnr USING (b)
+               GROUP BY tf.doc_id) r
          ORDER BY doc_id""",
 
     // BM25: Lucene idf + saturation/length normalization, identical

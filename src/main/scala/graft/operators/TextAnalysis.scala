@@ -374,6 +374,70 @@ object TextAnalysis {
       .select(col(idCol), col("n_tokens"), col("nb_log_odds"), col("pred"))
   }
 
+  /** DSIR-style hashed n-gram importance log-weights (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * every raw document gets ln(p_target/p_raw) of its hashed uni+bigram
+    * feature bag — the importance weight used to resample a web-scale
+    * corpus toward a curated target domain. Features (tokens and
+    * space-joined bigrams) hash into `buckets` buckets via the repo's
+    * engine-portable md5 window (conv(substring(md5,1,13),16,10) — the
+    * DuckDB oracle reproduces it with '0x'||substring); bucket
+    * distributions are add-one smoothed, and the per-doc score is
+    *   Σ_b tf_b · (ln((ct_b+1)/(Tt+B)) − ln((cr_b+1)/(Tr+B))),
+    * rounded to 6 dp. Draw the actual sample with
+    * [[graft.operators.Analytics]]'s weighted sampler on exp(weight) —
+    * selection stays composable. Docs with no tokens have no features
+    * and are absent. Output: (id, n_feats, dsir_log_weight).
+    *
+    * Shape: feature formation is IN-ROW (array concat of tokens +
+    * zip_with bigrams, guarded so 1-token docs keep their unigrams);
+    * both corpus models are ONE bucket-keyed count each, full-outer
+    * joined over buckets; the model is FIXED-SIZE O(buckets) BY
+    * CONSTRUCTION — hashing exists precisely to bound it — so the
+    * broadcast hint on the score join is justified at ANY corpus scale,
+    * unlike the vocabulary-sized LM joins which stay adaptive. The raw
+    * side reuses one `repartition(id)` for its (id,bucket) tf aggregate
+    * and the final per-doc aggregate. Summed terms are O(tf) →
+    * [[graft.Tables.dec]] routing keeps sums order-independent.
+    */
+  def dsirLogWeights(raw: DataFrame, target: DataFrame,
+                     idCol: String, textCol: String,
+                     buckets: Int = 8192): DataFrame = {
+    def featStream(df: DataFrame, id: Column): DataFrame = {
+      val t = tokens(col(textCol))
+      val bi = when(size(t) >= 2,
+        zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+          (a, b) => concat(a, lit(" "), b)))
+        .otherwise(array().cast("array<string>"))
+      Stage.spread(df).select(id.as("__id"), explode(concat(t, bi)).as("__f"))
+        .withColumn("__b",
+          conv(substring(md5(col("__f")), 1, 13), 16, 10).cast("long") % lit(buckets.toLong))
+    }
+    val tgtCounts = featStream(target, lit(0L))
+      .groupBy(col("__b")).agg(count(lit(1)).as("__ct"))
+    val rawTf = OpCache.persist(featStream(raw, col(idCol))
+      .repartition(col("__id"))
+      .groupBy(col("__id"), col("__b")).agg(count(lit(1)).as("tf")))
+    val rawCounts = rawTf.groupBy(col("__b")).agg(sum(col("tf")).as("__cr"))
+    val joined = rawCounts.join(tgtCounts, Seq("__b"), "full_outer")
+      .select(col("__b"),
+        coalesce(col("__cr"), lit(0L)).as("__cr"),
+        coalesce(col("__ct"), lit(0L)).as("__ct"))
+    val tot = joined.agg(sum(col("__ct")).cast("double").as("__Tt"),
+      sum(col("__cr")).cast("double").as("__Tr"))
+    val lnr = joined.crossJoin(Hints.bcast(tot))
+      .withColumn("__lnr",
+        log((col("__ct").cast("double") + lit(1.0)) / (col("__Tt") + lit(buckets.toDouble)))
+          - log((col("__cr").cast("double") + lit(1.0)) / (col("__Tr") + lit(buckets.toDouble))))
+      .select("__b", "__lnr")
+    rawTf.join(Hints.bcast(lnr), Seq("__b"))
+      .groupBy(col("__id"))
+      .agg(sum(col("tf")).as("n_feats"),
+        round(sum(graft.Tables.dec(col("tf") * col("__lnr"))).cast("double"), 6)
+          .as("dsir_log_weight"))
+      .select(col("__id").as(idCol), col("n_feats"), col("dsir_log_weight"))
+  }
+
   /** Corpus-level token-distribution divergence — the domain-shift /
     * mixture-drift diagnostic a pipeline runs when swapping a data
     * source: KL(P‖Q) and cross-entropy H(P,Q) of corpus A's unigram

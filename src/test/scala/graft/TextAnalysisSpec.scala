@@ -233,6 +233,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!out(1).getAs[Boolean]("pred"))
   }
 
+  test("dsirLogWeights: independently recomputed hashed-bucket LLR; target-like docs score higher") {
+    val raw = Seq((1L, "a b"), (2L, "c")).toDF("doc_id", "text")
+    val target = Seq(Tuple1("a b")).toDF("text")
+    val B = 16
+    def bucket(f: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(f.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(13)
+      java.lang.Long.parseLong(hex, 16) % B
+    }
+    def feats(text: String): Seq[Long] = {
+      val t = text.split(" ").filter(_.nonEmpty).toSeq
+      (t ++ t.zip(t.drop(1)).map { case (a, b) => s"$a $b" }).map(bucket)
+    }
+    val tgt = feats("a b").groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rw = (feats("a b") ++ feats("c")).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tt = tgt.values.sum.toDouble; val tr = rw.values.sum.toDouble
+    def lnr(b: Long): Double =
+      math.log((tgt.getOrElse(b, 0L) + 1.0) / (tt + B)) -
+        math.log((rw.getOrElse(b, 0L) + 1.0) / (tr + B))
+    def dec6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def d6(x: Double) = math.rint(x * 1e6) / 1e6
+    def expected(text: String): Double =
+      d6(feats(text).groupBy(identity).map { case (b, fs) => dec6(fs.size * lnr(b)) }.sum)
+    val out = TextAnalysis.dsirLogWeights(raw, target, "doc_id", "text", buckets = B)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_feats") == 3L) // a, b, "a b"
+    assert(out(0).getAs[Double]("dsir_log_weight") == expected("a b"))
+    assert(out(1).getAs[Long]("n_feats") == 1L) // single token, no bigram
+    assert(out(1).getAs[Double]("dsir_log_weight") == expected("c"))
+    // the doc that IS the target scores strictly higher than the unseen one
+    assert(out(0).getAs[Double]("dsir_log_weight") > out(1).getAs[Double]("dsir_log_weight"))
+  }
+
   test("invertedIndex emits df and numerically-sorted postings") {
     import spark.implicits._
     val df = Seq((10L, "b a b"), (2L, "a c"), (1L, "a")).toDF("doc_id", "text")
