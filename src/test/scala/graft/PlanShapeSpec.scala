@@ -51,6 +51,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_text_dsir: the O(buckets) hashed model broadcasts; no cartesian") {
+    // the 1-row totals crossJoin legitimately plans as a broadcast
+    // nested-loop (scalar spine) — what must hold is a BROADCAST hash
+    // join for the bucket-keyed model and no CartesianProduct anywhere
+    val p = planOf("q_text_dsir")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast model join in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
+  test("q_text_bigram_ce: LM joins never plan a cartesian") {
+    // no broadcast ASSERTION on the LM join: it is deliberately
+    // hint-free (vocabulary-sized model — AQE picks broadcast at test
+    // scale, gram-keyed shuffle at 100 TB); the scalar totals spine may
+    // plan as a 1-row broadcast nested-loop
+    val p = planOf("q_text_bigram_ce")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
   test("q_p_scan_filter_sort: filters reach the parquet scan") {
     val p = planOf("q_p_scan_filter_sort")
     // the predicate set includes plain-column comparisons, so the scan

@@ -41,7 +41,11 @@ QUERIES = ["q_stream_neardup", "q_dedup_semantic", "q_dedup_clusters",
            "q_skew_join_aqe",
            # round-11 (verdict #8): the two new corpus-sized operators
            # with documented shapes but no measured exponents yet
-           "q_text_bm25", "q_sim_hard_negatives_ivf"]
+           "q_text_bm25", "q_sim_hard_negatives_ivf",
+           # round-11 third wave: the statistical quality filters (bigram
+           # LM, NB log-odds, DSIR hashed-bucket LLR) — corpus-sized tf
+           # aggregates + model joins
+           "q_text_bigram_ce", "q_text_nb_logodds", "q_text_dsir"]
 # sf1 is repo-generated (graft.GenData; the driver dirs are read-only) —
 # 6M lineitem / 50k documents / 20k embeddings, same recipe, measured
 # distribution match in SCALE.md. Its decade (0.1 -> 1) is the first one
