@@ -2565,6 +2565,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the composed training-mix pipeline: bigram-CE + NB + DSIR scorers
+    // → rounded-threshold keep → Gumbel-top-k importance draw → md5
+    // split; checks the STAGE BOUNDARIES of the statistical corpus flow
+    "q_pipeline_training_mix" -> ((s, dir) => {
+      CorpusPrep.trainingMix(t(s, dir, "documents"), "doc_id", "text",
+          coalesce(col("lang") === lit("en"), lit(false)),
+          maxBigramCe = 3.4, n = 50, salt = "r11",
+          valRate = 0.1, testRate = 0.1, buckets = 4096)
+        .orderBy("doc_id")
+    }),
+
     // BM25 keyword retrieval: top-15 documents for a 4-term query —
     // Lucene-idf + saturation/length normalization, per-doc sums routed
     // through DECIMAL(38,6) so the ranking is engine-exact
@@ -3163,6 +3174,97 @@ object SparkEntry {
   /** Shared CTE chain for the MinHash-LSH oracles: shingles → doubled
     * md5 hashes → 16 windowed-min signatures → 4 band keys.
     */
+  /** The three quality-scorer oracle texts, factored so the composed
+    * training-mix oracle can embed them verbatim as derived tables —
+    * guaranteeing the composition is checked against EXACTLY the
+    * per-operator semantics, not a re-derivation that could drift.
+    */
+  private val BigramCeSql: String =
+    """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+                       FROM documents),
+              unic AS (SELECT w2, COUNT(*) AS cu
+                       FROM (SELECT unnest(t) AS w2 FROM toks) GROUP BY 1),
+              tot AS (SELECT CAST(SUM(cu) AS DOUBLE) AS n, CAST(COUNT(*) AS DOUBLE) AS v FROM unic),
+              bi AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+                     FROM toks WHERE len(t) >= 2),
+              tf AS (SELECT doc_id, w1, w2, COUNT(*) AS tf FROM bi GROUP BY 1, 2, 3),
+              blm AS (SELECT w1, w2, SUM(tf) AS cb FROM tf GROUP BY 1, 2),
+              ctx AS (SELECT w1, SUM(cb) AS cw1 FROM blm GROUP BY 1),
+              lm AS (SELECT blm.w1, blm.w2,
+                            ln(0.75 * (CAST(cb AS DOUBLE) / CAST(cw1 AS DOUBLE))
+                               + 0.25 * ((CAST(cu AS DOUBLE) + 1.0) / (n + v))) AS lp
+                     FROM blm JOIN ctx USING (w1) JOIN unic USING (w2) CROSS JOIN tot)
+         SELECT doc_id, n_bigrams,
+                CAST(CAST(CAST(ce AS VARCHAR) AS DECIMAL(18,6)) AS DOUBLE) AS bigram_ce
+         FROM (SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_bigrams,
+                      -CAST(SUM(CAST(tf.tf * lm.lp AS DECIMAL(38,6))) AS DOUBLE)
+                      / CAST(SUM(tf.tf) AS DOUBLE) AS ce
+               FROM tf JOIN lm USING (w1, w2)
+               GROUP BY tf.doc_id) r
+         ORDER BY doc_id"""
+
+  private val NbLogOddsSql: String =
+    """WITH toks AS (SELECT doc_id, COALESCE(lang = 'en', FALSE) AS y,
+                              list_filter(string_split(text, ' '), x -> x <> '') AS t
+                       FROM documents),
+              tf AS (SELECT doc_id, y, term, COUNT(*) AS tf
+                     FROM (SELECT doc_id, y, unnest(t) AS term FROM toks)
+                     GROUP BY 1, 2, 3),
+              cls AS (SELECT term,
+                             SUM(CASE WHEN y THEN tf ELSE 0 END) AS c1,
+                             SUM(CASE WHEN NOT y THEN tf ELSE 0 END) AS c0
+                      FROM tf GROUP BY 1),
+              tot AS (SELECT CAST(SUM(c1) AS DOUBLE) AS t1, CAST(SUM(c0) AS DOUBLE) AS t0,
+                             CAST(COUNT(*) AS DOUBLE) AS v FROM cls),
+              pri AS (SELECT CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+                             CAST(SUM(CASE WHEN NOT y THEN 1 ELSE 0 END) AS DOUBLE) AS n0
+                      FROM toks WHERE len(t) >= 1),
+              lnr AS (SELECT term,
+                             ln((CAST(c1 AS DOUBLE) + 1.0) / (t1 + v))
+                             - ln((CAST(c0 AS DOUBLE) + 1.0) / (t0 + v)) AS lnr
+                      FROM cls CROSS JOIN tot)
+         SELECT doc_id, n_tokens,
+                CAST(CAST(CAST(score AS VARCHAR) AS DECIMAL(18,6)) AS DOUBLE) AS nb_log_odds,
+                CAST(CAST(CAST(score AS VARCHAR) AS DECIMAL(18,6)) AS DOUBLE) > 0.0 AS pred
+         FROM (SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+                      ln(n1 / n0) + CAST(SUM(CAST(tf.tf * lnr.lnr AS DECIMAL(38,6))) AS DOUBLE) AS score
+               FROM tf JOIN lnr USING (term) CROSS JOIN pri
+               GROUP BY tf.doc_id, n1, n0) r
+         ORDER BY doc_id"""
+
+  private val DsirSql: String =
+    """WITH toks AS (SELECT doc_id, lang,
+                              list_filter(string_split(text, ' '), x -> x <> '') AS t
+                       FROM documents),
+              feats AS (SELECT doc_id, lang, f FROM
+                          (SELECT doc_id, lang, unnest(t) AS f FROM toks)
+                        UNION ALL
+                        SELECT doc_id, lang, w1 || ' ' || w2 AS f FROM
+                          (SELECT doc_id, lang, unnest(t[1:len(t)-1]) AS w1,
+                                  unnest(t[2:len(t)]) AS w2
+                           FROM toks WHERE len(t) >= 2)),
+              fb AS (SELECT doc_id, lang,
+                            CAST('0x' || substring(md5(f), 1, 13) AS BIGINT) % 4096 AS b
+                     FROM feats),
+              tf AS (SELECT doc_id, b, COUNT(*) AS tf FROM fb GROUP BY 1, 2),
+              ct AS (SELECT b, COUNT(*) AS ct FROM fb WHERE lang = 'en' GROUP BY 1),
+              cr AS (SELECT b, SUM(tf) AS cr FROM tf GROUP BY 1),
+              m AS (SELECT COALESCE(cr.b, ct.b) AS b,
+                           COALESCE(cr, 0) AS cr, COALESCE(ct, 0) AS ct
+                    FROM cr FULL OUTER JOIN ct ON cr.b = ct.b),
+              tot AS (SELECT CAST(SUM(ct) AS DOUBLE) AS tt, CAST(SUM(cr) AS DOUBLE) AS tr FROM m),
+              lnr AS (SELECT b,
+                             ln((CAST(ct AS DOUBLE) + 1.0) / (tt + 4096.0))
+                             - ln((CAST(cr AS DOUBLE) + 1.0) / (tr + 4096.0)) AS lnr
+                      FROM m CROSS JOIN tot)
+         SELECT doc_id, n_feats,
+                CAST(CAST(CAST(w AS VARCHAR) AS DECIMAL(18,6)) AS DOUBLE) AS dsir_log_weight
+         FROM (SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_feats,
+                      CAST(SUM(CAST(tf.tf * lnr.lnr AS DECIMAL(38,6))) AS DOUBLE) AS w
+               FROM tf JOIN lnr USING (b)
+               GROUP BY tf.doc_id) r
+         ORDER BY doc_id"""
+
   private val MinhashBkCte: String =
     """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
                        FROM documents),
@@ -5732,100 +5834,47 @@ object SparkEntry {
     // so the double arithmetic is engine-identical; per-doc sum routed
     // through DECIMAL(38,6); final 6-dp via the VARCHAR hop (Spark round
     // semantics, see q_text_unigram_ce)
-    "q_text_bigram_ce" ->
-      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-                       FROM documents),
-              unic AS (SELECT w2, COUNT(*) AS cu
-                       FROM (SELECT unnest(t) AS w2 FROM toks) GROUP BY 1),
-              tot AS (SELECT CAST(SUM(cu) AS DOUBLE) AS n, CAST(COUNT(*) AS DOUBLE) AS v FROM unic),
-              bi AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
-                     FROM toks WHERE len(t) >= 2),
-              tf AS (SELECT doc_id, w1, w2, COUNT(*) AS tf FROM bi GROUP BY 1, 2, 3),
-              blm AS (SELECT w1, w2, SUM(tf) AS cb FROM tf GROUP BY 1, 2),
-              ctx AS (SELECT w1, SUM(cb) AS cw1 FROM blm GROUP BY 1),
-              lm AS (SELECT blm.w1, blm.w2,
-                            ln(0.75 * (CAST(cb AS DOUBLE) / CAST(cw1 AS DOUBLE))
-                               + 0.25 * ((CAST(cu AS DOUBLE) + 1.0) / (n + v))) AS lp
-                     FROM blm JOIN ctx USING (w1) JOIN unic USING (w2) CROSS JOIN tot)
-         SELECT doc_id, n_bigrams,
-                CAST(CAST(CAST(ce AS VARCHAR) AS DECIMAL(18,6)) AS DOUBLE) AS bigram_ce
-         FROM (SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_bigrams,
-                      -CAST(SUM(CAST(tf.tf * lm.lp AS DECIMAL(38,6))) AS DOUBLE)
-                      / CAST(SUM(tf.tf) AS DOUBLE) AS ce
-               FROM tf JOIN lm USING (w1, w2)
-               GROUP BY tf.doc_id) r
-         ORDER BY doc_id""",
+    "q_text_bigram_ce" -> BigramCeSql,
 
     // NB log-odds: add-one smoothed class-conditional token LMs over the
     // shared vocabulary, identical parenthesization; evidence sum routed
     // through DECIMAL(38,6); prior added in double AFTER the cast; 6-dp
     // via the VARCHAR hop; pred compares the rounded value
-    "q_text_nb_logodds" ->
-      """WITH toks AS (SELECT doc_id, COALESCE(lang = 'en', FALSE) AS y,
-                              list_filter(string_split(text, ' '), x -> x <> '') AS t
-                       FROM documents),
-              tf AS (SELECT doc_id, y, term, COUNT(*) AS tf
-                     FROM (SELECT doc_id, y, unnest(t) AS term FROM toks)
-                     GROUP BY 1, 2, 3),
-              cls AS (SELECT term,
-                             SUM(CASE WHEN y THEN tf ELSE 0 END) AS c1,
-                             SUM(CASE WHEN NOT y THEN tf ELSE 0 END) AS c0
-                      FROM tf GROUP BY 1),
-              tot AS (SELECT CAST(SUM(c1) AS DOUBLE) AS t1, CAST(SUM(c0) AS DOUBLE) AS t0,
-                             CAST(COUNT(*) AS DOUBLE) AS v FROM cls),
-              pri AS (SELECT CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
-                             CAST(SUM(CASE WHEN NOT y THEN 1 ELSE 0 END) AS DOUBLE) AS n0
-                      FROM toks WHERE len(t) >= 1),
-              lnr AS (SELECT term,
-                             ln((CAST(c1 AS DOUBLE) + 1.0) / (t1 + v))
-                             - ln((CAST(c0 AS DOUBLE) + 1.0) / (t0 + v)) AS lnr
-                      FROM cls CROSS JOIN tot)
-         SELECT doc_id, n_tokens,
-                CAST(CAST(CAST(score AS VARCHAR) AS DECIMAL(18,6)) AS DOUBLE) AS nb_log_odds,
-                CAST(CAST(CAST(score AS VARCHAR) AS DECIMAL(18,6)) AS DOUBLE) > 0.0 AS pred
-         FROM (SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
-                      ln(n1 / n0) + CAST(SUM(CAST(tf.tf * lnr.lnr AS DECIMAL(38,6))) AS DOUBLE) AS score
-               FROM tf JOIN lnr USING (term) CROSS JOIN pri
-               GROUP BY tf.doc_id, n1, n0) r
-         ORDER BY doc_id""",
-
+    "q_text_nb_logodds" -> NbLogOddsSql,
     // DSIR hashed-n-gram importance weights: feature stream = unigrams
     // UNION ALL space-joined bigrams (zipped shifted-slice unnests);
     // portable md5-window bucket hash ('0x'||hex ≡ Spark conv(...,16,10));
     // add-one smoothed bucket LLR, evidence through DECIMAL(38,6), 6-dp
     // via the VARCHAR hop
-    "q_text_dsir" ->
-      """WITH toks AS (SELECT doc_id, lang,
-                              list_filter(string_split(text, ' '), x -> x <> '') AS t
-                       FROM documents),
-              feats AS (SELECT doc_id, lang, f FROM
-                          (SELECT doc_id, lang, unnest(t) AS f FROM toks)
-                        UNION ALL
-                        SELECT doc_id, lang, w1 || ' ' || w2 AS f FROM
-                          (SELECT doc_id, lang, unnest(t[1:len(t)-1]) AS w1,
-                                  unnest(t[2:len(t)]) AS w2
-                           FROM toks WHERE len(t) >= 2)),
-              fb AS (SELECT doc_id, lang,
-                            CAST('0x' || substring(md5(f), 1, 13) AS BIGINT) % 4096 AS b
-                     FROM feats),
-              tf AS (SELECT doc_id, b, COUNT(*) AS tf FROM fb GROUP BY 1, 2),
-              ct AS (SELECT b, COUNT(*) AS ct FROM fb WHERE lang = 'en' GROUP BY 1),
-              cr AS (SELECT b, SUM(tf) AS cr FROM tf GROUP BY 1),
-              m AS (SELECT COALESCE(cr.b, ct.b) AS b,
-                           COALESCE(cr, 0) AS cr, COALESCE(ct, 0) AS ct
-                    FROM cr FULL OUTER JOIN ct ON cr.b = ct.b),
-              tot AS (SELECT CAST(SUM(ct) AS DOUBLE) AS tt, CAST(SUM(cr) AS DOUBLE) AS tr FROM m),
-              lnr AS (SELECT b,
-                             ln((CAST(ct AS DOUBLE) + 1.0) / (tt + 4096.0))
-                             - ln((CAST(cr AS DOUBLE) + 1.0) / (tr + 4096.0)) AS lnr
-                      FROM m CROSS JOIN tot)
-         SELECT doc_id, n_feats,
-                CAST(CAST(CAST(w AS VARCHAR) AS DECIMAL(18,6)) AS DOUBLE) AS dsir_log_weight
-         FROM (SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_feats,
-                      CAST(SUM(CAST(tf.tf * lnr.lnr AS DECIMAL(38,6))) AS DOUBLE) AS w
-               FROM tf JOIN lnr USING (b)
-               GROUP BY tf.doc_id) r
-         ORDER BY doc_id""",
+    "q_text_dsir" -> DsirSql,
+
+    // the composed training-mix pipeline: the three scorer texts above
+    // run verbatim as derived-table CTEs (DuckDB allows WITH inside a
+    // subquery), then keep (pred AND ce<=3.4) → Gumbel-top-k on the
+    // log-weight (log-space softmax draw, same md5 uniform as Spark) →
+    // md5-fraction split; every threshold compares the scorers'
+    // 6-dp-rounded outputs so the kept set is engine-exact
+    "q_pipeline_training_mix" ->
+      s"""WITH ce AS (SELECT * FROM ($BigramCeSql)),
+              nb AS (SELECT * FROM ($NbLogOddsSql)),
+              ds AS (SELECT * FROM ($DsirSql)),
+              kept AS (SELECT ce.doc_id, ce.bigram_ce, nb.nb_log_odds, ds.dsir_log_weight
+                       FROM ce JOIN nb USING (doc_id) JOIN ds USING (doc_id)
+                       WHERE nb.pred AND ce.bigram_ce <= 3.4),
+              sel AS (SELECT doc_id, bigram_ce, nb_log_odds, dsir_log_weight,
+                             dsir_log_weight
+                             - ln(-ln((CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '_r11'), 1, 13) AS BIGINT) AS DOUBLE) + 0.5)
+                                      / 4503599627370496.0)) AS gk
+                      FROM kept WHERE isfinite(dsir_log_weight)),
+              top AS (SELECT doc_id, bigram_ce, nb_log_odds, dsir_log_weight
+                      FROM sel ORDER BY gk DESC, doc_id LIMIT 50),
+              u AS (SELECT *, CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) AS DOUBLE)
+                                / 4503599627370496.0 AS u
+                    FROM top)
+         SELECT doc_id, bigram_ce, nb_log_odds, dsir_log_weight,
+                CASE WHEN u < 0.1 THEN 'test' WHEN u < 0.2 THEN 'val'
+                     ELSE 'train' END AS split
+         FROM u ORDER BY doc_id""",
 
     // BM25: Lucene idf + saturation/length normalization, identical
     // parenthesization both engines; per-doc sum through DECIMAL(38,6)

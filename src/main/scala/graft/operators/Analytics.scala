@@ -140,6 +140,38 @@ object Analytics {
       .drop("__esk")
   }
 
+  /** Deterministic Gumbel-top-k selection over LOG-weights — the DSIR
+    * selection step (sample k items with probability ∝ w, WITHOUT ever
+    * computing w = exp(log w)): each row's key is
+    *   g = log_w + (−ln(−ln u)),   u = md5-uniform of (id, salt),
+    * and the k LARGEST keys are the sample (the Gumbel-max trick; adding
+    * Gumbel noise to log-weights and taking the arg-top-k draws from the
+    * softmax over weights). Working in log space matters because DSIR
+    * log-weights span hundreds of nats — exp overflows a double long
+    * before the selection would saturate — and because negative
+    * log-weights are valid here, which the Efraimidis–Spirakis u^(1/w)
+    * form ([[weightedSample]]) cannot accept. Deterministic for the same
+    * reasons as the E-S sampler: u is a pure function of (id, salt), so
+    * the draw is stable across engines, partitionings, and reruns.
+    * NaN/±Inf log-weights are excluded up front (a NaN key would poison
+    * the ordering; +Inf would always win).
+    *
+    * Scale: orderBy+limit plans as TakeOrderedAndProject — per-partition
+    * heaps of k, single driver merge, no global sort.
+    */
+  def gumbelTopK(df: DataFrame, idCol: String, logWeightCol: String,
+                 n: Int, salt: String): DataFrame = {
+    require(n >= 1, s"gumbelTopK: n must be >= 1, got $n")
+    val u = (conv(substring(md5(concat(col(idCol).cast("string"), lit("_" + salt))),
+        1, 13), 16, 10)
+      .cast("long").cast("double") + lit(0.5)) / lit(4503599627370496.0)
+    df.filter(finite(col(logWeightCol)))
+      .withColumn("__gk", col(logWeightCol).cast("double") - log(-log(u)))
+      .orderBy(col("__gk").desc, col(idCol).asc)
+      .limit(n)
+      .drop("__gk")
+  }
+
   private def esWeight(weightCol: String): Column = col(weightCol).cast("double")
 
   /** The shared Efraimidis–Spirakis key ln(u)/w (see [[weightedSample]]). */

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus preparation: quality gate → exact dedup →
@@ -45,5 +45,45 @@ object CorpusPrep {
     val survivors = gated.join(canonIds, idCol).drop("__h")
     Analytics.temperatureMix(survivors, langCol, idCol, alpha, total)
       .select(col(idCol), col(langCol), col("n_tokens"))
+  }
+
+  /** The statistical successor to [[prepare]]'s hand-rule gate: score →
+    * filter → importance-select → split, composed from the round-11
+    * quality operators. Every doc is scored by the interpolated
+    * bigram-LM cross-entropy (fluency), the Naive-Bayes log-odds
+    * against `target` (domain membership), and the DSIR hashed-n-gram
+    * log-weight (importance for resampling toward the target); docs
+    * keep iff the NB prediction is positive AND the bigram CE is at
+    * most `maxBigramCe`; `n` survivors are drawn weight-proportionally
+    * via [[Analytics.gumbelTopK]] (log-space — DSIR weights span
+    * hundreds of nats); the draw is split train/val/test by the md5
+    * fraction rule. All thresholds compare the operators' 6-dp-ROUNDED
+    * outputs, so the kept set is engine-exact by construction.
+    *
+    * 100 TB shape: three scorer plans share the corpus scan shape
+    * (each is one corpus-sized keyed aggregate + a model join — see the
+    * scorers' scaladoc for their broadcast/adaptive postures), joined
+    * back on the id; selection is TakeOrderedAndProject (per-partition
+    * heaps); the split adds no exchange. The scorers deliberately stay
+    * independent plans rather than sharing a token explode: the shared
+    * explode saves one scan but couples the LM shuffle layouts, and the
+    * scan is the cheap term at every measured scale.
+    */
+  def trainingMix(df: DataFrame, idCol: String, textCol: String,
+                  target: Column, maxBigramCe: Double, n: Int, salt: String,
+                  valRate: Double, testRate: Double,
+                  buckets: Int = 8192): DataFrame = {
+    val ce = TextAnalysis.bigramCrossEntropy(df, idCol, textCol)
+    val nb = TextAnalysis.nbLogOdds(df, idCol, textCol, target)
+      .withColumnRenamed("n_tokens", "n_tokens_nb")
+    val dsir = TextAnalysis.dsirLogWeights(df, df.where(target), idCol,
+      textCol, buckets)
+    val kept = ce.join(nb, idCol).join(dsir, idCol)
+      .where(col("pred") && col("bigram_ce") <= lit(maxBigramCe))
+      .select(col(idCol), col("bigram_ce"), col("nb_log_odds"),
+        col("dsir_log_weight"))
+    Analytics.withSplit(
+      Analytics.gumbelTopK(kept, idCol, "dsir_log_weight", n, salt),
+      idCol, valRate, testRate)
   }
 }

@@ -387,6 +387,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(all == (1L to 10L).toSet)
   }
 
+  test("gumbelTopK: matches a brute-force Gumbel-max draw; log-space handles huge and negative log-weights") {
+    import spark.implicits._
+    // log-weights span −300..+800: exp overflows a double at ~709, so
+    // any implementation that exponentiates would break — the log-space
+    // key must still rank correctly
+    val rows = Seq((1L, Option(800.0)), (2L, Option(750.0)), (3L, Option(-300.0)),
+      (4L, Option(0.0)), (5L, Option(-2.5)),
+      (6L, Option(Double.NaN)), (7L, Option(Double.PositiveInfinity)),
+      (8L, None: Option[Double]))
+    val df = rows.toDF("id", "lw")
+    def key(id: Long, lw: Double): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${id}_g".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(13)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / 4503599627370496.0
+      lw - math.log(-math.log(u))
+    }
+    val expect = rows.collect { case (id, Some(lw)) if !lw.isNaN && !lw.isInfinite => id -> key(id, lw) }
+      .sortBy { case (id, k) => (-k, id) }.take(3).map(_._1).toSet
+    val out = Analytics.gumbelTopK(df, "id", "lw", n = 3, salt = "g")
+    assert(out.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+    val got = out.select("id").as[Long].collect().toSet
+    assert(got == expect)
+    // NaN/Inf/null excluded; rerun identical (pure function of id/salt/lw)
+    assert(!got.contains(6L) && !got.contains(7L) && !got.contains(8L))
+    val rerun = Analytics.gumbelTopK(df, "id", "lw", n = 3, salt = "g")
+      .select("id").as[Long].collect().toSet
+    assert(got == rerun)
+  }
+
   test("weightedSamplePerGroup: per-group quota, deterministic, small groups kept whole") {
     import spark.implicits._
     val df = (Seq.tabulate(10)(i => ("a", i.toLong, 1.0 + i)) ++
