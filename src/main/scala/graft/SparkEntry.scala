@@ -2565,6 +2565,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // mergeable DSIR model: two models built over DISJOINT halves of
+    // the corpus, folded by bucket-keyed sum, then scored — must equal
+    // the one-shot model bit-for-bit (same oracle text), proving the
+    // 100 TB keep-the-model-fold-the-delta posture
+    "q_text_dsir_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val en = coalesce(col("lang") === lit("en"), lit(false))
+      val base = docs.where(col("doc_id") % 10 =!= 0)
+      val delta = docs.where(col("doc_id") % 10 === 0)
+      val merged = TextAnalysis.dsirMergeModels(
+        TextAnalysis.dsirModel(base, base.where(en), "text", buckets = 4096),
+        TextAnalysis.dsirModel(delta, delta.where(en), "text", buckets = 4096))
+      TextAnalysis.dsirScore(docs, merged, "doc_id", "text", buckets = 4096)
+        .orderBy("doc_id")
+    }),
+
     // the composed training-mix pipeline: bigram-CE + NB + DSIR scorers
     // → rounded-threshold keep → Gumbel-top-k importance draw → md5
     // split; checks the STAGE BOUNDARIES of the statistical corpus flow
@@ -5847,6 +5863,11 @@ object SparkEntry {
     // add-one smoothed bucket LLR, evidence through DECIMAL(38,6), 6-dp
     // via the VARCHAR hop
     "q_text_dsir" -> DsirSql,
+
+    // merged-model scoring must equal the one-shot model: the
+    // incremental query shares the ONE-SHOT oracle text verbatim — the
+    // equality IS the check (counts over disjoint doc sets are additive)
+    "q_text_dsir_incremental" -> DsirSql,
 
     // the composed training-mix pipeline: the three scorer texts above
     // run verbatim as derived-table CTEs (DuckDB allows WITH inside a

@@ -402,30 +402,69 @@ object TextAnalysis {
     */
   def dsirLogWeights(raw: DataFrame, target: DataFrame,
                      idCol: String, textCol: String,
-                     buckets: Int = 8192): DataFrame = {
-    def featStream(df: DataFrame, id: Column): DataFrame = {
-      val t = tokens(col(textCol))
-      val bi = when(size(t) >= 2,
-        zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
-          (a, b) => concat(a, lit(" "), b)))
-        .otherwise(array().cast("array<string>"))
-      Stage.spread(df).select(id.as("__id"), explode(concat(t, bi)).as("__f"))
-        .withColumn("__b",
-          conv(substring(md5(col("__f")), 1, 13), 16, 10).cast("long") % lit(buckets.toLong))
-    }
-    val tgtCounts = featStream(target, lit(0L))
+                     buckets: Int = 8192): DataFrame =
+    dsirScore(raw, dsirModel(raw, target, textCol, buckets),
+      idCol, textCol, buckets)
+
+  /** The hashed uni+bigram feature stream with its bucket id — shared
+    * by the DSIR model builder and scorer so both sides of any
+    * model-reuse equality see byte-identical bucketing.
+    */
+  private def dsirFeatBuckets(df: DataFrame, id: Column, textCol: String,
+                              buckets: Int): DataFrame = {
+    val t = tokens(col(textCol))
+    val bi = when(size(t) >= 2,
+      zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    Stage.spread(df).select(id.as("__id"), explode(concat(t, bi)).as("__f"))
+      .withColumn("__b",
+        conv(substring(md5(col("__f")), 1, 13), 16, 10).cast("long") % lit(buckets.toLong))
+  }
+
+  /** The DSIR model AS A TABLE: (bucket, target count, raw count) over
+    * the full bucket support of either corpus. The table is MERGEABLE
+    * BY SUM ([[dsirMergeModels]]) because counts over disjoint document
+    * sets are additive — the property that lets a 100 TB pipeline keep
+    * yesterday's model and fold in tonight's delta instead of
+    * re-counting the corpus ([[IncrementalAgg]]'s posture applied to
+    * the importance model; `q_text_dsir_incremental` pins merged ==
+    * one-shot by sharing the one-shot oracle text verbatim). O(buckets)
+    * rows by construction.
+    */
+  def dsirModel(raw: DataFrame, target: DataFrame, textCol: String,
+                buckets: Int = 8192): DataFrame = {
+    val ct = dsirFeatBuckets(target, lit(0L), textCol, buckets)
       .groupBy(col("__b")).agg(count(lit(1)).as("__ct"))
-    val rawTf = OpCache.persist(featStream(raw, col(idCol))
+    val cr = dsirFeatBuckets(raw, lit(0L), textCol, buckets)
+      .groupBy(col("__b")).agg(count(lit(1)).as("__cr"))
+    cr.join(ct, Seq("__b"), "full_outer")
+      .select(col("__b"),
+        coalesce(col("__ct"), lit(0L)).as("__ct"),
+        coalesce(col("__cr"), lit(0L)).as("__cr"))
+  }
+
+  /** Fold two [[dsirModel]] tables built over DISJOINT document sets
+    * into the model of their union — one bucket-keyed sum over
+    * O(buckets) rows.
+    */
+  def dsirMergeModels(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("__b"))
+      .agg(sum(col("__ct")).as("__ct"), sum(col("__cr")).as("__cr"))
+
+  /** Score `raw` against a prebuilt [[dsirModel]] table (totals and
+    * smoothing derive from the model, so a stored/merged model scores
+    * identically to an inline one).
+    */
+  def dsirScore(raw: DataFrame, model: DataFrame,
+                idCol: String, textCol: String,
+                buckets: Int = 8192): DataFrame = {
+    val rawTf = OpCache.persist(dsirFeatBuckets(raw, col(idCol), textCol, buckets)
       .repartition(col("__id"))
       .groupBy(col("__id"), col("__b")).agg(count(lit(1)).as("tf")))
-    val rawCounts = rawTf.groupBy(col("__b")).agg(sum(col("tf")).as("__cr"))
-    val joined = rawCounts.join(tgtCounts, Seq("__b"), "full_outer")
-      .select(col("__b"),
-        coalesce(col("__cr"), lit(0L)).as("__cr"),
-        coalesce(col("__ct"), lit(0L)).as("__ct"))
-    val tot = joined.agg(sum(col("__ct")).cast("double").as("__Tt"),
+    val tot = model.agg(sum(col("__ct")).cast("double").as("__Tt"),
       sum(col("__cr")).cast("double").as("__Tr"))
-    val lnr = joined.crossJoin(Hints.bcast(tot))
+    val lnr = model.crossJoin(Hints.bcast(tot))
       .withColumn("__lnr",
         log((col("__ct").cast("double") + lit(1.0)) / (col("__Tt") + lit(buckets.toDouble)))
           - log((col("__cr").cast("double") + lit(1.0)) / (col("__Tr") + lit(buckets.toDouble))))

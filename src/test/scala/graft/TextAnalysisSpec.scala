@@ -266,6 +266,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0).getAs[Double]("dsir_log_weight") > out(1).getAs[Double]("dsir_log_weight"))
   }
 
+  test("dsirModel merges: disjoint-half models fold to the one-shot scores exactly") {
+    val docs = Seq((1L, "a b", "en"), (2L, "c d a", "fr"),
+      (3L, "a a", "en"), (4L, "b c", "fr")).toDF("doc_id", "text", "lang")
+    val en = col("lang") === "en"
+    val oneShot = TextAnalysis
+      .dsirLogWeights(docs, docs.where(en), "doc_id", "text", buckets = 32)
+      .orderBy("doc_id").collect().toSeq
+    val base = docs.where(col("doc_id") <= 2)
+    val delta = docs.where(col("doc_id") > 2)
+    val merged = TextAnalysis.dsirMergeModels(
+      TextAnalysis.dsirModel(base, base.where(en), "text", buckets = 32),
+      TextAnalysis.dsirModel(delta, delta.where(en), "text", buckets = 32))
+    val inc = TextAnalysis
+      .dsirScore(docs, merged, "doc_id", "text", buckets = 32)
+      .orderBy("doc_id").collect().toSeq
+    assert(inc == oneShot) // counts over disjoint doc sets are additive
+  }
+
   test("invertedIndex emits df and numerically-sorted postings") {
     import spark.implicits._
     val df = Seq((10L, "b a b"), (2L, "a c"), (1L, "a")).toDF("doc_id", "text")
