@@ -2581,6 +2581,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // streaming DSIR: documents stream scored against the stored model
+    // via a STATELESS stream-static broadcast join + ONE streaming agg
+    // (the Σ tf·lnr = Σ_instances lnr fold); instance-level oracle
+    "q_stream_dsir" -> ((s, dir) => {
+      val batch = t(s, dir, "documents")
+      graft.streaming.StreamDrain.drain(s, s"$dir/documents.parquet",
+          batch.schema, "stream_dsir", "complete") { src =>
+        // the model must build on the DRAIN's dedicated session
+        val docs = Tables.load(src.sparkSession, dir, "documents")
+        val en = coalesce(col("lang") === lit("en"), lit(false))
+        val model = TextAnalysis.dsirModel(docs, docs.where(en), "text",
+          buckets = 4096)
+        graft.streaming.StreamingDsir.scored(src, model, "doc_id", "text",
+          buckets = 4096)
+      }.orderBy("doc_id")
+    }),
+
     // the composed training-mix pipeline: bigram-CE + NB + DSIR scorers
     // → rounded-threshold keep → Gumbel-top-k importance draw → md5
     // split; checks the STAGE BOUNDARIES of the statistical corpus flow
@@ -3248,7 +3265,7 @@ object SparkEntry {
                GROUP BY tf.doc_id, n1, n0) r
          ORDER BY doc_id"""
 
-  private val DsirSql: String =
+  private val DsirCtes: String =
     """WITH toks AS (SELECT doc_id, lang,
                               list_filter(string_split(text, ' '), x -> x <> '') AS t
                        FROM documents),
@@ -3272,13 +3289,31 @@ object SparkEntry {
               lnr AS (SELECT b,
                              ln((CAST(ct AS DOUBLE) + 1.0) / (tt + 4096.0))
                              - ln((CAST(cr AS DOUBLE) + 1.0) / (tr + 4096.0)) AS lnr
-                      FROM m CROSS JOIN tot)
+                      FROM m CROSS JOIN tot)"""
+
+  private val DsirSql: String =
+    s"""$DsirCtes
          SELECT doc_id, n_feats,
                 CAST(CAST(CAST(w AS VARCHAR) AS DECIMAL(18,6)) AS DOUBLE) AS dsir_log_weight
          FROM (SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_feats,
                       CAST(SUM(CAST(tf.tf * lnr.lnr AS DECIMAL(38,6))) AS DOUBLE) AS w
                FROM tf JOIN lnr USING (b)
                GROUP BY tf.doc_id) r
+         ORDER BY doc_id"""
+
+  /** The streaming dual quantizes PER FEATURE INSTANCE (the single-agg
+    * identity Σ tf·lnr = Σ_instances lnr holds exactly only before the
+    * per-term DECIMAL(38,6) rounding), so its oracle aggregates fb
+    * directly instead of the bucket-level tf.
+    */
+  private val StreamDsirSql: String =
+    s"""$DsirCtes
+         SELECT doc_id, n_feats,
+                CAST(CAST(CAST(w AS VARCHAR) AS DECIMAL(18,6)) AS DOUBLE) AS dsir_log_weight
+         FROM (SELECT fb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+                      CAST(SUM(CAST(lnr.lnr AS DECIMAL(38,6))) AS DOUBLE) AS w
+               FROM fb JOIN lnr USING (b)
+               GROUP BY fb.doc_id) r
          ORDER BY doc_id"""
 
   private val MinhashBkCte: String =
@@ -5868,6 +5903,10 @@ object SparkEntry {
     // incremental query shares the ONE-SHOT oracle text verbatim — the
     // equality IS the check (counts over disjoint doc sets are additive)
     "q_text_dsir_incremental" -> DsirSql,
+
+    // streaming DSIR scoring: the drained complete-mode state vs the
+    // instance-level batch dual (see StreamDsirSql scaladoc)
+    "q_stream_dsir" -> StreamDsirSql,
 
     // the composed training-mix pipeline: the three scorer texts above
     // run verbatim as derived-table CTEs (DuckDB allows WITH inside a

@@ -410,8 +410,8 @@ object TextAnalysis {
     * by the DSIR model builder and scorer so both sides of any
     * model-reuse equality see byte-identical bucketing.
     */
-  private def dsirFeatBuckets(df: DataFrame, id: Column, textCol: String,
-                              buckets: Int): DataFrame = {
+  private[graft] def dsirFeatBuckets(df: DataFrame, id: Column, textCol: String,
+                                     buckets: Int): DataFrame = {
     val t = tokens(col(textCol))
     val bi = when(size(t) >= 2,
       zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
@@ -452,6 +452,21 @@ object TextAnalysis {
     a.unionByName(b).groupBy(col("__b"))
       .agg(sum(col("__ct")).as("__ct"), sum(col("__cr")).as("__cr"))
 
+  /** The per-bucket LLR table derived from a [[dsirModel]]: totals and
+    * smoothing come from the model itself, so a stored or merged model
+    * yields the identical table. Shared by the batch scorer and the
+    * streaming dual ([[graft.streaming.StreamingDsir]]).
+    */
+  private[graft] def dsirLnr(model: DataFrame, buckets: Int): DataFrame = {
+    val tot = model.agg(sum(col("__ct")).cast("double").as("__Tt"),
+      sum(col("__cr")).cast("double").as("__Tr"))
+    model.crossJoin(Hints.bcast(tot))
+      .withColumn("__lnr",
+        log((col("__ct").cast("double") + lit(1.0)) / (col("__Tt") + lit(buckets.toDouble)))
+          - log((col("__cr").cast("double") + lit(1.0)) / (col("__Tr") + lit(buckets.toDouble))))
+      .select("__b", "__lnr")
+  }
+
   /** Score `raw` against a prebuilt [[dsirModel]] table (totals and
     * smoothing derive from the model, so a stored/merged model scores
     * identically to an inline one).
@@ -462,14 +477,7 @@ object TextAnalysis {
     val rawTf = OpCache.persist(dsirFeatBuckets(raw, col(idCol), textCol, buckets)
       .repartition(col("__id"))
       .groupBy(col("__id"), col("__b")).agg(count(lit(1)).as("tf")))
-    val tot = model.agg(sum(col("__ct")).cast("double").as("__Tt"),
-      sum(col("__cr")).cast("double").as("__Tr"))
-    val lnr = model.crossJoin(Hints.bcast(tot))
-      .withColumn("__lnr",
-        log((col("__ct").cast("double") + lit(1.0)) / (col("__Tt") + lit(buckets.toDouble)))
-          - log((col("__cr").cast("double") + lit(1.0)) / (col("__Tr") + lit(buckets.toDouble))))
-      .select("__b", "__lnr")
-    rawTf.join(Hints.bcast(lnr), Seq("__b"))
+    rawTf.join(Hints.bcast(dsirLnr(model, buckets)), Seq("__b"))
       .groupBy(col("__id"))
       .agg(sum(col("tf")).as("n_feats"),
         round(sum(graft.Tables.dec(col("tf") * col("__lnr"))).cast("double"), 6)
