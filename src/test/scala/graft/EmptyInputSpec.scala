@@ -84,6 +84,41 @@ class EmptyInputSpec extends SparkSpec {
     graft.operators.OpCache.clear()
   }
 
+  test("quality-filter family: empty corpus → empty; null/empty/1-token text " +
+      "rows flow through without ANSI crashes") {
+    val en = coalesce(col("lang") === "en", lit(false))
+    val d0 = docs0.withColumn("lang", lit("en"))
+    assert(TextAnalysis.bigramCrossEntropy(d0, "doc_id", "text").count() == 0)
+    assert(TextAnalysis.nbLogOdds(d0, "doc_id", "text", en).count() == 0)
+    assert(TextAnalysis.dsirLogWeights(d0, d0.where(en), "doc_id", "text", 64).count() == 0)
+    graft.operators.OpCache.clear()
+    // null text, empty text, single token, double spaces — the rows the
+    // ANSI-mode slice/size/explode path must drop rather than throw on
+    val messy = Seq((1L, Option("a b"), "en"), (2L, None: Option[String], "en"),
+      (3L, Option(""), "fr"), (4L, Option("x"), "fr"), (5L, Option("a  b"), "en"))
+      .toDF("doc_id", "text", "lang")
+    val ce = TextAnalysis.bigramCrossEntropy(messy, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ce == Set(1L, 5L)) // only ≥2-token docs have a bigram stream
+    val nb = TextAnalysis.nbLogOdds(messy, "doc_id", "text", en)
+      .select("doc_id").as[Long].collect().toSet
+    assert(nb == Set(1L, 4L, 5L)) // ≥1 token
+    graft.operators.OpCache.clear()
+    val ds = TextAnalysis.dsirLogWeights(messy, messy.where(en), "doc_id", "text", 64)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ds == Set(1L, 4L, 5L))
+    graft.operators.OpCache.clear()
+    // an EMPTY target corpus: the raw side's buckets survive the
+    // full-outer model join with ct = 0 (smoothing keeps p_target > 0)
+    val dsEmptyTarget = TextAnalysis.dsirLogWeights(
+      messy, messy.where(lit(false)), "doc_id", "text", 64)
+    assert(dsEmptyTarget.count() == 3)
+    graft.operators.OpCache.clear()
+    // gumbelTopK over an empty frame → empty
+    assert(Analytics.gumbelTopK(
+      Seq.empty[(Long, Double)].toDF("id", "lw"), "id", "lw", 3, "s").count() == 0)
+  }
+
   test("null/empty TEXT rows flow through every text/dedup family without " +
       "throwing (two ANSI divide-by-zero crashes found and fixed here)") {
     val docs = Seq((1L, "the a is alpha beta and of to in gamma"), (2L, null),

@@ -45,7 +45,11 @@ QUERIES = ["q_stream_neardup", "q_dedup_semantic", "q_dedup_clusters",
            # round-11 third wave: the statistical quality filters (bigram
            # LM, NB log-odds, DSIR hashed-bucket LLR) — corpus-sized tf
            # aggregates + model joins
-           "q_text_bigram_ce", "q_text_nb_logodds", "q_text_dsir"]
+           "q_text_bigram_ce", "q_text_nb_logodds", "q_text_dsir",
+           # fourth wave: the composed mix, the merged-model dual, and
+           # the streaming scorer
+           "q_pipeline_training_mix", "q_text_dsir_incremental",
+           "q_stream_dsir"]
 # sf1 is repo-generated (graft.GenData; the driver dirs are read-only) —
 # 6M lineitem / 50k documents / 20k embeddings, same recipe, measured
 # distribution match in SCALE.md. Its decade (0.1 -> 1) is the first one
