@@ -2581,6 +2581,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // stored/merged bigram-LM scoring (round-11 verdict #2): the CE
+    // model is trained as a TABLE over two disjoint corpus halves,
+    // folded by gram-keyed sum, then scores the whole corpus — must
+    // equal the fused train+score plan bit-for-bit (same oracle text),
+    // proving the CCNet train-once/score-nightly posture
+    "q_text_bigram_ce_stored" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merged = TextAnalysis.bigramCeMergeModels(
+        TextAnalysis.bigramCeModel(docs.where(col("doc_id") % 10 =!= 0), "text"),
+        TextAnalysis.bigramCeModel(docs.where(col("doc_id") % 10 === 0), "text"))
+      TextAnalysis.bigramCeScore(docs, merged, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // stored/merged Naive-Bayes scoring: class counts + the doc-count
+    // sentinel row trained over two disjoint halves, merged by term-
+    // keyed sum, scored label-free — equals the fused plan (same oracle
+    // text), the fastText train-once posture
+    "q_text_nb_stored" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val en = coalesce(col("lang") === lit("en"), lit(false))
+      val merged = TextAnalysis.nbMergeModels(
+        TextAnalysis.nbModel(docs.where(col("doc_id") % 10 =!= 0), "text", en),
+        TextAnalysis.nbModel(docs.where(col("doc_id") % 10 === 0), "text", en))
+      TextAnalysis.nbScore(docs, merged, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // streaming DSIR: documents stream scored against the stored model
     // via a STATELESS stream-static broadcast join + ONE streaming agg
     // (the Σ tf·lnr = Σ_instances lnr fold); instance-level oracle
@@ -2606,6 +2634,19 @@ object SparkEntry {
           coalesce(col("lang") === lit("en"), lit(false)),
           maxBigramCe = 3.4, n = 50, salt = "r11",
           valRate = 0.1, testRate = 0.1, buckets = 4096)
+        .orderBy("doc_id")
+    }),
+
+    // the same pipeline with the DISTRIBUTED threshold draw (round-11
+    // verdict #1): gumbelSelect replaces the TakeOrderedAndProject heap
+    // — identical selected set at equal (n, salt), proven by sharing
+    // the heap form's oracle text verbatim; no driver-side k-row merge
+    "q_pipeline_training_mix_threshold" -> ((s, dir) => {
+      CorpusPrep.trainingMix(t(s, dir, "documents"), "doc_id", "text",
+          coalesce(col("lang") === lit("en"), lit(false)),
+          maxBigramCe = 3.4, n = 50, salt = "r11",
+          valRate = 0.1, testRate = 0.1, buckets = 4096,
+          thresholdSelect = true)
         .orderBy("doc_id")
     }),
 
@@ -3315,6 +3356,34 @@ object SparkEntry {
                FROM fb JOIN lnr USING (b)
                GROUP BY fb.doc_id) r
          ORDER BY doc_id"""
+
+  /** The composed training-mix oracle: the three scorer texts above run
+    * verbatim as derived-table CTEs, then keep (pred AND ce<=3.4) →
+    * Gumbel-top-k on the log-weight (same md5 uniform as Spark) →
+    * md5-fraction split. Shared by the heap-select query AND its
+    * threshold-select twin — the set equality is the round-12 check.
+    */
+  private lazy val TrainingMixSql: String =
+    s"""WITH ce AS (SELECT * FROM ($BigramCeSql)),
+              nb AS (SELECT * FROM ($NbLogOddsSql)),
+              ds AS (SELECT * FROM ($DsirSql)),
+              kept AS (SELECT ce.doc_id, ce.bigram_ce, nb.nb_log_odds, ds.dsir_log_weight
+                       FROM ce JOIN nb USING (doc_id) JOIN ds USING (doc_id)
+                       WHERE nb.pred AND ce.bigram_ce <= 3.4),
+              sel AS (SELECT doc_id, bigram_ce, nb_log_odds, dsir_log_weight,
+                             dsir_log_weight
+                             - ln(-ln((CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '_r11'), 1, 13) AS BIGINT) AS DOUBLE) + 0.5)
+                                      / 4503599627370496.0)) AS gk
+                      FROM kept WHERE isfinite(dsir_log_weight)),
+              top AS (SELECT doc_id, bigram_ce, nb_log_odds, dsir_log_weight
+                      FROM sel ORDER BY gk DESC, doc_id LIMIT 50),
+              u AS (SELECT *, CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) AS DOUBLE)
+                                / 4503599627370496.0 AS u
+                    FROM top)
+         SELECT doc_id, bigram_ce, nb_log_odds, dsir_log_weight,
+                CASE WHEN u < 0.1 THEN 'test' WHEN u < 0.2 THEN 'val'
+                     ELSE 'train' END AS split
+         FROM u ORDER BY doc_id"""
 
   private val MinhashBkCte: String =
     """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
@@ -5892,6 +5961,13 @@ object SparkEntry {
     // through DECIMAL(38,6); prior added in double AFTER the cast; 6-dp
     // via the VARCHAR hop; pred compares the rounded value
     "q_text_nb_logodds" -> NbLogOddsSql,
+
+    // stored/merged-model scoring must equal the fused train+score plan:
+    // both stored queries share the fused oracles VERBATIM — the
+    // equality IS the check (gram/term counts over disjoint doc sets
+    // are additive; totals and smoothing derive from the model table)
+    "q_text_bigram_ce_stored" -> BigramCeSql,
+    "q_text_nb_stored" -> NbLogOddsSql,
     // DSIR hashed-n-gram importance weights: feature stream = unigrams
     // UNION ALL space-joined bigrams (zipped shifted-slice unnests);
     // portable md5-window bucket hash ('0x'||hex ≡ Spark conv(...,16,10));
@@ -5914,27 +5990,11 @@ object SparkEntry {
     // log-weight (log-space softmax draw, same md5 uniform as Spark) →
     // md5-fraction split; every threshold compares the scorers'
     // 6-dp-rounded outputs so the kept set is engine-exact
-    "q_pipeline_training_mix" ->
-      s"""WITH ce AS (SELECT * FROM ($BigramCeSql)),
-              nb AS (SELECT * FROM ($NbLogOddsSql)),
-              ds AS (SELECT * FROM ($DsirSql)),
-              kept AS (SELECT ce.doc_id, ce.bigram_ce, nb.nb_log_odds, ds.dsir_log_weight
-                       FROM ce JOIN nb USING (doc_id) JOIN ds USING (doc_id)
-                       WHERE nb.pred AND ce.bigram_ce <= 3.4),
-              sel AS (SELECT doc_id, bigram_ce, nb_log_odds, dsir_log_weight,
-                             dsir_log_weight
-                             - ln(-ln((CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '_r11'), 1, 13) AS BIGINT) AS DOUBLE) + 0.5)
-                                      / 4503599627370496.0)) AS gk
-                      FROM kept WHERE isfinite(dsir_log_weight)),
-              top AS (SELECT doc_id, bigram_ce, nb_log_odds, dsir_log_weight
-                      FROM sel ORDER BY gk DESC, doc_id LIMIT 50),
-              u AS (SELECT *, CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) AS DOUBLE)
-                                / 4503599627370496.0 AS u
-                    FROM top)
-         SELECT doc_id, bigram_ce, nb_log_odds, dsir_log_weight,
-                CASE WHEN u < 0.1 THEN 'test' WHEN u < 0.2 THEN 'val'
-                     ELSE 'train' END AS split
-         FROM u ORDER BY doc_id""",
+    "q_pipeline_training_mix" -> TrainingMixSql,
+
+    // the threshold-select twin must pick the IDENTICAL set: it shares
+    // the heap form's oracle text verbatim — the equality is the check
+    "q_pipeline_training_mix_threshold" -> TrainingMixSql,
 
     // BM25: Lucene idf + saturation/length normalization, identical
     // parenthesization both engines; per-doc sum through DECIMAL(38,6)

@@ -109,8 +109,8 @@ object StreamCostMain {
         t3 = math.min(t3, a); t1 = math.min(t1, b); rows3 = na
       }
       val perBatch = (t3 - t1) / 2.0
-      println(f"[streamcost] $label dir=$dir min: T_3batch=$t3%.2f s, T_1batch=$t1%.2f s -> " +
-        f"per-batch term a=$perBatch%.2f s, data term b*rows=${t1 - perBatch}%.2f s")
+      println(f"[streamcost] $label dir=$dir min: T_3batch=$t3%.2f s, T_1batch=$t1%.2f s " +
+        f"($rows3 rows) -> per-batch term a=$perBatch%.2f s, data term b*rows=${t1 - perBatch}%.2f s")
     }
     spark.stop()
   }

@@ -162,25 +162,130 @@ object Analytics {
   def gumbelTopK(df: DataFrame, idCol: String, logWeightCol: String,
                  n: Int, salt: String): DataFrame = {
     require(n >= 1, s"gumbelTopK: n must be >= 1, got $n")
-    val u = (conv(substring(md5(concat(col(idCol).cast("string"), lit("_" + salt))),
-        1, 13), 16, 10)
-      .cast("long").cast("double") + lit(0.5)) / lit(4503599627370496.0)
     df.filter(finite(col(logWeightCol)))
-      .withColumn("__gk", col(logWeightCol).cast("double") - log(-log(u)))
+      .withColumn("__gk",
+        col(logWeightCol).cast("double") - log(-log(mdUniform(idCol, salt))))
       .orderBy(col("__gk").desc, col(idCol).asc)
       .limit(n)
       .drop("__gk")
   }
 
+  /** The shared md5 uniform of (id, salt): strictly inside (0,1), 52
+    * exactly-representable bits — used by the E-S key, the Gumbel key,
+    * and their threshold-select duals so all four draw IDENTICAL noise.
+    */
+  private def mdUniform(idCol: String, salt: String): Column =
+    (conv(substring(md5(concat(col(idCol).cast("string"), lit("_" + salt))),
+        1, 13), 16, 10)
+      .cast("long").cast("double") + lit(0.5)) / lit(4503599627370496.0)
+
+  /** [[gumbelTopK]] with DISTRIBUTED threshold selection — the form a
+    * 100 TB DSIR resampling run needs (round-11 verdict #1): the heap
+    * form's `orderBy().limit(n)` plans as TakeOrderedAndProject, whose
+    * final step merges up to n·numPartitions candidate rows ON THE
+    * DRIVER — optimal at dashboard-scale n, a single-process funnel when
+    * a training mix draws tens of millions of documents. Here the
+    * selection is a FILTER: compute the exact n-th largest Gumbel key
+    * (g desc, id asc — the heap form's total order) and keep rows above
+    * it, so selected rows never leave their executors.
+    *
+    * Threshold discovery (approx-quantile bracket + exact trim, all
+    * distributed, driver holds only scalars):
+    *   1. one `approxQuantile` pass brackets the n-th key from below —
+    *      the relative error ε is sized so the surviving band holds
+    *      between n and ~2n + 3εN rows, GUARANTEED ≥ n by the
+    *      Greenwald–Khanna rank bound (checked, with a full-frame
+    *      fallback if the bound were ever violated);
+    *   2. the band's key column (doubles only, no payload) is
+    *      range-sort-partitioned (`sortBy` — a distributed sort, not a
+    *      driver merge) and the n-th value extracted by partition-offset
+    *      arithmetic (`zipWithIndex` holds per-partition COUNTS on the
+    *      driver, never rows);
+    *   3. selected = band rows with key > τ, plus the ≤ handful of
+    *      key == τ ties broken by id (md5-derived doubles collide with
+    *      probability ~2⁻⁵², so the tie group is ~1 row; its tiny
+    *      `orderBy(id).limit` is bounded by the collision count, not n).
+    *
+    * Returns EXACTLY the [[gumbelTopK]] set at equal (n, salt) — the
+    * spec pins set equality and the absence of TakeOrderedAndProject
+    * from the selection plan. Cost: one extra pass over the filtered
+    * frame (count + quantile share the persisted narrow projection) in
+    * exchange for a driver that never sees a row.
+    */
+  def gumbelSelect(df: DataFrame, idCol: String, logWeightCol: String,
+                   n: Int, salt: String): DataFrame = {
+    require(n >= 1, s"gumbelSelect: n must be >= 1, got $n")
+    thresholdSelect(
+      df.filter(finite(col(logWeightCol))),
+      idCol,
+      col(logWeightCol).cast("double") - log(-log(mdUniform(idCol, salt))),
+      n)
+  }
+
+  /** [[weightedSample]] (Efraimidis–Spirakis without replacement) with
+    * the same distributed threshold selection as [[gumbelSelect]] —
+    * identical sample at equal (n, salt), no driver-side k-row merge.
+    */
+  def weightedSampleSelect(df: DataFrame, idCol: String, weightCol: String,
+                           n: Int, salt: String): DataFrame = {
+    require(n >= 1, s"weightedSampleSelect: n must be >= 1, got $n")
+    thresholdSelect(
+      df.filter(finite(col(weightCol)) && esWeight(weightCol) > 0),
+      idCol, esKey(idCol, weightCol, salt), n)
+  }
+
+  /** Shared distributed top-n-by-key core of [[gumbelSelect]] /
+    * [[weightedSampleSelect]]: exact (key desc, id asc) top-n as a
+    * filter. `df` must already be filtered to rows with a usable key.
+    */
+  private def thresholdSelect(df: DataFrame, idCol: String, key: Column,
+                              n: Int): DataFrame = {
+    val keyed = OpCache.persist(df.withColumn("__tsk", key))
+    val total = keyed.count()
+    if (total <= n) return keyed.drop("__tsk")
+    // Greenwald–Khanna bound: approxQuantile(p, ε) returns a value whose
+    // true rank is within ε·total of p·total. Bracket from BELOW the
+    // n-th-from-top position by ε·total + 1 so count(key > vLo) ≥ n is
+    // guaranteed; ε itself scales with n/total (band stays O(n)) with a
+    // 1e-6 floor so the quantile sketch stays cheap on huge frames.
+    val eps = math.max(n.toDouble / (4.0 * total), 1e-6)
+    val p = 1.0 - math.min(1.0, (n + 2.0 * eps * total + 1.0) / total)
+    val band = OpCache.persist(
+      if (p <= 0.0) keyed
+      else {
+        val vLo = keyed.stat.approxQuantile("__tsk", Array(p), eps).head
+        val b = keyed.filter(col("__tsk") > lit(vLo))
+        // paranoia: the rank bound makes this unreachable, but an exact
+        // selection must never silently depend on an approximation
+        if (b.count() >= n) b else keyed
+      })
+    // exact n-th (key desc) via a distributed range sort of the KEY
+    // column only; zipWithIndex ships per-partition counts, not rows
+    val tau = band.select(col("__tsk")).rdd.map(_.getDouble(0))
+      .sortBy(identity, ascending = false)
+      .zipWithIndex()
+      .filter(_._2 == n - 1)
+      .map(_._1)
+      .first()
+    val above = band.filter(col("__tsk") > lit(tau))
+    val needTies = n - above.count()
+    val ties = band.filter(col("__tsk") === lit(tau))
+    // keys are md5-derived doubles, so the tie group at τ is one row in
+    // anything but a ~2⁻⁵² collision: the normal path unions a PURE
+    // FILTER (no TakeOrdered node anywhere in the plan — the spec pins
+    // this); only a genuine collision among winners falls back to an
+    // id-ranked pick bounded by the collision count, never by n
+    val tiesPicked =
+      if (ties.count() <= needTies) ties
+      else ties.orderBy(col(idCol).asc).limit(needTies.toInt)
+    above.unionByName(tiesPicked).drop("__tsk")
+  }
+
   private def esWeight(weightCol: String): Column = col(weightCol).cast("double")
 
   /** The shared Efraimidis–Spirakis key ln(u)/w (see [[weightedSample]]). */
-  private def esKey(idCol: String, weightCol: String, salt: String): Column = {
-    val u = (conv(substring(md5(concat(col(idCol).cast("string"), lit("_" + salt))),
-        1, 13), 16, 10)
-      .cast("long").cast("double") + lit(0.5)) / lit(4503599627370496.0)
-    log(u) / esWeight(weightCol)
-  }
+  private def esKey(idCol: String, weightCol: String, salt: String): Column =
+    log(mdUniform(idCol, salt)) / esWeight(weightCol)
 
   /** [[weightedSample]] with a PER-GROUP quota — the form a mixture
     * pipeline actually runs: up to `nPerGroup` rows per (language,

@@ -64,15 +64,20 @@ object CorpusPrep {
     * (each is one corpus-sized keyed aggregate + a model join — see the
     * scorers' scaladoc for their broadcast/adaptive postures), joined
     * back on the id; selection is TakeOrderedAndProject (per-partition
-    * heaps); the split adds no exchange. The scorers deliberately stay
-    * independent plans rather than sharing a token explode: the shared
-    * explode saves one scan but couples the LM shuffle layouts, and the
-    * scan is the cheap term at every measured scale.
+    * heaps) by default, or — `thresholdSelect = true`, the posture for
+    * corpus-scale draws — [[Analytics.gumbelSelect]]'s distributed
+    * threshold filter, which selects the IDENTICAL set without ever
+    * merging the n winners on the driver; the split adds no exchange.
+    * The scorers deliberately stay independent plans rather than
+    * sharing a token explode: the shared explode saves one scan but
+    * couples the LM shuffle layouts, and the scan is the cheap term at
+    * every measured scale.
     */
   def trainingMix(df: DataFrame, idCol: String, textCol: String,
                   target: Column, maxBigramCe: Double, n: Int, salt: String,
                   valRate: Double, testRate: Double,
-                  buckets: Int = 8192): DataFrame = {
+                  buckets: Int = 8192,
+                  thresholdSelect: Boolean = false): DataFrame = {
     val ce = TextAnalysis.bigramCrossEntropy(df, idCol, textCol)
     val nb = TextAnalysis.nbLogOdds(df, idCol, textCol, target)
       .withColumnRenamed("n_tokens", "n_tokens_nb")
@@ -82,8 +87,10 @@ object CorpusPrep {
       .where(col("pred") && col("bigram_ce") <= lit(maxBigramCe))
       .select(col(idCol), col("bigram_ce"), col("nb_log_odds"),
         col("dsir_log_weight"))
-    Analytics.withSplit(
-      Analytics.gumbelTopK(kept, idCol, "dsir_log_weight", n, salt),
-      idCol, valRate, testRate)
+    val drawn =
+      if (thresholdSelect)
+        Analytics.gumbelSelect(kept, idCol, "dsir_log_weight", n, salt)
+      else Analytics.gumbelTopK(kept, idCol, "dsir_log_weight", n, salt)
+    Analytics.withSplit(drawn, idCol, valRate, testRate)
   }
 }

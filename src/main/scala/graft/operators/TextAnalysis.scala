@@ -317,6 +317,106 @@ object TextAnalysis {
           / sum(col("tf")).cast("double"), 6).as("bigram_ce"))
   }
 
+  /** The (id, w1, w2) bigram-pair stream — in-row formation (slice +
+    * zip_with, no positional self-join), shared by the stored CE model
+    * builder and scorer so both sides of the model-reuse equality see
+    * byte-identical pair formation. Matches [[bigramCrossEntropy]]'s
+    * inline expressions exactly.
+    */
+  private def bigramPairs(df: DataFrame, id: Column, textCol: String): DataFrame = {
+    val toks = Stage.spread(df)
+      .select(id.as("__id"), tokens(col(textCol)).as("__t"))
+    toks.where(size(col("__t")) >= 2)
+      .select(col("__id"),
+        explode(zip_with(
+          slice(col("__t"), lit(1), size(col("__t")) - 1),
+          slice(col("__t"), lit(2), size(col("__t")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("__b"))
+      .select(col("__id"), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+  }
+
+  /** The bigram-LM model AS A TABLE — the train-once/score-many face of
+    * [[bigramCrossEntropy]] (round-11 verdict #2): the deployed
+    * CCNet/KenLM posture trains the LM on a CURATED corpus (wiki/books)
+    * once and scores the raw web corpus nightly, so re-deriving the LM
+    * inside every scoring run pays a corpus-sized aggregate it can skip.
+    * One table, two row kinds keyed by `__g`:
+    *   - ('bi',  w1, w2, count) — bigram counts c(w₁w₂);
+    *   - ('uni', '',  w2, count) — unigram counts c(w₂) over ALL tokens
+    *     (including 1-token documents, which have no bigram stream but
+    *     do back off the unigram model).
+    * Everything the scorer needs derives from the table: context totals
+    * c(w₁·) by summing bi rows, N and |V| from the uni rows — so a
+    * stored or merged model scores identically to an inline one. The
+    * counts are ADDITIVE over disjoint document sets, which makes the
+    * model MERGEABLE by (kind, gram)-keyed sum ([[bigramCeMergeModels]],
+    * the [[dsirMergeModels]] nightly-delta-fold posture applied to the
+    * LM). '' is reserved for the uni marker because [[tokens]] drops
+    * empty strings — no real gram collides with it.
+    */
+  def bigramCeModel(train: DataFrame, textCol: String): DataFrame = {
+    val bi = bigramPairs(train, lit(0L), textCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__c"))
+      .select(lit("bi").as("__g"), col("w1").as("__w1"), col("w2").as("__w2"),
+        col("__c"))
+    val uni = Stage.spread(train)
+      .select(explode(tokens(col(textCol))).as("w2"))
+      .groupBy(col("w2")).agg(count(lit(1)).as("__c"))
+      .select(lit("uni").as("__g"), lit("").as("__w1"), col("w2").as("__w2"),
+        col("__c"))
+    bi.unionByName(uni)
+  }
+
+  /** Fold two [[bigramCeModel]] tables built over DISJOINT document
+    * sets into the model of their union — one gram-keyed sum.
+    */
+  def bigramCeMergeModels(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("__g"), col("__w1"), col("__w2"))
+      .agg(sum(col("__c")).as("__c"))
+
+  /** Score `df` against a prebuilt [[bigramCeModel]] — identical output
+    * to the fused [[bigramCrossEntropy]] when the model was trained on
+    * the same corpus (the oracle-pinned equality), and well-defined on
+    * NEW documents: a bigram the model never saw backs off to
+    * (1−λ)·(c(w₂)+1)/(N+|V|) with unseen-w₂ counts at 0 — the
+    * Jelinek–Mercer contract extended off-support, always > 0, so every
+    * scored document gets a finite CE and unseen bigrams still count
+    * into n_bigrams (no silent instance drops — the round-12 DSIR
+    * discipline). Shape: the model joins are LEFT joins from the
+    * (id, w₁, w₂) tf aggregate, hint-free like the fused form so AQE
+    * picks broadcast vs shuffle from the model's real size.
+    */
+  def bigramCeScore(df: DataFrame, model: DataFrame,
+                    idCol: String, textCol: String,
+                    lambda: Double = 0.75): DataFrame = {
+    val mix = 1.0 - lambda
+    val biT = model.where(col("__g") === lit("bi"))
+      .select(col("__w1").as("w1"), col("__w2").as("w2"), col("__c").as("__cb"))
+    val uniT = model.where(col("__g") === lit("uni"))
+      .select(col("__w2").as("w2"), col("__c").as("__cu"))
+    val ctx = biT.groupBy(col("w1")).agg(sum(col("__cb")).as("__cw1"))
+    val totals = uniT.agg(sum(col("__cu")).cast("double").as("__N"),
+      count(lit(1)).cast("double").as("__V"))
+    val docTf = OpCache.persist(bigramPairs(df, col(idCol), textCol)
+      .repartition(col("__id"))
+      .groupBy(col("__id"), col("w1"), col("w2")).agg(count(lit(1)).as("tf")))
+    docTf.join(biT, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(uniT, Seq("w2"), "left")
+      .crossJoin(Hints.bcast(totals))
+      .withColumn("__lp", log(
+        lit(lambda) * when(col("__cb").isNotNull,
+            col("__cb").cast("double") / col("__cw1").cast("double"))
+          .otherwise(lit(0.0))
+          + lit(mix) * ((coalesce(col("__cu"), lit(0L)).cast("double") + lit(1.0))
+            / (col("__N") + col("__V")))))
+      .groupBy(col("__id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        round(-sum(graft.Tables.dec(col("tf") * col("__lp"))).cast("double")
+          / sum(col("tf")).cast("double"), 6).as("bigram_ce"))
+      .select(col("__id").as(idCol), col("n_bigrams"), col("bigram_ce"))
+  }
+
   /** Multinomial Naive-Bayes log-odds — the fastText-style quality/
     * domain classifier a training-data pipeline trains on a labeled
     * slice and applies to the whole corpus (the statistical version of
@@ -363,13 +463,105 @@ object TextAnalysis {
         log((col("__c1").cast("double") + lit(1.0)) / (col("__T1") + col("__V")))
           - log((col("__c0").cast("double") + lit(1.0)) / (col("__T0") + col("__V"))))
       .select("term", "__lnr")
+    // in-plan guard (round-12 advice fix): an empty class makes the prior
+    // ln(n1/n0) = ±Inf and poisons every score/pred downstream — fail the
+    // job loudly at the one row where the priors materialize instead.
+    // (A driver-side require() would force an extra eager action on a
+    // lazy operator; the guard rides the existing single-row prior.)
+    val priorLn = when(col("__n1") > lit(0.0) && col("__n0") > lit(0.0),
+        log(col("__n1") / col("__n0")))
+      .otherwise(raise_error(lit(
+        "nbLogOdds: both label classes must contain at least one " +
+          "token-bearing document")).cast("double"))
     docTf.join(lnr, "term")
       .groupBy(col(idCol))
       .agg(sum(col("tf")).as("n_tokens"),
         sum(graft.Tables.dec(col("tf") * col("__lnr"))).cast("double").as("__ev"))
       .crossJoin(Hints.bcast(prior))
       .withColumn("nb_log_odds",
-        round(log(col("__n1") / col("__n0")) + col("__ev"), 6))
+        round(priorLn + col("__ev"), 6))
+      .withColumn("pred", col("nb_log_odds") > lit(0.0))
+      .select(col(idCol), col("n_tokens"), col("nb_log_odds"), col("pred"))
+  }
+
+  /** The Naive-Bayes model AS A TABLE — the train-once/score-many face
+    * of [[nbLogOdds]] (round-11 verdict #2): the deployed fastText-
+    * quality posture trains on a LABELED slice once and scores the
+    * unlabeled corpus nightly. Rows are (term, c₁, c₀) class-conditional
+    * token counts, plus ONE sentinel row `__term = ''` carrying the
+    * doc-count priors (n₁, n₀ token-bearing documents per class) — ''
+    * is reserved because [[tokens]] drops empties, so no real term
+    * collides. All counts are additive over disjoint document sets →
+    * MERGEABLE by term-keyed sum ([[nbMergeModels]]); totals T₁/T₀ and
+    * |V| derive from the table, so a stored or merged model scores
+    * identically to an inline one.
+    */
+  def nbModel(train: DataFrame, textCol: String, label: Column): DataFrame = {
+    val toks = Stage.spread(train)
+      .select(label.as("__y"), tokens(col(textCol)).as("__t"))
+    val terms = toks.select(col("__y"), explode(col("__t")).as("__term"))
+      .groupBy(col("__term"))
+      .agg(sum(when(col("__y"), lit(1L)).otherwise(lit(0L))).as("__c1"),
+        sum(when(!col("__y"), lit(1L)).otherwise(lit(0L))).as("__c0"))
+    val prior = toks.where(size(col("__t")) >= 1)
+      .agg(sum(when(col("__y"), lit(1L)).otherwise(lit(0L))).as("__c1"),
+        sum(when(!col("__y"), lit(1L)).otherwise(lit(0L))).as("__c0"))
+      .select(lit("").as("__term"), col("__c1"), col("__c0"))
+    terms.unionByName(prior)
+  }
+
+  /** Fold two [[nbModel]] tables built over DISJOINT document sets into
+    * the model of their union — one term-keyed sum (the sentinel priors
+    * row folds by the same rule).
+    */
+  def nbMergeModels(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("__term"))
+      .agg(sum(col("__c1")).as("__c1"), sum(col("__c0")).as("__c0"))
+
+  /** Score `df` against a prebuilt [[nbModel]] — no label needed at
+    * score time (that is the point of the stored face). Identical
+    * output to the fused [[nbLogOdds]] when the model was trained on
+    * the same corpus (the oracle-pinned equality). Terms the model
+    * never saw score at the smoothed unseen-term log-ratio
+    * ln(1/(T₁+|V|)) − ln(1/(T₀+|V|)) via a LEFT join + coalesce (the
+    * round-12 DSIR discipline: new documents keep ALL their tokens in
+    * n_tokens and the evidence sum — no silent instance drops). The
+    * same empty-class guard as the fused form rides the sentinel row.
+    */
+  def nbScore(df: DataFrame, model: DataFrame,
+              idCol: String, textCol: String): DataFrame = {
+    val terms = model.where(col("__term") =!= lit(""))
+    val prior = model.where(col("__term") === lit(""))
+      .select(col("__c1").cast("double").as("__n1"),
+        col("__c0").cast("double").as("__n0"))
+    val tot = terms.agg(sum(col("__c1")).cast("double").as("__T1"),
+      sum(col("__c0")).cast("double").as("__T0"),
+      count(lit(1)).cast("double").as("__V"))
+    val lnr = terms.crossJoin(Hints.bcast(tot))
+      .withColumn("__lnr",
+        log((col("__c1").cast("double") + lit(1.0)) / (col("__T1") + col("__V")))
+          - log((col("__c0").cast("double") + lit(1.0)) / (col("__T0") + col("__V"))))
+      .select(col("__term").as("term"), col("__lnr"))
+    val unseen = tot.select(
+      (log(lit(1.0) / (col("__T1") + col("__V")))
+        - log(lit(1.0) / (col("__T0") + col("__V")))).as("__lnr0"))
+    val docTf = OpCache.persist(Stage.spread(df)
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .repartition(col(idCol))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf")))
+    val priorLn = when(col("__n1") > lit(0.0) && col("__n0") > lit(0.0),
+        log(col("__n1") / col("__n0")))
+      .otherwise(raise_error(lit(
+        "nbScore: the model must contain token-bearing documents of " +
+          "both label classes")).cast("double"))
+    docTf.join(lnr, Seq("term"), "left")
+      .crossJoin(Hints.bcast(unseen))
+      .withColumn("__l", coalesce(col("__lnr"), col("__lnr0")))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(graft.Tables.dec(col("tf") * col("__l"))).cast("double").as("__ev"))
+      .crossJoin(Hints.bcast(prior))
+      .withColumn("nb_log_odds", round(priorLn + col("__ev"), 6))
       .withColumn("pred", col("nb_log_odds") > lit(0.0))
       .select(col(idCol), col("n_tokens"), col("nb_log_odds"), col("pred"))
   }
@@ -456,11 +648,28 @@ object TextAnalysis {
     * smoothing come from the model itself, so a stored or merged model
     * yields the identical table. Shared by the batch scorer and the
     * streaming dual ([[graft.streaming.StreamingDsir]]).
+    *
+    * The table is DENSE over the full bucket domain [0, buckets)
+    * (round-12 advice fix): a NEW document scored against a STORED/stale
+    * model can hash features into buckets the model never saw, and an
+    * lnr table restricted to the model's support would silently drop
+    * those feature instances from both n_feats and the weight. Add-one
+    * smoothing already defines the unseen-bucket value —
+    * ln(1/(Tt+B)) − ln(1/(Tr+B)) — so densifying over a `spark.range`
+    * spine (left join, counts coalesced to 0) makes the scorers' inner
+    * join TOTAL: every possible bucket has a row. Still O(buckets) by
+    * construction, so the broadcast posture is unchanged.
     */
   private[graft] def dsirLnr(model: DataFrame, buckets: Int): DataFrame = {
+    val spine = model.sparkSession.range(buckets.toLong)
+      .select(col("id").as("__b"))
+    val dense = spine.join(model, Seq("__b"), "left")
+      .select(col("__b"),
+        coalesce(col("__ct"), lit(0L)).as("__ct"),
+        coalesce(col("__cr"), lit(0L)).as("__cr"))
     val tot = model.agg(sum(col("__ct")).cast("double").as("__Tt"),
       sum(col("__cr")).cast("double").as("__Tr"))
-    model.crossJoin(Hints.bcast(tot))
+    dense.crossJoin(Hints.bcast(tot))
       .withColumn("__lnr",
         log((col("__ct").cast("double") + lit(1.0)) / (col("__Tt") + lit(buckets.toDouble)))
           - log((col("__cr").cast("double") + lit(1.0)) / (col("__Tr") + lit(buckets.toDouble))))
@@ -469,7 +678,10 @@ object TextAnalysis {
 
   /** Score `raw` against a prebuilt [[dsirModel]] table (totals and
     * smoothing derive from the model, so a stored/merged model scores
-    * identically to an inline one).
+    * identically to an inline one). Buckets the model never saw score
+    * at the smoothed unseen-bucket LLR via the dense [[dsirLnr]] table —
+    * new documents keep ALL their feature instances in n_feats and the
+    * weight even against a stale stored model.
     */
   def dsirScore(raw: DataFrame, model: DataFrame,
                 idCol: String, textCol: String,

@@ -38,7 +38,10 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * rename succeeds, and the subsequent create still races fairly with
   * fresh acquirers, so no interleaving can delete a LIVE lock another
   * stealer just re-created (the flaw the previous delete-then-create
-  * steal documented and round 11 closed).
+  * steal documented and round 11 closed). The capture is additionally
+  * RE-VALIDATED after the rename (round 12): a live lock caught by a
+  * stale expiry observation is renamed back untouched — see
+  * [[stealIfExpired]] for the contract and the residual micro-window.
   * Only `FileAlreadyExistsException` counts as contention — any other
   * IOException (permissions, disk full) propagates as the real failure
   * it is. Multi-writer MERGE on an object store without atomic rename
@@ -102,21 +105,7 @@ object AtomicStore {
         try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime > leaseMs
         catch { case _: java.io.FileNotFoundException => true }
       if (expired) {
-        // ATOMIC steal (closes the round-10-documented delete-then-create
-        // race): move the expired lock aside to a stealer-unique name —
-        // rename is atomic on POSIX and HDFS-semantics stores, so of N
-        // racing stealers exactly ONE rename succeeds (the others see the
-        // source vanish and fall back to re-racing tryCreate). The winner
-        // removes the relic and then still races tryCreate fairly against
-        // any fresh acquirer — stealing grants priority to delete the
-        // corpse, never ownership itself.
-        val aside = new Path(lock.getParent,
-          s"${lock.getName}.stolen-${ProcessHandle.current().pid()}-${System.nanoTime()}")
-        val won =
-          try fs.rename(lock, aside)
-          catch { case _: java.io.IOException => false }
-        if (won) fs.delete(aside, false)
-        if (tryCreate(fs, lock)) return
+        if (stealIfExpired(fs, lock, leaseMs) && tryCreate(fs, lock)) return
       }
       if (attempt >= retries)
         throw new java.io.IOException(
@@ -126,6 +115,50 @@ object AtomicStore {
             s"crashed the lock self-expires after ${leaseMs / 1000}s.")
       attempt += 1
       Thread.sleep(math.min(200L * attempt, 1000L))
+    }
+  }
+
+  /** ATOMIC steal of an EXPIRED lock (closes the round-10-documented
+    * delete-then-create race): move the lock aside to a stealer-unique
+    * name — rename is atomic on POSIX and HDFS-semantics stores, so of N
+    * racing stealers exactly ONE rename succeeds (the others see the
+    * source vanish and fall back to re-racing tryCreate).
+    *
+    * The capture is RE-VALIDATED after the rename (round 12, closing the
+    * advice-flagged stale-observation TOCTOU): the caller's expiry stat
+    * and this rename are not one atomic step, so a holder release + fresh
+    * acquire in between would hand us a LIVE lock. Only a capture whose
+    * mtime is STILL past the lease is a corpse and gets deleted; a live
+    * capture is renamed straight back (the owner never noticed) and the
+    * steal reports failure — contention, not priority. If the put-back
+    * rename loses because a fresh acquirer took the vacant path inside
+    * that microsecond window, the orphaned aside copy is dropped and the
+    * fresh lock arbitrates; that double-race (release + create between
+    * two renames) is the residual window rename-only primitives cannot
+    * close — a store needing zero-window mutual exclusion wants a CAS
+    * lease service or a transaction-log table format, per the class doc.
+    *
+    * Returns true iff a corpse was removed (the caller may then race
+    * tryCreate); false = the lock is live, back off.
+    */
+  private[graft] def stealIfExpired(fs: FileSystem, lock: Path,
+                                    leaseMs: Long): Boolean = {
+    val aside = new Path(lock.getParent,
+      s"${lock.getName}.stolen-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+    val won =
+      try fs.rename(lock, aside)
+      catch { case _: java.io.IOException => false }
+    if (!won) false
+    else {
+      val stillExpired =
+        try System.currentTimeMillis() -
+          fs.getFileStatus(aside).getModificationTime > leaseMs
+        catch { case _: java.io.FileNotFoundException => true }
+      if (stillExpired) { fs.delete(aside, false); true }
+      else {
+        if (!fs.rename(aside, lock)) fs.delete(aside, false)
+        false
+      }
     }
   }
 

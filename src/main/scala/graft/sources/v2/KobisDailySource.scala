@@ -164,9 +164,10 @@ private[v2] class KobisDailyScanBuilder(path: String)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan = {
-    val hadoopConf = SparkSession.active.sessionState.newHadoopConf()
+    val conf = new SerializableHadoopConf(
+      SparkSession.active.sessionState.newHadoopConf())
     val dir = new Path(path)
-    val fs = dir.getFileSystem(hadoopConf)
+    val fs = dir.getFileSystem(conf.value)
     val days = fs.listStatus(dir).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".json"))
       .map(st => (st.getPath.toString, st.getLen,
@@ -176,19 +177,49 @@ private[v2] class KobisDailyScanBuilder(path: String)
     // admits its date
     val planned = days.filter { case (_, _, day) =>
       pushed.forall(KobisDailySource.admits(_, day)) }
-    new KobisDailyScan(path, planned, required, pushed)
+    new KobisDailyScan(path, planned, required, pushed, conf)
+  }
+}
+
+/** Java-serializable carrier for the SESSION Hadoop configuration
+  * (round-12 advice fix): plan-time listing used
+  * `sessionState.newHadoopConf()` while the micro-batch listing and the
+  * partition readers built bare `new Configuration()`s, so
+  * session-configured filesystem settings (object-store credentials,
+  * endpoint overrides) applied at plan time and silently vanished at
+  * read/stream time. `Configuration` itself is not Serializable; this is
+  * the standard write/readFields envelope, created once at plan time and
+  * shipped to executors inside the reader factory.
+  */
+private[v2] class SerializableHadoopConf(@transient private var conf: Configuration)
+    extends Serializable {
+  def value: Configuration = conf
+
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    conf.write(out)
+  }
+
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    conf = new Configuration(false)
+    conf.readFields(in)
   }
 }
 
 private[v2] class KobisDailyScan(path: String,
                                  planned: Seq[(String, Long, Int)],
-                                 required: StructType, pushed: Array[Filter])
+                                 required: StructType, pushed: Array[Filter],
+                                 conf: SerializableHadoopConf)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
-  /** Shrunk in place by [[filter]] at execution time — Spark re-plans
-    * partitions through [[planInputPartitions]] after runtime filters
-    * arrive, so the var is read exactly once per (re)plan. */
+  /** Recomputed FROM THE IMMUTABLE `planned` on every [[filter]] call
+    * (round-12 verdict #5 — previously the var was shrunk in place, so a
+    * scan object re-planned with a different runtime filter set would
+    * compound the two prunings and over-prune). Spark's current runtime
+    * pipeline calls filter at most once per execution, but correctness of
+    * the scan should not rest on that call-sequence detail. */
   private var pages: Seq[(String, Long, Int)] = planned
 
   override def readSchema(): StructType = required
@@ -212,16 +243,17 @@ private[v2] class KobisDailyScan(path: String,
 
   override def filter(filters: Array[Filter]): Unit = {
     val usable = filters.filter(KobisDailySource.pushable)
-    if (usable.nonEmpty)
-      pages = pages.filter { case (_, _, day) =>
-        usable.forall(KobisDailySource.admits(_, day)) }
+    // idempotent: always derived from `planned` (static pruning already
+    // applied), never from a previous call's result
+    pages = planned.filter { case (_, _, day) =>
+      usable.forall(KobisDailySource.admits(_, day)) }
   }
 
   override def planInputPartitions(): Array[InputPartition] =
     pages.map { case (file, _, day) => KobisDailyPartition(file, day) }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new KobisDailyReaderFactory(required.fieldNames)
+    new KobisDailyReaderFactory(required.fieldNames, conf)
 
   /** `spark.readStream.format("kobis-daily")` — the landing zone AS a
     * stream, which is exactly what the reference's daily cron produces
@@ -231,7 +263,7 @@ private[v2] class KobisDailyScan(path: String,
     * the offset/ordering contract (forward-only day append). Column
     * pruning applies to the stream exactly as to the batch scan. */
   override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new KobisDailyMicroBatchStream(path, required.fieldNames)
+    new KobisDailyMicroBatchStream(path, required.fieldNames, conf)
 
   /** Bytes of exactly the surviving day files — a date-pruned scan of a
     * years-deep zone reports a small size and stays broadcast-eligible.
@@ -246,11 +278,12 @@ private[v2] class KobisDailyScan(path: String,
 private[v2] case class KobisDailyPartition(file: String, epochDay: Int)
     extends InputPartition
 
-private[v2] class KobisDailyReaderFactory(fields: Array[String])
+private[v2] class KobisDailyReaderFactory(fields: Array[String],
+                                          conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[KobisDailyPartition]
-    new KobisDailyReader(p.file, p.epochDay, fields)
+    new KobisDailyReader(p.file, p.epochDay, fields, conf)
   }
 }
 
@@ -276,7 +309,8 @@ private[v2] class KobisDailyReaderFactory(fields: Array[String])
   * loudly rather than scanning under an unknown date.
   */
 private[v2] class KobisDailyMicroBatchStream(path: String,
-                                             fields: Array[String])
+                                             fields: Array[String],
+                                             conf: SerializableHadoopConf)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
@@ -286,7 +320,7 @@ private[v2] class KobisDailyMicroBatchStream(path: String,
 
   private def listDays(): Seq[(String, Int)] = {
     val dir = new Path(path)
-    val fs = dir.getFileSystem(new Configuration())
+    val fs = dir.getFileSystem(conf.value)
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".json"))
@@ -320,7 +354,7 @@ private[v2] class KobisDailyMicroBatchStream(path: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new KobisDailyReaderFactory(fields)
+    new KobisDailyReaderFactory(fields, conf)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -330,7 +364,8 @@ private[v2] class KobisDailyMicroBatchStream(path: String,
   * rows; `target_dt` is the partition's file-name date (DateType =
   * epoch days in InternalRow). */
 private[v2] class KobisDailyReader(file: String, epochDay: Int,
-                                   fields: Array[String])
+                                   fields: Array[String],
+                                   conf: SerializableHadoopConf)
     extends PartitionReader[InternalRow] {
 
   private val snakeToCamel: Map[String, String] =
@@ -340,7 +375,7 @@ private[v2] class KobisDailyReader(file: String, epochDay: Int,
 
   private lazy val items: Iterator[com.fasterxml.jackson.databind.JsonNode] = {
     val p = new Path(file)
-    val in = p.getFileSystem(new Configuration()).open(p)
+    val in = p.getFileSystem(conf.value).open(p)
     val root = try mapper.readTree(in) finally in.close()
     val arr = root.path("boxOfficeResult").path("dailyBoxOfficeList")
     if (arr.isArray) arr.elements().asScala else Iterator.empty

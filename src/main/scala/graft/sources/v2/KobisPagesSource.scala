@@ -5,7 +5,6 @@ import java.util.OptionalLong
 import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.ObjectMapper
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
@@ -55,10 +54,11 @@ import graft.sources.KobisSource.camelToSnake
   *
   * Fixture-transport stand-in per SURVEY §2.1: page files are landed
   * JSON documents; a live deployment swaps the landing step, not this
-  * connector. Readers open files through Hadoop's FileSystem with a
-  * fresh default `Configuration` (fine for `file://` and
-  * classpath-configured HDFS; a production build would broadcast the
-  * session's Hadoop conf).
+  * connector. Readers open files through Hadoop's FileSystem with the
+  * SESSION Hadoop configuration, serialized into the reader factory at
+  * plan time ([[SerializableHadoopConf]], round-12 advice fix) — the
+  * session's object-store credentials and endpoint settings apply at
+  * read time exactly as at plan time.
   */
 class KobisPagesSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "kobis-pages"
@@ -119,9 +119,10 @@ private[v2] class KobisScanBuilder(path: String, pageSize: Int)
   override def build(): Scan = {
     // page enumeration is driver-side planning, listed through the
     // session's Hadoop conf (landing zones are remote filesystems)
-    val hadoopConf = SparkSession.active.sessionState.newHadoopConf()
+    val conf = new SerializableHadoopConf(
+      SparkSession.active.sessionState.newHadoopConf())
     val dir = new Path(path)
-    val fs = dir.getFileSystem(hadoopConf)
+    val fs = dir.getFileSystem(conf.value)
     val all = fs.listStatus(dir).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".json"))
       .sortBy(_.getPath.getName)
@@ -132,12 +133,12 @@ private[v2] class KobisScanBuilder(path: String, pageSize: Int)
       case None => all
     }
     new KobisScan(pages.map(st => (st.getPath.toString, st.getLen)),
-      required, limit)
+      required, limit, conf)
   }
 }
 
 private[v2] class KobisScan(pages: Seq[(String, Long)], required: StructType,
-                            limit: Option[Int])
+                            limit: Option[Int], conf: SerializableHadoopConf)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -149,7 +150,7 @@ private[v2] class KobisScan(pages: Seq[(String, Long)], required: StructType,
     pages.map { case (file, _) => KobisPagePartition(file) }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new KobisReaderFactory(required.fieldNames, limit)
+    new KobisReaderFactory(required.fieldNames, limit, conf)
 
   /** Bytes of exactly the planned pages — a LIMIT-bounded scan reports
     * a small size and stays broadcast-eligible.
@@ -163,11 +164,12 @@ private[v2] class KobisScan(pages: Seq[(String, Long)], required: StructType,
 
 private[v2] case class KobisPagePartition(file: String) extends InputPartition
 
-private[v2] class KobisReaderFactory(fields: Array[String], limit: Option[Int])
+private[v2] class KobisReaderFactory(fields: Array[String], limit: Option[Int],
+                                     conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new KobisPageReader(partition.asInstanceOf[KobisPagePartition].file,
-      fields, limit)
+      fields, limit, conf)
 }
 
 /** Parses ONE page document and emits its items as pruned rows.
@@ -176,7 +178,8 @@ private[v2] class KobisReaderFactory(fields: Array[String], limit: Option[Int])
   * partition never touches the file twice.
   */
 private[v2] class KobisPageReader(file: String, fields: Array[String],
-                                  limit: Option[Int])
+                                  limit: Option[Int],
+                                  conf: SerializableHadoopConf)
     extends PartitionReader[InternalRow] {
 
   private val snakeToCamel: Map[String, String] =
@@ -186,7 +189,7 @@ private[v2] class KobisPageReader(file: String, fields: Array[String],
 
   private lazy val items: Iterator[com.fasterxml.jackson.databind.JsonNode] = {
     val p = new Path(file)
-    val in = p.getFileSystem(new Configuration()).open(p)
+    val in = p.getFileSystem(conf.value).open(p)
     val root = try mapper.readTree(in) finally in.close()
     val arr = root.path("movieListResult").path("movieList")
     if (arr.isArray) arr.elements().asScala else Iterator.empty

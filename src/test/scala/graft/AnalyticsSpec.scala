@@ -416,6 +416,45 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == rerun)
   }
 
+  test("gumbelSelect/weightedSampleSelect: identical set to the heap form, " +
+    "no TakeOrderedAndProject in the selection plan (round-11 verdict #1)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, pmod, xxhash64, lit}
+    // 500 rows over several partitions, log-weights spanning ±hundreds
+    // of nats (the DSIR range) plus a few excluded non-finite rows
+    val df = spark.range(500).repartition(7)
+      .select(col("id"),
+        ((pmod(xxhash64(col("id")), lit(1000L)).cast("double") - 500.0) * 1.7)
+          .as("lw"))
+      .union(Seq((9001L, Double.NaN), (9002L, Double.PositiveInfinity))
+        .toDF("id", "lw"))
+    for (n <- Seq(1, 7, 50, 499, 800)) {
+      val heap = Analytics.gumbelTopK(df, "id", "lw", n, salt = "sel")
+        .select("id").as[Long].collect().toSet
+      val thr = Analytics.gumbelSelect(df, "id", "lw", n, salt = "sel")
+      val got = thr.select("id").as[Long].collect().toSet
+      assert(got == heap, s"gumbelSelect set mismatch at n=$n")
+      // the whole point: selection is a distributed filter — NO
+      // driver-side k-row merge anywhere in the executed plan (md5 keys
+      // are collision-free, so the tie branch is a pure filter too)
+      assert(!thr.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+        s"gumbelSelect planned a TakeOrderedAndProject at n=$n")
+      graft.operators.OpCache.clear()
+    }
+    val wdf = spark.range(300).repartition(5)
+      .select(col("id"),
+        (pmod(xxhash64(col("id"), lit(7)), lit(100L)).cast("double") + 1.0).as("w"))
+    for (n <- Seq(3, 42, 299)) {
+      val heap = Analytics.weightedSample(wdf, "id", "w", n, salt = "ws")
+        .select("id").as[Long].collect().toSet
+      val thr = Analytics.weightedSampleSelect(wdf, "id", "w", n, salt = "ws")
+      assert(thr.select("id").as[Long].collect().toSet == heap,
+        s"weightedSampleSelect set mismatch at n=$n")
+      assert(!thr.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+      graft.operators.OpCache.clear()
+    }
+  }
+
   test("weightedSamplePerGroup: per-group quota, deterministic, small groups kept whole") {
     import spark.implicits._
     val df = (Seq.tabulate(10)(i => ("a", i.toLong, 1.0 + i)) ++

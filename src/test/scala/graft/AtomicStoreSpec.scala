@@ -127,6 +127,26 @@ class AtomicStoreSpec extends SparkSpec {
     assert(!lock.exists())
   }
 
+  test("stealIfExpired RE-VALIDATES after the rename: a live lock caught by a " +
+      "stale expiry observation is put back untouched (round-12 advice fix)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_steal_").toString
+    val lockFile = new java.io.File(dir, "t.lock")
+    val lock = new org.apache.hadoop.fs.Path(lockFile.getAbsolutePath)
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // LIVE lock (fresh mtime): the stealer must decline AND restore it —
+    // this is exactly the interleaving where a holder released and a new
+    // acquirer created between a stale expiry stat and the rename
+    assert(lockFile.createNewFile())
+    assert(!AtomicStore.stealIfExpired(fs, lock, leaseMs = 60000))
+    assert(lockFile.exists(), "a live lock was not restored after the aside rename")
+    assert(lockFile.getParentFile.listFiles().count(_.getName.startsWith("t.lock")) == 1,
+      "the aside relic leaked")
+    // EXPIRED lock: the corpse is removed and the steal reported
+    assert(lockFile.setLastModified(System.currentTimeMillis() - 120000))
+    assert(AtomicStore.stealIfExpired(fs, lock, leaseMs = 60000))
+    assert(!lockFile.exists())
+  }
+
   test("two CONCURRENT upserts: the loser waits on the lock and BOTH " +
       "batches land (round-9 verdict #4)") {
     val root = java.nio.file.Files.createTempDirectory("graft_cc_").toString

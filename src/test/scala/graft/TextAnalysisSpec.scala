@@ -284,6 +284,104 @@ class TextAnalysisSpec extends SparkSpec {
     assert(inc == oneShot) // counts over disjoint doc sets are additive
   }
 
+  test("bigramCeModel/nbModel: disjoint-half models fold to the fused scores exactly " +
+    "(round-11 verdict #2 — the train-once/score-many faces)") {
+    val docs = Seq((1L, "a a b c", "en"), (2L, "a c", "fr"), (3L, "x", "en"),
+      (4L, "b c a a", "fr"), (5L, "c c b a b", "en")).toDF("doc_id", "text", "lang")
+    val en = coalesce(col("lang") === "en", lit(false))
+    val half1 = docs.where(col("doc_id") % 2 === 0)
+    val half2 = docs.where(col("doc_id") % 2 =!= 0)
+
+    val ceFused = TextAnalysis.bigramCrossEntropy(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val ceModel = TextAnalysis.bigramCeMergeModels(
+      TextAnalysis.bigramCeModel(half1, "text"),
+      TextAnalysis.bigramCeModel(half2, "text"))
+    val ceStored = TextAnalysis.bigramCeScore(docs, ceModel, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(ceStored == ceFused) // gram counts over disjoint doc sets are additive
+
+    val nbFused = TextAnalysis.nbLogOdds(docs, "doc_id", "text", en)
+      .orderBy("doc_id").collect().toSeq
+    val nbM = TextAnalysis.nbMergeModels(
+      TextAnalysis.nbModel(half1, "text", en),
+      TextAnalysis.nbModel(half2, "text", en))
+    val nbStored = TextAnalysis.nbScore(docs, nbM, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(nbStored == nbFused)
+  }
+
+  test("stored scorers keep every feature of NEW documents: unseen grams/terms/" +
+    "buckets score at the smoothed off-support value (round-12 advice fix)") {
+    // model trained on a tiny curated slice; scored docs carry tokens the
+    // model never saw — nothing may be silently dropped from the counts
+    val train = Seq((1L, "a b a", "en"), (2L, "b c", "fr")).toDF("doc_id", "text", "lang")
+    val fresh = Seq((10L, "zz qq zz"), (11L, "a zz")).toDF("doc_id", "text")
+    def dec6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def d6(x: Double) = math.rint(x * 1e6) / 1e6
+
+    // DSIR: buckets absent from the model get lnr0 = ln(1/(Tt+B)) − ln(1/(Tr+B))
+    val B = 16
+    val en = coalesce(col("lang") === "en", lit(false))
+    val model = TextAnalysis.dsirModel(train, train.where(en), "text", buckets = B)
+    val scored = TextAnalysis.dsirScore(fresh, model, "doc_id", "text", buckets = B)
+      .orderBy("doc_id").collect()
+    // doc 10: tokens zz qq zz + bigrams "zz qq" "qq zz" = 5 feature instances,
+    // ALL in unseen buckets (md5 of zz/qq-grams vs a 5-feature model is
+    // checked below by value, not assumed)
+    assert(scored(0).getAs[Long]("n_feats") == 5L)
+    assert(scored(1).getAs[Long]("n_feats") == 3L)
+    // independently recompute with the dense-lnr semantics
+    def bucket(f: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(f.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(13)
+      java.lang.Long.parseLong(hex, 16) % B
+    }
+    def feats(text: String): Seq[Long] = {
+      val t = text.split(" ").filter(_.nonEmpty).toSeq
+      (t ++ t.zip(t.drop(1)).map { case (a, b) => s"$a $b" }).map(bucket)
+    }
+    val tgt = feats("a b a").groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rw = (feats("a b a") ++ feats("b c")).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val tt = tgt.values.sum.toDouble; val tr = rw.values.sum.toDouble
+    def lnr(b: Long): Double =
+      math.log((tgt.getOrElse(b, 0L) + 1.0) / (tt + B)) -
+        math.log((rw.getOrElse(b, 0L) + 1.0) / (tr + B))
+    def expected(text: String): Double =
+      d6(feats(text).groupBy(identity).map { case (b, fs) => dec6(fs.size * lnr(b)) }.sum)
+    assert(scored(0).getAs[Double]("dsir_log_weight") == expected("zz qq zz"))
+    assert(scored(1).getAs[Double]("dsir_log_weight") == expected("a zz"))
+
+    // bigram CE: unseen bigrams back off to (1−λ)(c(w2)+1)/(N+V), still > 0
+    val ceM = TextAnalysis.bigramCeModel(train, "text")
+    val ce = TextAnalysis.bigramCeScore(fresh, ceM, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(ce.length == 2)
+    assert(ce(0).getAs[Long]("n_bigrams") == 2L) // nothing dropped
+    assert(ce.forall(r => !r.getAs[Double]("bigram_ce").isNaN
+      && !r.getAs[Double]("bigram_ce").isInfinite))
+    // an all-unseen doc is less fluent under the model than an in-vocab one
+    val ceSeen = TextAnalysis.bigramCeScore(
+        Seq((20L, "a b a")).toDF("doc_id", "text"), ceM, "doc_id", "text")
+      .collect().head.getAs[Double]("bigram_ce")
+    assert(ce(0).getAs[Double]("bigram_ce") > ceSeen)
+
+    // NB: unseen terms take the smoothed unseen log-ratio, count into n_tokens
+    val nbM = TextAnalysis.nbModel(train, "text", en)
+    val nb = TextAnalysis.nbScore(fresh, nbM, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(nb(0).getAs[Long]("n_tokens") == 3L)
+    assert(nb(1).getAs[Long]("n_tokens") == 2L)
+    // model: c1(a)=2, c1(b)=1; c0(b)=1, c0(c)=1; T1=3, T0=2, V=3 (a,b,c);
+    // unseen lnr0 = ln(1/(3+3)) − ln(1/(2+3)); priors n1=n0=1 → ln 1 = 0;
+    // doc 10's evidence rows are (zz, tf=2) and (qq, tf=1), each product
+    // routed through DECIMAL(38,6) separately
+    val lnr0 = math.log(1.0 / 6.0) - math.log(1.0 / 5.0)
+    val expectNb10 = d6(math.log(1.0 / 1.0) + (dec6(2 * lnr0) + dec6(1 * lnr0)))
+    assert(nb(0).getAs[Double]("nb_log_odds") == expectNb10)
+  }
+
   test("invertedIndex emits df and numerically-sorted postings") {
     import spark.implicits._
     val df = Seq((10L, "b a b"), (2L, "a c"), (1L, "a")).toDF("doc_id", "text")
