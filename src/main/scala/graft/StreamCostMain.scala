@@ -71,17 +71,21 @@ object StreamCostMain {
     emitFile(batch.filter(col("doc_id") > d2), "b3", 3000000L)
 
     def run(name: String, opts: Map[String, String],
-            confs: Map[String, String]): (Double, Long) = {
+            confs: Map[String, String], lazyTtl: Boolean = false): (Double, Long) = {
       val t0 = System.nanoTime()
       val out = graft.streaming.StreamDrain.drain(spark, streamDir.toString,
           batch.schema, name, "append", extraConfs = confs,
           sourceOptions = opts) { src =>
-        graft.streaming.StreamingNearDup.candidatePairsExpiring(spark,
-          graft.streaming.StreamingNearDup.banded(src, "doc_id", "text",
-            k = 5, numHashes = 16, numBands = 4, carryCols = Seq("ts"))
-            .withWatermark("ts", "0 seconds"),
-          ttl = java.time.Duration.ofSeconds(ttlSecs),
-          maxBucket = 1 << 20).toDF()
+        val banded = graft.streaming.StreamingNearDup.banded(src, "doc_id",
+            "text", k = 5, numHashes = 16, numBands = 4, carryCols = Seq("ts"))
+          .withWatermark("ts", "0 seconds")
+        val ttl = java.time.Duration.ofSeconds(ttlSecs)
+        (if (lazyTtl)
+          graft.streaming.StreamingNearDup.candidatePairsExpiringLazy(spark,
+            banded, ttl, maxBucket = 1 << 20)
+        else
+          graft.streaming.StreamingNearDup.candidatePairsExpiring(spark,
+            banded, ttl, maxBucket = 1 << 20)).toDF()
       }
       val n = out.count()
       ((System.nanoTime() - t0) / 1e9, n)
@@ -111,6 +115,24 @@ object StreamCostMain {
       val perBatch = (t3 - t1) / 2.0
       println(f"[streamcost] $label dir=$dir min: T_3batch=$t3%.2f s, T_1batch=$t1%.2f s " +
         f"($rows3 rows) -> per-batch term a=$perBatch%.2f s, data term b*rows=${t1 - perBatch}%.2f s")
+    }
+
+    // Round-12 (round-11 verdict #4): the two named knobs for the
+    // eviction-scan bill, measured under the default provider.
+    //   - WIDER TRIGGER: maxFilesPerTrigger=2 halves the batch count
+    //     (same data, 2 eviction scans instead of 3) — a timing probe
+    //     like the 1-batch run; TTL semantics need the 3-batch layout.
+    //   - LAZY EXPIRY: candidatePairsExpiringLazy registers no timeouts
+    //     at all — no per-batch eviction scan; a deliberate, documented
+    //     tighter-horizon variant (see its scaladoc), so row counts may
+    //     differ from the eager contract and are printed alongside.
+    for (p <- 1 to passes) {
+      val (w, nw) = run(s"scW_$p", Map("maxFilesPerTrigger" -> "2"), Map.empty)
+      val (l3, nl3) = run(s"scL3_$p", Map("maxFilesPerTrigger" -> "1"),
+        Map.empty, lazyTtl = true)
+      val (l1, nl1) = run(s"scL1_$p", Map.empty, Map.empty, lazyTtl = true)
+      println(f"[streamcost] variants pass $p: eager-2batch $w%.2f s ($nw rows), " +
+        f"lazy-3batch $l3%.2f s ($nl3 rows), lazy-1batch $l1%.2f s ($nl1 rows)")
     }
     spark.stop()
   }

@@ -142,6 +142,67 @@ object StreamingNearDup {
       }
   }
 
+  /** State of the LAZY-expiry variant: the bucket plus its stored
+    * horizon deadline (max member event time + ttl), checked on next
+    * access instead of by the per-batch timeout scan.
+    */
+  case class BucketStateLazy(members: List[Long], marked: List[Long],
+                             deadline: Long)
+
+  /** [[candidatePairsExpiring]] with LAZY per-key expiry (round-11
+    * verdict #4 experiment): no timeout is ever registered — the stored
+    * deadline (max member ts + ttl) is checked against the CURRENT
+    * watermark when the bucket is next touched, and an expired bucket is
+    * reset before the arrivals fold. This removes the per-batch eviction
+    * timeout-scan that the three-provider measurement showed dominates
+    * the TTL drain's per-batch cost (SCALE.md round-11) — at two prices,
+    * both deliberate and documented:
+    *
+    *   1. SEMANTICS ARE A STRICTLY TIGHTER HORIZON, not identical: the
+    *      eager form expires a bucket only when a DATALESS micro-batch
+    *      observes the watermark past its deadline, so a bucket whose
+    *      deadline the watermark overtook mid-gap still pairs its old
+    *      members with the next arrival if no dataless batch intervened.
+    *      The lazy check uses the (newer) watermark of the ARRIVAL batch
+    *      itself, so exactly those grace-period pairs are dropped. Both
+    *      are consistent "near-dups within ~ttl" contracts; they differ
+    *      only in that grace band, which is why this is a VARIANT with
+    *      its own spec-pinned expected output, not a swap-in for the
+    *      oracle-gated eager query.
+    *   2. UNTOUCHED state lingers: a bucket that never receives another
+    *      arrival is never removed, so state cardinality is
+    *      distinct-buckets-ever within a run (the eager form's is
+    *      distinct-buckets-within-horizon). An always-on deployment
+    *      would pair this with periodic checkpoint compaction or a
+    *      coarse processing-time sweep.
+    *
+    * `graft.StreamCostMain` measures both variants side by side; the
+    * decision (win or lose) is recorded in SCALE.md round-12.
+    */
+  def candidatePairsExpiringLazy(spark: SparkSession, bandedDocs: DataFrame,
+                                 ttl: java.time.Duration,
+                                 maxBucket: Int = 64): Dataset[CandidatePair] = {
+    import spark.implicits._
+    bandedDocs.as[BandedDocTs]
+      .groupByKey(d => (d.band, d.key))
+      .flatMapGroupsWithState[BucketStateLazy, CandidatePair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((band, _), docs, state: GroupState[BucketStateLazy]) =>
+          val ds = docs.toSeq
+          val wm = state.getCurrentWatermarkMs()
+          val prior = state.getOption match {
+            case Some(s) if wm > s.deadline => BucketState(Nil, Nil) // lazily expired
+            case Some(s)                    => BucketState(s.members, s.marked)
+            case None                       => BucketState(Nil, Nil)
+          }
+          val (st, out) = foldArrivals(band, ds.iterator.map(_.doc_id),
+            prior, maxBucket)
+          val maxTs = ds.iterator.map(_.ts.getTime).max
+          state.update(BucketStateLazy(st.members, st.marked, maxTs + ttl.toMillis))
+          out.iterator
+      }
+  }
+
   /** [[candidatePairs]] with an EVENT-TIME ttl — the state bound an
     * always-on stream needs: without it bucket-key cardinality grows
     * with the corpus forever; with it the dedup horizon becomes
