@@ -25,6 +25,8 @@ object RecallMain {
     println(f"IVFPQ_RECALL_AT10=${Bench.ivfPqRecallAt10(spark, sfDir, nCells, nProbe, m, ksub, rerank)}%.4f" +
       s" (nCells=$nCells nProbe=$nProbe m=$m ksub=$ksub rerank=$rerank)")
     println(f"IVFPQ_RESIDUAL_RERANK_RECALL_AT10=${Bench.ivfPqResidualRecallAt10(spark, sfDir, nCells, nProbe, m, ksub, rerank)}%.4f")
+    println(f"ADC_OPQ_RECALL_AT10=${Bench.opqAdcRecallAt10(spark, sfDir, nCells, nProbe, m, ksub)}%.4f")
+    println(f"IVFPQ_OPQ_RERANK_RECALL_AT10=${Bench.opqRerankRecallAt10(spark, sfDir, nCells, nProbe, m, ksub, rerank)}%.4f")
     spark.stop()
   }
 }

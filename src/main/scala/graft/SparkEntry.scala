@@ -2854,7 +2854,9 @@ object SparkEntry {
     * the dialect-portability rules it enforces.
     */
   private def sqlFuzzQueries: Map[String, (SparkSession, String) => DataFrame] =
-    SqlFuzz.cases.map { case (name, sql) =>
+    (SqlFuzz.cases ++ SqlFuzz.dualCases.map { case (n, sparkSql, _) =>
+      n -> sparkSql
+    }).map { case (name, sql) =>
       name -> ((s: SparkSession, dir: String) => {
         Tables.registerAll(s, dir); s.sql(sql)
       })
@@ -6311,5 +6313,8 @@ object SparkEntry {
                               'orders','lineitem','events','documents',
                               'embeddings')
          ORDER BY tbl, ord"""
-  ) ++ SqlFuzz.cases.toMap // §2.11 fuzz family: oracle = the same SQL text
+  ) ++ SqlFuzz.cases.toMap ++ // §2.11 fuzz family: oracle = the same SQL text
+    // block H (nested/array/JSON): dual-text — the oracle is the same
+    // query re-spelled in DuckDB's array dialect (see SqlFuzz.dualCases)
+    SqlFuzz.dualCases.map { case (n, _, duckSql) => n -> duckSql }.toMap
 }

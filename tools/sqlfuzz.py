@@ -67,6 +67,8 @@ SEED_F = 424242424242  # block F (cases 149+): round-10 multi-join widening
 N_F = 15
 SEED_G = 42424242424242  # block G (cases 164+): round-11 outer/window/re-agg multi-join widening
 N_G = 15
+SEED_H = 4242424242424242  # block H (dual-text): round-12 nested/array/JSON widening
+N_H = 15
 SF = "/root/testdata/sf0.01"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(REPO, "src/main/scala/graft/SqlFuzz.scala")
@@ -1157,11 +1159,15 @@ def generate():
     templatesG = [gG.t_outer_chain, gG.t_full_outer_dim, gG.t_join_window,
                   gG.t_agg_join_agg]
     out += accept_loop(con, templatesG, N_G)
+    # block H (dual-text cases): the round-12 nested/array/JSON widening —
+    # see the DualGen block comment for the dialect-spelling design.
+    gH = DualGen(random.Random(SEED_H))
+    dual = accept_loop_dual(con, blockh_templates(gH), N_H)
     con.close()
-    return out
+    return out, dual
 
 
-def emit(cases):
+def emit(cases, dual=()):
     lines = [
         "package graft",
         "",
@@ -1187,10 +1193,25 @@ def emit(cases):
         lines.append(f'    // {nrows} rows @ sf0.01')
         lines.append(f'    "{name}" -> """{sql}""",')
     lines.append("  )")
+    lines.append("")
+    lines.append("  /** Block H (round-12): the nested/array/JSON surface. One")
+    lines.append("    * structurally-identical query per case, rendered per dialect")
+    lines.append("    * (no shared spelling exists for split/explode/size/lambda")
+    lines.append("    * idioms — see tools/sqlfuzz.py's DualGen doc). Tuples are")
+    lines.append("    * (name, sparkSql, duckOracleSql).")
+    lines.append("    */")
+    lines.append("  val dualCases: Seq[(String, String, String)] = Seq(")
+    for i, (spark_sql, duck_sql, nrows) in enumerate(dual):
+        name = f"q_sql_fuzzh_{i:02d}"
+        lines.append(f'    // {nrows} rows @ sf0.01')
+        lines.append(f'    ("{name}",')
+        lines.append(f'     """{spark_sql}""",')
+        lines.append(f'     """{duck_sql}"""),')
+    lines.append("  )")
     lines.append("}")
     with open(OUT, "w") as f:
         f.write("\n".join(lines) + "\n")
-    print(f"wrote {OUT} with {len(cases)} cases")
+    print(f"wrote {OUT} with {len(cases)} shared + {len(dual)} dual cases")
 
 
 def all_templates(g):
@@ -1230,24 +1251,224 @@ def blockg_templates(g):
             g.t_agg_join_agg]
 
 
+# --- block H: DUAL-TEXT nested/array/JSON grammar (round-11 verdict #7) ---
+#
+# The shared-text design of blocks A-G cannot reach the nested surface:
+# the engines spell the array/JSON idioms differently (split/string_split,
+# size/len, explode/unnest, transform/list_transform,
+# get_json_object/json_extract_string), and no common spelling exists. So
+# block H renders ONE structurally-identical query per case TWICE through
+# a dialect-spelling table — the differential property (same semantics,
+# value-compared) is preserved; only the surface syntax forks. Semantics
+# verified portable before inclusion:
+#   - split-by-single-space tokenization agrees (no trailing-empty skew
+#     on the documents corpus; templates filter '' where it matters);
+#   - element access is 1-based in both; out-of-range is NULL both sides
+#     (Spark via try_element_at — ANSI mode would otherwise throw);
+#   - lambda syntax `x -> expr` parses identically in both engines;
+#   - array_sort (Spark default ASC NULLS LAST) ≡ list_sort(l, 'ASC',
+#     'NULLS LAST');
+#   - array_agg output order is engine-nondeterministic → always wrapped
+#     in the sort before stringifying.
+#
+# round6(): the VARCHAR-hop 6-dp rounding (round-11 verdict #8) — plain
+# round() stays excluded (Spark HALF_UP vs DuckDB HALF_EVEN), but the hop
+# CAST(CAST(x AS VARCHAR) AS DECIMAL(18,6)) reproduces Spark's round in
+# BOTH engines as one text (shortest-roundtrip string → HALF_UP decimal
+# parse), and unlike a direct DECIMAL(38,6)→DOUBLE cast it cannot
+# double-round above 2^53 (the three r11 sf1-gate divergences). Applied
+# to bounded ratios only: DECIMAL(18,6) overflows at ~1e12 and ANSI Spark
+# would throw, so raw corpus-sized sums keep the established sum_of form.
+
+def round6(expr):
+    return f"CAST(CAST(CAST({expr} AS VARCHAR(48)) AS DECIMAL(18,6)) AS DOUBLE)"
+
+
+class DualGen(Gen):
+    """Block-H generator: every template returns (spark_sql, duck_sql)
+    rendered from ONE random draw, so the two texts are the same query.
+    """
+
+    def _both(self, render):
+        """Render the same drawn parameters under both spelling tables."""
+        spark = {
+            "split":   lambda s: f"split({s}, ' ')",
+            "size":    lambda a: f"size({a})",
+            "elem":    lambda a, i: f"try_element_at({a}, {i})",
+            "trans":   lambda a, lam: f"transform({a}, {lam})",
+            "filt":    lambda a, lam: f"filter({a}, {lam})",
+            "joinarr": lambda a, sep: f"array_join({a}, '{sep}')",
+            "sortarr": lambda a: f"array_sort({a})",
+            "agg":     lambda e: f"array_agg({e})",
+            "json":    lambda c, k: f"get_json_object({c}, '$.{k}')",
+            "explode": lambda tbl, arr, tok, where:
+                f"FROM {tbl} LATERAL VIEW explode({arr}) tv AS {tok}"
+                + (f" WHERE {where}" if where else ""),
+        }
+        duck = {
+            "split":   lambda s: f"string_split({s}, ' ')",
+            "size":    lambda a: f"len({a})",
+            "elem":    lambda a, i: f"({a})[{i}]",
+            "trans":   lambda a, lam: f"list_transform({a}, {lam})",
+            "filt":    lambda a, lam: f"list_filter({a}, {lam})",
+            "joinarr": lambda a, sep: f"array_to_string({a}, '{sep}')",
+            "sortarr": lambda a: f"list_sort({a}, 'ASC', 'NULLS LAST')",
+            "agg":     lambda e: f"array_agg({e})",
+            "json":    lambda c, k: f"json_extract_string({c}, '$.{k}')",
+            "explode": lambda tbl, arr, tok, where:
+                f"FROM (SELECT *, unnest({arr}) AS {tok} FROM {tbl}"
+                + (f" WHERE {where}" if where else "") + ")",
+        }
+        return render(spark), render(duck)
+
+    def th_tok_count(self):
+        """Explode tokens, group-count with doc reach, optional HAVING."""
+        pred = self.preds("documents")
+        hav = f" HAVING COUNT(*) > {self.r.randrange(2, 8)}" \
+            if self.r.random() < 0.5 else ""
+        lim = self.r.choice([200, 500])
+        def render(d):
+            frm = d["explode"]("documents", d["split"]("text"), "tok", pred)
+            return (f"SELECT tok, COUNT(*) AS cnt, "
+                    f"COUNT(DISTINCT doc_id) AS ndocs {frm} "
+                    f"GROUP BY tok{hav} ORDER BY tok NULLS FIRST LIMIT {lim}")
+        return self._both(render)
+
+    def th_arr_stats(self):
+        """Per-doc array stats: length, membership, first/last element."""
+        pred = self.preds("documents")
+        w = self.r.choice(["data", "spark", "join", "window", "merge",
+                           "stream", "vector"])
+        lim = self.r.choice([100, 300])
+        def render(d):
+            a = d["split"]("text")
+            return (f"SELECT doc_id, {d['size'](a)} AS n_toks, "
+                    f"array_contains({a}, '{w}') AS has_{w}, "
+                    f"{d['elem'](a, 1)} AS first_tok, "
+                    f"{d['elem'](a, d['size'](a))} AS last_tok "
+                    f"FROM documents WHERE {pred} "
+                    f"ORDER BY doc_id NULLS FIRST LIMIT {lim}")
+        return self._both(render)
+
+    def th_transform_filter(self):
+        """filter → transform → stringify (the higher-order lambda path)."""
+        pred = self.preds("documents")
+        k = self.r.randrange(3, 6)
+        fn = self.r.choice(["upper", "reverse"])
+        lim = self.r.choice([100, 200])
+        def render(d):
+            a = d["split"]("text")
+            kept = d["filt"](a, f"x -> LENGTH(x) >= {k}")
+            return (f"SELECT doc_id, "
+                    f"{d['joinarr'](d['trans'](kept, f'x -> {fn}(x)'), ',')} AS kept, "
+                    f"{d['size'](kept)} AS n_kept "
+                    f"FROM documents WHERE {pred} "
+                    f"ORDER BY doc_id NULLS FIRST LIMIT {lim}")
+        return self._both(render)
+
+    def th_json_group(self):
+        """JSON-string field extraction (F2 boundary) as a group key."""
+        pred = self.preds("events")
+        def render(d):
+            key = d["json"]("props", "k")
+            return (f"SELECT {key} AS k, COUNT(*) AS cnt, "
+                    f"CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total "
+                    f"FROM events WHERE {pred} AND {key} IS NOT NULL "
+                    f"GROUP BY {key} ORDER BY k NULLS FIRST")
+        return self._both(render)
+
+    def th_tok_ratio(self):
+        """Bounded per-doc ratio through the VARCHAR-hop rounding."""
+        pred = self.preds("documents")
+        k = self.r.randrange(3, 6)
+        lim = self.r.choice([100, 300])
+        def render(d):
+            a = d["split"]("text")
+            kept = d["filt"](a, f"x -> LENGTH(x) > {k}")
+            ratio = f"{d['size'](kept)} / {d['size'](a)}"
+            return (f"SELECT doc_id, {d['size'](a)} AS n_toks, "
+                    f"{round6(ratio)} AS long_ratio "
+                    f"FROM documents WHERE {pred} "
+                    f"ORDER BY doc_id NULLS FIRST LIMIT {lim}")
+        return self._both(render)
+
+    def th_distinct_agg(self):
+        """Sorted distinct array_agg per group, stringified."""
+        t, key, val = self.r.choice([
+            ("documents", "lang", "source"),
+            ("documents", "source", "lang"),
+            ("events", "event_type", "props")])
+        pred = self.preds(t)
+        def render(d):
+            arr = d["sortarr"](f"array_agg(DISTINCT {val})")
+            return (f"SELECT {key}, COUNT(*) AS cnt, "
+                    f"{d['joinarr'](arr, '|')} AS vals "
+                    f"FROM {t} WHERE {pred} "
+                    f"GROUP BY {key} ORDER BY {key} NULLS FIRST")
+        return self._both(render)
+
+
+def blockh_templates(g):
+    return [g.th_tok_count, g.th_arr_stats, g.th_transform_filter,
+            g.th_json_group, g.th_tok_ratio, g.th_distinct_agg]
+
+
+def accept_loop_dual(con, templates, want):
+    """Block-H acceptance: DuckDB sanity-screens the duck text; the Spark
+    text ships to the committed family (the sf0.01 gate hash-compares
+    both sides, and the --blockh sweep runs fresh seeds through Spark)."""
+    out = []
+    tries = 0
+    while len(out) < want and tries < want * 20:
+        tmpl = templates[tries % len(templates)]
+        tries += 1
+        try:
+            spark_sql, duck_sql = tmpl()
+        except ValueError:
+            continue
+        try:
+            df = con.execute(duck_sql).fetchdf()
+        except Exception as e:
+            print(f"  skip (oracle error): {e}\n    {duck_sql}", file=sys.stderr)
+            continue
+        if len(df) == 0 or len(df) > 2000:
+            continue
+        if any("decimal" in str(dt).lower() or "object" == str(dt) and
+               df[c].map(lambda v: type(v).__name__).eq("Decimal").any()
+               for c, dt in df.dtypes.items()):
+            print(f"  skip (decimal output): {duck_sql}", file=sys.stderr)
+            continue
+        out.append((spark_sql, duck_sql, len(df)))
+    if len(out) < want:
+        sys.exit(f"block-H accept loop starved: {len(out)}/{want}")
+    return out
+
+
 def sweep(seed, n):
     import duckdb
     import pandas as pd
     con = duckdb.connect()
     for t in COLS:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
-    g = Gen(random.Random(seed))
-    tmpls = multijoin_templates(g) if "--multijoin" in sys.argv \
-        else blockg_templates(g) if "--blockg" in sys.argv \
-        else all_templates(g)
-    cases = accept_loop(con, tmpls, n)
+    blockh = "--blockh" in sys.argv
+    if blockh:
+        gH = DualGen(random.Random(seed))
+        # pairs: (spark_sql for the Spark side, duck_sql for the oracle)
+        cases = [(sp, du) for sp, du, _ in
+                 accept_loop_dual(con, blockh_templates(gH), n)]
+    else:
+        g = Gen(random.Random(seed))
+        tmpls = multijoin_templates(g) if "--multijoin" in sys.argv \
+            else blockg_templates(g) if "--blockg" in sys.argv \
+            else all_templates(g)
+        cases = [(sql, sql) for sql, _ in accept_loop(con, tmpls, n)]
     root = f"/tmp/graft_sqlsweep_{seed}"
     out = os.path.join(root, "out")
     os.makedirs(root, exist_ok=True)
     cases_path = os.path.join(root, "cases.jsonl")
     with open(cases_path, "w") as f:
-        for i, (sql, _) in enumerate(cases):
-            f.write(json.dumps({"name": f"q_sweep_{i:02d}", "sql": sql}) + "\n")
+        for i, (spark_sql, _) in enumerate(cases):
+            f.write(json.dumps({"name": f"q_sweep_{i:02d}", "sql": spark_sql}) + "\n")
     print(f"[sweep] {len(cases)} cases accepted; running Spark side…",
           flush=True)
     r = subprocess.run(
@@ -1258,8 +1479,9 @@ def sweep(seed, n):
         sys.exit("Spark sweep run failed")
     report = {"seed": seed, "n": len(cases), "divergences": [], "clean": 0,
               "multijoin": "--multijoin" in sys.argv,
-              "blockg": "--blockg" in sys.argv}
-    for i, (sql, _) in enumerate(cases):
+              "blockg": "--blockg" in sys.argv,
+              "blockh": blockh}
+    for i, (sql, duck_sql) in enumerate(cases):
         name = f"q_sweep_{i:02d}"
         errf = os.path.join(out, name + ".ERROR")
         if os.path.exists(errf):
@@ -1268,7 +1490,7 @@ def sweep(seed, n):
                  "detail": open(errf).read()[:500], "sql": sql})
             print(f"DIVERGE {name}: Spark error (passed DuckDB screen)")
             continue
-        exp = con.execute(sql).fetchdf()
+        exp = con.execute(duck_sql).fetchdf()
         got = con.execute(
             f"SELECT * FROM '{os.path.join(out, name)}/*.parquet'").fetchdf()
         exp = exp[sorted(exp.columns)]
@@ -1298,7 +1520,8 @@ def sweep(seed, n):
         else:
             report["clean"] += 1
     tag = "_multijoin" if "--multijoin" in sys.argv \
-        else "_blockg" if "--blockg" in sys.argv else ""
+        else "_blockg" if "--blockg" in sys.argv \
+        else "_blockh" if blockh else ""
     path = os.path.join(REPO, "tools", f"sqlsweep_seed{seed}{tag}.json")
     with open(path, "w") as f:
         json.dump(report, f, indent=1)
@@ -1313,8 +1536,10 @@ if __name__ == "__main__":
         seed = int(sys.argv[i + 1])
         n = int(sys.argv[i + 2]) if len(sys.argv) > i + 2 else 50
         sys.exit(sweep(seed, n))
-    cases = generate()
+    cases, dual = generate()
     for i, (sql, n) in enumerate(cases):
         print(f"q_sql_fuzz_{i:02d} [{n:4d} rows] {sql[:100]}")
+    for i, (sp, du, n) in enumerate(dual):
+        print(f"q_sql_fuzzh_{i:02d} [{n:4d} rows] {sp[:100]}")
     if "--check" not in sys.argv:
-        emit(cases)
+        emit(cases, dual)
