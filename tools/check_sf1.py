@@ -111,6 +111,12 @@ DIRECT = ["q_dedup_containment", "q_dedup_exact", "q_dedup_incremental",
           "q_text_bigram_ce", "q_text_nb_logodds", "q_text_dsir",
           "q_pipeline_training_mix", "q_text_dsir_incremental",
           "q_stream_dsir",
+          # round-12: the stored/merged LM-filter faces and the
+          # distributed-threshold draw (shared-oracle equalities must
+          # hold at scale too — threshold discovery and model merging
+          # are exactly the machinery whose edges show up off-toy)
+          "q_text_bigram_ce_stored", "q_text_nb_stored",
+          "q_pipeline_training_mix_threshold",
           "q_timeseries_fill", "q_u1_upsert", "q_u2_cdc_merge",
           "q_unpivot_metrics", "q_w1_latest_per_key", "q_w2_daily_rank",
           "q_w2_lag_cumsum", "q_w3_window_suite", "q_zorder_key",

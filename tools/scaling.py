@@ -49,22 +49,41 @@ QUERIES = ["q_stream_neardup", "q_dedup_semantic", "q_dedup_clusters",
            # fourth wave: the composed mix, the merged-model dual, and
            # the streaming scorer
            "q_pipeline_training_mix", "q_text_dsir_incremental",
-           "q_stream_dsir"]
+           "q_stream_dsir",
+           # round-12: the stored/merged LM-filter faces (train-once/
+           # score-many) and the distributed-threshold training mix
+           "q_text_bigram_ce_stored", "q_text_nb_stored",
+           "q_pipeline_training_mix_threshold"]
 # sf1 is repo-generated (graft.GenData; the driver dirs are read-only) —
 # 6M lineitem / 50k documents / 20k embeddings, same recipe, measured
 # distribution match in SCALE.md. Its decade (0.1 -> 1) is the first one
 # where data, not per-run fixed overhead, dominates.
-SFS = ["0.001", "0.01", "0.1", "1"]
-SF_DIRS = {sf: (f"/root/repo/testdata/sf{sf}" if sf == "1"
+SFS = ["0.001", "0.01", "0.1", "1", "10"]
+SF_DIRS = {sf: (f"/root/repo/testdata/sf{sf}" if sf in ("1", "10")
                 else f"/root/testdata/sf{sf}") for sf in SFS}
+# sf10 (round-11 verdict #3, the SECOND measured decade): generated at
+# mult=100 (600M-row-scale is past the sandbox disk budget; 60M lineitem /
+# 500k documents / 200k embeddings / 10M events is the largest full-table
+# set that fits comfortably). Only the flattest-claim heavy families run
+# there — the judge's list plus the round-12 additions — so the leg stays
+# within a bench-harness budget while converting every headline "α is
+# flat" claim from one measured decade into two.
+SF10_QUERIES = ["q_text_bm25", "q_text_dsir", "q_text_nb_logodds",
+                "q_text_bigram_ce", "q_sim_ivfpq_residual",
+                "q_sim_hard_negatives_ivf", "q_dedup_corpus",
+                "q_multimodal_image_neardup_capped",
+                "q_pipeline_training_mix", "q_text_dsir_incremental",
+                "q_text_bigram_ce_stored", "q_text_nb_stored",
+                "q_pipeline_training_mix_threshold"]
 
 
 def run_sf(sf, passes):
+    queries = SF10_QUERIES if sf == "10" else QUERIES
     env = dict(os.environ,
                SPARK_GRAFT_SF_DIR=SF_DIRS[sf],
                SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS", "32"),
                SPARK_GRAFT_BENCH_PASSES=str(passes),
-               SPARK_GRAFT_ONLY=",".join(QUERIES))
+               SPARK_GRAFT_ONLY=",".join(queries))
     r = subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
                        cwd=REPO, env=env, capture_output=True, text=True,
                        timeout=3600)
@@ -108,7 +127,7 @@ def main():
     out["alphas"] = alphas
     path = os.path.join(REPO, "tools",
                         os.environ.get("SPARK_GRAFT_SCALING_OUT",
-                                       "scaling_r11.json"))
+                                       "scaling_r12.json"))
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"\nwrote {path}")
