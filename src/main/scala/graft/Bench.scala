@@ -259,8 +259,16 @@ object Bench {
       // lost when the big sibling line is truncated (round-6 verdict #3),
       // while head-truncation loses a trailing one (round-5 verdict #6) —
       // bracketing the big line survives either direction
+      // the driver's artifact keeps a stdout TAIL with the long per-query
+      // line truncated (parsed: null) — round-11 verdict #9: embed the
+      // pointer to the committed full map in the SMALL bracketing
+      // headline, which always survives, so trend tooling needs no
+      // scraping
       val headline =
-        s"""{"total_s":$total,"n_queries":${results.count(_._2 >= 0)},"sf":"$sfDir"}"""
+        s"""{"total_s":$total,"n_queries":${results.count(_._2 >= 0)},"sf":"$sfDir","full_map":"${
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+            if (only.isEmpty) "tools/bench_full_last.json"
+            else "tools/bench_filtered_last.json")}"}"""
       val full =
         s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$recallField}"""
       println(headline)
