@@ -250,15 +250,15 @@ object Analytics {
     // 1e-6 floor so the quantile sketch stays cheap on huge frames.
     val eps = math.max(n.toDouble / (4.0 * total), 1e-6)
     val p = 1.0 - math.min(1.0, (n + 2.0 * eps * total + 1.0) / total)
-    val band = OpCache.persist(
-      if (p <= 0.0) keyed
-      else {
+    val band =
+      if (p <= 0.0) keyed // already persisted above — no double-persist
+      else OpCache.persist {
         val vLo = keyed.stat.approxQuantile("__tsk", Array(p), eps).head
         val b = keyed.filter(col("__tsk") > lit(vLo))
         // paranoia: the rank bound makes this unreachable, but an exact
         // selection must never silently depend on an approximation
         if (b.count() >= n) b else keyed
-      })
+      }
     // exact n-th (key desc) via a distributed range sort of the KEY
     // column only; zipWithIndex ships per-partition counts, not rows
     val tau = band.select(col("__tsk")).rdd.map(_.getDouble(0))

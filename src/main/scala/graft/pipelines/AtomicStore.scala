@@ -133,10 +133,15 @@ object AtomicStore {
     * steal reports failure — contention, not priority. If the put-back
     * rename loses because a fresh acquirer took the vacant path inside
     * that microsecond window, the orphaned aside copy is dropped and the
-    * fresh lock arbitrates; that double-race (release + create between
-    * two renames) is the residual window rename-only primitives cannot
-    * close — a store needing zero-window mutual exclusion wants a CAS
-    * lease service or a transaction-log table format, per the class doc.
+    * fresh lock arbitrates. Dual corner (review find): if the live
+    * capture's OWNER releases while it is parked aside — its delete of
+    * the now-empty lock path silently no-ops — the put-back SUCCEEDS and
+    * resurrects an ownerless lock file; acquirers then back off until
+    * the lease expires on it (bounded liveness loss, never a safety
+    * loss — two writers still cannot both hold). Both corners are the
+    * residual window rename-only primitives cannot close — a store
+    * needing zero-window mutual exclusion wants a CAS lease service or
+    * a transaction-log table format, per the class doc.
     *
     * Returns true iff a corpse was removed (the caller may then race
     * tryCreate); false = the lock is live, back off.

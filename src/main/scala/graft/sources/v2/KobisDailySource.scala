@@ -5,9 +5,9 @@ import java.util.OptionalLong
 import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.ObjectMapper
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.util.SerializableConfiguration
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
@@ -164,7 +164,14 @@ private[v2] class KobisDailyScanBuilder(path: String)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan = {
-    val conf = new SerializableHadoopConf(
+    // The SESSION Hadoop configuration rides Spark's own serializable
+    // envelope (public DeveloperApi — round-12 advice fix): plan-time
+    // listing used sessionState.newHadoopConf() while the micro-batch
+    // listing and the partition readers built bare Configurations, so
+    // session-configured filesystem settings (object-store credentials,
+    // endpoint overrides) applied at plan time and silently vanished at
+    // read/stream time. Created once here, shipped inside the factory.
+    val conf = new SerializableConfiguration(
       SparkSession.active.sessionState.newHadoopConf())
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf.value)
@@ -181,36 +188,10 @@ private[v2] class KobisDailyScanBuilder(path: String)
   }
 }
 
-/** Java-serializable carrier for the SESSION Hadoop configuration
-  * (round-12 advice fix): plan-time listing used
-  * `sessionState.newHadoopConf()` while the micro-batch listing and the
-  * partition readers built bare `new Configuration()`s, so
-  * session-configured filesystem settings (object-store credentials,
-  * endpoint overrides) applied at plan time and silently vanished at
-  * read/stream time. `Configuration` itself is not Serializable; this is
-  * the standard write/readFields envelope, created once at plan time and
-  * shipped to executors inside the reader factory.
-  */
-private[v2] class SerializableHadoopConf(@transient private var conf: Configuration)
-    extends Serializable {
-  def value: Configuration = conf
-
-  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
-    out.defaultWriteObject()
-    conf.write(out)
-  }
-
-  private def readObject(in: java.io.ObjectInputStream): Unit = {
-    in.defaultReadObject()
-    conf = new Configuration(false)
-    conf.readFields(in)
-  }
-}
-
 private[v2] class KobisDailyScan(path: String,
                                  planned: Seq[(String, Long, Int)],
                                  required: StructType, pushed: Array[Filter],
-                                 conf: SerializableHadoopConf)
+                                 conf: SerializableConfiguration)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -279,7 +260,7 @@ private[v2] case class KobisDailyPartition(file: String, epochDay: Int)
     extends InputPartition
 
 private[v2] class KobisDailyReaderFactory(fields: Array[String],
-                                          conf: SerializableHadoopConf)
+                                          conf: SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[KobisDailyPartition]
@@ -310,7 +291,7 @@ private[v2] class KobisDailyReaderFactory(fields: Array[String],
   */
 private[v2] class KobisDailyMicroBatchStream(path: String,
                                              fields: Array[String],
-                                             conf: SerializableHadoopConf)
+                                             conf: SerializableConfiguration)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
@@ -365,7 +346,7 @@ private[v2] class KobisDailyMicroBatchStream(path: String,
   * epoch days in InternalRow). */
 private[v2] class KobisDailyReader(file: String, epochDay: Int,
                                    fields: Array[String],
-                                   conf: SerializableHadoopConf)
+                                   conf: SerializableConfiguration)
     extends PartitionReader[InternalRow] {
 
   private val snakeToCamel: Map[String, String] =

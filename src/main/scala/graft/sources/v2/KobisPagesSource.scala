@@ -7,6 +7,7 @@ import scala.jdk.CollectionConverters._
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.util.SerializableConfiguration
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -56,7 +57,7 @@ import graft.sources.KobisSource.camelToSnake
   * JSON documents; a live deployment swaps the landing step, not this
   * connector. Readers open files through Hadoop's FileSystem with the
   * SESSION Hadoop configuration, serialized into the reader factory at
-  * plan time ([[SerializableHadoopConf]], round-12 advice fix) — the
+  * plan time (Spark's SerializableConfiguration envelope, round-12 advice fix) — the
   * session's object-store credentials and endpoint settings apply at
   * read time exactly as at plan time.
   */
@@ -119,7 +120,7 @@ private[v2] class KobisScanBuilder(path: String, pageSize: Int)
   override def build(): Scan = {
     // page enumeration is driver-side planning, listed through the
     // session's Hadoop conf (landing zones are remote filesystems)
-    val conf = new SerializableHadoopConf(
+    val conf = new SerializableConfiguration(
       SparkSession.active.sessionState.newHadoopConf())
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf.value)
@@ -138,7 +139,7 @@ private[v2] class KobisScanBuilder(path: String, pageSize: Int)
 }
 
 private[v2] class KobisScan(pages: Seq[(String, Long)], required: StructType,
-                            limit: Option[Int], conf: SerializableHadoopConf)
+                            limit: Option[Int], conf: SerializableConfiguration)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -165,7 +166,7 @@ private[v2] class KobisScan(pages: Seq[(String, Long)], required: StructType,
 private[v2] case class KobisPagePartition(file: String) extends InputPartition
 
 private[v2] class KobisReaderFactory(fields: Array[String], limit: Option[Int],
-                                     conf: SerializableHadoopConf)
+                                     conf: SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new KobisPageReader(partition.asInstanceOf[KobisPagePartition].file,
@@ -179,7 +180,7 @@ private[v2] class KobisReaderFactory(fields: Array[String], limit: Option[Int],
   */
 private[v2] class KobisPageReader(file: String, fields: Array[String],
                                   limit: Option[Int],
-                                  conf: SerializableHadoopConf)
+                                  conf: SerializableConfiguration)
     extends PartitionReader[InternalRow] {
 
   private val snakeToCamel: Map[String, String] =

@@ -190,15 +190,19 @@ object StreamingNearDup {
         case ((band, _), docs, state: GroupState[BucketStateLazy]) =>
           val ds = docs.toSeq
           val wm = state.getCurrentWatermarkMs()
-          val prior = state.getOption match {
-            case Some(s) if wm > s.deadline => BucketState(Nil, Nil) // lazily expired
-            case Some(s)                    => BucketState(s.members, s.marked)
-            case None                       => BucketState(Nil, Nil)
-          }
+          val alive = state.getOption.filter(s => wm <= s.deadline)
+          val prior = alive.map(s => BucketState(s.members, s.marked))
+            .getOrElse(BucketState(Nil, Nil)) // absent or lazily expired
           val (st, out) = foldArrivals(band, ds.iterator.map(_.doc_id),
             prior, maxBucket)
+          // deadline = max member event time + ttl — a LATE (but
+          // watermark-admitted) arrival must not SHRINK a surviving
+          // bucket's horizon below what an earlier member established
+          // (review find: the overwrite form silently tightened it)
           val maxTs = ds.iterator.map(_.ts.getTime).max
-          state.update(BucketStateLazy(st.members, st.marked, maxTs + ttl.toMillis))
+          val deadline = math.max(maxTs + ttl.toMillis,
+            alive.map(_.deadline).getOrElse(Long.MinValue))
+          state.update(BucketStateLazy(st.members, st.marked, deadline))
           out.iterator
       }
   }

@@ -103,13 +103,19 @@ def main():
             sys.exit(f"unknown arg {a}")
     results = {}
     for sf in SFS:
-        print(f"running sf{sf} ({passes} passes over {len(QUERIES)} queries)...",
+        nq = len(SF10_QUERIES if sf == "10" else QUERIES)
+        print(f"running sf{sf} ({passes} passes over {nq} queries)...",
               flush=True)
         results[sf] = run_sf(sf, passes)
 
-    out = {"queries": QUERIES, "passes": passes, "times": results}
+    # sf10_queries is recorded so a reader can tell "skipped at sf10 by
+    # design" (absent from the subset) from "failed" (-1/null); alphas
+    # use None, not NaN — bare NaN tokens are not RFC-8259 JSON and
+    # break jq/JSON.parse consumers (round-12 review find)
+    out = {"queries": QUERIES, "sf10_queries": SF10_QUERIES,
+           "passes": passes, "times": results}
     hdr = (f"{'query':32s} " + " ".join(f"sf{sf:>6s}" for sf in SFS)
-           + "  a(0.001->0.01) a(0.01->0.1)")
+           + "  " + " ".join(f"a(->{sf})" for sf in SFS[1:]))
     print("\n" + hdr)
     print("-" * len(hdr))
     alphas = {}
@@ -119,11 +125,12 @@ def main():
         al = []
         for i in range(1, len(SFS)):
             if ts[i - 1] > 0 and ts[i] > 0:
-                al.append(math.log10(ts[i] / ts[i - 1]))
+                al.append(round(math.log10(ts[i] / ts[i - 1]), 4))
             else:
-                al.append(float("nan"))
+                al.append(None)
         alphas[q] = al
-        print(row + "  " + " ".join(f"{a:14.2f}" for a in al))
+        print(row + "  " + " ".join(
+            "          none" if a is None else f"{a:14.2f}" for a in al))
     out["alphas"] = alphas
     path = os.path.join(REPO, "tools",
                         os.environ.get("SPARK_GRAFT_SCALING_OUT",
