@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout straight through instead of re-logging
+// each line with an "[info] " prefix, and drop the trailing
+// "[success] Total time" line: the driver's bench harness keeps a
+// stdout TAIL and JSON-parses the LAST line — Bench's final headline
+// must therefore BE the last stdout line, undecorated (round-12
+// verdict #6: BENCH_r*.json.parsed was null because the tail ended in
+// sbt chrome, not JSON).
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys ++= Set(outputStrategy, showSuccess)
 scalacOptions += "-deprecation"
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -264,13 +264,18 @@ object Bench {
       // pointer to the committed full map in the SMALL bracketing
       // headline, which always survives, so trend tooling needs no
       // scraping
+      // paths come from an env var — escape them (backslash + quote)
+      // or a single odd character breaks the very parseability the
+      // headline exists to provide
+      def jstr(v: String): String =
+        "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      val mapPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        if (only.isEmpty) "tools/bench_full_last.json"
+        else "tools/bench_filtered_last.json")
       val headline =
-        s"""{"total_s":$total,"n_queries":${results.count(_._2 >= 0)},"sf":"$sfDir","full_map":"${
-          sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-            if (only.isEmpty) "tools/bench_full_last.json"
-            else "tools/bench_filtered_last.json")}"}"""
+        s"""{"total_s":$total,"n_queries":${results.count(_._2 >= 0)},"sf":${jstr(sfDir)},"full_map":${jstr(mapPath)}}"""
       val full =
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$recallField}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jstr(sfDir)}$recallField}"""
       println(headline)
       println(full)
       println(headline)
@@ -284,9 +289,7 @@ object Bench {
       // a FILTERED run (scaling sweeps, local iteration) must not
       // clobber the committed full map with a partial one — route it to
       // a sibling file unless the caller overrode the path explicitly
-      val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-        if (only.isEmpty) "tools/bench_full_last.json"
-        else "tools/bench_filtered_last.json")
+      val outPath = mapPath
       try {
         val p = java.nio.file.Paths.get(outPath)
         Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))

@@ -2398,8 +2398,16 @@ object SparkEntry {
     // behaviors exercised, and the oracle re-derives the suppressed set
     // relationally in doc_id units.
     "q_stream_neardup_ttl" -> ((s, dir) => {
+      // ts = (doc_id + 1) minutes, NOT doc_id minutes: doc 0 at epoch 0
+      // collides with the INITIAL watermark (0 ms) and Spark's stateful
+      // late-row filter silently drops it in batch 1, losing its pairs
+      // (surfaced at sf0.001, where doc 0 shares a batch-1 bucket; the
+      // sf0.01 gate was blind luck). The uniform +1-minute shift cancels
+      // in the oracle's suppression inequality (m1*60+ttl < w*60 shifts
+      // both sides by 60), so the oracle SQL is unchanged.
       val batch = t(s, dir, "documents")
-        .withColumn("ts", timestamp_micros(col("doc_id") * lit(60000000L)))
+        .withColumn("ts",
+          timestamp_micros((col("doc_id") + lit(1L)) * lit(60000000L)))
       val mx = batch.agg(max("doc_id")).head().getLong(0) // O(1) scalar
       val d1 = mx / 3
       val d2 = (2 * mx) / 3

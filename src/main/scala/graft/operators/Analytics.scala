@@ -208,9 +208,18 @@ object Analytics {
     *
     * Returns EXACTLY the [[gumbelTopK]] set at equal (n, salt) — the
     * spec pins set equality and the absence of TakeOrderedAndProject
-    * from the selection plan. Cost: one extra pass over the filtered
-    * frame (count + quantile share the persisted narrow projection) in
-    * exchange for a driver that never sees a row.
+    * from the selection plan. Cost, honestly counted: ONE full pass to
+    * materialize the persisted keyed projection, then ~5 SMALL actions
+    * over caches (total count + approx-quantile share the keyed cache;
+    * band count, the key-only range-sort job for τ, and the
+    * above/ties counts run over the O(n)-row band cache) — cheap at
+    * scale because the band is key-only and O(n), but it is NOT "one
+    * extra pass".
+    *
+    * EAGER, unlike the rest of this pack's lazy builders: those actions
+    * run AT CALL TIME (the τ threshold must be a literal in the
+    * returned plan). Callers composing lazy plan graphs should call
+    * this last, once inputs are final.
     */
   def gumbelSelect(df: DataFrame, idCol: String, logWeightCol: String,
                    n: Int, salt: String): DataFrame = {
@@ -225,6 +234,8 @@ object Analytics {
   /** [[weightedSample]] (Efraimidis–Spirakis without replacement) with
     * the same distributed threshold selection as [[gumbelSelect]] —
     * identical sample at equal (n, salt), no driver-side k-row merge.
+    * EAGER like [[gumbelSelect]]: the threshold actions run at call
+    * time (see its scaladoc for the exact action count).
     */
   def weightedSampleSelect(df: DataFrame, idCol: String, weightCol: String,
                            n: Int, salt: String): DataFrame = {
@@ -252,12 +263,16 @@ object Analytics {
     val p = 1.0 - math.min(1.0, (n + 2.0 * eps * total + 1.0) / total)
     val band =
       if (p <= 0.0) keyed // already persisted above — no double-persist
-      else OpCache.persist {
+      else {
         val vLo = keyed.stat.approxQuantile("__tsk", Array(p), eps).head
         val b = keyed.filter(col("__tsk") > lit(vLo))
         // paranoia: the rank bound makes this unreachable, but an exact
-        // selection must never silently depend on an approximation
-        if (b.count() >= n) b else keyed
+        // selection must never silently depend on an approximation.
+        // Count BEFORE persisting so the fallback branch returns the
+        // already-persisted `keyed` as-is instead of re-registering it
+        // with OpCache (double-tracking → double unpersist on clear());
+        // the count itself is a cheap filter scan over keyed's cache.
+        if (b.count() >= n) OpCache.persist(b) else keyed
       }
     // exact n-th (key desc) via a distributed range sort of the KEY
     // column only; zipWithIndex ships per-partition counts, not rows

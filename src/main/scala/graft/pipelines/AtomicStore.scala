@@ -161,7 +161,14 @@ object AtomicStore {
         catch { case _: java.io.FileNotFoundException => true }
       if (stillExpired) { fs.delete(aside, false); true }
       else {
-        if (!fs.rename(aside, lock)) fs.delete(aside, false)
+        // mirror the capture rename's IOException discipline: a THROWN
+        // put-back (transient RPC error, not a lost race) must not leave
+        // the live holder's lock parked aside indefinitely — drop the
+        // aside copy and let a fresh lock arbitrate, the same corner the
+        // scaladoc already documents for the lost-race outcome
+        val back = try fs.rename(aside, lock)
+                   catch { case _: java.io.IOException => false }
+        if (!back) fs.delete(aside, false)
         false
       }
     }

@@ -142,9 +142,13 @@ object StreamingNearDup {
       }
   }
 
-  /** State of the LAZY-expiry variant: the bucket plus its stored
-    * horizon deadline (max member event time + ttl), checked on next
-    * access instead of by the per-batch timeout scan.
+  /** Bucket state plus its stored horizon deadline (max member event
+    * time + ttl). Shared by BOTH ttl variants so late-arrival semantics
+    * stay consistent: the lazy form checks the deadline against the
+    * watermark on next access; the eager form registers it as the
+    * event-time timeout — in each case grown monotonically (math.max),
+    * never overwritten, so a late-but-admitted arrival cannot shrink
+    * the horizon an earlier member established.
     */
   case class BucketStateLazy(members: List[Long], marked: List[Long],
                              deadline: Long)
@@ -229,9 +233,9 @@ object StreamingNearDup {
     import spark.implicits._
     bandedDocs.as[BandedDocTs]
       .groupByKey(d => (d.band, d.key))
-      .flatMapGroupsWithState[BucketState, CandidatePair](
+      .flatMapGroupsWithState[BucketStateLazy, CandidatePair](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        case ((band, _), docs, state: GroupState[BucketState]) =>
+        case ((band, _), docs, state: GroupState[BucketStateLazy]) =>
           if (state.hasTimedOut) {
             // bucket idle past the ttl horizon: drop it; a later near-dup
             // of an expired doc is the batch pass's to find
@@ -239,11 +243,21 @@ object StreamingNearDup {
             Iterator.empty
           } else {
             val ds = docs.toSeq
+            val prior = state.getOption
             val (st, out) = foldArrivals(band, ds.iterator.map(_.doc_id),
-              state.getOption.getOrElse(BucketState(Nil, Nil)), maxBucket)
-            state.update(st)
+              prior.map(s => BucketState(s.members, s.marked))
+                .getOrElse(BucketState(Nil, Nil)), maxBucket)
+            // deadline = max member event time + ttl, carried in state so
+            // a LATE (but watermark-admitted) arrival cannot SHRINK the
+            // horizon an earlier member established — the same math.max
+            // guard the lazy variant applies (review find: the overwrite
+            // form silently tightened it), keeping the two variants'
+            // late-arrival semantics consistent
             val maxTs = ds.iterator.map(_.ts.getTime).max
-            state.setTimeoutTimestamp(maxTs + ttl.toMillis)
+            val deadline = math.max(maxTs + ttl.toMillis,
+              prior.map(_.deadline).getOrElse(Long.MinValue))
+            state.update(BucketStateLazy(st.members, st.marked, deadline))
+            state.setTimeoutTimestamp(deadline)
             out.iterator
           }
       }
