@@ -15,6 +15,65 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(text, " "), x => x =!= "")
 
+  /** IN-ROW term frequencies (round-12 verdict #1): (keys…, feature, tf)
+    * computed by sorting each row's feature ARRAY and run-length-encoding
+    * it with higher-order functions, then exploding the ALREADY-AGGREGATED
+    * runs — so the corpus-token-scale instance stream never exists as
+    * rows, never shuffles, and never carries feature strings through an
+    * exchange. This replaces the `explode → repartition(id) →
+    * groupBy(id, feat).count` shape whose instance-level repartition was
+    * the data-dominated term on the training-mix path (sf1→sf10 α=0.61,
+    * SCALE.md round-12): downstream consumers now shuffle at most
+    * (doc × distinct-features-per-doc) aggregated rows.
+    *
+    * Exactness: tf values are identical to the groupBy count by
+    * construction (sorting permutes, never merges), so oracles shared
+    * with the old shape hold verbatim. Rows with an empty feature array
+    * produce nothing — the same absent-doc contract as the exploded
+    * form. Per-row cost is O(k log k) sort + O(k) scans, all codegen'd
+    * higher-order functions; `feats` may be any orderable element type
+    * (string, long, struct).
+    */
+  private[graft] def inRowTf(df: DataFrame, keys: Seq[(Column, String)],
+                             feats: Column, featName: String): DataFrame = {
+    // The sorted array, its size, and the run-start list are materialized
+    // as REAL COLUMNS, not inlined subexpressions: lambda bodies get no
+    // common-subexpression elimination, so an inlined array_sort
+    // re-evaluated inside element_at would re-sort (and re-hash) the
+    // whole array PER ELEMENT — O(k²·hash) per row (observed as a 10×
+    // CPU blowup). Attribute references are O(1) per lambda call.
+    // Referenced-more-than-once non-trivial aliases also stop
+    // CollapseProject from re-inlining them.
+    val base = df
+      .select(keys.map { case (c, a) => c.as(a) } :+ feats.as("__fs"): _*)
+      .withColumn("__bs", array_sort(col("__fs")))
+      .withColumn("__n", size(col("__bs")))
+      // 0-based positions where a new run starts; the i === 0 guard
+      // short-circuits (Or.eval / codegen ||) so element_at never sees
+      // index 0 under ANSI. The n > 0 guard matters HERE, not just at
+      // the explode: an empty array's sequence(0, -1) is [0, -1] and
+      // the lambda at i = -1 would call element_at(bs, 0) — a hard
+      // ANSI error (caught by the tokenless-doc spec fixtures).
+      .withColumn("__starts",
+        when(col("__n") > lit(0),
+          filter(sequence(lit(0), col("__n") - lit(1)),
+            i => (i === lit(0)) ||
+              (element_at(col("__bs"), i + lit(1)) =!=
+                element_at(col("__bs"), i)))))
+    // run j: value at its start, length = next start (or __n) - this
+    // start. when() without otherwise → null for empty arrays → explode
+    // drops the row (and guards sequence(0, -1), which would yield
+    // [0, -1])
+    base.select(keys.map { case (_, a) => col(a) } :+
+        explode(when(col("__n") > lit(0),
+          transform(col("__starts"), (s, j) =>
+            struct(element_at(col("__bs"), s + lit(1)).as("f"),
+              (coalesce(try_element_at(col("__starts"), j + lit(2)),
+                col("__n")) - s).cast("long").as("tf"))))).as("__r"): _*)
+      .select(keys.map { case (_, a) => col(a) } :+
+        col("__r.f").as(featName) :+ col("__r.tf").as("tf"): _*)
+  }
+
   /** Type–token stats: token count, distinct count, type-token ratio.
     * A tokenless document (empty or null text) reports ttr NULL — under
     * ANSI mode the plain division THREW on the first empty string
@@ -182,16 +241,14 @@ object TextAnalysis {
   def tfidfTop1(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val corpus = Stage.spread(df)
-    // repartition by doc BEFORE the (doc, term) aggregation: hash(doc)
-    // satisfies ClusteredDistribution(doc, term) for the agg AND the
-    // argmax window's doc partitioning — the wide exploded data shuffles
-    // once instead of twice. persist: the df branch re-reads termFreq
-    // (vocab-sized per doc) instead of re-scanning + re-exploding the
-    // corpus.
-    val termFreq = OpCache.persist(corpus
-      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
-      .repartition(col(idCol))
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf")))
+    // IN-ROW termFreq (round-12 verdict #1 treatment): the per-doc
+    // (term, tf) aggregate forms inside the row, so the exploded
+    // instance stream never exists — the argmax window now shuffles the
+    // (doc × distinct-terms) aggregate rows, strictly fewer bytes than
+    // the old instance-level repartition. persist: the df branch
+    // re-reads termFreq instead of re-scanning + re-tokenizing.
+    val termFreq = OpCache.persist(inRowTf(corpus,
+      Seq(col(idCol) -> idCol), tokens(col(textCol)), "term"))
     // N for the idf comes from the PERSISTED narrow table, not a second
     // full corpus scan (round-2 verdict). Tokenless docs carry no terms
     // and no output row either way, so "docs with ≥1 term" is the
@@ -231,10 +288,9 @@ object TextAnalysis {
     * rounded to 6 (libm-ln convention of [[tfidfTop1]]).
     */
   def unigramCrossEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val termFreq = OpCache.persist(Stage.spread(df)
-      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
-      .repartition(col(idCol))
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf")))
+    // IN-ROW termFreq (round-12 verdict #1 treatment)
+    val termFreq = OpCache.persist(inRowTf(Stage.spread(df),
+      Seq(col(idCol) -> idCol), tokens(col(textCol)), "term"))
     val tot = termFreq.agg(sum(col("tf")).as("__T"))
     val lm = termFreq.groupBy(col("term"))
       .agg(sum(col("tf")).as("__ctf"))
@@ -285,17 +341,12 @@ object TextAnalysis {
     val mix = 1.0 - lambda
     val toks = Stage.spread(df)
       .select(col(idCol), tokens(col(textCol)).as("__t"))
-    val bi = toks
-      .where(size(col("__t")) >= 2)
-      .select(col(idCol),
-        explode(zip_with(
-          slice(col("__t"), lit(1), size(col("__t")) - 1),
-          slice(col("__t"), lit(2), size(col("__t")) - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("__b"))
-      .select(col(idCol), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
-    val docTf = OpCache.persist(bi
-      .repartition(col(idCol))
-      .groupBy(col(idCol), col("w1"), col("w2")).agg(count(lit(1)).as("tf")))
+    // per-doc (w1, w2, tf) IN-ROW (round-12 verdict #1 treatment,
+    // evaluated here as the verdict asked): the pair-instance stream
+    // never shuffles; the persisted docTf is (doc × distinct-bigrams)
+    // rows and feeds both the LM counts and the score join
+    val docTf = OpCache.persist(
+      bigramDocTf(df, col(idCol), textCol).withColumnRenamed("__id", idCol))
     val biLm = docTf.groupBy(col("w1"), col("w2")).agg(sum("tf").as("__cb"))
     val ctx = biLm.groupBy(col("w1")).agg(sum("__cb").as("__cw1"))
     val uni = toks.select(explode(col("__t")).as("w2"))
@@ -317,23 +368,38 @@ object TextAnalysis {
           / sum(col("tf")).cast("double"), 6).as("bigram_ce"))
   }
 
-  /** The (id, w1, w2) bigram-pair stream — in-row formation (slice +
-    * zip_with, no positional self-join), shared by the stored CE model
-    * builder and scorer so both sides of the model-reuse equality see
-    * byte-identical pair formation. Matches [[bigramCrossEntropy]]'s
-    * inline expressions exactly.
+  /** The per-document bigram-pair ARRAY (struct<w1,w2> per adjacent
+    * token pair; empty for <2-token docs) — the ONE expression every
+    * bigram-LM face derives pair formation from, so all sides of the
+    * model-reuse equalities see byte-identical pairs.
     */
-  private def bigramPairs(df: DataFrame, id: Column, textCol: String): DataFrame = {
-    val toks = Stage.spread(df)
-      .select(id.as("__id"), tokens(col(textCol)).as("__t"))
-    toks.where(size(col("__t")) >= 2)
-      .select(col("__id"),
-        explode(zip_with(
-          slice(col("__t"), lit(1), size(col("__t")) - 1),
-          slice(col("__t"), lit(2), size(col("__t")) - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("__b"))
-      .select(col("__id"), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
-  }
+  private def bigramPairArr(tokArr: Column): Column =
+    when(size(tokArr) >= 2,
+      zip_with(
+        slice(tokArr, lit(1), size(tokArr) - 1),
+        slice(tokArr, lit(2), size(tokArr) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+
+  /** The (id, w1, w2) bigram-pair instance stream — [[bigramPairArr]]
+    * exploded. Kept for the MODEL side, where pair counts aggregate
+    * with map-side combine and never shuffle at instance scale.
+    */
+  private def bigramPairs(df: DataFrame, id: Column, textCol: String): DataFrame =
+    Stage.spread(df)
+      .select(id.as("__id"), explode(bigramPairArr(tokens(col(textCol)))).as("__p"))
+      .select(col("__id"), col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+
+  /** The per-doc (id, w1, w2, tf) aggregate via [[inRowTf]] over
+    * [[bigramPairArr]] — the round-12-verdict-#1 flattening applied to
+    * the bigram docTf: no instance-scale shuffle, no token strings
+    * through an exchange before aggregation.
+    */
+  private def bigramDocTf(df: DataFrame, id: Column, textCol: String): DataFrame =
+    inRowTf(Stage.spread(df), Seq(id -> "__id"),
+      bigramPairArr(tokens(col(textCol))), "__p")
+      .select(col("__id"), col("__p.w1").as("w1"), col("__p.w2").as("w2"),
+        col("tf"))
 
   /** The bigram-LM model AS A TABLE — the train-once/score-many face of
     * [[bigramCrossEntropy]] (round-11 verdict #2): the deployed
@@ -397,9 +463,9 @@ object TextAnalysis {
     val ctx = biT.groupBy(col("w1")).agg(sum(col("__cb")).as("__cw1"))
     val totals = uniT.agg(sum(col("__cu")).cast("double").as("__N"),
       count(lit(1)).cast("double").as("__V"))
-    val docTf = OpCache.persist(bigramPairs(df, col(idCol), textCol)
-      .repartition(col("__id"))
-      .groupBy(col("__id"), col("w1"), col("w2")).agg(count(lit(1)).as("tf")))
+    // IN-ROW docTf (round-12 verdict #1 treatment): byte-identical tf
+    // values to the exploded groupBy, no instance-scale shuffle
+    val docTf = OpCache.persist(bigramDocTf(df, col(idCol), textCol))
     docTf.join(biT, Seq("w1", "w2"), "left")
       .join(ctx, Seq("w1"), "left")
       .join(uniT, Seq("w2"), "left")
@@ -445,10 +511,10 @@ object TextAnalysis {
                 label: Column): DataFrame = {
     val toks = Stage.spread(df)
       .select(col(idCol), label.as("__y"), tokens(col(textCol)).as("__t"))
-    val docTf = OpCache.persist(toks
-      .select(col(idCol), col("__y"), explode(col("__t")).as("term"))
-      .repartition(col(idCol))
-      .groupBy(col(idCol), col("__y"), col("term")).agg(count(lit(1)).as("tf")))
+    // IN-ROW docTf (round-12 verdict #1 treatment): the label rides the
+    // run-length encode as a second key; no instance-scale shuffle
+    val docTf = OpCache.persist(inRowTf(toks,
+      Seq(col(idCol) -> idCol, col("__y") -> "__y"), col("__t"), "term"))
     val cls = docTf.groupBy(col("term"))
       .agg(sum(when(col("__y"), col("tf")).otherwise(lit(0L))).as("__c1"),
         sum(when(!col("__y"), col("tf")).otherwise(lit(0L))).as("__c0"))
@@ -545,10 +611,9 @@ object TextAnalysis {
     val unseen = tot.select(
       (log(lit(1.0) / (col("__T1") + col("__V")))
         - log(lit(1.0) / (col("__T0") + col("__V")))).as("__lnr0"))
-    val docTf = OpCache.persist(Stage.spread(df)
-      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
-      .repartition(col(idCol))
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf")))
+    // IN-ROW docTf (round-12 verdict #1 treatment)
+    val docTf = OpCache.persist(inRowTf(Stage.spread(df),
+      Seq(col(idCol) -> idCol), tokens(col(textCol)), "term"))
     val priorLn = when(col("__n1") > lit(0.0) && col("__n0") > lit(0.0),
         log(col("__n1") / col("__n0")))
       .otherwise(raise_error(lit(
@@ -581,38 +646,70 @@ object TextAnalysis {
     * selection stays composable. Docs with no tokens have no features
     * and are absent. Output: (id, n_feats, dsir_log_weight).
     *
-    * Shape: feature formation is IN-ROW (array concat of tokens +
-    * zip_with bigrams, guarded so 1-token docs keep their unigrams);
-    * both corpus models are ONE bucket-keyed count each, full-outer
-    * joined over buckets; the model is FIXED-SIZE O(buckets) BY
-    * CONSTRUCTION — hashing exists precisely to bound it — so the
-    * broadcast hint on the score join is justified at ANY corpus scale,
-    * unlike the vocabulary-sized LM joins which stay adaptive. The raw
-    * side reuses one `repartition(id)` for its (id,bucket) tf aggregate
-    * and the final per-doc aggregate. Summed terms are O(tf) →
+    * Shape (round-12 verdict #1 flattening): feature formation AND the
+    * per-doc (id, bucket, tf) aggregate are IN-ROW ([[dsirFeatArr]] +
+    * [[inRowTf]] — array concat of tokens + zip_with bigrams, guarded so
+    * 1-token docs keep their unigrams, then a per-row sort +
+    * run-length encode) — the corpus-token-scale instance stream never
+    * shuffles, which was the α=0.61 term on the sf1→sf10 decade. The tf
+    * frame is persisted and REUSED for the raw side of the model
+    * (cr_b = Σ tf over bucket — identical integers by construction), so
+    * the fused form scans the raw corpus ONCE instead of twice. The
+    * target model is ONE bucket-keyed count with map-side combine; the
+    * model is FIXED-SIZE O(buckets) BY CONSTRUCTION — hashing exists
+    * precisely to bound it — so the broadcast hint on the score join is
+    * justified at ANY corpus scale, unlike the vocabulary-sized LM joins
+    * which stay adaptive. Summed terms are O(tf) →
     * [[graft.Tables.dec]] routing keeps sums order-independent.
     */
   def dsirLogWeights(raw: DataFrame, target: DataFrame,
                      idCol: String, textCol: String,
-                     buckets: Int = 8192): DataFrame =
-    dsirScore(raw, dsirModel(raw, target, textCol, buckets),
-      idCol, textCol, buckets)
+                     buckets: Int = 8192): DataFrame = {
+    val rawTf = OpCache.persist(
+      dsirBucketTf(raw, col(idCol), textCol, buckets))
+    val cr = rawTf.groupBy(col("__b")).agg(sum(col("tf")).as("__cr"))
+    val ct = dsirFeatBuckets(target, lit(0L), textCol, buckets)
+      .groupBy(col("__b")).agg(count(lit(1)).as("__ct"))
+    val model = cr.join(ct, Seq("__b"), "full_outer")
+      .select(col("__b"),
+        coalesce(col("__ct"), lit(0L)).as("__ct"),
+        coalesce(col("__cr"), lit(0L)).as("__cr"))
+    dsirScoreTf(rawTf, model, idCol, buckets)
+  }
 
-  /** The hashed uni+bigram feature stream with its bucket id — shared
-    * by the DSIR model builder and scorer so both sides of any
-    * model-reuse equality see byte-identical bucketing.
+  /** The per-document hashed uni+bigram bucket ARRAY — the ONE
+    * expression every DSIR face (model builder, batch scorer, streaming
+    * scorer) derives its bucketing from, so all sides of any model-reuse
+    * equality see byte-identical feature formation.
     */
-  private[graft] def dsirFeatBuckets(df: DataFrame, id: Column, textCol: String,
-                                     buckets: Int): DataFrame = {
+  private[graft] def dsirFeatArr(textCol: String, buckets: Int): Column = {
     val t = tokens(col(textCol))
     val bi = when(size(t) >= 2,
       zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
         (a, b) => concat(a, lit(" "), b)))
       .otherwise(array().cast("array<string>"))
-    Stage.spread(df).select(id.as("__id"), explode(concat(t, bi)).as("__f"))
-      .withColumn("__b",
-        conv(substring(md5(col("__f")), 1, 13), 16, 10).cast("long") % lit(buckets.toLong))
+    transform(concat(t, bi),
+      f => conv(substring(md5(f), 1, 13), 16, 10).cast("long") % lit(buckets.toLong))
   }
+
+  /** The hashed uni+bigram feature-instance stream with its bucket id —
+    * [[dsirFeatArr]] exploded. Kept for the MODEL side, where the
+    * per-bucket counts aggregate to O(buckets) rows with map-side
+    * combine and the instance stream never shuffles at instance scale.
+    */
+  private[graft] def dsirFeatBuckets(df: DataFrame, id: Column, textCol: String,
+                                     buckets: Int): DataFrame =
+    Stage.spread(df).select(id.as("__id"),
+      explode(dsirFeatArr(textCol, buckets)).as("__b"))
+
+  /** The (id, bucket, tf) aggregate of [[dsirFeatArr]] via [[inRowTf]] —
+    * the round-12-verdict-#1 flattening: no instance-scale shuffle, no
+    * feature strings through an exchange.
+    */
+  private[graft] def dsirBucketTf(df: DataFrame, id: Column, textCol: String,
+                                  buckets: Int): DataFrame =
+    inRowTf(Stage.spread(df), Seq(id -> "__id"),
+      dsirFeatArr(textCol, buckets), "__b")
 
   /** The DSIR model AS A TABLE: (bucket, target count, raw count) over
     * the full bucket support of either corpus. The table is MERGEABLE
@@ -685,17 +782,24 @@ object TextAnalysis {
     */
   def dsirScore(raw: DataFrame, model: DataFrame,
                 idCol: String, textCol: String,
-                buckets: Int = 8192): DataFrame = {
-    val rawTf = OpCache.persist(dsirFeatBuckets(raw, col(idCol), textCol, buckets)
-      .repartition(col("__id"))
-      .groupBy(col("__id"), col("__b")).agg(count(lit(1)).as("tf")))
+                buckets: Int = 8192): DataFrame =
+    dsirScoreTf(dsirBucketTf(raw, col(idCol), textCol, buckets),
+      model, idCol, buckets)
+
+  /** Score a prebuilt (id, bucket, tf) frame ([[dsirBucketTf]]) against
+    * the model — the shared tail of [[dsirScore]] and the fused
+    * [[dsirLogWeights]]. The only shuffle is the final per-doc reduce
+    * over (doc × distinct-buckets) rows; the lnr join is an O(buckets)
+    * broadcast.
+    */
+  private def dsirScoreTf(rawTf: DataFrame, model: DataFrame,
+                          idCol: String, buckets: Int): DataFrame =
     rawTf.join(Hints.bcast(dsirLnr(model, buckets)), Seq("__b"))
       .groupBy(col("__id"))
       .agg(sum(col("tf")).as("n_feats"),
         round(sum(graft.Tables.dec(col("tf") * col("__lnr"))).cast("double"), 6)
           .as("dsir_log_weight"))
       .select(col("__id").as(idCol), col("n_feats"), col("dsir_log_weight"))
-  }
 
   /** Corpus-level token-distribution divergence — the domain-shift /
     * mixture-drift diagnostic a pipeline runs when swapping a data

@@ -537,4 +537,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.head.getLong(0) == 1L)
     assert(out.head.getAs[Long]("n_matched") == 3L)
   }
+
+  test("inRowTf equals the exploded groupBy count on adversarial arrays " +
+    "(round-12 verdict #1 flattening)") {
+    // empty text, single token, all-same, all-distinct, interleaved
+    // duplicates, a doc whose tokens sort differently than they arrive,
+    // and a null text — the exploded form's absent-doc contract must hold
+    val docs = Seq(
+      (1L, ""), (2L, "x"), (3L, "a a a a"), (4L, "d c b a"),
+      (5L, "b a b a b"), (6L, "z a z a q"), (7L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val fast = TextAnalysis.inRowTf(docs,
+        Seq(col("doc_id") -> "doc_id"),
+        TextAnalysis.tokens(col("text")), "term")
+      .orderBy("doc_id", "term")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val slow = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .orderBy("doc_id", "term")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(fast.toSeq == slow.toSeq)
+    assert(!fast.exists(_._1 == 1L) && !fast.exists(_._1 == 7L)) // absent docs
+    // no shuffle anywhere in the in-row form: the physical plan must
+    // contain no Exchange — the whole point of the flattening
+    val plan = TextAnalysis.inRowTf(docs, Seq(col("doc_id") -> "doc_id"),
+      TextAnalysis.tokens(col("text")), "term")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
 }
