@@ -62,6 +62,11 @@ object GenData {
       val outDir = if (args.length > 1) args(1) else "/root/repo/testdata/aniso"
       val n = if (args.length > 2) args(2).toLong else 2000L
       anisoEmbeddings(spark, outDir, n)
+    } else if (args.headOption.contains("--zipf")) {
+      val outDir = if (args.length > 1) args(1) else "/root/repo/testdata/zipf"
+      val n = if (args.length > 2) args(2).toLong else 50000L
+      val vocab = if (args.length > 3) args(3).toInt else 100000
+      zipfDocuments(spark, outDir, n, vocab)
     } else {
       val outDir = args.headOption.getOrElse("/root/repo/testdata/sf1")
       val mult = if (args.length > 1) args(1).toInt else 10
@@ -145,6 +150,45 @@ object GenData {
       .write.mode("overwrite")
       .parquet(s"$outDir/embeddings.parquet")
     println(s"[gendata] wrote aniso embeddings -> $outDir (n=$n)")
+  }
+
+  /** REALISTIC-VOCABULARY documents fixture (round-12 verdict #3): the
+    * driver corpus's 30-word vocabulary saturates the bigram table at
+    * ~900 rows, so the measured LM-filter flattening (α 0.15/0.11) is
+    * partly fixture-specific — SCALE.md says so itself. This generator
+    * draws tokens from a ZIPF(≈1) distribution over `vocab` types via
+    * inverse-CDF (rank = ⌊V^u⌋, P(r) ∝ 1/r up to the continuous
+    * approximation), which also reproduces HEAPS' LAW: the observed
+    * vocabulary (and hence the bigram model) GROWS sublinearly with the
+    * corpus instead of saturating — the regime where the hint-free
+    * LM-join's broadcast↔shuffle adaptivity actually matters. Same
+    * schema/word-count span as `documents` so every text operator reads
+    * it unchanged; tokens are "w<rank>". Deterministic xxhash64 draws,
+    * like everything here.
+    */
+  def zipfDocuments(spark: SparkSession, outDir: String, nDocs: Long,
+                    vocab: Int): Unit = {
+    val files = math.max(8, (nDocs / 50000L).toInt)
+    val nWords = (pmod(xxhash64(col("id"), lit(60)), lit(91L)) + 10).cast("int")
+    val lnV = math.log(vocab.toDouble)
+    def u(j: Column, salt: Int): Column =
+      (pmod(xxhash64(col("id"), lit(salt), j), lit(1L << 30)).cast("double") + 0.5) /
+        lit((1L << 30).toDouble)
+    val text = array_join(
+      transform(sequence(lit(1), nWords),
+        j => concat(lit("w"),
+          floor(exp(u(j, 61) * lit(lnV))).cast("long").cast("string"))),
+      " ")
+    val langs = Seq("en", "en", "en", "de", "es", "fr", "zh")
+    spark.range(nDocs).select(
+        col("id").as("doc_id"),
+        text.as("text"),
+        pick(col("id"), 62, langs).as("lang"),
+        concat(lit("src"), uniPick(col("id"), 63, 20).cast("string")).as("source"),
+        length(text).cast("long").as("n_chars"))
+      .repartition(files)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    println(s"[gendata] wrote zipf documents -> $outDir (n=$nDocs, V=$vocab)")
   }
 
   def generate(spark: SparkSession, outDir: String, mult: Int,

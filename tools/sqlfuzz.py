@@ -69,6 +69,8 @@ SEED_G = 42424242424242  # block G (cases 164+): round-11 outer/window/re-agg mu
 N_G = 15
 SEED_H = 4242424242424242  # block H (dual-text): round-12 nested/array/JSON widening
 N_H = 15
+SEED_I = 424242424242424242  # block I (cases 179+): round-13 correlated-subquery widening
+N_I = 15
 SF = "/root/testdata/sf0.01"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(REPO, "src/main/scala/graft/SqlFuzz.scala")
@@ -1046,6 +1048,111 @@ class Gen:
                 f"WHERE {self.preds('orders', 'o', n=1)} "
                 f"GROUP BY {outer_key} ORDER BY {name} NULLS FIRST")
 
+    # --- block-I templates (round-12 verdict #5): CORRELATED subqueries —
+    # the decorrelation rewrite family (RewriteCorrelatedScalarSubquery /
+    # RewritePredicateSubquery) the harness never exercised beyond one
+    # hand EXISTS. All correlations are equality on FK keys (the form
+    # both engines decorrelate); aggregates in predicates are exact
+    # (COUNT / MAX / MIN), so no rounding surface. ----------------------
+
+    FK = [("orders", "lineitem", "o_orderkey", "l_orderkey"),
+          ("customer", "orders", "c_custkey", "o_custkey"),
+          ("part", "lineitem", "p_partkey", "l_partkey"),
+          ("supplier", "lineitem", "s_suppkey", "l_suppkey")]
+
+    def t_corr_scalar_where(self):
+        """Correlated MAX/MIN scalar aggregate as a WHERE threshold —
+        childless parents compare against NULL and drop in both engines."""
+        l, rt, lk, rk = self.r.choice(self.FK)
+        inner_num = {"lineitem": ["l_extendedprice", "l_quantity"],
+                     "orders": ["o_totalprice"]}[rt]
+        num = self.r.choice(inner_num)
+        outer_num = {"orders": "o_totalprice", "customer": "c_acctbal",
+                     "part": "p_retailprice", "supplier": "s_acctbal"}[l]
+        fn = self.r.choice(["MAX", "MIN"])
+        op = self.r.choice(["<", ">", "<="])
+        return (f"SELECT o.{lk} AS id, o.{outer_num} AS v "
+                f"FROM {l} o WHERE {self.preds(l, 'o', n=1)} "
+                f"AND o.{outer_num} {op} (SELECT {fn}(i.{num}) FROM {rt} i "
+                f"WHERE i.{rk} = o.{lk} AND {self.preds(rt, 'i', n=1)}) "
+                f"ORDER BY id NULLS FIRST, v NULLS FIRST LIMIT 300")
+
+    def t_corr_count_where(self):
+        """Correlated COUNT(*) subquery in a range predicate — the
+        0-for-childless corner INSIDE the filter, not the SELECT list."""
+        l, rt, lk, rk = self.r.choice(self.FK)
+        lo = self.r.randrange(1, 3)
+        hi = lo + self.r.randrange(1, 4)
+        cs = self.r.sample(cols_of(l), min(len(COLS[l]), 2))
+        sel = ", ".join(f"o.{c} AS {c}" for c in cs)
+        order = ", ".join(f"{c} NULLS FIRST" for c in cs)
+        return (f"SELECT {sel} FROM {l} o "
+                f"WHERE {self.preds(l, 'o', n=1)} "
+                f"AND (SELECT COUNT(*) FROM {rt} i WHERE i.{rk} = o.{lk} "
+                f"AND {self.preds(rt, 'i', n=1)}) BETWEEN {lo} AND {hi} "
+                f"ORDER BY {order} LIMIT 300")
+
+    def t_corr_in(self):
+        """Correlated IN: the membership list itself re-filters on the
+        outer row's key — IN + correlation composed."""
+        l, rt, lk, rk = self.r.choice([
+            ("orders", "lineitem", "o_orderkey", "l_orderkey"),
+            ("customer", "orders", "c_custkey", "o_custkey")])
+        inner_pick = {"lineitem": ("l_linenumber", [1, 2, 3]),
+                      "orders": ("o_orderstatus", ["'O'", "'F'"])}[rt]
+        c, vals = inner_pick
+        v = self.r.choice(vals)
+        return (f"SELECT o.{lk} AS id FROM {l} o "
+                f"WHERE {self.preds(l, 'o', n=1)} "
+                f"AND {v} IN (SELECT i.{c} FROM {rt} i WHERE i.{rk} = o.{lk} "
+                f"AND {self.preds(rt, 'i', n=1)}) "
+                f"ORDER BY id NULLS FIRST LIMIT 400")
+
+    def t_nested_exists(self):
+        """Two-LEVEL EXISTS chain (grandchild correlates to child, child
+        to outer) — nested decorrelation."""
+        neg1 = self.r.choice(["", "NOT "])
+        neg2 = self.r.choice(["", "NOT "])
+        return (f"SELECT c.c_custkey AS id, c.c_mktsegment AS seg "
+                f"FROM customer c WHERE {self.preds('customer', 'c', n=1)} "
+                f"AND {neg1}EXISTS (SELECT 1 FROM orders o "
+                f"WHERE o.o_custkey = c.c_custkey "
+                f"AND {self.preds('orders', 'o', n=1)} "
+                f"AND {neg2}EXISTS (SELECT 1 FROM lineitem l "
+                f"WHERE l.l_orderkey = o.o_orderkey "
+                f"AND {self.preds('lineitem', 'l', n=1)})) "
+                f"ORDER BY id NULLS FIRST, seg NULLS FIRST LIMIT 300")
+
+    def t_exists_not_exists(self):
+        """EXISTS against one child table AND NOT EXISTS against another
+        — semi and anti decorrelation in ONE predicate tree."""
+        l, r1, lk, rk1 = ("orders", "lineitem", "o_orderkey", "l_orderkey")
+        return (f"SELECT o.o_orderkey AS id, o.o_orderstatus AS st "
+                f"FROM {l} o WHERE {self.preds(l, 'o', n=1)} "
+                f"AND EXISTS (SELECT 1 FROM {r1} i WHERE i.{rk1} = o.{lk} "
+                f"AND {self.preds(r1, 'i', n=1)}) "
+                f"AND NOT EXISTS (SELECT 1 FROM {r1} j WHERE j.{rk1} = o.{lk} "
+                f"AND {self.preds(r1, 'j', n=1)}) "
+                f"ORDER BY id NULLS FIRST, st NULLS FIRST LIMIT 300")
+
+    def t_corr_scalar_pair(self):
+        """TWO correlated COUNT subqueries over the same child compared
+        to each other in WHERE — each decorrelates to its own aggregate
+        join, then the comparison runs post-join."""
+        l, rt, lk, rk = self.r.choice([
+            ("orders", "lineitem", "o_orderkey", "l_orderkey"),
+            ("customer", "orders", "c_custkey", "o_custkey")])
+        op = self.r.choice([">", ">=", "="])
+        return (f"SELECT o.{lk} AS id, "
+                f"CAST((SELECT COUNT(*) FROM {rt} a WHERE a.{rk} = o.{lk} "
+                f"AND {self.preds(rt, 'a', n=1)}) AS BIGINT) AS n_a "
+                f"FROM {l} o WHERE {self.preds(l, 'o', n=1)} "
+                f"AND (SELECT COUNT(*) FROM {rt} a WHERE a.{rk} = o.{lk} "
+                f"AND {self.preds(rt, 'a', n=1)}) {op} "
+                f"(SELECT COUNT(*) FROM {rt} b WHERE b.{rk} = o.{lk} "
+                f"AND {self.preds(rt, 'b', n=1)}) "
+                f"ORDER BY id NULLS FIRST, n_a NULLS FIRST LIMIT 300")
+
 
 def accept_loop(con, templates, want):
     """Round-robin templates until `want` queries pass the DuckDB sanity
@@ -1159,6 +1266,15 @@ def generate():
     templatesG = [gG.t_outer_chain, gG.t_full_outer_dim, gG.t_join_window,
                   gG.t_agg_join_agg]
     out += accept_loop(con, templatesG, N_G)
+    # block I (cases 179+): the round-13 correlated-subquery widening —
+    # correlated scalar aggregates in predicates, correlated IN, nested
+    # EXISTS chains, semi+anti conjunctions: the decorrelation rewrite
+    # family (round-12 verdict #5). Fresh RNG keeps A-H byte-stable.
+    gI = Gen(random.Random(SEED_I))
+    templatesI = [gI.t_corr_scalar_where, gI.t_corr_count_where,
+                  gI.t_corr_in, gI.t_nested_exists, gI.t_exists_not_exists,
+                  gI.t_corr_scalar_pair]
+    out += accept_loop(con, templatesI, N_I)
     # block H (dual-text cases): the round-12 nested/array/JSON widening —
     # see the DualGen block comment for the dialect-spelling design.
     gH = DualGen(random.Random(SEED_H))
@@ -1232,7 +1348,9 @@ def all_templates(g):
             g.t_range_frame, g.t_global_having,
             g.t_star_join, g.t_chain4, g.t_snowflake, g.t_join_semi_mix,
             g.t_outer_chain, g.t_full_outer_dim, g.t_join_window,
-            g.t_agg_join_agg]
+            g.t_agg_join_agg,
+            g.t_corr_scalar_where, g.t_corr_count_where, g.t_corr_in,
+            g.t_nested_exists, g.t_exists_not_exists, g.t_corr_scalar_pair]
 
 
 def multijoin_templates(g):
@@ -1249,6 +1367,13 @@ def blockg_templates(g):
     OUTER + dim, window-over-join, agg-over-join-over-agg."""
     return [g.t_outer_chain, g.t_full_outer_dim, g.t_join_window,
             g.t_agg_join_agg]
+
+
+def blocki_templates(g):
+    """Only the round-13 correlated-subquery templates — for a dedicated
+    block-I sweep (`--blocki`): the decorrelation rewrite family."""
+    return [g.t_corr_scalar_where, g.t_corr_count_where, g.t_corr_in,
+            g.t_nested_exists, g.t_exists_not_exists, g.t_corr_scalar_pair]
 
 
 # --- block H: DUAL-TEXT nested/array/JSON grammar (round-11 verdict #7) ---
@@ -1460,6 +1585,7 @@ def sweep(seed, n):
         g = Gen(random.Random(seed))
         tmpls = multijoin_templates(g) if "--multijoin" in sys.argv \
             else blockg_templates(g) if "--blockg" in sys.argv \
+            else blocki_templates(g) if "--blocki" in sys.argv \
             else all_templates(g)
         cases = [(sql, sql) for sql, _ in accept_loop(con, tmpls, n)]
     root = f"/tmp/graft_sqlsweep_{seed}"
