@@ -100,7 +100,11 @@ object StreamCostMain {
       ("rocksdb", rocks),
       ("rocksdb+changelog", rocksClog))
 
-    for ((label, confs) <- providers) {
+    // --preagg-only: run just the round-13 composition probe (the
+    // provider/variant sweeps are round-11/12 evidence, already in
+    // SCALE.md — no need to re-pay them to ask a structural question)
+    val preaggOnly = args.contains("--preagg-only")
+    for ((label, confs) <- providers if !preaggOnly) {
       var t3 = Double.MaxValue
       var t1 = Double.MaxValue
       var rows3 = 0L
@@ -126,7 +130,7 @@ object StreamCostMain {
     //     at all — no per-batch eviction scan; a deliberate, documented
     //     tighter-horizon variant (see its scaladoc), so row counts may
     //     differ from the eager contract and are printed alongside.
-    for (p <- 1 to passes) {
+    for (p <- 1 to passes if !preaggOnly) {
       val (w, nw) = run(s"scW_$p", Map("maxFilesPerTrigger" -> "2"), Map.empty)
       val (l3, nl3) = run(s"scL3_$p", Map("maxFilesPerTrigger" -> "1"),
         Map.empty, lazyTtl = true)
@@ -134,6 +138,73 @@ object StreamCostMain {
       println(f"[streamcost] variants pass $p: eager-2batch $w%.2f s ($nw rows), " +
         f"lazy-3batch $l3%.2f s ($nl3 rows), lazy-1batch $l1%.2f s ($nl1 rows)")
     }
+
+    // Round-13 (round-12 verdict #7): the state-store TOUCH-REDUCTION
+    // probe. The TTL study pinned `a` to per-group state GET/PUT for
+    // data-bearing groups; the remaining idea was PER-BATCH
+    // PRE-AGGREGATION — collapse a bucket's batch arrivals to one row
+    // (map-side combine) before the stateful op. Two findings to
+    // record, one structural and one already-true:
+    //   1. FMGWS already receives ALL of a bucket's batch arrivals as
+    //      ONE group call — state is touched once per (touched bucket,
+    //      batch) regardless of arrival count, so the only thing a
+    //      pre-agg could reduce is shuffled ROW COUNT, not state
+    //      touches.
+    //   2. The pre-agg itself is a streaming AGGREGATION, and Spark's
+    //      stateful-operator composition rules reject agg →
+    //      flatMapGroupsWithState in one query. We attempt it and print
+    //      the engine's verdict, so SCALE.md can record "structurally
+    //      unavailable" as a measured fact rather than an assumption.
+    {
+      def attempt(label: String)(mk: org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.DataFrame): Unit = {
+        val verdict =
+          try {
+            graft.streaming.StreamDrain.drain(spark, streamDir.toString,
+                batch.schema, s"scPre_$label", "append",
+                sourceOptions = Map("maxFilesPerTrigger" -> "1")) { src =>
+              val banded = graft.streaming.StreamingNearDup.banded(src,
+                  "doc_id", "text", k = 5, numHashes = 16, numBands = 4,
+                  carryCols = Seq("ts"))
+                .withWatermark("ts", "0 seconds")
+              mk(banded)
+            }.count()
+            s"RAN ($attemptedRowsNote)"
+          } catch {
+            case e: Throwable =>
+              s"REJECTED by the engine: ${e.getClass.getSimpleName}: " +
+                e.getMessage.linesIterator.take(2).mkString(" / ").take(300)
+          }
+        println(s"[streamcost] pre-agg probe [$label]: $verdict")
+      }
+      // form 1: plain per-bucket collapse — dies at the watermark check
+      // (the agg swallows the event-time column, so append mode has no
+      // completion signal for it)
+      attempt("plain-agg") { banded =>
+        val pre = banded.groupBy(col("band"), col("key"))
+          .agg(collect_list(col("doc_id")).as("ids"), max(col("ts")).as("ts"))
+        graft.streaming.StreamingNearDup.candidatePairsExpiring(spark,
+          pre.select(col("band"), col("key"),
+            explode(col("ids")).as("doc_id"), col("ts")),
+          java.time.Duration.ofSeconds(ttlSecs), maxBucket = 1 << 20).toDF()
+      }
+      // form 2: watermark-windowed collapse — keeps event time alive, so
+      // it reaches the REAL gate: Spark's stateful-operator composition
+      // rules for flatMapGroupsWithState after an aggregation
+      attempt("windowed-agg") { banded =>
+        val pre = banded
+          .groupBy(col("band"), col("key"),
+            window(col("ts"), s"$ttlSecs seconds"))
+          .agg(collect_list(col("doc_id")).as("ids"), max(col("ts")).as("mts"))
+        graft.streaming.StreamingNearDup.candidatePairsExpiring(spark,
+          pre.select(col("band"), col("key"),
+            explode(col("ids")).as("doc_id"), col("mts").as("ts")),
+          java.time.Duration.ofSeconds(ttlSecs), maxBucket = 1 << 20).toDF()
+      }
+    }
     spark.stop()
   }
+
+  private val attemptedRowsNote =
+    "unexpected — composition rules were expected to reject this"
 }

@@ -84,19 +84,74 @@ object AtomicStore {
     val key = target.toUri.toString
     if (held.get.contains(key)) body
     else {
-      acquire(fs, target, lock, lockRetries, leaseMs)
+      val nonce = acquire(fs, target, lock, lockRetries, leaseMs)
       held.get += key
       try body
-      finally { held.get -= key; fs.delete(lock, false) }
+      finally { held.get -= key; releaseOwned(fs, lock, nonce) }
+    }
+  }
+
+  /** Release a lock THIS acquisition created — never anyone else's
+    * (round-12 verdict #4). The old blind `fs.delete(lock)` had two
+    * corners: (a) if this holder overran its lease and was stolen, the
+    * delete killed the SUCCESSOR's live lock; (b) if a stealer had the
+    * lock parked aside mid-re-validation, the delete no-op'd and the
+    * put-back resurrected an ownerless lock that stalled acquirers for
+    * a full lease. Protocol — the same capture discipline as
+    * [[stealIfExpired]], pointed the other way:
+    *
+    *   1. atomically RENAME the lock to a releaser-unique name (only an
+    *      exclusively captured file is ever deleted);
+    *   2. read the captured content; if it carries OUR nonce → delete:
+    *      released. If it carries someone else's (we were stolen and a
+    *      successor acquired) → rename it straight back untouched (the
+    *      stealIfExpired put-back discipline, incl. dropping the aside
+    *      copy if the put-back loses the vacant-path race);
+    *   3. a VACANT path retries briefly: vacancy means either our lock
+    *      was stolen-and-deleted (nothing to release) or it is parked
+    *      aside inside a stealer's microsecond re-validation window —
+    *      the bounded retry outlasts that window, so the resurrected
+    *      lock IS reclaimed and the round-12 ownerless-lock stall can
+    *      no longer happen. After the retries, vacancy is the
+    *      stolen-and-gone case: the thief owns cleanup, no-op.
+    */
+  private def releaseOwned(fs: FileSystem, lock: Path, nonce: String): Unit = {
+    var attempt = 0
+    while (attempt < 6) {
+      val aside = new Path(lock.getParent,
+        s"${lock.getName}.rel-$nonce-$attempt")
+      val captured =
+        try fs.rename(lock, aside)
+        catch { case _: java.io.IOException => false }
+      if (captured) {
+        val mine =
+          try {
+            val in = fs.open(aside)
+            val buf = new Array[Byte](512)
+            val n = in.read(buf)
+            in.close()
+            new String(buf, 0, math.max(n, 0), "UTF-8")
+              .contains(s"nonce=$nonce")
+          } catch { case _: java.io.IOException => false }
+        if (mine) { fs.delete(aside, false); return }
+        val back =
+          try fs.rename(aside, lock)
+          catch { case _: java.io.IOException => false }
+        if (!back) fs.delete(aside, false)
+        return
+      }
+      Thread.sleep(2L * (attempt + 1))
+      attempt += 1
     }
   }
 
   private def acquire(fs: FileSystem, target: Path, lock: Path,
-                      retries: Int, leaseMs: Long): Unit = {
+                      retries: Int, leaseMs: Long): String = {
     if (target.getParent != null) fs.mkdirs(target.getParent)
     var attempt = 0
     while (true) {
-      if (tryCreate(fs, lock)) return
+      val nonce = newNonce()
+      if (tryCreate(fs, lock, nonce)) return nonce
       // Contention. Steal only an EXPIRED lease — judged by the lock
       // file's mtime, which exists even for a content-less lock left by
       // a pre-lease writer. A vanished lock (holder just released) is
@@ -105,7 +160,10 @@ object AtomicStore {
         try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime > leaseMs
         catch { case _: java.io.FileNotFoundException => true }
       if (expired) {
-        if (stealIfExpired(fs, lock, leaseMs) && tryCreate(fs, lock)) return
+        if (stealIfExpired(fs, lock, leaseMs)) {
+          val n2 = newNonce()
+          if (tryCreate(fs, lock, n2)) return n2
+        }
       }
       if (attempt >= retries)
         throw new java.io.IOException(
@@ -116,6 +174,7 @@ object AtomicStore {
       attempt += 1
       Thread.sleep(math.min(200L * attempt, 1000L))
     }
+    throw new IllegalStateException("unreachable: acquire loop exits via return/throw")
   }
 
   /** ATOMIC steal of an EXPIRED lock (closes the round-10-documented
@@ -130,18 +189,18 @@ object AtomicStore {
     * acquire in between would hand us a LIVE lock. Only a capture whose
     * mtime is STILL past the lease is a corpse and gets deleted; a live
     * capture is renamed straight back (the owner never noticed) and the
-    * steal reports failure — contention, not priority. If the put-back
-    * rename loses because a fresh acquirer took the vacant path inside
-    * that microsecond window, the orphaned aside copy is dropped and the
-    * fresh lock arbitrates. Dual corner (review find): if the live
-    * capture's OWNER releases while it is parked aside — its delete of
-    * the now-empty lock path silently no-ops — the put-back SUCCEEDS and
-    * resurrects an ownerless lock file; acquirers then back off until
-    * the lease expires on it (bounded liveness loss, never a safety
-    * loss — two writers still cannot both hold). Both corners are the
-    * residual window rename-only primitives cannot close — a store
-    * needing zero-window mutual exclusion wants a CAS lease service or
-    * a transaction-log table format, per the class doc.
+    * steal reports failure — contention, not priority. The residual
+    * window is now the put-back race ALONE: if the put-back rename
+    * loses because a fresh acquirer took the vacant path inside that
+    * microsecond window, the orphaned aside copy is dropped and the
+    * fresh lock arbitrates. (The former dual corner — an owner
+    * releasing while its live lock sat parked aside, leaving the
+    * put-back to resurrect an ownerless lock — is closed by
+    * [[releaseOwned]]'s nonce-verified capture-retry, round-12 verdict
+    * #4.) That last window is what rename-only primitives cannot
+    * close — a store needing zero-window mutual exclusion wants a CAS
+    * lease service or a transaction-log table format, per the class
+    * doc.
     *
     * Returns true iff a corpse was removed (the caller may then race
     * tryCreate); false = the lock is live, back off.
@@ -174,12 +233,19 @@ object AtomicStore {
     }
   }
 
+  /** Acquisition-unique owner nonce, embedded in the lock content so
+    * [[releaseOwned]] can read-verify before it deletes anything.
+    */
+  private def newNonce(): String =
+    s"${ProcessHandle.current().pid()}-${Thread.currentThread().getId}-" +
+      s"${System.nanoTime()}"
+
   /** Atomic create-if-absent of the lock file; true = acquired. Only an
     * already-exists outcome is contention — everything else propagates.
     */
-  private def tryCreate(fs: FileSystem, lock: Path): Boolean = {
+  private def tryCreate(fs: FileSystem, lock: Path, nonce: String): Boolean = {
     val content =
-      s"pid=${ProcessHandle.current().pid()} ts=${System.currentTimeMillis()}\n"
+      s"pid=${ProcessHandle.current().pid()} ts=${System.currentTimeMillis()} nonce=$nonce\n"
         .getBytes("UTF-8")
     fs match {
       case _: LocalFileSystem | _: RawLocalFileSystem =>

@@ -147,6 +147,54 @@ class AtomicStoreSpec extends SparkSpec {
     assert(!lockFile.exists())
   }
 
+  test("release reclaims a lock a stealer had parked aside mid-release " +
+      "(round-12 verdict #4: no ownerless resurrection)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rel_").toString
+    val target = dir + "/t"
+    val lockFile = new java.io.File(dir, "t.lock")
+    AtomicStore.withLock(spark, target) {
+      // simulate a stealer's re-validation window: the LIVE lock is
+      // parked aside when the owner's release begins, and put back a
+      // few ms later (well inside the release's bounded retry budget)
+      val aside = new java.io.File(dir, "t.lock.stolen-test")
+      assert(lockFile.renameTo(aside))
+      new Thread(() => {
+        Thread.sleep(5); aside.renameTo(lockFile); ()
+      }).start()
+      ()
+    }
+    // the release retried past the park window, recognized its own
+    // nonce in the resurrected lock, and deleted it — acquirers no
+    // longer stall a full lease on an ownerless lock
+    Thread.sleep(60)
+    assert(!lockFile.exists(),
+      "ownerless lock resurrected after release-while-parked")
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("t.lock")) == 0, "aside relic leaked")
+  }
+
+  test("release leaves a SUCCESSOR's lock untouched (nonce verify: the " +
+      "old blind delete would have killed it)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rel2_").toString
+    val target = dir + "/t"
+    val lockFile = new java.io.File(dir, "t.lock")
+    AtomicStore.withLock(spark, target) {
+      // simulate an overrun lease: our lock was stolen as a corpse and
+      // a successor acquired the path with its own nonce
+      assert(lockFile.delete())
+      java.nio.file.Files.write(lockFile.toPath,
+        "pid=999 ts=0 nonce=someone-else\n".getBytes("UTF-8"))
+      ()
+    }
+    assert(lockFile.exists(),
+      "the successor's live lock was deleted by the old holder's release")
+    assert(new String(java.nio.file.Files.readAllBytes(lockFile.toPath),
+      "UTF-8").contains("someone-else"), "successor lock content clobbered")
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("t.lock")) == 1, "aside relic leaked")
+    lockFile.delete()
+  }
+
   test("two CONCURRENT upserts: the loser waits on the lock and BOTH " +
       "batches land (round-9 verdict #4)") {
     val root = java.nio.file.Files.createTempDirectory("graft_cc_").toString

@@ -538,6 +538,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.head.getAs[Long]("n_matched") == 3L)
   }
 
+  test("the LM model join is HINT-FREE and flips broadcast -> shuffle with " +
+    "the threshold (round-12 verdict #3: the designed 100 TB guard, " +
+    "demonstrated rather than asserted)") {
+    val docs = (1 to 60).map(i =>
+      (i.toLong, s"w${i % 7} w${(i + 1) % 7} w${(i + 2) % 7} w${i % 5}"))
+      .toDF("doc_id", "text")
+    val model = TextAnalysis.bigramCeModel(docs, "text")
+    def planOf(): String = {
+      val df = TextAnalysis.bigramCeScore(docs, model, "doc_id", "text")
+      df.collect() // materialize so AQE's final plan is decided
+      val p = df.queryExecution.executedPlan.toString
+      graft.operators.OpCache.clear()
+      p
+    }
+    // default threshold: the vocabulary-sized model broadcasts
+    assert(planOf().contains("BroadcastHashJoin"),
+      "small LM model should broadcast under the default threshold")
+    // forced-low threshold = the stand-in for a bigram table that
+    // outgrew the executors at corpus scale: the SAME hint-free plan
+    // must flip to a shuffle join, not OOM on a forced broadcast
+    val k1 = "spark.sql.autoBroadcastJoinThreshold"
+    val k2 = "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    val old1 = spark.conf.get(k1)
+    try {
+      spark.conf.set(k1, "-1")
+      spark.conf.set(k2, "-1")
+      val p = planOf()
+      assert(!p.contains("BroadcastHashJoin"),
+        s"model join did not flip off broadcast:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected a shuffle join after the flip:\n$p")
+    } finally {
+      spark.conf.set(k1, old1)
+      spark.conf.unset(k2)
+    }
+  }
+
   test("inRowTf equals the exploded groupBy count on adversarial arrays " +
     "(round-12 verdict #1 flattening)") {
     // empty text, single token, all-same, all-distinct, interleaved

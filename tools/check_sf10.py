@@ -1,0 +1,177 @@
+#!/usr/bin/env python3
+"""sf10 correctness gate (round-12 verdict #2): hash-verify the heaviest
+query families against DuckDB on the repo-generated sf10 corpus
+(60 M lineitem / 500 k documents / 200 k embeddings — the second
+generated decade).
+
+Rationale: each decade step so far caught a REAL cross-engine divergence
+class invisible below it (DECIMAL→DOUBLE double-rounding ×2 and round()
+HALF_UP at the sf1 step), so the sf10 data that tools/scaling.py already
+times over should also carry hash evidence. The family list is the
+DIRECT tier only — oracle SQL runs verbatim in DuckDB:
+
+  - the CLOSURE families' union-find replacement would work at sf10, but
+    their DuckDB pair CTEs (banded minhash over 500 k docs) dominate the
+    gate's budget for no new arithmetic surface — the closure suffix is
+    decade-invariant integer work, already pinned at sf1;
+  - the NUMPY families' exact pair-rescoring replicates a 64-way
+    exploded self-join driver-side; at sf10 that is ~1.25e9 scored pairs
+    — out of single-process budget, and again the arithmetic was pinned
+    exactly at sf1.
+
+The 33 families below are chosen for NEW-decade risk: every operator
+whose sums/rounding/hashing touches corpus-scale numerics (the DECIMAL
+routing, LM filters incl. the round-13 in-row tf forms, DSIR, dedup
+banding, window suites, skew/salting, quantiles).
+
+Usage: python3 tools/check_sf10.py [sfDir] [--skip-verify]
+  sfDir default /root/repo/testdata/sf10 (regenerate if absent:
+  sbt "runMain graft.GenData /root/repo/testdata/sf10 100").
+Writes CORRECTNESS_sf10.json in the repo root. Recommended env for the
+Verify leg: SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=48g.
+"""
+import json, os, subprocess, sys
+
+SF = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("-") \
+    else "/root/repo/testdata/sf10"
+OUT = "/tmp/graft_verify_sf10"
+TOOLS = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(TOOLS)
+
+DIRECT = [
+    # decimal-routed aggregate arithmetic over the 60 M-row fact table
+    "q1_pricing_summary", "q9_product_type_profit", "q18_large_volume",
+    "q_skew_salted_sum", "q_skew_join_aqe", "q_zscore_group",
+    "q_percentiles", "q_histogram_equidepth", "q_correlation",
+    "q_robust_scale",
+    # LM-filter / DSIR path — incl. every round-13 in-row tf rewrite and
+    # the shared-oracle stored/threshold equalities
+    "q_text_unigram_ce", "q_text_bigram_ce", "q_text_bigram_ce_stored",
+    "q_text_nb_logodds", "q_text_nb_stored", "q_text_tfidf",
+    "q_text_dsir", "q_text_dsir_incremental", "q_stream_dsir",
+    "q_pipeline_training_mix", "q_pipeline_training_mix_threshold",
+    "q_text_divergence",
+    # dedup banding / hashing over 500 k documents
+    # (q_dedup_simhash_pairs runs in the STAGED tier below, not here)
+    "q_dedup_exact", "q_dedup_minhash_lsh",
+    "q_dedup_spans", "q_dedup_index_build",
+    # embedding numerics over 200 k vectors
+    "q_sim_cosine_topk", "q_sim_covariance", "q_sim_ivf_topk",
+    # window machinery over the scaled fact tables
+    "q_w1_latest_per_key", "q_w3_window_suite", "q_w2_lag_cumsum",
+]
+
+# STAGED tier (sf10 finding, round 13): q_dedup_simhash_pairs's oracle is
+# ONE statement whose banding self-join references the simhash CTE twice;
+# DuckDB (1.0) inlines the reference, so the whole tokens×64 bit pipeline
+# (1.76e9 rows at sf10) runs TWICE concurrently into a 169M-pair DISTINCT
+# — out of memory even at a 60 GB limit with spill enabled. The query is
+# also OUTPUT-BOUND at this fixture (the 30-word vocabulary saturates
+# simhashes: 169,325,322 pairs at hamming<=8), so the pandas value-compare
+# would be the next wall. Staged evaluation fixes both without touching
+# semantics: the sim CTE is materialized once as a temp table (the oracle
+# text SPLIT at the sim boundary, both halves verbatim — the sf1 gate's
+# CLOSURE/NUMPY exact-replacement discipline), and the compare is multiset
+# equality via EXCEPT ALL inside DuckDB (spillable), which is exactly what
+# the hash compare checks.
+STAGED = ["q_dedup_simhash_pairs"]
+STAGED_SIM = """
+    WITH toks AS (SELECT doc_id,
+                         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+                  FROM documents),
+         js AS (SELECT unnest(generate_series(0, 63)) AS j),
+         bits AS (SELECT doc_id, j,
+                         ((strpos('0123456789abcdef', substring(md5(tok), 1 + (j // 4), 1)) - 1)
+                          >> (3 - (j % 4))) % 2 AS bit
+                  FROM toks CROSS JOIN js),
+         bal AS (SELECT doc_id, j, SUM(bit * 2 - 1) AS bal FROM bits GROUP BY 1, 2),
+         sb AS (SELECT doc_id, j, CASE WHEN bal >= 0 THEN '1' ELSE '0' END AS b FROM bal)
+    SELECT doc_id, string_agg(b, '' ORDER BY j) AS simhash FROM sb GROUP BY doc_id"""
+STAGED_PAIRS = """
+    WITH ch AS (SELECT doc_id, simhash, c AS band,
+                       substring(simhash, c * 16 + 1, 16) AS key
+                FROM sim CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c)),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                         a.simhash AS sim_a, b.simhash AS sim_b
+                  FROM ch a JOIN ch b ON a.band = b.band AND a.key = b.key
+                                     AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, CAST(hamming(sim_a, sim_b) AS INTEGER) AS hamming
+    FROM cand WHERE hamming(sim_a, sim_b) <= 8"""
+
+
+def staged_compare(name):
+    import duckdb
+    con = duckdb.connect()
+    con.execute("SET threads=16")
+    con.execute("SET memory_limit='60GB'")
+    con.execute("SET temp_directory='/tmp/duck_spill'")
+    con.execute("SET preserve_insertion_order=false")
+    src = f"{SF}/documents.parquet"
+    if os.path.isdir(src):
+        src += "/*.parquet"
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{src}'")
+    con.execute("CREATE TEMP TABLE sim AS " + STAGED_SIM)
+    con.execute("CREATE TEMP TABLE exp AS " + STAGED_PAIRS)
+    con.execute(
+        f"CREATE VIEW got AS SELECT * FROM '{OUT}/{name}/*.parquet'")
+    n_exp = con.execute("SELECT COUNT(*) FROM exp").fetchone()[0]
+    n_got = con.execute("SELECT COUNT(*) FROM got").fetchone()[0]
+    d1 = con.execute("SELECT COUNT(*) FROM (SELECT id_a, id_b, hamming FROM exp "
+                     "EXCEPT ALL SELECT id_a, id_b, hamming FROM got)").fetchone()[0]
+    d2 = con.execute("SELECT COUNT(*) FROM (SELECT id_a, id_b, hamming FROM got "
+                     "EXCEPT ALL SELECT id_a, id_b, hamming FROM exp)").fetchone()[0]
+    ok = n_exp == n_got and d1 == 0 and d2 == 0
+    detail = {"status": "pass" if ok else "fail", "rows": int(n_exp),
+              "compare": "staged-multiset (EXCEPT ALL both directions)",
+              "exp_rows": int(n_exp), "got_rows": int(n_got),
+              "exp_minus_got": int(d1), "got_minus_exp": int(d2)}
+    print(("PASS" if ok else "FAIL") + f" {name} ({n_exp} rows, staged)",
+          flush=True)
+    con.close()
+    return detail
+
+
+if "--skip-verify" not in sys.argv:
+    env = dict(os.environ,
+               SPARK_GRAFT_ONLY=",".join(sorted(DIRECT + STAGED)))
+    env.setdefault("SPARK_GRAFT_CPUS", "32")
+    env.setdefault("SPARK_DRIVER_MEM", "48g")
+    r = subprocess.run(
+        ["sbt", "-batch", f"runMain graft.Verify {SF} {OUT}"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=14400)
+    sys.stdout.write(r.stdout[-3000:])
+    if r.returncode != 0:
+        sys.stderr.write(r.stderr[-3000:])
+        sys.exit("verify run failed")
+
+names_path = "/tmp/sf10_direct.txt"
+open(names_path, "w").write("\n".join(DIRECT) + "\n")
+report = "/tmp/sf10_direct_report.json"
+p = subprocess.run(
+    [sys.executable, os.path.join(TOOLS, "sf1_direct_compare.py"),
+     SF, OUT, names_path, report, "16"], cwd=REPO)
+if p.returncode != 0:
+    sys.exit("sf1_direct_compare.py failed at sf10")
+
+d = json.load(open(report))
+merged = d["queries"]
+for name in STAGED:
+    merged[name] = staged_compare(name)
+failed = sorted(n for n, r in merged.items() if r.get("status") != "pass")
+out = {
+    "sf_dir": SF,
+    "note": ("sf10 correctness gate: the DIRECT tier of the heaviest "
+             "families hashed vs DuckDB on the repo-generated sf10 corpus "
+             "(60M lineitem / 500k documents / 200k embeddings). Columns "
+             "sorted by name, exact value equality. Closure/numpy "
+             "replacement tiers are pinned at sf1 (see the docstring for "
+             "why their sf10 re-run adds budget, not surface)."),
+    "compared": len(merged),
+    "passed": len(merged) - len(failed),
+    "failed": failed,
+    "queries": {n: merged[n] for n in sorted(merged)},
+}
+dest = os.path.join(REPO, "CORRECTNESS_sf10.json")
+json.dump(out, open(dest, "w"), indent=1)
+print(f"{out['passed']}/{out['compared']} pass -> {dest}")
+sys.exit(1 if failed else 0)
