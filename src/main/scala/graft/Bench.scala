@@ -181,8 +181,16 @@ object Bench {
 
     // warm pass (not reported): parquet footers, OS page cache, codegen
     // compilation and JIT all land outside the measured pass — the
-    // reported numbers are steady-state plan execution
-    Tables.all.foreach(n => Tables.load(spark, sfDir, n).count())
+    // reported numbers are steady-state plan execution. Per-table try:
+    // purpose-built fixture dirs (e.g. the zipf LM corpus) ship a table
+    // SUBSET — an absent table only matters if a selected query reads
+    // it, and that query fails loudly on its own
+    Tables.all.foreach { n =>
+      try Tables.load(spark, sfDir, n).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warm skip $n: ${e.getMessage.take(120)}")
+      }
+    }
     // optional comma-separated filter for local iteration on a few
     // queries (SPARK_GRAFT_ONLY=q_a,q_b); driver leaves it unset
     val only = sys.env.get("SPARK_GRAFT_ONLY")

@@ -1221,6 +1221,16 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // hot-bucket df-cap on the simhash banding (round-13, from the sf10
+    // gate's 169M-pair find): buckets with more than 12 members leave
+    // the candidate universe before the self-join — the maxShingleDf
+    // guard applied to simhash; pairs exact over the capped universe
+    "q_dedup_simhash_capped" -> ((s, dir) => {
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+          maxHamming = 8, maxBucketDf = Some(12L))
+        .orderBy("id_a", "id_b")
+    }),
+
     // MinHash (16 hashes) + LSH (4 bands) candidates, exact-Jaccard ≥0.5
     "q_dedup_minhash_lsh" -> ((s, dir) => {
       Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -3456,8 +3466,14 @@ object SparkEntry {
   /** Shared candidate CTE for the simhash-pair oracles (RECURSIVE is
     * harmless when unused and required by the clusters oracle).
     */
-  private val SimhashCandCte: String =
-    """WITH RECURSIVE toks AS (SELECT doc_id,
+  /** The simhash banding candidate CTE chain, optionally with the
+    * hot-bucket df-cap mirrored (buckets with more than `cap` members
+    * leave the universe before the self-join — the Spark side's
+    * `maxBucketDf` guard, round-13).
+    */
+  private def simhashCandCte(cap: Option[Long]): String = {
+    val base =
+      """WITH RECURSIVE toks AS (SELECT doc_id,
                               unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
                        FROM documents),
               js AS (SELECT unnest(generate_series(0, 63)) AS j),
@@ -3471,11 +3487,25 @@ object SparkEntry {
                       FROM sb GROUP BY doc_id),
               ch AS (SELECT doc_id, simhash, c AS band,
                             substring(simhash, c * 16 + 1, 16) AS key
-                     FROM sim CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c)),
+                     FROM sim CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c))"""
+    val (capCtes, src) = cap match {
+      case Some(c) => (
+        s""",
+              hot AS (SELECT band, key FROM ch GROUP BY band, key HAVING COUNT(*) > $c),
+              chc AS (SELECT ch.doc_id, ch.simhash, ch.band, ch.key
+                      FROM ch LEFT JOIN hot ON ch.band = hot.band AND ch.key = hot.key
+                      WHERE hot.band IS NULL)""", "chc")
+      case None => ("", "ch")
+    }
+    base + capCtes +
+      s""",
               cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                               a.simhash AS sim_a, b.simhash AS sim_b
-                       FROM ch a JOIN ch b ON a.band = b.band AND a.key = b.key
+                       FROM $src a JOIN $src b ON a.band = b.band AND a.key = b.key
                                           AND a.doc_id < b.doc_id)"""
+  }
+
+  private val SimhashCandCte: String = simhashCandCte(None)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -4360,6 +4390,12 @@ object SparkEntry {
 
     "q_dedup_simhash_pairs" ->
       s"""$SimhashCandCte
+         SELECT id_a, id_b, CAST(hamming(sim_a, sim_b) AS INTEGER) AS hamming
+         FROM cand WHERE hamming(sim_a, sim_b) <= 8
+         ORDER BY id_a, id_b""",
+
+    "q_dedup_simhash_capped" ->
+      s"""${simhashCandCte(Some(12L))}
          SELECT id_a, id_b, CAST(hamming(sim_a, sim_b) AS INTEGER) AS hamming
          FROM cand WHERE hamming(sim_a, sim_b) <= 8
          ORDER BY id_a, id_b""",

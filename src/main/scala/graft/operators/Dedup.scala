@@ -213,18 +213,35 @@ object Dedup {
     * candidate join.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int): DataFrame = {
+                   maxHamming: Int,
+                   maxBucketDf: Option[Long] = None): DataFrame = {
     // carry the 4 chunks as integers: per-pair Hamming is then
     // Σ bit_count(a⊕b) — pure codegen'd arithmetic, no per-bit lambda
     val chunkCols = (0 until 4).map(c =>
       expr(s"cast(conv(substring(simhash, ${c * 16 + 1}, 16), 2, 10) AS long)").as(s"ck_$c"))
     val sh = TextAnalysis.withSimhash(df, idCol, textCol)
       .select(col(idCol) +: col("simhash") +: chunkCols: _*)
-    val chunks = sh.select(col(idCol) +: (0 until 4).map(c => col(s"ck_$c")) :+
+    val chunksAll = sh.select(col(idCol) +: (0 until 4).map(c => col(s"ck_$c")) :+
         explode(array((0 until 4).map(c =>
           struct(lit(c).as("band"), col(s"ck_$c").as("key"))): _*)).as("bk"): _*)
       .select(col(idCol) +: (0 until 4).map(c => col(s"ck_$c")) :+
               col("bk.band").as("band") :+ col("bk.key").as("key"): _*)
+    // HOT-BUCKET df-cap (round-13, from the sf10 gate's find: a
+    // saturated vocabulary collided simhashes into 169M pairs at 500k
+    // docs) — the [[jaccardPairsFromText]] maxShingleDf guard applied
+    // to the banding join: buckets with more than `maxBucketDf` members
+    // leave the candidate universe BEFORE the self-join, bounding pair
+    // output at ~cap²/2 per bucket; surviving pairs are exact over the
+    // capped universe. The hot set is the anti side (count of
+    // over-cap buckets, typically tiny), joined hint-free so AQE
+    // broadcasts it when small and shuffle-joins when a pathological
+    // corpus makes it big.
+    val chunks = maxBucketDf.fold(chunksAll) { cap =>
+      val hot = chunksAll.groupBy(col("band"), col("key"))
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
+        .select("band", "key")
+      chunksAll.join(hot, Seq("band", "key"), "left_anti")
+    }
     val aCols = Seq(col("band"), col("key"), col(idCol).as("id_a")) ++
       (0 until 4).map(c => col(s"ck_$c").as(s"a_$c"))
     val bCols = Seq(col("band"), col("key"), col(idCol).as("id_b")) ++

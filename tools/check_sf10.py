@@ -74,7 +74,8 @@ DIRECT = [
 # CLOSURE/NUMPY exact-replacement discipline), and the compare is multiset
 # equality via EXCEPT ALL inside DuckDB (spillable), which is exactly what
 # the hash compare checks.
-STAGED = ["q_dedup_simhash_pairs"]
+STAGED = ["q_dedup_simhash_pairs", "q_dedup_simhash_capped"]
+STAGED_CAP = {"q_dedup_simhash_capped": 12}
 STAGED_SIM = """
     WITH toks AS (SELECT doc_id,
                          unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
@@ -87,14 +88,26 @@ STAGED_SIM = """
          bal AS (SELECT doc_id, j, SUM(bit * 2 - 1) AS bal FROM bits GROUP BY 1, 2),
          sb AS (SELECT doc_id, j, CASE WHEN bal >= 0 THEN '1' ELSE '0' END AS b FROM bal)
     SELECT doc_id, string_agg(b, '' ORDER BY j) AS simhash FROM sb GROUP BY doc_id"""
-STAGED_PAIRS = """
+def staged_pairs_sql(cap):
+    """The pair half of the oracle, verbatim from the `sim` boundary on;
+    with `cap` set, the hot-bucket df-cap CTEs are mirrored (round-13
+    q_dedup_simhash_capped)."""
+    hot = (""",
+         hot AS (SELECT band, key FROM ch GROUP BY band, key
+                 HAVING COUNT(*) > %d),
+         chc AS (SELECT ch.doc_id, ch.simhash, ch.band, ch.key
+                 FROM ch LEFT JOIN hot ON ch.band = hot.band
+                                      AND ch.key = hot.key
+                 WHERE hot.band IS NULL)""" % cap) if cap else ""
+    src = "chc" if cap else "ch"
+    return f"""
     WITH ch AS (SELECT doc_id, simhash, c AS band,
                        substring(simhash, c * 16 + 1, 16) AS key
-                FROM sim CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c)),
+                FROM sim CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c)){hot},
          cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                          a.simhash AS sim_a, b.simhash AS sim_b
-                  FROM ch a JOIN ch b ON a.band = b.band AND a.key = b.key
-                                     AND a.doc_id < b.doc_id)
+                  FROM {src} a JOIN {src} b ON a.band = b.band AND a.key = b.key
+                                           AND a.doc_id < b.doc_id)
     SELECT id_a, id_b, CAST(hamming(sim_a, sim_b) AS INTEGER) AS hamming
     FROM cand WHERE hamming(sim_a, sim_b) <= 8"""
 
@@ -111,7 +124,8 @@ def staged_compare(name):
         src += "/*.parquet"
     con.execute(f"CREATE VIEW documents AS SELECT * FROM '{src}'")
     con.execute("CREATE TEMP TABLE sim AS " + STAGED_SIM)
-    con.execute("CREATE TEMP TABLE exp AS " + STAGED_PAIRS)
+    con.execute("CREATE TEMP TABLE exp AS "
+                + staged_pairs_sql(STAGED_CAP.get(name)))
     con.execute(
         f"CREATE VIEW got AS SELECT * FROM '{OUT}/{name}/*.parquet'")
     n_exp = con.execute("SELECT COUNT(*) FROM exp").fetchone()[0]
