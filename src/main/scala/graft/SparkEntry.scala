@@ -1908,6 +1908,45 @@ object SparkEntry {
       Analytics.kmvDistinctEstimate(t(s, dir, "lineitem"), "l_partkey", k = 64)
     }),
 
+    // A15 — mergeable relative-error quantile sketch (the decimal
+    // DDSketch; see QuantileSketch scaladoc): the 100 TB swap for exact
+    // per-group percentiles — one partial-aggregable bucket-count pass,
+    // answers within 5 % relative error, state mergeable by key-sum.
+    // Unlike approx_percentile the whole sketch is engine-portable
+    // arithmetic, so the oracle recomputes it and must hash-match.
+    "q_quantile_sketch" -> ((s, dir) => {
+      QuantileSketch.groupQuantiles(t(s, dir, "orders"), "o_totalprice",
+          Seq("o_orderpriority"), Seq(0.5, 0.9, 0.99))
+        .orderBy("o_orderpriority", "q")
+    }),
+
+    // the stored/mergeable face: three ingestion batches sketched
+    // independently, folded by bucket-count sum, quantiles read off the
+    // merged state — must equal the one-shot sketch over full history
+    // (oracle text shared VERBATIM with q_quantile_sketch, so the
+    // equality IS the check — the IncrementalAgg discipline)
+    "q_quantile_sketch_merged" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val parts = (0 to 2).map { i =>
+        QuantileSketch.build(o.filter(pmod(col("o_orderkey"), lit(3)) === i),
+          "o_totalprice", Seq("o_orderpriority"))
+      }
+      val merged = parts.reduce(
+        QuantileSketch.merge(_, _, Seq("o_orderpriority")))
+      QuantileSketch.quantiles(merged, Seq("o_orderpriority"),
+          Seq(0.5, 0.9, 0.99))
+        .orderBy("o_orderpriority", "q")
+    }),
+
+    // sign path in the gate, not just the spec: c_acctbal spans
+    // negatives, so the s·lo bucket ordering across the sign change and
+    // the negative-midpoint arithmetic are oracle-checked on real data
+    "q_quantile_sketch_signed" -> ((s, dir) => {
+      QuantileSketch.groupQuantiles(t(s, dir, "customer"), "c_acctbal",
+          Seq("c_mktsegment"), Seq(0.1, 0.5, 0.9))
+        .orderBy("c_mktsegment", "q")
+    }),
+
     // incremental materialized-view maintenance: three ingestion batches
     // folded into a mergeable per-key state (n/sum/min/max + KMV
     // distinct sketch) — the finalized store must equal a one-shot
@@ -2913,6 +2952,49 @@ object SparkEntry {
     * VARCHAR hop pins DuckDB's DECIMAL(38,18)→DOUBLE double-rounding
     * divergence (see `Similarity.covarianceSums` scaladoc).
     */
+  /** Oracle for the decimal-DDSketch quantile family: recomputes the
+    * ENTIRE sketch in DuckDB from the same integer/string arithmetic —
+    * VARCHAR-hop micros → (s,e,d) buckets → RPAD powers of ten → window
+    * cumsum pick → one exact-integer midpoint division. A genuinely
+    * cross-checked approximate quantile, which an engine-private
+    * `approx_percentile` buffer can never be.
+    * `q_quantile_sketch_merged` shares the orders text VERBATIM: the
+    * three-batch merged sketch must reproduce the one-shot sketch
+    * EXACTLY (bucket counts sum by key) — the equality IS the check.
+    */
+  private def quantileSketchOracle(table: String, valueCol: String,
+      groupCol: String, fractions: Seq[Double]): String = {
+    val fs = fractions.map(f => s"($f)").mkString(", ")
+    s"""WITH vals AS (SELECT $groupCol AS g,
+               CAST(CAST(CAST(CAST($valueCol AS DOUBLE) AS VARCHAR) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS m
+             FROM $table
+             WHERE $valueCol IS NOT NULL AND isfinite(CAST($valueCol AS DOUBLE))),
+       b AS (SELECT g,
+               CASE WHEN m > 0 THEN 1 WHEN m < 0 THEN -1 ELSE 0 END AS s,
+               CASE WHEN m = 0 THEN 0 ELSE LENGTH(CAST(ABS(m) AS VARCHAR)) - 1 END AS e,
+               CASE WHEN m = 0 THEN 0 ELSE CAST(SUBSTRING(CAST(ABS(m) AS VARCHAR), 1, 2) AS INT) END AS d
+             FROM vals),
+       sk AS (SELECT g, s, e, d,
+               CASE WHEN s = 0 THEN CAST(0 AS BIGINT) ELSE CAST(RPAD(CAST(d AS VARCHAR), CAST(e + 1 AS INT), '0') AS BIGINT) END AS lo,
+               CASE WHEN s = 0 THEN CAST(0 AS BIGINT) ELSE CAST(RPAD('1', CAST(GREATEST(e, 1) AS INT), '0') AS BIGINT) END AS w,
+               COUNT(*) AS cnt
+             FROM b GROUP BY 1, 2, 3, 4, 5, 6),
+       fr AS (SELECT CAST(f AS DOUBLE) AS q FROM (VALUES $fs) t(f)),
+       c AS (SELECT g, q, s, lo, w,
+               CAST(SUM(cnt) OVER (PARTITION BY g, q ORDER BY s * lo
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+               CAST(SUM(cnt) OVER (PARTITION BY g, q) AS BIGINT) AS n_rows
+             FROM sk CROSS JOIN fr),
+       p AS (SELECT g, q, s, lo, w, n_rows,
+               ROW_NUMBER() OVER (PARTITION BY g, q ORDER BY s * lo) AS rn
+             FROM c WHERE cum >= CEIL(q * CAST(n_rows AS DOUBLE)))
+       SELECT g AS $groupCol, q,
+              CAST(s * (2 * lo + w) AS DOUBLE) / 2000000.0 AS est,
+              n_rows
+       FROM p WHERE rn = 1
+       ORDER BY $groupCol, q"""
+  }
+
   private val CovarianceOracle =
     """WITH ser AS (SELECT unnest(generate_series(1, 64)) AS i),
             e AS (SELECT vec_id, i, CAST(CAST(CAST(embedding[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9)) AS x
@@ -5525,6 +5607,18 @@ object SparkEntry {
          SELECT k, round(CAST(k - 1 AS DOUBLE) / vk, 6) AS est_distinct,
                 (SELECT COUNT(DISTINCT l_partkey) FROM lineitem) AS true_distinct
          FROM e""",
+
+    // the decimal-DDSketch quantile family — the merged face shares the
+    // one-shot text VERBATIM (exact mergeability IS the check)
+    "q_quantile_sketch" ->
+      quantileSketchOracle("orders", "o_totalprice", "o_orderpriority",
+        Seq(0.5, 0.9, 0.99)),
+    "q_quantile_sketch_merged" ->
+      quantileSketchOracle("orders", "o_totalprice", "o_orderpriority",
+        Seq(0.5, 0.9, 0.99)),
+    "q_quantile_sketch_signed" ->
+      quantileSketchOracle("customer", "c_acctbal", "c_mktsegment",
+        Seq(0.1, 0.5, 0.9)),
 
     // one-shot aggregate over FULL history == the incrementally merged
     // store (mergeable-state algebra; KMV union is exactly mergeable)

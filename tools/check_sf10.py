@@ -43,6 +43,8 @@ DIRECT = [
     "q1_pricing_summary", "q9_product_type_profit", "q18_large_volume",
     "q_skew_salted_sum", "q_skew_join_aqe", "q_zscore_group",
     "q_percentiles", "q_histogram_equidepth", "q_correlation",
+    "q_quantile_sketch", "q_quantile_sketch_merged",
+    "q_quantile_sketch_signed",
     "q_robust_scale",
     # LM-filter / DSIR path — incl. every round-13 in-row tf rewrite and
     # the shared-oracle stored/threshold equalities
