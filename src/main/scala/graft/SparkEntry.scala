@@ -1085,6 +1085,21 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    // the 100 TB drift form: same PSI report, bin edges from the
+    // mergeable quantile sketch instead of an exact percentile sort
+    // over the reference — and still hash-checked, because the sketch
+    // is engine-portable arithmetic (see Analytics.numericDriftSketch)
+    "q_drift_numeric_sketch" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      Analytics.numericDriftSketch(
+          ord.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+            .select(col("o_totalprice")),
+          ord.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+            .select((col("o_totalprice") + 20000.0d).as("o_totalprice")),
+          "o_totalprice", nBins = 8)
+        .orderBy("bin")
+    }),
+
     // the STREAMING dual of q_drift_report (one oracle text, two
     // execution models — the house pattern): a complete-mode
     // groupBy(lang).count() stream maintains the current snapshot's
@@ -4239,6 +4254,60 @@ object SparkEntry {
                              quantile_cont(v, [0.125, 0.25, 0.375, 0.5,
                                                0.625, 0.75, 0.875]),
                              x -> round(x, 6)) AS edges FROM ref),
+              rb AS (SELECT CAST(len(list_filter(e.edges, x -> rf.v > x)) AS INTEGER) AS bin
+                     FROM ref rf, e),
+              cb AS (SELECT CAST(len(list_filter(e.edges, x -> cu.v > x)) AS INTEGER) AS bin
+                     FROM cur cu, e),
+              rc AS (SELECT bin, COUNT(*) AS n FROM rb GROUP BY 1),
+              cc AS (SELECT bin, COUNT(*) AS n FROM cb GROUP BY 1),
+              rt AS (SELECT SUM(n) AS t FROM rc),
+              ct AS (SELECT SUM(n) AS t FROM cc),
+              j AS (SELECT COALESCE(rc.bin, cc.bin) AS bin,
+                           COALESCE(rc.n, 0) AS ref_cnt,
+                           COALESCE(cc.n, 0) AS cur_cnt,
+                           COALESCE(CAST(rc.n AS DOUBLE) / rt.t, 0) AS p,
+                           COALESCE(CAST(cc.n AS DOUBLE) / ct.t, 0) AS q,
+                           GREATEST(COALESCE(CAST(rc.n AS DOUBLE) / rt.t, 0), 1e-6) AS ps,
+                           GREATEST(COALESCE(CAST(cc.n AS DOUBLE) / ct.t, 0), 1e-6) AS qs
+                    FROM rc FULL OUTER JOIN cc ON rc.bin = cc.bin, rt, ct)
+         SELECT bin, ref_cnt, cur_cnt,
+                round(p, 6) AS ref_frac, round(q, 6) AS cur_frac,
+                round(qs - ps, 6) AS frac_diff,
+                round((qs - ps) * ln(qs / ps), 6) AS psi_term
+         FROM j ORDER BY bin""",
+
+    // same PSI arithmetic as q_drift_numeric, but the edge CTEs
+    // recompute the decimal-DDSketch (quantileSketchOracle's text,
+    // ungrouped) instead of quantile_cont — the sketch edges are
+    // engine-portable, so even the APPROXIMATE drift path hash-checks
+    "q_drift_numeric_sketch" ->
+      """WITH ref AS (SELECT o_totalprice AS v FROM orders WHERE o_orderkey % 2 = 0),
+              cur AS (SELECT o_totalprice + 20000.0 AS v FROM orders
+                      WHERE o_orderkey % 2 = 1),
+              vals AS (SELECT CAST(CAST(CAST(CAST(v AS DOUBLE) AS VARCHAR) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS m
+                       FROM ref WHERE v IS NOT NULL AND isfinite(CAST(v AS DOUBLE))),
+              bk AS (SELECT CASE WHEN m > 0 THEN 1 WHEN m < 0 THEN -1 ELSE 0 END AS s,
+                            CASE WHEN m = 0 THEN 0 ELSE LENGTH(CAST(ABS(m) AS VARCHAR)) - 1 END AS e,
+                            CASE WHEN m = 0 THEN 0 ELSE CAST(SUBSTRING(CAST(ABS(m) AS VARCHAR), 1, 2) AS INT) END AS d
+                     FROM vals),
+              sk AS (SELECT s, e, d,
+                            CASE WHEN s = 0 THEN CAST(0 AS BIGINT) ELSE CAST(RPAD(CAST(d AS VARCHAR), CAST(e + 1 AS INT), '0') AS BIGINT) END AS lo,
+                            CASE WHEN s = 0 THEN CAST(0 AS BIGINT) ELSE CAST(RPAD('1', CAST(GREATEST(e, 1) AS INT), '0') AS BIGINT) END AS w,
+                            COUNT(*) AS cnt
+                     FROM bk GROUP BY 1, 2, 3, 4, 5),
+              fr AS (SELECT CAST(f AS DOUBLE) AS q FROM (VALUES (0.125), (0.25), (0.375),
+                       (0.5), (0.625), (0.75), (0.875)) t(f)),
+              cw AS (SELECT q, s, lo, w,
+                            CAST(SUM(cnt) OVER (PARTITION BY q ORDER BY s * lo
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+                            CAST(SUM(cnt) OVER (PARTITION BY q) AS BIGINT) AS n_rows
+                     FROM sk CROSS JOIN fr),
+              pk AS (SELECT q, s, lo, w, n_rows,
+                            ROW_NUMBER() OVER (PARTITION BY q ORDER BY s * lo) AS rn
+                     FROM cw WHERE cum >= CEIL(q * CAST(n_rows AS DOUBLE))),
+              est AS (SELECT q, CAST(s * (2 * lo + w) AS DOUBLE) / 2000000.0 AS est
+                      FROM pk WHERE rn = 1),
+              e AS (SELECT list_sort(list(est)) AS edges FROM est),
               rb AS (SELECT CAST(len(list_filter(e.edges, x -> rf.v > x)) AS INTEGER) AS bin
                      FROM ref rf, e),
               cb AS (SELECT CAST(len(list_filter(e.edges, x -> cu.v > x)) AS INTEGER) AS bin

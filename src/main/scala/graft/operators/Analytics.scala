@@ -1011,6 +1011,49 @@ object Analytics {
       binned(ref, "ref_cnt"), binned(cur, "cur_cnt"), "bin", eps)
   }
 
+  /** [[numericDrift]] with bin edges from the MERGEABLE quantile sketch
+    * instead of an exact `percentile` — the 100 TB form the exact
+    * variant's scaladoc only gestured at. An exact percentile over the
+    * reference sorts every group inside the aggregate; at corpus scale
+    * the reference snapshot is itself huge, and (worse) a nightly drift
+    * monitor wants to REUSE last night's reference state, which a sort
+    * cannot provide. [[QuantileSketch]] fixes both: edges come off the
+    * bucket-count sketch (one partial-aggregable pass, state mergeable
+    * by key-sum, ≤5 % relative edge error — harmless for PSI, which
+    * only needs STABLE bins, not precise ones), and — unlike
+    * `approx_percentile`, the other scale path — the sketch is
+    * engine-portable arithmetic, so the DuckDB oracle recomputes the
+    * edges and the whole report stays hash-checked.
+    *
+    * Downstream shape is identical to [[numericDrift]]: the ≤ nBins−1
+    * edge array broadcasts, binning is map-side, per-side exchanges
+    * carry nBins rows. Coinciding sketch edges (two fractions landing
+    * in one bucket) collapse adjacent bins; both engines collapse
+    * identically, so the report stays exact-comparable.
+    */
+  def numericDriftSketch(ref: DataFrame, cur: DataFrame, valueCol: String,
+                         nBins: Int, eps: Double = 1e-6): DataFrame = {
+    require(nBins >= 2, s"numericDriftSketch needs >= 2 bins, got $nBins")
+    val fr = (1 until nBins).map(_.toDouble / nBins)
+    val edges = QuantileSketch.quantiles(
+        QuantileSketch.build(ref, valueCol, Nil), Nil, fr)
+      .agg(array_sort(collect_list(col("est"))).as("__e"))
+    def binned(df: DataFrame, cnt: String): DataFrame =
+      df.crossJoin(Hints.bcast(edges))
+        // an empty reference yields an EMPTY edge array (zero sketch
+        // rows aggregate to []), not a null — same loud-beats-wrong
+        // guard as the exact variant, different emptiness signature
+        .select(when(size(col("__e")) === 0, raise_error(lit(
+            "numericDriftSketch: reference snapshot is empty — sketch " +
+              "bin edges are undefined")))
+          .otherwise(aggregate(col("__e"), lit(0),
+            (acc, e) => acc + when(col(valueCol).cast("double") > e, 1).otherwise(0)))
+          .as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as(cnt))
+    distributionDriftFromCounts(
+      binned(ref, "ref_cnt"), binned(cur, "cur_cnt"), "bin", eps)
+  }
+
   /** [[distributionDrift]] from PRE-AGGREGATED per-key count tables —
     * the entry the streaming dual uses: a complete-mode windowless
     * `groupBy(key).count()` stream maintains the current snapshot's

@@ -74,6 +74,25 @@ class EmptyInputSpec extends SparkSpec {
     assert(out.length == 4 && out.forall(_ == 0L))
   }
 
+  test("numericDriftSketch refuses an empty reference LOUDLY (the sketch " +
+      "variant's emptiness signature is an empty edge ARRAY, not a null)") {
+    import spark.implicits._
+    val ref0 = Seq.empty[Double].toDF("v")
+    val cur = Seq(1.0, 2.0).toDF("v")
+    val e = intercept[Exception] {
+      Analytics.numericDriftSketch(ref0, cur, "v", nBins = 4).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("reference snapshot is empty")), e.toString)
+    // valid reference + empty current still reports zeros on every bin
+    val ref = (1 to 40).map(_.toDouble).toDF("v")
+    val out = Analytics.numericDriftSketch(
+        ref, Seq.empty[Double].toDF("v"), "v", nBins = 4)
+      .collect().map(r => r.getAs[Long]("cur_cnt"))
+    assert(out.nonEmpty && out.forall(_ == 0L))
+  }
+
   test("similarity family: empty corpus/queries → empty top-k") {
     assert(Similarity.bruteForceTopK(emb0, emb0,
       "vec_id", "embedding", k = 3).count() == 0)

@@ -36,7 +36,7 @@ DIRECT = ["q_dedup_containment", "q_dedup_exact", "q_dedup_incremental",
           "q_dedup_jaccard_capped", "q_dedup_minhash_lsh",
           "q_dedup_ngram_jaccard", "q_dedup_simhash_pairs",
           "q_dedup_span_removal", "q_dedup_spans", "q_dedup_top_grams",
-          "q_drift_numeric", "q_drift_report",
+          "q_drift_numeric", "q_drift_numeric_sketch", "q_drift_report",
           "q_multimodal_ahash", "q_multimodal_audio",
           "q_multimodal_audio_fp", "q_multimodal_audio_neardup",
           "q_multimodal_chunks", "q_multimodal_decode",

@@ -44,7 +44,7 @@ DIRECT = [
     "q_skew_salted_sum", "q_skew_join_aqe", "q_zscore_group",
     "q_percentiles", "q_histogram_equidepth", "q_correlation",
     "q_quantile_sketch", "q_quantile_sketch_merged",
-    "q_quantile_sketch_signed",
+    "q_quantile_sketch_signed", "q_drift_numeric_sketch",
     "q_robust_scale",
     # LM-filter / DSIR path — incl. every round-13 in-row tf rewrite and
     # the shared-oracle stored/threshold equalities
