@@ -19,7 +19,9 @@ DIRECT tier only — oracle SQL runs verbatim in DuckDB:
     — out of single-process budget, and again the arithmetic was pinned
     exactly at sf1.
 
-The 33 families below are chosen for NEW-decade risk: every operator
+The families below (33 at round 13 start, +4 round-13 additions: the
+quantile-sketch trio and the sketch-edged drift) are chosen for
+NEW-decade risk: every operator
 whose sums/rounding/hashing touches corpus-scale numerics (the DECIMAL
 routing, LM filters incl. the round-13 in-row tf forms, DSIR, dedup
 banding, window suites, skew/salting, quantiles).

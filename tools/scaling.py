@@ -53,7 +53,11 @@ QUERIES = ["q_stream_neardup", "q_dedup_semantic", "q_dedup_clusters",
            # round-12: the stored/merged LM-filter faces (train-once/
            # score-many) and the distributed-threshold training mix
            "q_text_bigram_ce_stored", "q_text_nb_stored",
-           "q_pipeline_training_mix_threshold"]
+           "q_pipeline_training_mix_threshold",
+           # round-13: the mergeable quantile sketch (bucket-count agg —
+           # expected flat: the exchange is O(buckets) by construction)
+           # and the sketch-edged drift consuming it
+           "q_quantile_sketch", "q_drift_numeric_sketch"]
 # sf1 is repo-generated (graft.GenData; the driver dirs are read-only) —
 # 6M lineitem / 50k documents / 20k embeddings, same recipe, measured
 # distribution match in SCALE.md. Its decade (0.1 -> 1) is the first one
@@ -74,7 +78,8 @@ SF10_QUERIES = ["q_text_bm25", "q_text_dsir", "q_text_nb_logodds",
                 "q_multimodal_image_neardup_capped",
                 "q_pipeline_training_mix", "q_text_dsir_incremental",
                 "q_text_bigram_ce_stored", "q_text_nb_stored",
-                "q_pipeline_training_mix_threshold"]
+                "q_pipeline_training_mix_threshold",
+                "q_quantile_sketch", "q_drift_numeric_sketch"]
 
 
 def run_sf(sf, passes):
