@@ -1953,6 +1953,28 @@ object SparkEntry {
         .orderBy("o_orderpriority", "q")
     }),
 
+    // the nightly-state lifecycle: three ingestion batches folded into
+    // a DURABLE sketch store (read-merge-AtomicStore-swap per fold),
+    // quantiles read off the final stored table — must equal the
+    // one-shot sketch over full history (oracle text shared VERBATIM
+    // with q_quantile_sketch, the store-lifecycle analogue of the
+    // in-memory merged face)
+    "q_quantile_sketch_stored" -> ((s, dir) => {
+      val root = s"$scratchRoot/graft_qsketch_store_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val o = t(s, dir, "orders")
+      (0 to 2).foreach { i =>
+        QuantileSketch.foldIntoStore(s,
+          o.filter(pmod(col("o_orderkey"), lit(3)) === i),
+          "o_totalprice", Seq("o_orderpriority"), root)
+      }
+      QuantileSketch.quantiles(s.read.parquet(root),
+          Seq("o_orderpriority"), Seq(0.5, 0.9, 0.99))
+        .orderBy("o_orderpriority", "q")
+    }),
+
     // sign path in the gate, not just the spec: c_acctbal spans
     // negatives, so the s·lo bucket ordering across the sign change and
     // the negative-midpoint arithmetic are oracle-checked on real data
@@ -5683,6 +5705,9 @@ object SparkEntry {
       quantileSketchOracle("orders", "o_totalprice", "o_orderpriority",
         Seq(0.5, 0.9, 0.99)),
     "q_quantile_sketch_merged" ->
+      quantileSketchOracle("orders", "o_totalprice", "o_orderpriority",
+        Seq(0.5, 0.9, 0.99)),
+    "q_quantile_sketch_stored" ->
       quantileSketchOracle("orders", "o_totalprice", "o_orderpriority",
         Seq(0.5, 0.9, 0.99)),
     "q_quantile_sketch_signed" ->

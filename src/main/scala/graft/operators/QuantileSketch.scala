@@ -123,6 +123,30 @@ object QuantileSketch {
       .groupBy((groupCols ++ Seq("s", "e", "d", "lo", "w")).map(col): _*)
       .agg(sum(col("cnt")).as("cnt"))
 
+  /** Nightly-state lifecycle: fold one ingestion batch's sketch into a
+    * durable store table — sketch today's batch, merge with the stored
+    * state, crash-safe `AtomicStore` swap, all under the writer lock
+    * (the [[graft.streaming.StreamingIncrementalAgg]] fold discipline).
+    * The store stays bucket-count-sized (≤3.2k rows per group) however
+    * much history it summarizes, and any reader can take quantiles off
+    * it between folds without touching the corpus. NOT idempotent under
+    * batch re-delivery (counts would double-count) — the caller's batch
+    * ledger/checkpoint must outlive the store, same as every fold-style
+    * sink here.
+    */
+  def foldIntoStore(spark: org.apache.spark.sql.SparkSession,
+                    batch: DataFrame, valueCol: String,
+                    groupCols: Seq[String], storePath: String): Unit = {
+    graft.pipelines.AtomicStore.withLock(spark, storePath) {
+      graft.pipelines.AtomicStore.recover(spark, storePath)
+      val delta = build(batch, valueCol, groupCols)
+      val base = graft.pipelines.BoxOfficePipeline
+        .readOrEmpty(spark, storePath, delta)
+      graft.pipelines.AtomicStore.overwrite(
+        merge(base, delta, groupCols), storePath)
+    }
+  }
+
   /** Read quantile estimates off a sketch. For each requested fraction
     * q the answer is the midpoint of the bucket holding the
     * rank-⌈q·n⌉ order statistic: order buckets by true numeric

@@ -101,6 +101,22 @@ class QuantileSketchSpec extends SparkSpec {
       s"bucket agg should hash-aggregate:\n$plan")
   }
 
+  test("store lifecycle: three folds through AtomicStore equal the one-shot sketch") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_qsketch_spec_").toString + "/store"
+    val all = df(manyRows)
+    (0 to 2).foreach { i =>
+      QuantileSketch.foldIntoStore(spark,
+        all.filter(pmod(hash(col("x")), lit(3)) === i), "x", Seq("g"), root)
+    }
+    val stored = spark.read.parquet(root).collect().map(_.toSeq).toSet
+    val oneShot = QuantileSketch.build(all, "x", Seq("g"))
+      .collect().map(_.toSeq).toSet
+    assert(stored == oneShot, "stored sketch diverged from one-shot")
+    // and the store is sketch-sized: bucket counts, not history
+    assert(stored.size == oneShot.size)
+  }
+
   test("empty input yields an empty sketch and empty quantiles, no errors") {
     val empty = df(Nil)
     val sk = QuantileSketch.build(empty, "x", Seq("g"))

@@ -98,6 +98,7 @@ DIRECT = ["q_dedup_containment", "q_dedup_exact", "q_dedup_incremental",
           "q_sample_weighted_group", "q_scd2_from_cdc",
           "q_scd2_versions", "q_sessionize", "q_sketch_distinct",
           "q_quantile_sketch", "q_quantile_sketch_merged",
+          "q_quantile_sketch_stored",
           "q_quantile_sketch_signed",
           "q_skew_join_aqe", "q_skew_salted_sum",
           "q_split_leakage", "q_split_train_test",

@@ -19,8 +19,9 @@ DIRECT tier only — oracle SQL runs verbatim in DuckDB:
     — out of single-process budget, and again the arithmetic was pinned
     exactly at sf1.
 
-The families below (33 at round 13 start, +4 round-13 additions: the
-quantile-sketch trio and the sketch-edged drift) are chosen for
+The families below (33 at round 13 start, +5 round-13 additions: the
+quantile-sketch one-shot/merged/stored/signed faces and the
+sketch-edged drift) are chosen for
 NEW-decade risk: every operator
 whose sums/rounding/hashing touches corpus-scale numerics (the DECIMAL
 routing, LM filters incl. the round-13 in-row tf forms, DSIR, dedup
@@ -46,6 +47,7 @@ DIRECT = [
     "q_skew_salted_sum", "q_skew_join_aqe", "q_zscore_group",
     "q_percentiles", "q_histogram_equidepth", "q_correlation",
     "q_quantile_sketch", "q_quantile_sketch_merged",
+    "q_quantile_sketch_stored",
     "q_quantile_sketch_signed", "q_drift_numeric_sketch",
     "q_robust_scale",
     # LM-filter / DSIR path — incl. every round-13 in-row tf rewrite and
