@@ -1961,16 +1961,76 @@ object SparkEntry {
     // in-memory merged face)
     "q_quantile_sketch_stored" -> ((s, dir) => {
       val root = s"$scratchRoot/graft_qsketch_store_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
-      val rootPath = new org.apache.hadoop.fs.Path(root)
-      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-        .delete(rootPath, true)
+      // reset the WHOLE AtomicStore footprint, not just the table root:
+      // a stale _SUCCESS-stamped .staging from a prior crashed run would
+      // otherwise be promoted by recover() and seed the "fresh" replay
+      // with old counts (round-13 advice)
+      Seq(root, root + ".staging", root + ".old", root + ".lock").foreach { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      }
       val o = t(s, dir, "orders")
       (0 to 2).foreach { i =>
-        QuantileSketch.foldIntoStore(s,
-          o.filter(pmod(col("o_orderkey"), lit(3)) === i),
-          "o_totalprice", Seq("o_orderpriority"), root)
+        // fold batch 1 TWICE: the re-delivery must be a ledger no-op
+        // for this to keep matching the one-shot oracle (round-13
+        // verdict #3 — the exactly-once claim rides the shared oracle)
+        val reps = if (i == 1) 2 else 1
+        (1 to reps).foreach { _ =>
+          QuantileSketch.foldIntoStore(s,
+            o.filter(pmod(col("o_orderkey"), lit(3)) === i),
+            "o_totalprice", Seq("o_orderpriority"), root, s"batch_$i")
+        }
       }
-      QuantileSketch.quantiles(s.read.parquet(root),
+      QuantileSketch.quantiles(QuantileSketch.readStore(s, root),
+          Seq("o_orderpriority"), Seq(0.5, 0.9, 0.99))
+        .orderBy("o_orderpriority", "q")
+    }),
+
+    // overflow face: a derived value column where one key in a thousand
+    // is scaled past the DECIMAL(18,6) domain (~4.6e15 ≫ 1e12) — the
+    // routing into the ±overflow sentinel bucket happens on REAL gate
+    // data in both engines (try_cast in Spark, TRY_CAST in the oracle),
+    // and because overflow rows still count toward n_rows, the oracle
+    // checks the degraded-not-dead contract end to end
+    "q_quantile_sketch_overflow" -> ((s, dir) => {
+      val o = t(s, dir, "orders").withColumn("v",
+        col("o_totalprice") * when(pmod(col("o_orderkey"), lit(1000)) === 0,
+          lit(1.0e10)).otherwise(lit(1.0)))
+      QuantileSketch.groupQuantiles(o, "v",
+          Seq("o_orderpriority"), Seq(0.5, 0.9, 0.999))
+        .orderBy("o_orderpriority", "q")
+    }),
+
+    // the ONLINE dual of the stored face: three feed files drained one
+    // per micro-batch, each folded into the durable sketch store via
+    // foreachBatch with the MICRO-BATCH ID as the ledger key — restarts
+    // re-deliver the same id, so the fold is exactly-once with no
+    // external ledger. Oracle text shared VERBATIM with
+    // q_quantile_sketch: the drained store must reproduce the one-shot
+    // sketch over full history.
+    "q_stream_quantile_sketch" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      val root = new org.apache.hadoop.fs.Path(
+        s"$scratchRoot/graft_stream_qsketch_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(root, true)
+      val feed = s"$root/feed"; val store = s"$root/store"
+      (0 to 2).foreach { i =>
+        o.filter(pmod(col("o_orderkey"), lit(3)) === i)
+          .coalesce(1).write.mode("append").parquet(feed)
+      }
+      val q = graft.streaming.StreamingQuantileSketch.start(s,
+        s.readStream.schema(o.schema).option("maxFilesPerTrigger", "1")
+          .parquet(feed),
+        store, "o_totalprice", Seq("o_orderpriority"),
+        checkpoint = s"$root/ckpt")
+      try {
+        if (!q.awaitTermination(600000L))
+          throw new IllegalStateException(
+            "stream quantile-sketch drain did not terminate within 600s")
+      } finally if (q.isActive) q.stop()
+      QuantileSketch.quantiles(QuantileSketch.readStore(s, store),
           Seq("o_orderpriority"), Seq(0.5, 0.9, 0.99))
         .orderBy("o_orderpriority", "q")
     }),
@@ -2031,7 +2091,9 @@ object SparkEntry {
           throw new IllegalStateException(
             "stream incremental-agg drain did not terminate within 600s")
       } finally if (q.isActive) q.stop()
-      IncrementalAgg.finalize(s.read.parquet(store), Seq("event_type"), k = 32)
+      IncrementalAgg.finalize(
+          graft.pipelines.AtomicStore.readState(s, store),
+          Seq("event_type"), k = 32)
         .orderBy("event_type")
     }),
 
@@ -3002,18 +3064,23 @@ object SparkEntry {
   private def quantileSketchOracle(table: String, valueCol: String,
       groupCol: String, fractions: Seq[Double]): String = {
     val fs = fractions.map(f => s"($f)").mkString(", ")
+    // TRY_CAST + the m-IS-NULL branches mirror the engine's overflow
+    // routing (QuantileSketch.withBuckets): a finite value past the
+    // DECIMAL(18,6) domain lands in the ±overflow sentinel bucket
+    // (e=19, lo=10^18, w=0) in BOTH engines instead of throwing in one
     s"""WITH vals AS (SELECT $groupCol AS g,
-               CAST(CAST(CAST(CAST($valueCol AS DOUBLE) AS VARCHAR) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS m
+               CAST(TRY_CAST(CAST(CAST($valueCol AS DOUBLE) AS VARCHAR) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS m,
+               CASE WHEN CAST($valueCol AS DOUBLE) < 0 THEN -1 ELSE 1 END AS vsgn
              FROM $table
              WHERE $valueCol IS NOT NULL AND isfinite(CAST($valueCol AS DOUBLE))),
        b AS (SELECT g,
-               CASE WHEN m > 0 THEN 1 WHEN m < 0 THEN -1 ELSE 0 END AS s,
-               CASE WHEN m = 0 THEN 0 ELSE LENGTH(CAST(ABS(m) AS VARCHAR)) - 1 END AS e,
-               CASE WHEN m = 0 THEN 0 ELSE CAST(SUBSTRING(CAST(ABS(m) AS VARCHAR), 1, 2) AS INT) END AS d
+               CASE WHEN m IS NULL THEN vsgn WHEN m > 0 THEN 1 WHEN m < 0 THEN -1 ELSE 0 END AS s,
+               CASE WHEN m IS NULL THEN 19 WHEN m = 0 THEN 0 ELSE LENGTH(CAST(ABS(m) AS VARCHAR)) - 1 END AS e,
+               CASE WHEN m IS NULL THEN 0 WHEN m = 0 THEN 0 ELSE CAST(SUBSTRING(CAST(ABS(m) AS VARCHAR), 1, 2) AS INT) END AS d
              FROM vals),
        sk AS (SELECT g, s, e, d,
-               CASE WHEN s = 0 THEN CAST(0 AS BIGINT) ELSE CAST(RPAD(CAST(d AS VARCHAR), CAST(e + 1 AS INT), '0') AS BIGINT) END AS lo,
-               CASE WHEN s = 0 THEN CAST(0 AS BIGINT) ELSE CAST(RPAD('1', CAST(GREATEST(e, 1) AS INT), '0') AS BIGINT) END AS w,
+               CASE WHEN e = 19 THEN CAST(1000000000000000000 AS BIGINT) WHEN s = 0 THEN CAST(0 AS BIGINT) ELSE CAST(RPAD(CAST(d AS VARCHAR), CAST(e + 1 AS INT), '0') AS BIGINT) END AS lo,
+               CASE WHEN e = 19 THEN CAST(0 AS BIGINT) WHEN s = 0 THEN CAST(0 AS BIGINT) ELSE CAST(RPAD('1', CAST(GREATEST(e, 1) AS INT), '0') AS BIGINT) END AS w,
                COUNT(*) AS cnt
              FROM b GROUP BY 1, 2, 3, 4, 5, 6),
        fr AS (SELECT CAST(f AS DOUBLE) AS q FROM (VALUES $fs) t(f)),
@@ -5713,6 +5780,22 @@ object SparkEntry {
     "q_quantile_sketch_signed" ->
       quantileSketchOracle("customer", "c_acctbal", "c_mktsegment",
         Seq(0.1, 0.5, 0.9)),
+    // the overflow face reuses the SAME oracle text generator — the
+    // TRY_CAST routing lives in the shared template, so the sentinel
+    // bucket arithmetic is what the hash checks
+    "q_quantile_sketch_overflow" ->
+      quantileSketchOracle(
+        """(SELECT o_orderpriority,
+              o_totalprice * CASE WHEN o_orderkey % 1000 = 0
+                                  THEN 1.0e10 ELSE 1.0 END AS v
+            FROM orders) ov""",
+        "v", "o_orderpriority", Seq(0.5, 0.9, 0.999)),
+    // streaming fold of the SAME store (micro-batch ids as the ledger
+    // keys): oracle text shared VERBATIM with q_quantile_sketch — the
+    // drained stream must reproduce the one-shot sketch exactly
+    "q_stream_quantile_sketch" ->
+      quantileSketchOracle("orders", "o_totalprice", "o_orderpriority",
+        Seq(0.5, 0.9, 0.99)),
 
     // one-shot aggregate over FULL history == the incrementally merged
     // store (mergeable-state algebra; KMV union is exactly mergeable)

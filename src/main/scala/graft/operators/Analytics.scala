@@ -990,21 +990,27 @@ object Analytics {
     // EXACT interpolating percentile (the q_percentiles-proven parity
     // with DuckDB's quantile_cont) — approx_percentile would return
     // sketch-chosen data values, not interpolations, and bin edges
-    // would diverge between engines
-    val edges = ref.agg(
+    // would diverge between engines.
+    // The ≤ nBins−1 edges are collected ONCE (an O(nBins) driver value,
+    // bounded by the caller's parameter like the threshold scalars) and
+    // embedded as literals: the round-13 crossJoin form re-executed the
+    // whole reference percentile build under BOTH binned() sides —
+    // three reference scans for a two-scan report
+    val edgeVals = Option(ref.agg(
         expr(s"percentile($valueCol, array(${fr.mkString(", ")}))").as("__e"))
       .select(transform(col("__e"), e => round(e, 6)).as("__e"))
+      .head().getSeq[Double](0))
+      // an EMPTY reference leaves the percentile null — without this
+      // guard every current row would land in a silent null bin and
+      // the report would be garbage with a straight face (found by
+      // the empty-input sweep); loud beats wrong
+      .getOrElse(throw new IllegalArgumentException(
+        "numericDrift: reference snapshot is empty — quantile bin " +
+          "edges are undefined"))
+    val edgeArr = array(edgeVals.map(lit): _*)
     def binned(df: DataFrame, cnt: String): DataFrame =
-      df.crossJoin(Hints.bcast(edges))
-        // an EMPTY reference leaves the percentile null — without this
-        // guard every current row would land in a silent null bin and
-        // the report would be garbage with a straight face (found by
-        // the empty-input sweep); loud beats wrong
-        .select(when(col("__e").isNull, raise_error(lit(
-            "numericDrift: reference snapshot is empty — quantile bin " +
-              "edges are undefined")))
-          .otherwise(aggregate(col("__e"), lit(0),
-            (acc, e) => acc + when(col(valueCol).cast("double") > e, 1).otherwise(0)))
+      df.select(aggregate(edgeArr, lit(0),
+          (acc, e) => acc + when(col(valueCol).cast("double") > e, 1).otherwise(0))
           .as("bin"))
         .groupBy("bin").agg(count(lit(1)).as(cnt))
     distributionDriftFromCounts(
@@ -1035,19 +1041,24 @@ object Analytics {
                          nBins: Int, eps: Double = 1e-6): DataFrame = {
     require(nBins >= 2, s"numericDriftSketch needs >= 2 bins, got $nBins")
     val fr = (1 until nBins).map(_.toDouble / nBins)
-    val edges = QuantileSketch.quantiles(
+    // collect-once like the exact variant: the sketch build (one
+    // reference pass) runs exactly once instead of once per side —
+    // the "100 TB form" motivation demands it here most of all
+    val edgeVals = QuantileSketch.quantiles(
         QuantileSketch.build(ref, valueCol, Nil), Nil, fr)
       .agg(array_sort(collect_list(col("est"))).as("__e"))
+      .head().getSeq[Double](0)
+    // an empty reference yields an EMPTY edge list (zero sketch rows
+    // aggregate to []), not a null — same loud-beats-wrong guard as
+    // the exact variant, different emptiness signature
+    if (edgeVals.isEmpty)
+      throw new IllegalArgumentException(
+        "numericDriftSketch: reference snapshot is empty — sketch " +
+          "bin edges are undefined")
+    val edgeArr = array(edgeVals.map(lit): _*)
     def binned(df: DataFrame, cnt: String): DataFrame =
-      df.crossJoin(Hints.bcast(edges))
-        // an empty reference yields an EMPTY edge array (zero sketch
-        // rows aggregate to []), not a null — same loud-beats-wrong
-        // guard as the exact variant, different emptiness signature
-        .select(when(size(col("__e")) === 0, raise_error(lit(
-            "numericDriftSketch: reference snapshot is empty — sketch " +
-              "bin edges are undefined")))
-          .otherwise(aggregate(col("__e"), lit(0),
-            (acc, e) => acc + when(col(valueCol).cast("double") > e, 1).otherwise(0)))
+      df.select(aggregate(edgeArr, lit(0),
+          (acc, e) => acc + when(col(valueCol).cast("double") > e, 1).otherwise(0))
           .as("bin"))
         .groupBy("bin").agg(count(lit(1)).as(cnt))
     distributionDriftFromCounts(

@@ -344,6 +344,67 @@ object AtomicStore {
     }
   }
 
+  /** Fold one ingestion batch into a store table EXACTLY ONCE per
+    * `batchId` — the processed-batch ledger the fold-style sinks
+    * (mergeable sketch / rollup stores) previously delegated to the
+    * caller (round-13 verdict #3: "a nightly pipeline retry
+    * double-counts").
+    *
+    * The ledger rides INSIDE the store table: one marker row per folded
+    * batch (every state column null, `__batch_id` set), so the single
+    * crash-safe [[overwrite]] swap commits the merged state AND the
+    * ledger entry atomically — there is no window where counts landed
+    * but the ledger did not, which two sibling tables could never
+    * guarantee without a transaction log. Under the writer lock: a
+    * `batchId` already in the ledger makes the whole fold a no-op
+    * (returns false); otherwise `merge(state, delta)` replaces the
+    * state rows and a marker for `batchId` joins the ledger (returns
+    * true). Readers use [[readState]] to see state rows only. The
+    * ledger grows one marker row per batch — 365/year against a
+    * state-table of any size.
+    *
+    * `delta` must not already contain a `__batch_id` column; `merge`
+    * receives (current state, delta) WITHOUT ledger columns and returns
+    * the new state.
+    */
+  def foldOnce(spark: SparkSession, storePath: String, batchId: String,
+               delta: DataFrame)
+              (merge: (DataFrame, DataFrame) => DataFrame): Boolean = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(!delta.columns.contains(LedgerCol),
+      s"foldOnce: delta already carries $LedgerCol")
+    withLock(spark, storePath) {
+      recover(spark, storePath)
+      val tagged = delta.withColumn(LedgerCol, lit(null).cast("string"))
+      val base = BoxOfficePipeline.readOrEmpty(spark, storePath, tagged)
+      // O(1) driver scalar over a state-sized table, under the lock
+      val seen = !base.filter(col(LedgerCol) === lit(batchId)).isEmpty
+      if (!seen) {
+        val state = base.filter(col(LedgerCol).isNull).drop(LedgerCol)
+        val newState = merge(state, delta)
+          .withColumn(LedgerCol, lit(null).cast("string"))
+        val marker = spark.range(1).select(
+          tagged.schema.fields.filter(_.name != LedgerCol).map(f =>
+            lit(null).cast(f.dataType).as(f.name)).toSeq :+
+            lit(batchId).as(LedgerCol): _*)
+        val ledger = base.filter(col(LedgerCol).isNotNull)
+          .unionByName(marker)
+        overwrite(newState.unionByName(ledger), storePath)
+      }
+      !seen
+    }
+  }
+
+  /** The state rows of a [[foldOnce]] store: ledger markers stripped. */
+  def readState(spark: SparkSession, storePath: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(storePath)
+      .filter(col(LedgerCol).isNull).drop(LedgerCol)
+  }
+
+  /** Ledger marker column of a [[foldOnce]] store. */
+  val LedgerCol = "__batch_id"
+
   private def stagingOf(p: Path) = new Path(p.getParent, p.getName + ".staging")
   private def oldOf(p: Path) = new Path(p.getParent, p.getName + ".old")
   private def lockOf(p: Path) = new Path(p.getParent, p.getName + ".lock")

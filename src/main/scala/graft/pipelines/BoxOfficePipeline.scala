@@ -27,10 +27,21 @@ import graft.operators.{Analytics, Hints, Ingest, Joins, Upsert}
   */
 object BoxOfficePipeline {
 
-  def readOrEmpty(spark: SparkSession, path: String, schemaOf: DataFrame): DataFrame =
-    if (new java.io.File(path).exists()) spark.read.parquet(path)
+  /** Read a store table, or an empty frame with `schemaOf`'s schema when
+    * the table does not exist yet (S12 create-if-missing). Existence is
+    * resolved through the path's OWN Hadoop filesystem — a
+    * `java.io.File` check here would be local-FS-only and silently
+    * report "missing" for every hdfs://, s3a://, or file: URI store,
+    * making every fold-style sink that bootstraps through this helper
+    * discard its prior state (round-13 advice).
+    */
+  def readOrEmpty(spark: SparkSession, path: String, schemaOf: DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(path)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
                                schemaOf.schema)
+  }
 
   /** Daily incremental ingest (ST1, kobis_pipeline.py:8-60): compute the
     * missing-date spine from the store's watermark, keep only the raw

@@ -21,28 +21,23 @@ import graft.operators.IncrementalAgg
   * independent of how much history the store summarizes); the KMV
   * distinct sketch stays exactly mergeable across batches, so the
   * drained store is bit-identical to a one-shot aggregate over full
-  * history — which is what the oracle checks. Replay safety: merge is
-  * NOT idempotent under re-delivery (n would double-count), so the
-  * checkpoint must outlive the store — the standard ledger discipline
-  * for fold-style sinks; a re-keyed dedup upstream
-  * (`StreamingDedup.firstSeen`) hardens it where the source can
-  * re-deliver.
+  * history — which is what the oracle checks. Replay safety (round-13
+  * verdict #3): the fold goes through `AtomicStore.foldOnce` with the
+  * micro-batch id as the ledger key — Spark re-delivers a failed batch
+  * under the SAME id, so the retry is a ledger no-op and the store is
+  * exactly-once with no external checkpoint-outlives-store discipline.
+  * Read the store through `AtomicStore.readState` (the ledger markers
+  * ride inside the table).
   */
 object StreamingIncrementalAgg {
 
   def writer(spark: SparkSession, stream: DataFrame, storePath: String,
              keys: Seq[String], valueCol: String, distinctCol: String,
              k: Int): DataStreamWriter[Row] =
-    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      graft.pipelines.AtomicStore.withLock(spark, storePath) {
-        graft.pipelines.AtomicStore.recover(spark, storePath)
-        val delta = IncrementalAgg.aggregateBatch(
-          batch, keys, valueCol, distinctCol, k)
-        val base = graft.pipelines.BoxOfficePipeline
-          .readOrEmpty(spark, storePath, delta)
-        val merged = IncrementalAgg.merge(base, delta, keys, k)
-        graft.pipelines.AtomicStore.overwrite(merged, storePath)
-      }
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      graft.pipelines.AtomicStore.foldOnce(spark, storePath, s"mb_$batchId",
+        IncrementalAgg.aggregateBatch(batch, keys, valueCol, distinctCol, k))(
+        IncrementalAgg.merge(_, _, keys, k))
       ()
     }
 

@@ -107,14 +107,74 @@ class QuantileSketchSpec extends SparkSpec {
     val all = df(manyRows)
     (0 to 2).foreach { i =>
       QuantileSketch.foldIntoStore(spark,
-        all.filter(pmod(hash(col("x")), lit(3)) === i), "x", Seq("g"), root)
+        all.filter(pmod(hash(col("x")), lit(3)) === i), "x", Seq("g"), root,
+        s"batch_$i")
     }
-    val stored = spark.read.parquet(root).collect().map(_.toSeq).toSet
+    val stored = QuantileSketch.readStore(spark, root)
+      .collect().map(_.toSeq).toSet
     val oneShot = QuantileSketch.build(all, "x", Seq("g"))
       .collect().map(_.toSeq).toSet
     assert(stored == oneShot, "stored sketch diverged from one-shot")
     // and the store is sketch-sized: bucket counts, not history
     assert(stored.size == oneShot.size)
+  }
+
+  test("fold is exactly-once: a re-delivered batch id is a ledger no-op") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_qsketch_spec_").toString + "/store"
+    val all = df(manyRows)
+    (0 to 2).foreach { i =>
+      val batch = all.filter(pmod(hash(col("x")), lit(3)) === i)
+      QuantileSketch.foldIntoStore(spark, batch, "x", Seq("g"), root,
+        s"batch_$i")
+      // retry storm: the same batch re-delivered twice more
+      QuantileSketch.foldIntoStore(spark, batch, "x", Seq("g"), root,
+        s"batch_$i")
+      QuantileSketch.foldIntoStore(spark, batch, "x", Seq("g"), root,
+        s"batch_$i")
+    }
+    val stored = QuantileSketch.readStore(spark, root)
+      .collect().map(_.toSeq).toSet
+    val oneShot = QuantileSketch.build(all, "x", Seq("g"))
+      .collect().map(_.toSeq).toSet
+    assert(stored == oneShot,
+      "re-delivered folds double-counted despite the ledger")
+    // the ledger keeps exactly one marker per distinct batch id
+    val markers = spark.read.parquet(root)
+      .filter(col("__batch_id").isNotNull)
+      .select("__batch_id").as[String].collect().sorted.toSeq
+    assert(markers == Seq("batch_0", "batch_1", "batch_2"), s"got $markers")
+  }
+
+  test("values past the DECIMAL(18,6) domain route to ±overflow buckets, not a throw") {
+    // 1e13 and -3e14 are finite but beyond the decimal hop (~1e12);
+    // pre-round-14 these threw mid-scan under ANSI
+    val vs = Seq(("a", 1.0e13), ("a", -3.0e14), ("a", 5.0),
+      ("a", 8.9e11))                       // just inside the domain
+    val got = QuantileSketch.build(df(vs), "x", Seq("g"))
+      .select("s", "e", "d", "lo", "w", "cnt")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    val over = 1000000000000000000L
+    assert(got.contains((1, 19, 0, over, 0L, 1L)), s"+overflow missing: $got")
+    assert(got.contains((-1, 19, 0, over, 0L, 1L)), s"-overflow missing: $got")
+    // in-domain rows bucket normally alongside
+    assert(got.exists { case (s, e, _, _, _, _) => s == 1 && e == 6 }, s"got $got")
+    assert(got.exists { case (s, e, _, _, _, _) => s == 1 && e == 17 }, s"got $got")
+  }
+
+  test("overflow rows count toward n_rows and a quantile landing there saturates to ±1e12") {
+    // 9 in-domain values + 1 huge: p50 must stay a real estimate while
+    // p99 (rank 10) lands in the overflow bucket and reports the
+    // documented saturated domain edge
+    val vs = (1 to 9).map(i => ("a", i * 100.0)) :+ (("a", 7.7e15))
+    val q = QuantileSketch.groupQuantiles(df(vs), "x", Seq("g"),
+        Seq(0.5, 0.99))
+      .collect().map(r => r.getDouble(1) -> (r.getDouble(2), r.getLong(3)))
+      .toMap
+    assert(q(0.5)._2 == 10L, s"n_rows must include overflow rows: $q")
+    assert(math.abs(q(0.5)._1 - 500.0) <= 0.051 * 500.0, s"p50 off: $q")
+    assert(q(0.99)._1 == 1.0e12, s"overflow quantile must saturate: $q")
   }
 
   test("empty input yields an empty sketch and empty quantiles, no errors") {

@@ -37,16 +37,36 @@ def parse(txt):
     return json.loads(txt)
 
 
+# Frozen host-speed sentinels (round-13 verdict "what's wrong #1"):
+# the six TPC-H families, untouched since round 5. The host factor is
+# the median new/old ratio over THESE queries only — code that nobody
+# edited — so a uniformly hot host still normalizes out, but a genuine
+# across-the-board code regression (session config, OpCache, a shared
+# helper) now shows up as regressions against a factor the regression
+# itself cannot move. The old scheme took the median of the very
+# distribution being gated, which would absorb exactly that case.
+SENTINELS = ("q1_pricing_summary", "q3_shipping_priority",
+             "q5_local_supplier_volume", "q9_product_type_profit",
+             "q18_large_volume", "q21_waiting_supplier")
+
+
 def host_factor(old, new):
-    """Median per-query ratio new/old over shared queries — the uniform
-    host-speed drift between the two runs (round-7 verdict #3: the r7
-    baseline refresh moved the suite total 75→90 s with ZERO plan
-    changes, so absolute per-query gates are noise-bound). The median is
-    robust to a handful of genuine structural regressions (they sit in
-    the tail, not the middle), while a uniformly hot host moves every
-    ratio and therefore the median itself. Falls back to 1.0 when fewer
-    than 5 shared queries exist (too few for a meaningful median)."""
+    """Median per-query ratio new/old over the frozen SENTINELS — the
+    uniform host-speed drift between the two runs (round-7 verdict #3:
+    the r7 baseline refresh moved the suite total 75→90 s with ZERO
+    plan changes, so absolute per-query gates are noise-bound). Using
+    only the frozen sentinel set keeps the factor independent of the
+    distribution being gated (round-13 verdict): a single structural
+    regression elsewhere cannot shift it, and neither can a global one.
+    Falls back to the all-shared-queries median (the pre-r14 behavior)
+    when fewer than 4 sentinels are present in both maps — e.g. a
+    SPARK_GRAFT_ONLY partial run — and to 1.0 below 5 shared queries."""
     oq, nq = old.get("queries", {}), new.get("queries", {})
+    sent = sorted(nq[q] / oq[q] for q in SENTINELS
+                  if oq.get(q, 0) > 0 and nq.get(q, 0) > 0)
+    if len(sent) >= 4:
+        mid = len(sent) // 2
+        return sent[mid] if len(sent) % 2 else (sent[mid - 1] + sent[mid]) / 2
     ratios = sorted(nq[q] / oq[q] for q in set(oq) & set(nq)
                     if oq[q] > 0 and nq[q] > 0)
     if len(ratios) < 5:
