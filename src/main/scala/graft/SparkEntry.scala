@@ -2726,14 +2726,15 @@ object SparkEntry {
     // the one-shot model bit-for-bit (same oracle text), proving the
     // 100 TB keep-the-model-fold-the-delta posture
     "q_text_dsir_incremental" -> ((s, dir) => {
+      // the fused one-featurization form (round-13 verdict #9): half
+      // models + merge + score off ONE persisted (id, bucket, tf) table
+      // instead of ~3 corpus tokenize+hash passes; output bit-identical
+      // to the composed dsirModel×2 + dsirMergeModels + dsirScore chain
+      // (the shared one-shot oracle is the proof)
       val docs = t(s, dir, "documents")
       val en = coalesce(col("lang") === lit("en"), lit(false))
-      val base = docs.where(col("doc_id") % 10 =!= 0)
-      val delta = docs.where(col("doc_id") % 10 === 0)
-      val merged = TextAnalysis.dsirMergeModels(
-        TextAnalysis.dsirModel(base, base.where(en), "text", buckets = 4096),
-        TextAnalysis.dsirModel(delta, delta.where(en), "text", buckets = 4096))
-      TextAnalysis.dsirScore(docs, merged, "doc_id", "text", buckets = 4096)
+      TextAnalysis.dsirIncrementalScore(docs, en,
+          col("doc_id") % 10 === 0, "doc_id", "text", buckets = 4096)
         .orderBy("doc_id")
     }),
 

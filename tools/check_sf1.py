@@ -100,6 +100,8 @@ DIRECT = ["q_dedup_containment", "q_dedup_exact", "q_dedup_incremental",
           "q_quantile_sketch", "q_quantile_sketch_merged",
           "q_quantile_sketch_stored",
           "q_quantile_sketch_signed",
+          # round-14 faces: overflow routing + the streaming fold dual
+          "q_quantile_sketch_overflow", "q_stream_quantile_sketch",
           "q_skew_join_aqe", "q_skew_salted_sum",
           "q_split_leakage", "q_split_train_test",
           "q_sql_agent_topk", "q_sql_agent_window", "q_sql_exists",

@@ -65,6 +65,34 @@ DIRECT = [
     "q_sim_cosine_topk", "q_sim_covariance", "q_sim_ivf_topk",
     # window machinery over the scaled fact tables
     "q_w1_latest_per_key", "q_w3_window_suite", "q_w2_lag_cumsum",
+    # --- round-14 widening (round-13 verdict #7): the window/SCD2/
+    # sessionize/upsert tier, the streaming drains on the sf10 session,
+    # the round-14 sketch faces, and a fuzz-representative set — the
+    # machinery the 39-family gate left unexercised at 60 M rows.
+    # TPC-H join-heavy trio (shuffle joins over 60 M lineitem)
+    "q3_shipping_priority", "q5_local_supplier_volume",
+    "q21_waiting_supplier",
+    # windows / SCD2 / sessionize over the 15 M-order, 10 M-event facts
+    "q_w2_daily_rank", "q_scd2_versions", "q_scd2_from_cdc",
+    "q_sessionize", "q_stream_sessionize",
+    # upsert / CDC / stateful streaming drains
+    "q_u1_upsert", "q_stream_upsert", "q_stream_latest_per_key",
+    "q_stream_windowed_counts", "q_stream_interval_join",
+    "q_stream_incremental_agg", "q_stream_quantile_sketch",
+    # round-14 sketch faces
+    "q_quantile_sketch_overflow",
+    # as-of / range / cohort joins
+    "q_asof_latest_value", "q_range_join_week", "q_retention_cohorts",
+    "q_funnel_stages",
+    # heavy aggregates / selection / profiling
+    "q_a3_topk_customers", "q_rollup_region", "q_pivot_priority",
+    "q_sample_stratified", "q_mix_temperature", "q_profile_columns",
+    "q_sketch_distinct", "q_incremental_agg",
+    # arbitrary-SELECT surface: agent queries + one fuzz case per block
+    "q_sql_agent_topk", "q_sql_agent_window", "q_sql_exists",
+    "q_sql_fuzz_00", "q_sql_fuzz_31", "q_sql_fuzz_56", "q_sql_fuzz_81",
+    "q_sql_fuzz_113", "q_sql_fuzz_136", "q_sql_fuzz_159",
+    "q_sql_fuzz_181",
 ]
 
 # STAGED tier (sf10 finding, round 13): q_dedup_simhash_pairs's oracle is
