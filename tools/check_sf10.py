@@ -19,13 +19,15 @@ DIRECT tier only — oracle SQL runs verbatim in DuckDB:
     — out of single-process budget, and again the arithmetic was pinned
     exactly at sf1.
 
-The families below (33 at round 13 start, +5 round-13 additions: the
-quantile-sketch one-shot/merged/stored/signed faces and the
-sketch-edged drift) are chosen for
-NEW-decade risk: every operator
+The families below (33 at round 13 start, +5 round-13 additions —
+quantile-sketch faces and the sketch-edged drift — then the round-14
+widening to 78: window/SCD2/sessionize/upsert, the stateful streaming
+drains, as-of/range/cohort joins, heavy aggregates, agent SQL + one
+fuzz case per block) are chosen for NEW-decade risk: every operator
 whose sums/rounding/hashing touches corpus-scale numerics (the DECIMAL
 routing, LM filters incl. the round-13 in-row tf forms, DSIR, dedup
-banding, window suites, skew/salting, quantiles).
+banding, window suites, skew/salting, quantiles) plus, since round 14,
+the state-machine tier the DIRECT-heavy first tranche left out.
 
 Usage: python3 tools/check_sf10.py [sfDir] [--skip-verify]
   sfDir default /root/repo/testdata/sf10 (regenerate if absent:
