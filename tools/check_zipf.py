@@ -100,7 +100,11 @@ out = {
     "failed": failed,
     "queries": {n: merged[n] for n in sorted(merged)},
 }
-dest = os.path.join(REPO, "CORRECTNESS_zipf.json")
+# zipf_sf1 keeps the canonical name; other fixtures (zipf_sf10) get a
+# suffixed report so the two corpora carry independent evidence
+base = os.path.basename(SF.rstrip("/"))
+dest = os.path.join(REPO, "CORRECTNESS_zipf.json" if base == "zipf_sf1"
+                    else f"CORRECTNESS_{base}.json")
 json.dump(out, open(dest, "w"), indent=1)
 print(f"{out['passed']}/{out['compared']} pass -> {dest}")
 sys.exit(1 if failed else 0)
