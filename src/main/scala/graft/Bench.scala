@@ -280,10 +280,17 @@ object Bench {
       val mapPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
         if (only.isEmpty) "tools/bench_full_last.json"
         else "tools/bench_filtered_last.json")
+      // protocol stamp (round-14 verdict #9): the driver-run number is a
+      // HOT single pass on a shared host; the load-bearing comparison
+      // number is the committed quiet-host min-of-3 map. Recording the
+      // pairing here stops future rounds re-deriving which is which.
+      val protocol =
+        if (nPasses >= 3) "quiet-min-of-" + nPasses
+        else "driver-hot-single-pass; adjudicate vs tools/bench_local_r{N}.json (min-of-3)"
       val headline =
-        s"""{"total_s":$total,"n_queries":${results.count(_._2 >= 0)},"sf":${jstr(sfDir)},"full_map":${jstr(mapPath)}}"""
+        s"""{"total_s":$total,"n_queries":${results.count(_._2 >= 0)},"sf":${jstr(sfDir)},"full_map":${jstr(mapPath)},"protocol":${jstr(protocol)}}"""
       val full =
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jstr(sfDir)}$recallField}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jstr(sfDir)}$recallField,"protocol":${jstr(protocol)}}"""
       println(headline)
       println(full)
       println(headline)

@@ -44,6 +44,30 @@ object SparkEntry {
   private lazy val scratchRoot: String =
     if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp"
 
+  /** Materialize a streaming-face FEED directory once per (face, sf
+    * dir) and reuse it across runs — the feed is a DETERMINISTIC
+    * function of the input tables, so re-deriving it per run only adds
+    * a corpus-sized write to what should be a drain-only timing
+    * (round-14 verdict: `q_stream_quantile_sketch`'s decade α was its
+    * fixture's, not the operator's). `build` writes into `{root}/files`;
+    * a completion marker makes a half-written feed from a killed run
+    * rebuild rather than stream short. Returns the files dir to stream
+    * from. Stores/checkpoints are NOT cached — each run drains from
+    * scratch.
+    */
+  private def cachedFeed(s: SparkSession, name: String)
+                        (build: String => Unit): String = {
+    val root = new org.apache.hadoop.fs.Path(s"$scratchRoot/$name")
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val done = new org.apache.hadoop.fs.Path(root, "_FEED_DONE")
+    if (!fs.exists(done)) {
+      fs.delete(root, true)
+      build(s"$root/files")
+      fs.create(done).close()
+    }
+    s"$root/files"
+  }
+
   // ---- stored dedup-index tables, shared by the build/probe pair ----
   // q_dedup_index_build times the corpus-side hash + bucketed write;
   // q_dedup_incremental_stored times ONLY the ingestion-shaped probe,
@@ -2011,15 +2035,24 @@ object SparkEntry {
     "q_stream_quantile_sketch" -> ((s, dir) => {
       val o = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      val san = dir.replaceAll("[^A-Za-z0-9]", "_")
       val root = new org.apache.hadoop.fs.Path(
-        s"$scratchRoot/graft_stream_qsketch_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+        s"$scratchRoot/graft_stream_qsketch_$san")
       val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      // store + checkpoint reset per run (the exactly-once drain must
+      // start from scratch); the FEED is a deterministic function of the
+      // orders table and is materialized ONCE per sf dir, outside the
+      // timed region — the bench then times the drain + folds, not a
+      // corpus-sized fixture write (round-14 verdict: the face's decade
+      // α=0.66 was the feed write's, not the operator's)
       fs.delete(root, true)
-      val feed = s"$root/feed"; val store = s"$root/store"
-      (0 to 2).foreach { i =>
-        o.filter(pmod(col("o_orderkey"), lit(3)) === i)
-          .coalesce(1).write.mode("append").parquet(feed)
+      val feed = cachedFeed(s, s"graft_feed_qsketch_$san") { feedDir =>
+        (0 to 2).foreach { i =>
+          o.filter(pmod(col("o_orderkey"), lit(3)) === i)
+            .coalesce(1).write.mode("append").parquet(feedDir)
+        }
       }
+      val store = s"$root/store"
       val q = graft.streaming.StreamingQuantileSketch.start(s,
         s.readStream.schema(o.schema).option("maxFilesPerTrigger", "1")
           .parquet(feed),
@@ -2072,28 +2105,74 @@ object SparkEntry {
       val ev = t(s, dir, "events")
         .select(col("event_id"), col("event_type"), col("user_id"),
           col("value"))
+      val san = dir.replaceAll("[^A-Za-z0-9]", "_")
       val root = new org.apache.hadoop.fs.Path(
-        s"$scratchRoot/graft_stream_incr_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+        s"$scratchRoot/graft_stream_incr_$san")
       val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(root, true)
-      val feed = s"$root/feed"; val store = s"$root/store"
-      (0 to 2).foreach { i =>
-        ev.filter(pmod(col("event_id"), lit(3)) === i)
-          .coalesce(1).write.mode("append").parquet(feed)
+      // feed cached per sf dir outside the timed region (see the
+      // quantile-sketch face); store + checkpoint reset per run.
+      // Since round 15 the store is a BUCKETED fold store: each
+      // micro-batch rewrites only the hash buckets its keys touch
+      // (O(delta), round-14 verdict #1) and the ledger check is a
+      // driver-side manifest lookup — the oracle is unchanged, the
+      // per-batch swap cost is what moved.
+      val feed = cachedFeed(s, s"graft_feed_incr_$san") { feedDir =>
+        (0 to 2).foreach { i =>
+          ev.filter(pmod(col("event_id"), lit(3)) === i)
+            .coalesce(1).write.mode("append").parquet(feedDir)
+        }
       }
-      val q = graft.streaming.StreamingIncrementalAgg.start(s,
+      val store = s"$root/store"
+      val q = graft.streaming.StreamingIncrementalAgg.startBucketed(s,
         s.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1")
           .parquet(feed),
         store, Seq("event_type"), "value", "user_id", k = 32,
-        checkpoint = s"$root/ckpt")
+        checkpoint = s"$root/ckpt", numBuckets = 8)
       try {
         if (!q.awaitTermination(600000L))
           throw new IllegalStateException(
             "stream incremental-agg drain did not terminate within 600s")
       } finally if (q.isActive) q.stop()
       IncrementalAgg.finalize(
-          graft.pipelines.AtomicStore.readState(s, store),
+          graft.pipelines.BucketedFoldStore.readState(s, store),
           Seq("event_type"), k = 32)
+        .orderBy("event_type")
+    }),
+
+    // the BATCH face of the bucketed O(delta) fold store (round-14
+    // verdict #1): three nightly deltas folded in with batch 1
+    // deliberately RE-DELIVERED (exactly-once no-op), the ledger then
+    // COMPACTED to a watermark and batch 0 re-delivered AGAIN (the
+    // pre-watermark id must stay a no-op) — after all of which the
+    // finalized store must still hash-equal the one-shot full-history
+    // aggregate (oracle text shared VERBATIM with q_incremental_agg).
+    // Each fold rewrites only the buckets its delta touches; the
+    // rewrite granularity itself is pinned in BucketedFoldStoreSpec.
+    "q_fold_bucketed_store" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("user_id"),
+          col("value"))
+      val root = s"$scratchRoot/graft_fold_bucketed_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val hp = new org.apache.hadoop.fs.Path(root)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val keys = Seq("event_type")
+      def fold(i: Int): Boolean =
+        graft.pipelines.BucketedFoldStore.foldOnce(s, root, s"night_$i",
+          IncrementalAgg.aggregateBatch(
+            ev.filter(pmod(col("event_id"), lit(3)) === i),
+            keys, "value", "user_id", k = 32),
+          keys, numBuckets = 8)(
+          IncrementalAgg.merge(_, _, keys, k = 32))
+      (0 to 2).foreach { i =>
+        val reps = if (i == 1) 2 else 1 // deliberate re-delivery of batch 1
+        (1 to reps).foreach(_ => fold(i))
+      }
+      graft.pipelines.BucketedFoldStore.compactLedger(s, root, retainLast = 1)
+      fold(0) // pre-watermark re-delivery after compaction: must no-op
+      IncrementalAgg.finalize(
+          graft.pipelines.BucketedFoldStore.readState(s, root),
+          keys, k = 32)
         .orderBy("event_type")
     }),
 
@@ -5801,6 +5880,31 @@ object SparkEntry {
     // one-shot aggregate over FULL history == the incrementally merged
     // store (mergeable-state algebra; KMV union is exactly mergeable)
     "q_incremental_agg" ->
+      """WITH base AS (SELECT event_type, COUNT(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total,
+                MIN(value) AS "min", MAX(value) AS "max",
+                round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                        / CAST(COUNT(*) AS DOUBLE), 6) AS avg
+              FROM events GROUP BY 1),
+         v AS (SELECT DISTINCT event_type,
+                 CAST(CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 13) AS BIGINT) AS DOUBLE)
+                   / 4503599627370496.0 AS v
+               FROM events),
+         r AS (SELECT event_type, v,
+                 row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn
+               FROM v),
+         sk AS (SELECT event_type, COUNT(*) AS sz, MAX(v) AS vk
+                FROM r WHERE rn <= 32 GROUP BY 1),
+         est AS (SELECT event_type,
+                   CASE WHEN sz < 32 THEN CAST(sz AS DOUBLE)
+                        ELSE round(31.0 / vk, 6) END AS est_distinct
+                 FROM sk)
+         SELECT b.event_type, n, total, "min", "max", avg, est_distinct
+         FROM base b JOIN est USING (event_type) ORDER BY b.event_type""",
+
+    // identical contract for the bucketed O(delta) fold store, across a
+    // re-delivery AND a ledger compaction (oracle shared VERBATIM)
+    "q_fold_bucketed_store" ->
       """WITH base AS (SELECT event_type, COUNT(*) AS n,
                 CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total,
                 MIN(value) AS "min", MAX(value) AS "max",

@@ -982,6 +982,12 @@ object Analytics {
     * too big for exact), then the nBins-row edge table broadcasts and
     * binning is map-side arithmetic; per-side exchanges carry nBins
     * rows.
+    *
+    * EAGER at call time (round-14 advice): collecting the O(nBins)
+    * edge literals executes the reference percentile job when this
+    * method is CALLED, not when the returned frame is acted on — and
+    * an empty reference therefore throws here, before any action. A
+    * caller composing plans lazily should call this last.
     */
   def numericDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
                    nBins: Int, eps: Double = 1e-6): DataFrame = {
@@ -1036,6 +1042,10 @@ object Analytics {
     * carry nBins rows. Coinciding sketch edges (two fractions landing
     * in one bucket) collapse adjacent bins; both engines collapse
     * identically, so the report stays exact-comparable.
+    *
+    * EAGER at call time, like [[numericDrift]] (round-14 advice): the
+    * sketch build + edge collect run when this method is called, and
+    * an empty reference throws here, before any action on the result.
     */
   def numericDriftSketch(ref: DataFrame, cur: DataFrame, valueCol: String,
                          nBins: Int, eps: Double = 1e-6): DataFrame = {

@@ -22,20 +22,40 @@ import graft.operators.IncrementalAgg
   * distinct sketch stays exactly mergeable across batches, so the
   * drained store is bit-identical to a one-shot aggregate over full
   * history — which is what the oracle checks. Replay safety (round-13
-  * verdict #3): the fold goes through `AtomicStore.foldOnce` with the
-  * micro-batch id as the ledger key — Spark re-delivers a failed batch
-  * under the SAME id, so the retry is a ledger no-op and the store is
-  * exactly-once with no external checkpoint-outlives-store discipline.
-  * Read the store through `AtomicStore.readState` (the ledger markers
-  * ride inside the table).
+  * verdict #3): the fold goes through an exactly-once ledger keyed on
+  * the micro-batch id — Spark re-delivers a failed batch under the
+  * SAME id, so the retry is a ledger no-op.
+  *
+  * LEDGER SCOPE (round-14 advice): micro-batch ids restart from 0 with
+  * a NEW checkpoint, so the ledger key carries a caller-supplied
+  * `streamName` — restarting a query against a RETAINED store with a
+  * fresh checkpoint (or pointing a second query at the same store)
+  * must use a distinct name, or its batch 0/1/2… silently no-op against
+  * the previous run's ledger entries. Store + checkpoint + name form
+  * one lifecycle: recreate them together or name each run uniquely.
+  *
+  * Two store layouts:
+  *  - [[writer]]: the whole-table `AtomicStore.foldOnce` swap — right
+  *    for rollup stores up to ~millions of rows (per-batch rewrite is
+  *    O(state)); read with `AtomicStore.readState`.
+  *  - [[writerBucketed]]: the `BucketedFoldStore` manifest commit —
+  *    per-batch rewrite is O(delta) (only the hash buckets the batch's
+  *    keys land in are rewritten, the ledger lives in the manifest and
+  *    its check is a driver-side set lookup, no Spark job); read with
+  *    `BucketedFoldStore.readState`. The 100 TB shape for large key
+  *    spaces (round-14 verdict #1).
   */
 object StreamingIncrementalAgg {
 
+  private def ledgerKey(streamName: String, batchId: Long): String =
+    if (streamName.isEmpty) s"mb_$batchId" else s"$streamName#mb_$batchId"
+
   def writer(spark: SparkSession, stream: DataFrame, storePath: String,
              keys: Seq[String], valueCol: String, distinctCol: String,
-             k: Int): DataStreamWriter[Row] =
+             k: Int, streamName: String = ""): DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      graft.pipelines.AtomicStore.foldOnce(spark, storePath, s"mb_$batchId",
+      graft.pipelines.AtomicStore.foldOnce(spark, storePath,
+        ledgerKey(streamName, batchId),
         IncrementalAgg.aggregateBatch(batch, keys, valueCol, distinctCol, k))(
         IncrementalAgg.merge(_, _, keys, k))
       ()
@@ -43,8 +63,41 @@ object StreamingIncrementalAgg {
 
   def start(spark: SparkSession, stream: DataFrame, storePath: String,
             keys: Seq[String], valueCol: String, distinctCol: String,
-            k: Int, checkpoint: String): StreamingQuery =
-    writer(spark, stream, storePath, keys, valueCol, distinctCol, k)
+            k: Int, checkpoint: String,
+            streamName: String = ""): StreamingQuery =
+    writer(spark, stream, storePath, keys, valueCol, distinctCol, k, streamName)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** [[writer]] against a [[graft.pipelines.BucketedFoldStore]]: each
+    * micro-batch rewrites only the state buckets its keys hash into —
+    * O(delta) per batch however large the store grows. Same
+    * exactly-once single-commit contract (the manifest rename commits
+    * state + ledger together); `IncrementalAgg.merge` is key-local on
+    * `keys`, the store's requirement.
+    */
+  def writerBucketed(spark: SparkSession, stream: DataFrame,
+                     storePath: String, keys: Seq[String], valueCol: String,
+                     distinctCol: String, k: Int, numBuckets: Int = 64,
+                     streamName: String = ""): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      graft.pipelines.BucketedFoldStore.foldOnce(spark, storePath,
+        ledgerKey(streamName, batchId),
+        IncrementalAgg.aggregateBatch(batch, keys, valueCol, distinctCol, k),
+        keys, numBuckets)(
+        IncrementalAgg.merge(_, _, keys, k))
+      ()
+    }
+
+  /** [[writerBucketed]] started with an AvailableNow drain. */
+  def startBucketed(spark: SparkSession, stream: DataFrame,
+                    storePath: String, keys: Seq[String], valueCol: String,
+                    distinctCol: String, k: Int, checkpoint: String,
+                    numBuckets: Int = 64,
+                    streamName: String = ""): StreamingQuery =
+    writerBucketed(spark, stream, storePath, keys, valueCol, distinctCol, k,
+        numBuckets, streamName)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()

@@ -27,21 +27,33 @@ import graft.operators.QuantileSketch
   * inline processed-batch ledger makes the re-delivered fold a no-op.
   * The drained store therefore equals the one-shot sketch over full
   * history even across restarts, which is what the shared oracle checks.
+  *
+  * LEDGER SCOPE (round-14 advice): micro-batch ids restart from 0 with
+  * a NEW checkpoint, so the ledger key carries a caller-supplied
+  * `streamName` — restarting against a RETAINED store with a fresh
+  * checkpoint (or pointing a second query at the same store) must use
+  * a distinct name, or its batch 0/1/2… silently no-op against the
+  * previous run's entries. Store + checkpoint + name are one
+  * lifecycle: recreate them together or name each run uniquely.
   */
 object StreamingQuantileSketch {
 
+  private def ledgerKey(streamName: String, batchId: Long): String =
+    if (streamName.isEmpty) s"mb_$batchId" else s"$streamName#mb_$batchId"
+
   def writer(spark: SparkSession, stream: DataFrame, storePath: String,
-             valueCol: String, groupCols: Seq[String]): DataStreamWriter[Row] =
+             valueCol: String, groupCols: Seq[String],
+             streamName: String = ""): DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       QuantileSketch.foldIntoStore(spark, batch, valueCol, groupCols,
-        storePath, s"mb_$batchId")
+        storePath, ledgerKey(streamName, batchId))
       ()
     }
 
   def start(spark: SparkSession, stream: DataFrame, storePath: String,
             valueCol: String, groupCols: Seq[String],
-            checkpoint: String): StreamingQuery =
-    writer(spark, stream, storePath, valueCol, groupCols)
+            checkpoint: String, streamName: String = ""): StreamingQuery =
+    writer(spark, stream, storePath, valueCol, groupCols, streamName)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()

@@ -95,6 +95,76 @@ DIRECT = [
     "q_sql_fuzz_00", "q_sql_fuzz_31", "q_sql_fuzz_56", "q_sql_fuzz_81",
     "q_sql_fuzz_113", "q_sql_fuzz_136", "q_sql_fuzz_159",
     "q_sql_fuzz_181",
+    # --- round-15 widening (round-14 verdict #3): the remaining
+    # DIRECT-eligible sf1 families — scalar/source/pipeline suites,
+    # join long tail, light dedup/text/sample/split/drift/multimodal,
+    # the rest of the streaming drains, and two more fuzz cases per
+    # block. Still sf1-pinned, with the same budget rationale as the
+    # closure/numpy tiers: the PQ-stack oracles (q_sim_ivfpq_*,
+    # q_sim_pq_adc, q_sim_hard_negatives_ivf) replicate k-means×ADC in
+    # SQL — at 200k×64 that is DuckDB-hours for arithmetic already
+    # pinned exactly at 20k vectors.
+    # scalar / schema / source suites over the scaled tables
+    "q_f1_snake_schema", "q_f2_json_props", "q_f2_json_roundtrip",
+    "q_f5_ship_delay", "q_f_scalar_suite", "q_f11_alias_normalize",
+    "q_f15_stock_status", "q_a2_freshness", "q_a4_top_days",
+    "q_a6_genre_rollup", "q_o7_shortest_name", "q_p6_multi_filter",
+    "q_p_scan_filter_sort", "q_t1_union_names", "q_t3_set_ops",
+    "q_zorder_key", "q_unpivot_metrics", "q_histogram",
+    "q_cube_region_segment", "q_st1_date_spine", "q_timeseries_fill",
+    # pipeline lifecycle (store DDL/append/backfill/CSV/corpus-prep)
+    "q_pipeline_store_lifecycle", "q_pipeline_csv_roundtrip",
+    "q_pipeline_corpus_prep",
+    # join long tail
+    "q_j1_dim_rollup", "q_j2_customers_no_orders",
+    "q_j2b_customers_with_orders", "q_j4_enrich_fallback",
+    "q_j_full_outer", "q_j6_fuzzy_title", "q_j6_fuzzy_title_phased",
+    "q_j6_fuzzy_levenshtein", "q_asof_next_value",
+    # light dedup / decontamination (banded pair CTEs proved feasible
+    # at 500k docs by the zipf_sf10 gate and q_dedup_minhash_lsh here)
+    "q_dedup_containment", "q_dedup_ngram_jaccard",
+    "q_dedup_jaccard_capped", "q_dedup_top_grams", "q_dedup_span_removal",
+    "q_dedup_incremental", "q_dedup_incremental_stored",
+    "q_decontaminate", "q_decontaminate_bloom",
+    # text stats / packing / retrieval over 500k documents
+    "q_text_tokens", "q_text_quality", "q_text_langid",
+    "q_text_fingerprint", "q_text_chunks", "q_text_novelty",
+    "q_text_packing", "q_text_packing_sharded", "q_text_redact",
+    "q_text_repetition", "q_text_simhash", "q_text_bm25",
+    "q_text_inverted_index", "q_text_heavy_hitters",
+    "q_text_heavy_hitters_by_lang", "q_text_divergence_group",
+    "q_text_corpus_gate",
+    # quality / sampling / split
+    "q_quality_corpus", "q_quality_expectations", "q_quality_quarantine",
+    "q_sample_deterministic", "q_sample_mix", "q_sample_weighted",
+    "q_sample_weighted_group", "q_curriculum_order",
+    "q_split_leakage", "q_split_train_test",
+    # drift (exact-percentile + report faces; sketch face above)
+    "q_drift_numeric", "q_drift_report",
+    # embedding numerics long tail (brute-force shapes the cosine-topk
+    # row above already proved DuckDB-feasible at 200k×64)
+    "q_sim_int8_topk", "q_sim_meanpool", "q_sim_recall_eval",
+    "q_sim_ann_lsh", "q_sim_ann_hadamard", "q_sim_covariance_incremental",
+    "q_sim_hard_negatives",
+    # multimodal (real JDK codecs; banded near-dup joins)
+    "q_multimodal_decode", "q_multimodal_meta", "q_multimodal_unknown",
+    "q_multimodal_chunks", "q_multimodal_ahash", "q_multimodal_audio",
+    "q_multimodal_audio_fp", "q_multimodal_audio_neardup",
+    "q_multimodal_image_neardup", "q_multimodal_image_neardup_capped",
+    # remaining streaming drains + CDC
+    "q_stream_cdc_merge", "q_stream_corpus_gate",
+    "q_stream_dedup_firstseen", "q_stream_drift", "q_stream_funnel",
+    "q_stream_heavy_hitters", "q_stream_interval_join_outer",
+    "q_stream_latest_rocksdb", "q_stream_static_enrich",
+    "q_stream_timeseries_fill", "q_stream_neardup", "q_stream_neardup_ttl",
+    "q_u2_cdc_merge",
+    # round-15 bucketed O(delta) fold store (re-delivery + compaction)
+    "q_fold_bucketed_store",
+    # fuzz: two more cases per block
+    "q_sql_fuzz_15", "q_sql_fuzz_23", "q_sql_fuzz_40", "q_sql_fuzz_48",
+    "q_sql_fuzz_65", "q_sql_fuzz_73", "q_sql_fuzz_97", "q_sql_fuzz_105",
+    "q_sql_fuzz_120", "q_sql_fuzz_128", "q_sql_fuzz_145", "q_sql_fuzz_152",
+    "q_sql_fuzz_165", "q_sql_fuzz_173", "q_sql_fuzz_190", "q_sql_fuzz_200",
 ]
 
 # STAGED tier (sf10 finding, round 13): q_dedup_simhash_pairs's oracle is

@@ -50,6 +50,18 @@ DIRECT = [
     # light text stats (cheap; pin the tokenizer on the new corpus)
     "q_text_tokens", "q_text_quality", "q_text_langid",
     "q_text_fingerprint",
+    # --- round-15 mop-up (round-14 verdict #7): the remaining
+    # text-adjacent documents-only families — packing, chunking,
+    # novelty, redaction/repetition, simhash signatures, corpus gates,
+    # and the sampling/mix tier. Their vocabulary-insensitivity was
+    # argued, not measured; one run here retires the assumption.
+    "q_text_packing", "q_text_packing_sharded", "q_text_chunks",
+    "q_text_novelty", "q_text_redact", "q_text_repetition",
+    "q_text_simhash", "q_text_corpus_gate", "q_stream_corpus_gate",
+    "q_pipeline_corpus_prep",
+    "q_sample_deterministic", "q_sample_weighted",
+    "q_sample_weighted_group", "q_sample_mix", "q_sample_stratified",
+    "q_mix_temperature", "q_curriculum_order",
 ]
 ALL = sorted(CLOSURE + DIRECT)
 
