@@ -136,7 +136,14 @@ object BucketedFoldStore {
                   s"delta's column set ${expected.mkString("(", ", ", ")")} — " +
                   s"got ${merged.columns.sorted.mkString("(", ", ", ")")}")
               val dataDir = new Path(root, s"data-g$gen")
+              // cluster rows by bucket before the partitioned write:
+              // without this every write task emits one file PER bucket
+              // it happens to hold (tasks × buckets tiny files); with it
+              // each bucket's rows land in few task-partitions (AQE
+              // coalesces small ones), so file count tracks touched
+              // buckets, not touched × parallelism
               merged.withColumn(BucketCol, bucketOf)
+                .repartition(col(BucketCol))
                 .write.mode(SaveMode.Overwrite)
                 .partitionBy(BucketCol).parquet(dataDir.toString)
               // physical truth: which buckets did the merge actually emit?
