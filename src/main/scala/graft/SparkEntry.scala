@@ -2046,15 +2046,20 @@ object SparkEntry {
       // corpus-sized fixture write (round-14 verdict: the face's decade
       // α=0.66 was the feed write's, not the operator's)
       fs.delete(root, true)
-      val feed = cachedFeed(s, s"graft_feed_qsketch_$san") { feedDir =>
+      // 8 files per ingestion slice + maxFilesPerTrigger=8: each
+      // micro-batch scans its slice with file-level parallelism instead
+      // of one near-single-task file (fold merges are exactly
+      // batching-independent, so the drained store — and the oracle —
+      // don't care how the slice is filed)
+      val feed = cachedFeed(s, s"graft_feed_qsketch8_$san") { feedDir =>
         (0 to 2).foreach { i =>
           o.filter(pmod(col("o_orderkey"), lit(3)) === i)
-            .coalesce(1).write.mode("append").parquet(feedDir)
+            .repartition(8).write.mode("append").parquet(feedDir)
         }
       }
       val store = s"$root/store"
       val q = graft.streaming.StreamingQuantileSketch.start(s,
-        s.readStream.schema(o.schema).option("maxFilesPerTrigger", "1")
+        s.readStream.schema(o.schema).option("maxFilesPerTrigger", "8")
           .parquet(feed),
         store, "o_totalprice", Seq("o_orderpriority"),
         checkpoint = s"$root/ckpt")
@@ -2117,15 +2122,15 @@ object SparkEntry {
       // (O(delta), round-14 verdict #1) and the ledger check is a
       // driver-side manifest lookup — the oracle is unchanged, the
       // per-batch swap cost is what moved.
-      val feed = cachedFeed(s, s"graft_feed_incr_$san") { feedDir =>
+      val feed = cachedFeed(s, s"graft_feed_incr8_$san") { feedDir =>
         (0 to 2).foreach { i =>
           ev.filter(pmod(col("event_id"), lit(3)) === i)
-            .coalesce(1).write.mode("append").parquet(feedDir)
+            .repartition(8).write.mode("append").parquet(feedDir)
         }
       }
       val store = s"$root/store"
       val q = graft.streaming.StreamingIncrementalAgg.startBucketed(s,
-        s.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1")
+        s.readStream.schema(ev.schema).option("maxFilesPerTrigger", "8")
           .parquet(feed),
         store, Seq("event_type"), "value", "user_id", k = 32,
         checkpoint = s"$root/ckpt", numBuckets = 8)
