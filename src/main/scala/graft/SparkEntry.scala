@@ -68,6 +68,25 @@ object SparkEntry {
     s"$root/files"
   }
 
+  /** Write `df` as ONE parquet file named `$name.parquet` under
+    * `filesDir`, stamped with `modMs` — the micro-batch-ordering feed
+    * layout every maxFilesPerTrigger=1 drain relies on (FileStreamSource
+    * orders by modification time). Shared by the [[cachedFeed]] builders
+    * of the multi-batch stream faces; staging residue is removed so the
+    * cached feed directory holds exactly the stream's input files.
+    */
+  private def emitFeedFile(df: DataFrame, filesDir: String, name: String,
+                           modMs: Long): Unit = {
+    val dir = new java.io.File(filesDir); dir.mkdirs()
+    val stage = new java.io.File(dir.getParentFile, s"stage_$name")
+    df.coalesce(1).write.parquet(stage.getAbsolutePath)
+    val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+    val dest = new java.io.File(dir, s"$name.parquet")
+    java.nio.file.Files.move(part.toPath, dest.toPath)
+    org.apache.commons.io.FileUtils.deleteQuietly(stage)
+    dest.setLastModified(modMs); ()
+  }
+
   // ---- stored dedup-index tables, shared by the build/probe pair ----
   // q_dedup_index_build times the corpus-side hash + bucketed write;
   // q_dedup_incremental_stored times ONLY the ingestion-shaped probe,
@@ -1522,26 +1541,22 @@ object SparkEntry {
     // (the corpus-gate dual pattern, extended to the multimodal surface)
     "q_stream_multimodal_ahash" -> ((s, dir) => {
       val corpus = ahashCorpus(s, dir)
-      // fixed per-sf path, cleared on entry (the q_stream_cdc_merge
-      // pattern) — a fresh createTempDirectory per run would accumulate
-      // parquet batches across harness runs (round-8 advice)
-      val tmp = s"$scratchRoot/graft_mmstream_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
-      val fsRoot = new org.apache.hadoop.fs.Path(tmp)
-      fsRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
-        .delete(fsRoot, true)
-      val streamDir = new java.io.File(s"$tmp/media"); streamDir.mkdirs()
-      def emitFile(df: DataFrame, name: String, modMs: Long): Unit = {
-        val stage = s"$tmp/stage_$name"
-        df.coalesce(1).write.parquet(stage)
-        val part = new java.io.File(stage).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        val dest = new java.io.File(streamDir, s"$name.parquet")
-        java.nio.file.Files.move(part.toPath, dest.toPath)
-        dest.setLastModified(modMs); ()
+      // FEED cached per sf dir (round-15, guide §1.4: time the operator,
+      // not the fixture): the two-batch PNG feed is a deterministic
+      // function of the documents table, and re-encoding the synthetic
+      // corpus to parquet on every run only added two corpus-sized
+      // writes in front of the drain being measured. The drain itself —
+      // readStream + per-micro-batch decode, the operator under test —
+      // still runs from scratch every time (fresh checkpoint inside
+      // StreamDrain).
+      val streamDir = cachedFeed(s,
+          s"graft_feed_mmstream_${dir.replaceAll("[^A-Za-z0-9]", "_")}") { feedDir =>
+        emitFeedFile(corpus.filter(pmod(col("doc_id"), lit(2)) === 0),
+          feedDir, "b1", 1000000L)
+        emitFeedFile(corpus.filter(pmod(col("doc_id"), lit(2)) === 1),
+          feedDir, "b2", 2000000L)
       }
-      emitFile(corpus.filter(pmod(col("doc_id"), lit(2)) === 0), "b1", 1000000L)
-      emitFile(corpus.filter(pmod(col("doc_id"), lit(2)) === 1), "b2", 2000000L)
-      graft.streaming.StreamDrain.drain(s, streamDir.toString,
+      graft.streaming.StreamDrain.drain(s, streamDir,
           corpus.schema, "stream_multimodal_ahash", "append",
           sourceOptions = Map("maxFilesPerTrigger" -> "1")) { src =>
         Multimodal.imageAHashBands(s, src)
@@ -1757,28 +1772,25 @@ object SparkEntry {
     // tombstone/resurrect semantics against the SAME semantic oracle
     "q_stream_cdc_merge" -> ((s, dir) => {
       val (base, changes) = cdcFixture(s, dir)
+      val san = dir.replaceAll("[^A-Za-z0-9]", "_")
+      // store + checkpoint reset per run (the drain must fold from
+      // scratch); the FEED — a deterministic function of the customer
+      // table — is cached per sf dir outside the timed region (guide
+      // §1.4, the q_stream_quantile_sketch pattern)
       val root = new org.apache.hadoop.fs.Path(
-        s"$scratchRoot/graft_stream_cdc_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+        s"$scratchRoot/graft_stream_cdc_$san")
       val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(root, true)
-      val feedDir = new java.io.File(s"$root/feed"); feedDir.mkdirs()
-      def emitFile(df: DataFrame, name: String, modMs: Long): Unit = {
-        val stage = s"$root/stage_$name"
-        df.coalesce(1).write.parquet(stage)
-        val part = new java.io.File(stage).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        val dest = new java.io.File(feedDir, s"$name.parquet")
-        java.nio.file.Files.move(part.toPath, dest.toPath)
-        dest.setLastModified(modMs); ()
-      }
       // log order: everything at seq 1 lands before everything at seq 2
-      emitFile(changes.filter(col("seq") === 1), "b1", 1000000L)
-      emitFile(changes.filter(col("seq") === 2), "b2", 2000000L)
+      val feedDir = cachedFeed(s, s"graft_feed_cdc_$san") { fd =>
+        emitFeedFile(changes.filter(col("seq") === 1), fd, "b1", 1000000L)
+        emitFeedFile(changes.filter(col("seq") === 2), fd, "b2", 2000000L)
+      }
       val store = s"$root/store"
       graft.pipelines.AtomicStore.overwrite(base, store)
       val q = graft.streaming.StreamingUpsert.startCdc(s,
         s.readStream.schema(changes.schema)
-          .option("maxFilesPerTrigger", "1").parquet(feedDir.toString),
+          .option("maxFilesPerTrigger", "1").parquet(feedDir),
         store, Seq("c_custkey"), "op", "seq", s"$root/ckpt")
       try {
         if (!q.awaitTermination(600000L))
@@ -2510,29 +2522,22 @@ object SparkEntry {
         .select(col("o_custkey").as("key"),
           datediff(col("d"), to_date(lit("1970-01-01"))).as("day"),
           col("v"))
-      val bounds = daily.agg(min("day"), max("day")).head() // O(1) scalars
-      val (lo, hi) = (bounds.getInt(0), bounds.getInt(1))
-      val c1 = lo + (hi - lo) / 3
-      val c2 = lo + 2 * (hi - lo) / 3
-      // fixed per-sf path, cleared on entry (see q_stream_multimodal_ahash)
-      val tmp = s"$scratchRoot/graft_gapfill_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
-      val fsRoot = new org.apache.hadoop.fs.Path(tmp)
-      fsRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
-        .delete(fsRoot, true)
-      val streamDir = new java.io.File(s"$tmp/obs"); streamDir.mkdirs()
-      def emitFile(df: DataFrame, name: String, modMs: Long): Unit = {
-        val stage = s"$tmp/stage_$name"
-        df.coalesce(1).write.parquet(stage)
-        val part = new java.io.File(stage).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        val dest = new java.io.File(streamDir, s"$name.parquet")
-        java.nio.file.Files.move(part.toPath, dest.toPath)
-        dest.setLastModified(modMs); ()
+      // FEED (and the O(1) bounds scalars that only shape its tercile
+      // split) cached per sf dir — a deterministic function of the
+      // orders table; the drain + stateful gap fill is the timed body
+      // (guide §1.4, the q_stream_quantile_sketch pattern)
+      val streamDir = cachedFeed(s,
+          s"graft_feed_gapfill_${dir.replaceAll("[^A-Za-z0-9]", "_")}") { fd =>
+        val bounds = daily.agg(min("day"), max("day")).head() // O(1) scalars
+        val (lo, hi) = (bounds.getInt(0), bounds.getInt(1))
+        val c1 = lo + (hi - lo) / 3
+        val c2 = lo + 2 * (hi - lo) / 3
+        emitFeedFile(daily.filter(col("day") <= c1), fd, "b1", 1000000L)
+        emitFeedFile(daily.filter(col("day") > c1 && col("day") <= c2),
+          fd, "b2", 2000000L)
+        emitFeedFile(daily.filter(col("day") > c2), fd, "b3", 3000000L)
       }
-      emitFile(daily.filter(col("day") <= c1), "b1", 1000000L)
-      emitFile(daily.filter(col("day") > c1 && col("day") <= c2), "b2", 2000000L)
-      emitFile(daily.filter(col("day") > c2), "b3", 3000000L)
-      graft.streaming.StreamDrain.drain(s, streamDir.toString,
+      graft.streaming.StreamDrain.drain(s, streamDir,
           daily.schema, "stream_timeseries_fill", "append",
           sourceOptions = Map("maxFilesPerTrigger" -> "1")) { src =>
         graft.streaming.StreamingGapFill.filled(s,
@@ -2644,25 +2649,19 @@ object SparkEntry {
       val d1 = mx / 3
       val d2 = (2 * mx) / 3
       val ttlSecs = (d1 * 4 / 10) * 60 + 30
-      // fixed per-sf path, cleared on entry (see q_stream_multimodal_ahash)
-      val tmp = s"$scratchRoot/graft_neardup_ttl_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
-      val fsRoot = new org.apache.hadoop.fs.Path(tmp)
-      fsRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
-        .delete(fsRoot, true)
-      val streamDir = new java.io.File(s"$tmp/docs"); streamDir.mkdirs()
-      def emitFile(df: DataFrame, name: String, modMs: Long): Unit = {
-        val stage = s"$tmp/stage_$name"
-        df.coalesce(1).write.parquet(stage)
-        val part = new java.io.File(stage).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        val dest = new java.io.File(streamDir, s"$name.parquet")
-        java.nio.file.Files.move(part.toPath, dest.toPath)
-        dest.setLastModified(modMs); ()
+      // FEED cached per sf dir (deterministic tercile split of the
+      // documents table); the mx scalar above stays per-run because the
+      // OPERATOR's ttl derives from it. The drain — banding + stateful
+      // TTL eviction, the semantics under test — runs from scratch every
+      // time (guide §1.4, the q_stream_quantile_sketch pattern).
+      val streamDir = cachedFeed(s,
+          s"graft_feed_neardup_ttl_${dir.replaceAll("[^A-Za-z0-9]", "_")}") { fd =>
+        emitFeedFile(batch.filter(col("doc_id") <= d1), fd, "b1", 1000000L)
+        emitFeedFile(batch.filter(col("doc_id") > d1 && col("doc_id") <= d2),
+          fd, "b2", 2000000L)
+        emitFeedFile(batch.filter(col("doc_id") > d2), fd, "b3", 3000000L)
       }
-      emitFile(batch.filter(col("doc_id") <= d1), "b1", 1000000L)
-      emitFile(batch.filter(col("doc_id") > d1 && col("doc_id") <= d2), "b2", 2000000L)
-      emitFile(batch.filter(col("doc_id") > d2), "b3", 3000000L)
-      graft.streaming.StreamDrain.drain(s, streamDir.toString,
+      graft.streaming.StreamDrain.drain(s, streamDir,
           batch.schema, "stream_neardup_ttl", "append",
           sourceOptions = Map("maxFilesPerTrigger" -> "1")) { src =>
         graft.streaming.StreamingNearDup.candidatePairsExpiring(s,
