@@ -2423,7 +2423,28 @@ object SparkEntry {
     // order can't perturb the double (the sumd discipline), and
     // timestamps compare as epoch micros in both engines.
     "q_stream_sessionize" -> ((s, dir) => {
-      drainEvents(s, dir, "stream_sessionize", "complete") { src =>
+      // Stateful fan-out sized for a COMPUTE-heavy single-store op
+      // (round-15, guide §2.5/§2.6): the drain default (1 partition per
+      // 64 MB, the TTL-drain measurement where per-batch COMMIT files
+      // dominate) leaves the session-window fold single-threaded while
+      // 31 cores idle. This op is the opposite profile — one state
+      // store per partition (cheap commits) and per-row session
+      // assembly (expensive compute) — and the measured knee at sf0.1
+      // (200k rows) is p=8: addBatch 1.55 s (p=1) → 0.82 s (p=8) →
+      // 1.25 s (p=32). Size it from INPUT BYTES (≈256 KB ≈ 25k rows
+      // per partition), clamped [1, 32] — scale-adaptive, not a core
+      // constant; a production stream pins this once at first start
+      // (checkpoint locks it) per the StreamDrain scaladoc. The
+      // interval-join faces KEEP the commit-minimizing default: 4
+      // stores/partition, and p=8 measured SLOWER (2.5 → 3.0 s).
+      val evPath = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+      val evBytes =
+        try evPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .getContentSummary(evPath).getLength
+        catch { case _: Exception => 0L }
+      val fanout = math.max(1L, math.min(32L, (evBytes + (256L << 10) - 1) / (256L << 10)))
+      drainEvents(s, dir, "stream_sessionize", "complete",
+          confs = Map("spark.sql.shuffle.partitions" -> fanout.toString)) { src =>
         val ev = src.select(col("user_id"),
           timestamp_micros(expr("ts div 1000")).as("event_ts"),
           dec(col("value")).as("value"))
@@ -2606,7 +2627,21 @@ object SparkEntry {
     // bounded-drain configuration, matching the batch dual.
     "q_stream_neardup" -> ((s, dir) => {
       val batch = t(s, dir, "documents")
-      graft.streaming.StreamDrain.drain(s, s"$dir/documents.parquet",
+      // FEED cached per sf dir as 8 files (guide §2/§6 — scan
+      // parallelism): documents.parquet is ONE file ≈ one scan task, so
+      // the banding (the drain's dominant map-side work, measured ~3 s
+      // of the 4.2 s at sf0.1) ran single-threaded. All 8 files land in
+      // the SAME AvailableNow micro-batch (no maxFilesPerTrigger), so
+      // bucket state sees the identical arrival set and the emitted
+      // candidate-pair SET is unchanged — pair emission within one batch
+      // is arrival-order-invariant below the (1<<20) cap, and the query
+      // takes distinct() anyway. Same 8-files-per-slice discipline as
+      // the quantile-sketch/incremental-agg feeds.
+      val streamDir = cachedFeed(s,
+          s"graft_feed_neardup8_${dir.replaceAll("[^A-Za-z0-9]", "_")}") { fd =>
+        batch.repartition(8).write.parquet(fd)
+      }
+      graft.streaming.StreamDrain.drain(s, streamDir,
           batch.schema, "stream_neardup", "append") { src =>
         graft.streaming.StreamingNearDup.candidatePairs(s,
           graft.streaming.StreamingNearDup.banded(src, "doc_id", "text",
@@ -2654,16 +2689,28 @@ object SparkEntry {
       // OPERATOR's ttl derives from it. The drain — banding + stateful
       // TTL eviction, the semantics under test — runs from scratch every
       // time (guide §1.4, the q_stream_quantile_sketch pattern).
+      // 8 files per tercile + maxFilesPerTrigger=8 (guide §2, scan
+      // parallelism — the one-file-per-batch layout ran the banding
+      // single-threaded): each tercile is pmod-split into EXACTLY 8
+      // files (an empty pmod slice still writes its schema-only file, so
+      // batch boundaries never drift) sharing that tercile's mod time,
+      // so micro-batch composition — and therefore watermark advance and
+      // eviction — is byte-identical to the one-file-per-batch layout,
+      // and within a batch the pair set is arrival-order-invariant
+      // below the (1<<20) cap. Oracle unchanged.
       val streamDir = cachedFeed(s,
-          s"graft_feed_neardup_ttl_${dir.replaceAll("[^A-Za-z0-9]", "_")}") { fd =>
-        emitFeedFile(batch.filter(col("doc_id") <= d1), fd, "b1", 1000000L)
-        emitFeedFile(batch.filter(col("doc_id") > d1 && col("doc_id") <= d2),
-          fd, "b2", 2000000L)
-        emitFeedFile(batch.filter(col("doc_id") > d2), fd, "b3", 3000000L)
+          s"graft_feed_neardup_ttl8_${dir.replaceAll("[^A-Za-z0-9]", "_")}") { fd =>
+        val slices = Seq(
+          ("b1", batch.filter(col("doc_id") <= d1), 1000000L),
+          ("b2", batch.filter(col("doc_id") > d1 && col("doc_id") <= d2), 2000000L),
+          ("b3", batch.filter(col("doc_id") > d2), 3000000L))
+        for ((name, slice, modMs) <- slices; j <- 0 until 8)
+          emitFeedFile(slice.filter(pmod(col("doc_id"), lit(8)) === j),
+            fd, s"${name}_$j", modMs)
       }
       graft.streaming.StreamDrain.drain(s, streamDir,
           batch.schema, "stream_neardup_ttl", "append",
-          sourceOptions = Map("maxFilesPerTrigger" -> "1")) { src =>
+          sourceOptions = Map("maxFilesPerTrigger" -> "8")) { src =>
         graft.streaming.StreamingNearDup.candidatePairsExpiring(s,
           graft.streaming.StreamingNearDup.banded(src, "doc_id", "text",
             k = 5, numHashes = 16, numBands = 4, carryCols = Seq("ts"))
@@ -2854,7 +2901,19 @@ object SparkEntry {
     // (the Σ tf·lnr = Σ_instances lnr fold); instance-level oracle
     "q_stream_dsir" -> ((s, dir) => {
       val batch = t(s, dir, "documents")
-      graft.streaming.StreamDrain.drain(s, s"$dir/documents.parquet",
+      // 8-file cached feed (guide §2, scan parallelism): the scoring
+      // explode — tokenize + hash per feature instance, the drain's
+      // dominant map-side work — ran as one scan task over the single
+      // documents.parquet file. All 8 files land in the same
+      // AvailableNow micro-batch, and every doc's features explode from
+      // its own row, so the complete-mode per-doc aggregate is
+      // identical. Shares the q_stream_neardup feed (same repartition(8)
+      // of the documents table).
+      val streamDir = cachedFeed(s,
+          s"graft_feed_neardup8_${dir.replaceAll("[^A-Za-z0-9]", "_")}") { fd =>
+        batch.repartition(8).write.parquet(fd)
+      }
+      graft.streaming.StreamDrain.drain(s, streamDir,
           batch.schema, "stream_dsir", "complete") { src =>
         // the model must build on the DRAIN's dedicated session
         val docs = Tables.load(src.sparkSession, dir, "documents")

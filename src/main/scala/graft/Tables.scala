@@ -113,8 +113,41 @@ object Tables {
       case _ => df
     }
 
-  def registerAll(spark: SparkSession, sfDir: String): Unit =
-    all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+  /** View-registration memo (round-15 optimization, same discipline as
+    * the scan-plan memo above): `createOrReplaceTempView` ×10 costs
+    * ~70 ms per call even over memoized plans (catalog writes + plan
+    * re-registration), and the 210-query SQL-fuzz family calls
+    * [[registerAll]] once per query — ~15 s of the whole bench spent
+    * re-creating views that are IDENTICAL call over call. Skip the
+    * re-registration when the last registration on this session was for
+    * the SAME sf dir and every table's memoized scan plan is the SAME
+    * instance (`eq`) — the scan memo already keys plan identity by the
+    * path's (mtime, length), so an overwritten table yields a fresh
+    * plan instance and forces re-registration, and switching sf dirs
+    * re-registers by key inequality. Only the 10 testdata views are
+    * memoized; nothing else in the repo registers under these names
+    * (grep-checked: the pipeline/API views use `graft_`/store-table
+    * names), and the memo is per-session, so drain sessions and test
+    * sessions register their own views as before.
+    */
+  private val registeredViews =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, (String, Seq[DataFrame])]())
+
+  def registerAll(spark: SparkSession, sfDir: String): Unit = {
+    val raws = all.map(n => loadRaw(spark, sfDir, n))
+    val prev = registeredViews.get(spark)
+    val unchanged = prev != null && prev._1 == sfDir &&
+      prev._2.size == raws.size &&
+      prev._2.zip(raws).forall { case (a, b) => a eq b }
+    if (!unchanged) {
+      all.zip(raws).foreach { case (n, raw) =>
+        normalizeEventTs(raw).createOrReplaceTempView(n)
+      }
+      registeredViews.put(spark, (sfDir, raws))
+      ()
+    }
+  }
 
   /** ns-since-epoch Long → DateType, integer-exact (never routes the epoch
     * through a double — `div` is SQL integral division).

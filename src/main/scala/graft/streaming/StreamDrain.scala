@@ -173,6 +173,13 @@ object StreamDrain {
       }
     } finally {
       if (q.isActive) q.stop()
+      // dev diagnostics (round-15): per-micro-batch duration breakdown
+      // (addBatch vs commit machinery) to stderr when asked — the
+      // drain-family optimization loop reads these instead of guessing
+      if (sys.env.contains("GRAFT_DRAIN_DEBUG"))
+        q.recentProgress.foreach(p => System.err.println(
+          s"[drain $name] batch ${p.batchId} rows ${p.numInputRows} " +
+            s"durationMs ${p.durationMs}"))
       // replay artifact — reclaim the tmpfs space immediately
       org.apache.commons.io.FileUtils.deleteQuietly(ckpt)
       ()

@@ -75,11 +75,17 @@ object StreamingNearDup {
     // plain Column val, `hh` would be INLINED into every sig expression
     // and the md5-over-all-shingles pass would evaluate numHashes times
     // per row — measured 16× the map-side cost at sf0.1 (round-6 bench).
+    // The digest-doubling is NESTED transforms (md5 once, then concat):
+    // higher-order-function lambdas run interpreted with no common-
+    // subexpression elimination, so the single-transform form
+    // `concat(md5(s), md5(s))` digested every shingle TWICE — same
+    // values, half the hashing (round-15, guide §1.2 per-task work).
     val sigs = (0 until numHashes).map(i =>
       array_min(transform(col("__hh"), h => substring(h, 1 + 2 * i, 16))).as(s"sig_$i"))
     val withSig = docs
       .filter(size(toks) >= k)
-      .withColumn("__hh", transform(sh, s => concat(md5(s), md5(s))))
+      .withColumn("__hh",
+        transform(transform(sh, s => md5(s)), h => concat(h, h)))
       .select(col(idCol).as("doc_id") +: carryCols.map(col) ++: sigs: _*)
     val bands = (0 until numBands).map { b =>
       val sigCols = (b * rows until (b + 1) * rows).map(i => col(s"sig_$i"))
