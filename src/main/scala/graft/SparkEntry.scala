@@ -2601,12 +2601,18 @@ object SparkEntry {
       val fresh = base.filter(col("event_id") % 10 < 3)
         .withColumn("value", col("value") + 1000)
         .withColumn("props", lit("{\"upd\": true}"))
+      val san = dir.replaceAll("[^A-Za-z0-9]", "_")
       val root = new org.apache.hadoop.fs.Path(
-        s"$scratchRoot/graft_stream_upsert_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+        s"$scratchRoot/graft_stream_upsert_$san")
       val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(root, true)
-      val feed = s"$root/feed"; val store = s"$root/store"
-      fresh.coalesce(1).write.parquet(feed)
+      // FEED cached per sf dir (deterministic projection of events —
+      // the round-14 verdict #4 discipline); the STORE is seeded fresh
+      // every run: it is the operator's mutable state, never cached.
+      val feed = cachedFeed(s, s"graft_feed_upsert_$san") { fd =>
+        fresh.coalesce(1).write.parquet(fd)
+      }
+      val store = s"$root/store"
       graft.pipelines.AtomicStore.overwrite(base, store)
       val q = graft.streaming.StreamingUpsert.start(s,
         s.readStream.schema(fresh.schema).parquet(feed), store,
