@@ -34,12 +34,13 @@ object Bench {
     */
   def ivfPqRecallAt10(spark: SparkSession, sfDir: String,
                       nCells: Int = 16, nProbe: Int = 8,
-                      m: Int = 16, ksub: Int = 16, rerank: Int = 100): Double = {
+                      m: Int = 16, ksub: Int = 16, rerank: Int = 100,
+                      exactTopK: Option[org.apache.spark.sql.DataFrame] = None): Double = {
     import org.apache.spark.sql.functions._
     val emb = Tables.load(spark, sfDir, "embeddings")
     val queries = emb.filter(col("vec_id") < 200)
-    val exact = graft.operators.Similarity.bruteForceTopK(
-      queries, emb, "vec_id", "embedding", k = 10)
+    val exact = exactTopK.getOrElse(graft.operators.Similarity.bruteForceTopK(
+      queries, emb, "vec_id", "embedding", k = 10))
     val approx = graft.operators.Similarity.ivfPqRerankTopK(
       emb, queries, "vec_id", "embedding",
       dim = 64, nCells = nCells, m = m, ksub = ksub, iters = 5, k = 10,
@@ -57,12 +58,13 @@ object Bench {
   def ivfPqResidualRecallAt10(spark: SparkSession, sfDir: String,
                               nCells: Int = 16, nProbe: Int = 8,
                               m: Int = 16, ksub: Int = 16,
-                              rerank: Int = 100): Double = {
+                              rerank: Int = 100,
+                              exactTopK: Option[org.apache.spark.sql.DataFrame] = None): Double = {
     import org.apache.spark.sql.functions._
     val emb = Tables.load(spark, sfDir, "embeddings")
     val queries = emb.filter(col("vec_id") < 200)
-    val exact = graft.operators.Similarity.bruteForceTopK(
-      queries, emb, "vec_id", "embedding", k = 10)
+    val exact = exactTopK.getOrElse(graft.operators.Similarity.bruteForceTopK(
+      queries, emb, "vec_id", "embedding", k = 10))
     val approx = graft.operators.Similarity.ivfPqResidualRerankTopK(
       emb, queries, "vec_id", "embedding",
       dim = 64, nCells = nCells, m = m, ksub = ksub, iters = 5, k = 10,
@@ -82,12 +84,13 @@ object Bench {
     */
   def ivfPqAdcRecallAt10(spark: SparkSession, sfDir: String, residual: Boolean,
                          nCells: Int = 16, nProbe: Int = 8,
-                         m: Int = 16, ksub: Int = 16): Double = {
+                         m: Int = 16, ksub: Int = 16,
+                         exactTopK: Option[org.apache.spark.sql.DataFrame] = None): Double = {
     import org.apache.spark.sql.functions._
     val emb = Tables.load(spark, sfDir, "embeddings")
     val queries = emb.filter(col("vec_id") < 200)
-    val exact = graft.operators.Similarity.bruteForceTopK(
-      queries, emb, "vec_id", "embedding", k = 10)
+    val exact = exactTopK.getOrElse(graft.operators.Similarity.bruteForceTopK(
+      queries, emb, "vec_id", "embedding", k = 10))
     val approx =
       if (residual)
         graft.operators.Similarity.ivfPqResidualTopK(
@@ -115,12 +118,13 @@ object Bench {
     */
   def opqAdcRecallAt10(spark: SparkSession, sfDir: String,
                        nCells: Int = 16, nProbe: Int = 8,
-                       m: Int = 16, ksub: Int = 16): Double = {
+                       m: Int = 16, ksub: Int = 16,
+                       exactTopK: Option[org.apache.spark.sql.DataFrame] = None): Double = {
     import org.apache.spark.sql.functions._
     val emb = Tables.load(spark, sfDir, "embeddings")
     val queries = emb.filter(col("vec_id") < 200)
-    val exact = graft.operators.Similarity.bruteForceTopK(
-      queries, emb, "vec_id", "embedding", k = 10)
+    val exact = exactTopK.getOrElse(graft.operators.Similarity.bruteForceTopK(
+      queries, emb, "vec_id", "embedding", k = 10))
     val approx = graft.operators.Similarity.ivfPqResidualOpqTopK(
       emb, queries, "vec_id", "embedding",
       dim = 64, nCells = nCells, m = m, ksub = ksub, iters = 5, k = 10,
@@ -137,12 +141,13 @@ object Bench {
   def opqRerankRecallAt10(spark: SparkSession, sfDir: String,
                           nCells: Int = 16, nProbe: Int = 8,
                           m: Int = 16, ksub: Int = 16,
-                          rerank: Int = 100): Double = {
+                          rerank: Int = 100,
+                          exactTopK: Option[org.apache.spark.sql.DataFrame] = None): Double = {
     import org.apache.spark.sql.functions._
     val emb = Tables.load(spark, sfDir, "embeddings")
     val queries = emb.filter(col("vec_id") < 200)
-    val exact = graft.operators.Similarity.bruteForceTopK(
-      queries, emb, "vec_id", "embedding", k = 10)
+    val exact = exactTopK.getOrElse(graft.operators.Similarity.bruteForceTopK(
+      queries, emb, "vec_id", "embedding", k = 10))
     val approx = graft.operators.Similarity.ivfPqResidualOpqRerankTopK(
       emb, queries, "vec_id", "embedding",
       dim = 64, nCells = nCells, m = m, ksub = ksub, iters = 5, k = 10,
@@ -243,17 +248,44 @@ object Bench {
           Some(name -> v)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); None }
+    // The brute-force exact top-10 frame is IDENTICAL across the six
+    // recall metrics (same queries, same corpus, same k) but was
+    // recomputed per metric — ~10 min of bench wall-clock outside
+    // total_s re-deriving one 2000-row frame (round-15 verdict #6).
+    // Compute it once, persist the tiny result, and hand it to every
+    // metric: the recall VALUES are bit-identical (the same frame either
+    // way — each metric's approx path is untouched). A failure in the
+    // shared precompute falls back to per-metric recomputation so the
+    // per-metric error isolation of `quality` is preserved.
+    val sharedExact: Option[org.apache.spark.sql.DataFrame] =
+      if (only.nonEmpty) None
+      else try {
+        import org.apache.spark.sql.functions.col
+        val emb = Tables.load(spark, sfDir, "embeddings")
+        val ex = graft.operators.Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") < 200), emb, "vec_id", "embedding", k = 10)
+          .persist()
+        ex.count() // materialize before OpCache.clear drops the inner persist
+        graft.operators.OpCache.clear()
+        Some(ex)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] shared exact top-k failed: ${e.getMessage}")
+        None
+      }
     val recalls = Seq(
-      quality("ivfpq_recall_at10")(ivfPqRecallAt10(spark, sfDir)),
-      quality("ivfpq_residual_recall_at10")(ivfPqResidualRecallAt10(spark, sfDir)),
+      quality("ivfpq_recall_at10")(
+        ivfPqRecallAt10(spark, sfDir, exactTopK = sharedExact)),
+      quality("ivfpq_residual_recall_at10")(
+        ivfPqResidualRecallAt10(spark, sfDir, exactTopK = sharedExact)),
       quality("ivfpq_adc_recall_at10")(
-        ivfPqAdcRecallAt10(spark, sfDir, residual = false)),
+        ivfPqAdcRecallAt10(spark, sfDir, residual = false, exactTopK = sharedExact)),
       quality("ivfpq_adc_residual_recall_at10")(
-        ivfPqAdcRecallAt10(spark, sfDir, residual = true)),
+        ivfPqAdcRecallAt10(spark, sfDir, residual = true, exactTopK = sharedExact)),
       quality("ivfpq_adc_opq_recall_at10")(
-        opqAdcRecallAt10(spark, sfDir)),
+        opqAdcRecallAt10(spark, sfDir, exactTopK = sharedExact)),
       quality("ivfpq_opq_recall_at10")(
-        opqRerankRecallAt10(spark, sfDir))).flatten
+        opqRerankRecallAt10(spark, sfDir, exactTopK = sharedExact))).flatten
+    sharedExact.foreach(_.unpersist(blocking = false))
 
     var best = Map.empty[String, Double]
     def emit(): Unit = {
@@ -291,9 +323,17 @@ object Bench {
         s"""{"total_s":$total,"n_queries":${results.count(_._2 >= 0)},"sf":${jstr(sfDir)},"full_map":${jstr(mapPath)},"protocol":${jstr(protocol)}}"""
       val full =
         s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jstr(sfDir)}$recallField,"protocol":${jstr(protocol)}}"""
+      // round-15 verdict #1 (PERF parse determinism): the driver's
+      // round-over-round comparison needs the line WITH the per-query
+      // map, so the full-map line is ALSO the LAST line emitted. The
+      // small headlines still bracket each big line (truncation
+      // resilience in either direction, unchanged), the pointer to the
+      // committed full map still rides in them — this only pins which
+      // parseable line a last-line parser lands on.
       println(headline)
       println(full)
       println(headline)
+      println(full)
       System.out.flush()
       // The driver's artifact keeps only a stdout TAIL, so per-query data
       // for the first ~290 queries is lost to round-over-round trend

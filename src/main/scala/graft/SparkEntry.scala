@@ -44,28 +44,74 @@ object SparkEntry {
   private lazy val scratchRoot: String =
     if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp"
 
+  /** Stat token of the source tables a cached fixture derives from —
+    * the [[Tables.scanKey]] (path|mtime|len[|newest-child|n]) of each,
+    * concatenated. Written into a feed's completion marker so a feed
+    * goes stale exactly when the scan-plan memo would re-list its
+    * source: testdata regenerated IN PLACE must rebuild the /dev/shm
+    * feeds too, or the stream drains would diverge from the batch duals
+    * (round-15 advice, medium).
+    */
+  private def srcToken(s: SparkSession, dir: String, tables: String*): String =
+    tables.map { n =>
+      Tables.scanKey(s, s"$dir/$n.parquet").getOrElse(s"$n|absent")
+    }.mkString(";")
+
   /** Materialize a streaming-face FEED directory once per (face, sf
     * dir) and reuse it across runs — the feed is a DETERMINISTIC
     * function of the input tables, so re-deriving it per run only adds
     * a corpus-sized write to what should be a drain-only timing
     * (round-14 verdict: `q_stream_quantile_sketch`'s decade α was its
     * fixture's, not the operator's). `build` writes into `{root}/files`;
-    * a completion marker makes a half-written feed from a killed run
-    * rebuild rather than stream short. Returns the files dir to stream
-    * from. Stores/checkpoints are NOT cached — each run drains from
-    * scratch.
+    * the completion marker carries the caller's [[srcToken]], so a
+    * half-written feed from a killed run — or a feed built from a
+    * since-regenerated source table — rebuilds rather than serving
+    * stale rows. Returns the files dir to stream from.
+    * Stores/checkpoints are NOT cached — each run drains from scratch.
     */
-  private def cachedFeed(s: SparkSession, name: String)
+  private def cachedFeed(s: SparkSession, name: String, token: String)
                         (build: String => Unit): String = {
     val root = new org.apache.hadoop.fs.Path(s"$scratchRoot/$name")
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     val done = new org.apache.hadoop.fs.Path(root, "_FEED_DONE")
-    if (!fs.exists(done)) {
+    val current: Option[String] =
+      if (!fs.exists(done)) None
+      else try {
+        val in = fs.open(done)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+        finally in.close()
+      } catch { case _: Exception => None }
+    if (!current.contains(token)) {
       fs.delete(root, true)
       build(s"$root/files")
-      fs.create(done).close()
+      val out = fs.create(done)
+      try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
     }
     s"$root/files"
+  }
+
+  /** Materialize a deterministic MEDIA fixture corpus once per (name,
+    * sf dir) and read it back through the memoized parquet scan — the
+    * [[cachedFeed]] discipline applied to the batch multimodal fixtures
+    * (round-15 verdict #1): the synthetic PNG/WAV ENCODE is fixture
+    * construction, not the operator under test (the per-row decode +
+    * hash is, and still executes from scratch every run), yet it ran
+    * inside the timed body of every aHash/audio face, re-encoding the
+    * same corpus per query per run. Written as 8 files so the timed
+    * decode scan parallelizes instead of inheriting the encode's
+    * single-task layout (guide §2.6/§6 — same reasoning as the 8-file
+    * stream feeds; hashes are per-row and the faces aggregate or sort,
+    * so file layout cannot change any result). The marker token tracks
+    * the documents table, so a regenerated sf dir rebuilds the corpus.
+    */
+  private def cachedMediaCorpus(s: SparkSession, dir: String, name: String)
+                               (build: => DataFrame): DataFrame = {
+    val feed = cachedFeed(s, s"${name}_${dir.replaceAll("[^A-Za-z0-9]", "_")}",
+        srcToken(s, dir, "documents")) { fd =>
+      build.repartition(8).write.parquet(fd)
+    }
+    Tables.memoizedScan(s, feed)
   }
 
   /** Write `df` as ONE parquet file named `$name.parquet` under
@@ -1496,10 +1542,11 @@ object SparkEntry {
     // proves actual decode execution per row — encode dims survive a
     // real PNG round trip, format detected "png".
     "q_multimodal_decode" -> ((s, dir) => {
-      import s.implicits._
-      val media = t(s, dir, "documents").select("doc_id").as[Long]
-        .mapPartitions(_.map(id => graft.operators.Multimodal.MediaRecord(
-          id, "image", graft.operators.Multimodal.syntheticPngFixture(id)))).toDF()
+      // base PNGs only = the cached aHash corpus below the perturbed-id
+      // offset (round-15 verdict #1: the encode is fixture; the per-row
+      // DECODE — the operator the oracle proves — still runs from the
+      // blobs every run)
+      val media = ahashCorpus(s, dir).filter(col("doc_id") < 100000000L)
       Multimodal.decodeImageMeta(s, media).orderBy("doc_id")
     }),
 
@@ -1550,7 +1597,8 @@ object SparkEntry {
       // still runs from scratch every time (fresh checkpoint inside
       // StreamDrain).
       val streamDir = cachedFeed(s,
-          s"graft_feed_mmstream_${dir.replaceAll("[^A-Za-z0-9]", "_")}") { feedDir =>
+          s"graft_feed_mmstream_${dir.replaceAll("[^A-Za-z0-9]", "_")}",
+          srcToken(s, dir, "documents")) { feedDir =>
         emitFeedFile(corpus.filter(pmod(col("doc_id"), lit(2)) === 0),
           feedDir, "b1", 1000000L)
         emitFeedFile(corpus.filter(pmod(col("doc_id"), lit(2)) === 1),
@@ -1612,10 +1660,10 @@ object SparkEntry {
     // through the JDK's javax.sound writer, header-parsed back to
     // (sample_rate, channels, n_frames) against the synthesis arithmetic
     "q_multimodal_audio" -> ((s, dir) => {
-      import s.implicits._
-      val media = t(s, dir, "documents").select("doc_id").as[Long]
-        .mapPartitions(_.map(id => graft.operators.Multimodal.MediaRecord(
-          id, "audio", graft.operators.Multimodal.syntheticWavFixture(id)))).toDF()
+      // base WAVs only = the cached audio corpus below the perturbed-id
+      // offset (see q_multimodal_decode — encode is fixture, the header
+      // parse under test still runs per row)
+      val media = audioFpCorpus(s, dir).filter(col("doc_id") < 100000000L)
       Multimodal.decodeAudioMeta(s, media).orderBy("doc_id")
     }),
 
@@ -1625,14 +1673,18 @@ object SparkEntry {
     // on the synthesis arithmetic AND route every non-image to
     // (-1, -1, 'unknown') instead of throwing, per row, in one pass
     "q_multimodal_unknown" -> ((s, dir) => {
-      import s.implicits._
-      val media = t(s, dir, "documents")
-        .select(col("doc_id"), col("text")).as[(Long, String)]
-        .mapPartitions(_.map { case (id, text) =>
-          graft.operators.Multimodal.MediaRecord(id, "image",
-            if (id % 2 == 0) graft.operators.Multimodal.syntheticPngFixture(id)
-            else text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        }).toDF()
+      // corpus cached per sf dir (encode/byte-packing is fixture; the
+      // per-row decode-or-quarantine routing under test runs every run)
+      val media = cachedMediaCorpus(s, dir, "graft_mm_unknown") {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .mapPartitions(_.map { case (id, text) =>
+            graft.operators.Multimodal.MediaRecord(id, "image",
+              if (id % 2 == 0) graft.operators.Multimodal.syntheticPngFixture(id)
+              else text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }).toDF()
+      }
       Multimodal.decodeImageMeta(s, media).orderBy("doc_id")
     }),
 
@@ -1782,7 +1834,8 @@ object SparkEntry {
       val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(root, true)
       // log order: everything at seq 1 lands before everything at seq 2
-      val feedDir = cachedFeed(s, s"graft_feed_cdc_$san") { fd =>
+      val feedDir = cachedFeed(s, s"graft_feed_cdc_$san",
+          srcToken(s, dir, "customer")) { fd =>
         emitFeedFile(changes.filter(col("seq") === 1), fd, "b1", 1000000L)
         emitFeedFile(changes.filter(col("seq") === 2), fd, "b2", 2000000L)
       }
@@ -2063,7 +2116,8 @@ object SparkEntry {
       // of one near-single-task file (fold merges are exactly
       // batching-independent, so the drained store — and the oracle —
       // don't care how the slice is filed)
-      val feed = cachedFeed(s, s"graft_feed_qsketch8_$san") { feedDir =>
+      val feed = cachedFeed(s, s"graft_feed_qsketch8_$san",
+          srcToken(s, dir, "orders")) { feedDir =>
         (0 to 2).foreach { i =>
           o.filter(pmod(col("o_orderkey"), lit(3)) === i)
             .repartition(8).write.mode("append").parquet(feedDir)
@@ -2134,7 +2188,8 @@ object SparkEntry {
       // (O(delta), round-14 verdict #1) and the ledger check is a
       // driver-side manifest lookup — the oracle is unchanged, the
       // per-batch swap cost is what moved.
-      val feed = cachedFeed(s, s"graft_feed_incr8_$san") { feedDir =>
+      val feed = cachedFeed(s, s"graft_feed_incr8_$san",
+          srcToken(s, dir, "events")) { feedDir =>
         (0 to 2).foreach { i =>
           ev.filter(pmod(col("event_id"), lit(3)) === i)
             .repartition(8).write.mode("append").parquet(feedDir)
@@ -2548,7 +2603,8 @@ object SparkEntry {
       // orders table; the drain + stateful gap fill is the timed body
       // (guide §1.4, the q_stream_quantile_sketch pattern)
       val streamDir = cachedFeed(s,
-          s"graft_feed_gapfill_${dir.replaceAll("[^A-Za-z0-9]", "_")}") { fd =>
+          s"graft_feed_gapfill_${dir.replaceAll("[^A-Za-z0-9]", "_")}",
+          srcToken(s, dir, "orders")) { fd =>
         val bounds = daily.agg(min("day"), max("day")).head() // O(1) scalars
         val (lo, hi) = (bounds.getInt(0), bounds.getInt(1))
         val c1 = lo + (hi - lo) / 3
@@ -2609,7 +2665,8 @@ object SparkEntry {
       // FEED cached per sf dir (deterministic projection of events —
       // the round-14 verdict #4 discipline); the STORE is seeded fresh
       // every run: it is the operator's mutable state, never cached.
-      val feed = cachedFeed(s, s"graft_feed_upsert_$san") { fd =>
+      val feed = cachedFeed(s, s"graft_feed_upsert_$san",
+          srcToken(s, dir, "events")) { fd =>
         fresh.coalesce(1).write.parquet(fd)
       }
       val store = s"$root/store"
@@ -2644,7 +2701,8 @@ object SparkEntry {
       // takes distinct() anyway. Same 8-files-per-slice discipline as
       // the quantile-sketch/incremental-agg feeds.
       val streamDir = cachedFeed(s,
-          s"graft_feed_neardup8_${dir.replaceAll("[^A-Za-z0-9]", "_")}") { fd =>
+          s"graft_feed_neardup8_${dir.replaceAll("[^A-Za-z0-9]", "_")}",
+          srcToken(s, dir, "documents")) { fd =>
         batch.repartition(8).write.parquet(fd)
       }
       graft.streaming.StreamDrain.drain(s, streamDir,
@@ -2705,7 +2763,8 @@ object SparkEntry {
       // and within a batch the pair set is arrival-order-invariant
       // below the (1<<20) cap. Oracle unchanged.
       val streamDir = cachedFeed(s,
-          s"graft_feed_neardup_ttl8_${dir.replaceAll("[^A-Za-z0-9]", "_")}") { fd =>
+          s"graft_feed_neardup_ttl8_${dir.replaceAll("[^A-Za-z0-9]", "_")}",
+          srcToken(s, dir, "documents")) { fd =>
         val slices = Seq(
           ("b1", batch.filter(col("doc_id") <= d1), 1000000L),
           ("b2", batch.filter(col("doc_id") > d1 && col("doc_id") <= d2), 2000000L),
@@ -2916,13 +2975,20 @@ object SparkEntry {
       // identical. Shares the q_stream_neardup feed (same repartition(8)
       // of the documents table).
       val streamDir = cachedFeed(s,
-          s"graft_feed_neardup8_${dir.replaceAll("[^A-Za-z0-9]", "_")}") { fd =>
+          s"graft_feed_neardup8_${dir.replaceAll("[^A-Za-z0-9]", "_")}",
+          srcToken(s, dir, "documents")) { fd =>
         batch.repartition(8).write.parquet(fd)
       }
       graft.streaming.StreamDrain.drain(s, streamDir,
           batch.schema, "stream_dsir", "complete") { src =>
-        // the model must build on the DRAIN's dedicated session
-        val docs = Tables.load(src.sparkSession, dir, "documents")
+        // the model must build on the DRAIN's dedicated session. It
+        // reads the SAME rows via the cached 8-file feed (round-15
+        // verdict #9) — the feed IS repartition(8) of the documents
+        // table, token-invalidated with it — so the per-batch model
+        // featurization gets 8 scan tasks instead of the one-file
+        // table's single task. The model is count aggregation over
+        // longs (layout-independent), so its rows are unchanged.
+        val docs = Tables.memoizedScan(src.sparkSession, streamDir)
         val en = coalesce(col("lang") === lit("en"), lit(false))
         val model = TextAnalysis.dsirModel(docs, docs.where(en), "text",
           buckets = 4096)
@@ -3396,17 +3462,21 @@ object SparkEntry {
     * merged a real document's pixels with a perturbed variant's — a
     * scale-dependent fixture bug only the sf1 gate could catch.
     */
-  private def ahashCorpus(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val base = t(s, dir, "documents").select("doc_id").as[Long]
-      .mapPartitions(_.map(id => Multimodal.MediaRecord(id, "image",
-        Multimodal.syntheticPngFixture(id))))
-    val pert = t(s, dir, "documents").select("doc_id").as[Long]
-      .filter((id: Long) => id < 64)
-      .mapPartitions(_.map(id => Multimodal.MediaRecord(id + 100000000L, "image",
-        Multimodal.syntheticPngPerturbedFixture(id))))
-    base.union(pert).toDF()
-  }
+  private def ahashCorpus(s: SparkSession, dir: String): DataFrame =
+    // corpus cached per sf dir (round-15 verdict #1, guide §1.4): the
+    // PNG ENCODE is fixture construction; the decode+hash operators
+    // downstream still run per row from the parquet blobs every run
+    cachedMediaCorpus(s, dir, "graft_mm_ahash") {
+      import s.implicits._
+      val base = t(s, dir, "documents").select("doc_id").as[Long]
+        .mapPartitions(_.map(id => Multimodal.MediaRecord(id, "image",
+          Multimodal.syntheticPngFixture(id))))
+      val pert = t(s, dir, "documents").select("doc_id").as[Long]
+        .filter((id: Long) => id < 64)
+        .mapPartitions(_.map(id => Multimodal.MediaRecord(id + 100000000L, "image",
+          Multimodal.syntheticPngPerturbedFixture(id))))
+      base.union(pert).toDF()
+    }
 
   /** The aHash bit derivation restated as closed-form SQL over the
     * fixture pixel formula (syntheticPng: rgb = (r·2654435761 + x·31 +
@@ -3499,17 +3569,19 @@ object SparkEntry {
     * plus PCM-XOR-perturbed variants (doc_id + 100_000_000, clear of real
     * ids at every scale factor — see ahashCorpus) for doc_id < 64.
     */
-  private def audioFpCorpus(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val base = t(s, dir, "documents").select("doc_id").as[Long]
-      .mapPartitions(_.map(id => Multimodal.MediaRecord(id, "audio",
-        Multimodal.syntheticWavFixture(id))))
-    val pert = t(s, dir, "documents").select("doc_id").as[Long]
-      .filter((id: Long) => id < 64)
-      .mapPartitions(_.map(id => Multimodal.MediaRecord(id + 100000000L, "audio",
-        Multimodal.syntheticWavPerturbedFixture(id))))
-    base.union(pert).toDF()
-  }
+  private def audioFpCorpus(s: SparkSession, dir: String): DataFrame =
+    // cached per sf dir — see ahashCorpus (the WAV encode is fixture)
+    cachedMediaCorpus(s, dir, "graft_mm_audiofp") {
+      import s.implicits._
+      val base = t(s, dir, "documents").select("doc_id").as[Long]
+        .mapPartitions(_.map(id => Multimodal.MediaRecord(id, "audio",
+          Multimodal.syntheticWavFixture(id))))
+      val pert = t(s, dir, "documents").select("doc_id").as[Long]
+        .filter((id: Long) => id < 64)
+        .mapPartitions(_.map(id => Multimodal.MediaRecord(id + 100000000L, "audio",
+          Multimodal.syntheticWavPerturbedFixture(id))))
+      base.union(pert).toDF()
+    }
 
   /** The audio fingerprint restated over the WAV fixture's PCM formula
     * (syntheticWav at residue r = doc_id % 100: byte i =

@@ -51,10 +51,44 @@ object Tables {
     * unstattable path falls through to the uncached read so the error
     * surfaces from the reader, not the memo.
     */
+  /** The inner per-session map holds analyzed DataFrames, which strongly
+    * reference their SparkSession — held directly as the WeakHashMap
+    * VALUE they would pin their own KEY and no session could ever be
+    * collected (round-15 advice). The SoftReference breaks that strong
+    * key←value chain: a session kept alive only by its own memo becomes
+    * softly reachable, so the collector can reclaim it (and the memo)
+    * under memory pressure; a cleared memo is simply rebuilt on the next
+    * load — a miss, never a correctness change.
+    */
   private val planCache =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession,
-        java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+        java.lang.ref.SoftReference[
+          java.util.concurrent.ConcurrentHashMap[String, DataFrame]]]())
+
+  /** Memo key for one table path: `path|mtime|len`, plus — for a
+    * DIRECTORY path — the newest immediate child's mtime and the child
+    * count (round-15 verdict #7): a directory whose file set is rewritten
+    * in place can keep its own (mtime, length) within filesystem mtime
+    * resolution while its part files changed, and a stale file listing
+    * would silently serve the old data. `None` = unstattable (missing
+    * path — the caller falls through to the raw reader so the error
+    * surfaces from there).
+    */
+  private[graft] def scanKey(spark: SparkSession, path: String): Option[String] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(p)
+      val dirPart =
+        if (!st.isDirectory) ""
+        else {
+          val kids = fs.listStatus(p)
+          val newest = if (kids.isEmpty) 0L else kids.map(_.getModificationTime).max
+          s"|$newest|${kids.length}"
+        }
+      Some(s"$path|${st.getModificationTime}|${st.getLen}$dirPart")
+    } catch { case _: Exception => None }
 
   /** Raw scan with the file's physical schema. Streaming sources need this:
     * `readStream.schema(...)` must match the parquet footer, so a stream
@@ -65,33 +99,30 @@ object Tables {
     // runtime conf, read at scan-schema conversion time; harmless for the
     // tables that have no nanos columns
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$sfDir/$name.parquet"
-    val stat =
-      try {
-        val p = new org.apache.hadoop.fs.Path(path)
-        val st = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .getFileStatus(p)
-        Some((st.getModificationTime, st.getLen))
-      } catch { case _: Exception => None }
-    stat match {
+    memoizedScan(spark, s"$sfDir/$name.parquet")
+  }
+
+  /** The scan-plan memo for an arbitrary parquet path — [[loadRaw]]'s
+    * machinery, also used by the cached fixture corpora (which are
+    * rebuilt-on-source-change directories under scratch, so the same
+    * per-query listing/footer constant applied to them).
+    */
+  private[graft] def memoizedScan(spark: SparkSession, path: String): DataFrame =
+    scanKey(spark, path) match {
       case None => spark.read.parquet(path) // missing/unstattable: reader throws
-      case Some((m, l)) =>
-        val perSession = {
-          val existing = planCache.get(spark)
-          if (existing != null) existing
-          else planCache.synchronized {
-            val again = planCache.get(spark)
-            if (again != null) again
-            else {
-              val fresh = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-              planCache.put(spark, fresh)
-              fresh
-            }
+      case Some(key) =>
+        val perSession = planCache.synchronized {
+          val ref = planCache.get(spark)
+          val live = if (ref == null) null else ref.get()
+          if (live != null) live
+          else {
+            val fresh = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+            planCache.put(spark, new java.lang.ref.SoftReference(fresh))
+            fresh
           }
         }
-        perSession.computeIfAbsent(s"$path|$m|$l", _ => spark.read.parquet(path))
+        perSession.computeIfAbsent(key, _ => spark.read.parquet(path))
     }
-  }
 
   /** Schema-adaptive `ts` contract: whatever the parquet writer produced,
     * downstream operators see epoch-NANOS as a Long.
@@ -132,19 +163,26 @@ object Tables {
     */
   private val registeredViews =
     java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession, (String, Seq[DataFrame])]())
+      new java.util.WeakHashMap[SparkSession, (String, Seq[Option[String]])]())
 
   def registerAll(spark: SparkSession, sfDir: String): Unit = {
-    val raws = all.map(n => loadRaw(spark, sfDir, n))
+    // invalidation token = the scan-memo keys (path|mtime|len[|dir]) of
+    // all 10 tables, NOT the DataFrame instances: plan identity is
+    // exactly key identity (the scan memo builds one plan per key), and
+    // holding DataFrames as the WeakHashMap value would strongly
+    // reference each frame's session — the value pinning its own key, so
+    // no session is ever collected (round-15 advice). `None` keys
+    // (unstattable table) always re-register, matching the memo-less
+    // loadRaw fall-through.
+    val keys = all.map(n => scanKey(spark, s"$sfDir/$n.parquet"))
     val prev = registeredViews.get(spark)
     val unchanged = prev != null && prev._1 == sfDir &&
-      prev._2.size == raws.size &&
-      prev._2.zip(raws).forall { case (a, b) => a eq b }
+      prev._2 == keys && keys.forall(_.isDefined)
     if (!unchanged) {
-      all.zip(raws).foreach { case (n, raw) =>
-        normalizeEventTs(raw).createOrReplaceTempView(n)
+      all.foreach { n =>
+        normalizeEventTs(loadRaw(spark, sfDir, n)).createOrReplaceTempView(n)
       }
-      registeredViews.put(spark, (sfDir, raws))
+      registeredViews.put(spark, (sfDir, keys))
       ()
     }
   }

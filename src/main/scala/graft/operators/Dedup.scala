@@ -381,12 +381,29 @@ object Dedup {
         .filter(col("sc") > 1 || (col("sc") > 0 && col("tc") > 0))
         .isEmpty
     }
+    // Round batching (round-16, guide §2.4 — remove jobs outright): a
+    // converged star forest is a FIXPOINT of both stars (largeStar: a
+    // member's only neighbor is its smaller center, filtered by v > u,
+    // while the center re-emits (member, center); smallStar: a member's
+    // min smaller neighbor is already its center), so running TWO
+    // contraction rounds between convergence probes cannot change the
+    // labels — convergence mid-pair just makes the second round an
+    // identity pass over the already-contracted edge set. This halves
+    // the per-round fixed bill (one localCheckpoint materialization +
+    // one probe job per TWO rounds instead of per one), which is job
+    // machinery, not data, at any scale where the edge set has
+    // contracted. The up-front probe is folded into the loop for the
+    // same reason: raw pair sets are essentially never star forests, so
+    // it was one more fixed job per call, and running the pair of
+    // rounds on an already-converged input is an identity pass. `iter`
+    // still counts CONTRACTION ROUNDS (the O(log²) spec bound reads
+    // it), now rounded up to the next even number.
     var iter = 0
-    var done = isStarForest(e)
+    var done = false
     while (!done && iter < maxIter) {
-      e = smallStar(largeStar(e)).localCheckpoint(true)
+      e = smallStar(largeStar(smallStar(largeStar(e)))).localCheckpoint(true)
+      iter += 2
       done = isStarForest(e)
-      iter += 1
     }
     // fail loudly: unconverged edges would silently keep multiple docs
     // per cluster downstream, indistinguishable from a correct run

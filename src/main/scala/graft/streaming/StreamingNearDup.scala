@@ -132,6 +132,22 @@ object StreamingNearDup {
     * id already in its (band, key) bucket, bucket membership capped at
     * `maxBucket`. State never expires — exact within the run; for an
     * always-on stream use [[candidatePairsExpiring]].
+    *
+    * ARRIVAL-ORDER CAVEAT AT THE CAP (round-15 verdict #8): within one
+    * micro-batch the emitted pair SET is arrival-order-invariant only
+    * while every bucket stays BELOW `maxBucket` — the first `maxBucket`
+    * arrivals join the bucket and later ones only emit markers, so WHICH
+    * ids are members (and therefore which pairs exist and which ids
+    * carry `truncated`) depends on within-bucket arrival order once the
+    * cap binds. Arrival order inside a micro-batch follows the source's
+    * file/partition layout, so a capped bucket's output is APPROXIMATE
+    * under re-layout (e.g. the 8-file feeds): the pairs lost are exactly
+    * the overflow the `truncated` contract already routes to the batch
+    * pass, but they are not byte-stable across layouts. Deployments that
+    * need layout-stable truncation should sort arrivals per key before
+    * the fold (an extra per-batch sort) or treat capped buckets as
+    * batch-pass-only, as the bounded gates here do by sizing the cap
+    * above any bucket so it never binds on the agreement surface.
     */
   def candidatePairs(spark: SparkSession, bandedDocs: DataFrame,
                      maxBucket: Int = 64): Dataset[CandidatePair] = {

@@ -128,6 +128,21 @@ class DedupSpec extends SparkSpec {
     graft.operators.OpCache.clear()
   }
 
+  test("connectedComponents passes an already-converged star forest through unchanged") {
+    import spark.implicits._
+    // round-16: rounds now run in batched PAIRS between convergence
+    // probes, justified by star forests being a FIXPOINT of both stars —
+    // pin that claim directly: a converged input (two stars rooted at
+    // their component minima) must come back with identical labels even
+    // though the loop now always runs at least one double-round over it.
+    val star = Seq((5L, 0L), (3L, 0L), (7L, 0L), (12L, 10L)).toDF("id_a", "id_b")
+    val labels = graft.operators.Dedup.connectedComponents(star, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(0L -> 0L, 3L -> 0L, 5L -> 0L, 7L -> 0L,
+      10L -> 10L, 12L -> 10L), s"got $labels")
+    graft.operators.OpCache.clear()
+  }
+
   test("connectedComponents converges in O(log^2) rounds on a 100-node path, not in diameter rounds") {
     import spark.implicits._
     // a 100-node path (diameter 99): label propagation would need ~50
